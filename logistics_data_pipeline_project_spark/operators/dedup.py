@@ -1,0 +1,241 @@
+"""Deduplication operator family for large-scale training-data pipelines
+(BASELINE.json north star; beyond the reference's W1/W3 exact dedup).
+
+Scale design:
+- **exact_dedup** — hash-groupBy on a content digest: one shuffle keyed on
+  md5(text) (64-hex ~ uniform) — no skew, linear scale-out.
+- **shingle_jaccard_pairs** — the exact near-dup baseline: explode word
+  n-gram shingles, self-join on shingle, count intersections. The
+  document-frequency cap (`max_shingle_df`) bounds the join fan-out the
+  same way LSH banding does: a shingle shared by >df docs contributes
+  O(df²) pairs, so dropping non-discriminative shingles keeps the pair
+  space near-linear. At 100 TB this operator is the *verification* stage
+  run on LSH candidates, not on the full corpus.
+- **minhash_lsh_pairs** — the scale path: MinHashLSH (Spark ML) with fixed
+  seed; cost O(n · num_hashes) + banded join on hash buckets.
+- **simhash** — 60-bit simhash (xxhash64 token hashes, sign-aggregated
+  per bit); near-dup candidates via banded equality + Hamming distance.
+  All JVM-side expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "shingle_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_near_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content: groupBy digest, keep the smallest id
+    (deterministic keeper). Returns (digest, keeper id, duplicate count)."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias(f"keeper_{id_col}"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
+    Documents shorter than n tokens produce no shingles."""
+    toks = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__t")
+    ).filter(F.size("__t") >= n)
+    sh = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(__t)-{n}),"
+                f" i -> concat_ws(' ', slice(__t, i+1, {n}))))"
+            )
+        ).alias("shingle"),
+    )
+    return sh
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_df: int | None = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard ≥ threshold).
+
+    Jaccard is computed over the *discriminative* shingle universe: shingles
+    appearing in more than ``max_shingle_df`` documents are discarded before
+    both the sizes and the intersection counts (identical semantics on any
+    engine; bounds the self-join as described in the module docstring).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
+    jac = F.col("inter_size").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter_size")
+    )
+    return (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn("jaccard", F.round(jac, 4).cast("double"))
+        .filter(jac >= threshold)
+        .select("id1", "id2", "inter_size", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    max_distance: float = 0.9,
+    seed: int = 42,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs — the 100 TB-scale near-dup path.
+
+    shingles → HashingTF (binary, murmur3 — deterministic) → MinHashLSH
+    (seeded) → approxSimilarityJoin banded on hash buckets. Returns
+    (id1, id2, jaccard_distance) with id1 < id2. Not SQL-expressible
+    (driver records a rows-only check); the exact `shingle_jaccard_pairs`
+    is the differential reference for its candidates.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = word_shingles(df, text_col, id_col, n)
+    docs = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", binary=True, numFeatures=num_features
+    )
+    feat = tf.transform(docs).filter(F.expr("size(shingles) > 0"))
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, max_distance, distCol="jaccard_distance")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id1"),
+            F.col(f"datasetB.{id_col}").alias("id2"),
+            F.round(F.col("jaccard_distance"), 4).cast("double").alias("jaccard_distance"),
+        )
+        .filter(F.col("id1") < F.col("id2"))
+    )
+
+
+_SIMHASH_BITS = 60  # stay inside a signed 64-bit long (2^60 << 2^63)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash per document, fully JVM-side.
+
+    token weights = term frequency; per bit b: sum(+w if bit set else -w);
+    simhash bit b = 1 iff the sum > 0. One narrow shuffle (groupBy id after
+    groupBy id+token) — both keyed on id so Catalyst reuses the exchange.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    )
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
+    h = F.xxhash64("tok")
+    bit_sums = tf.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                    -F.col("w")
+                )
+            ).alias(f"b{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    fingerprint = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(1, _SIMHASH_BITS),
+        F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 12,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded LSH: split the 60-bit fingerprint
+    into ``n_bands`` bands; candidates share ≥1 exact band; verify with
+    Hamming distance (bit_count of xor). The band join is an equi-join →
+    shuffle on (band_idx, band_value), linear in candidates."""
+    sh = simhash(df, text_col, id_col)
+    band_width = _SIMHASH_BITS // n_bands
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(F.col(id_col), "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

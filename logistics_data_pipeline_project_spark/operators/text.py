@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star): token stats, quality scoring, language-ID heuristic, document
+fingerprinting. All pure Column expressions — JVM-side, codegen-friendly,
+no Python UDFs.
+
+The reference's only text stage is the pandas ticket classifier
+(dags/4_logistics_ticket_classifier_full_dag.py:32-78, U1); its scalable
+counterpart lives in ``ml_text.py`` as a pandas_udf. Everything here is
+the deterministic, SQL-expressible analysis layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "unique_token_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "language_scores",
+    "language_id",
+    "min_window_fingerprint",
+    "STOPWORDS_EN",
+    "LANG_MARKERS",
+]
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+
+#: tiny marker-word lists per language for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def unique_token_ratio(toks_col: str = "__toks") -> Column:
+    """distinct tokens / total tokens (1.0 = no repetition)."""
+    return F.round(
+        F.size(F.array_distinct(F.col(toks_col))).cast("double")
+        / F.size(F.col(toks_col)),
+        4,
+    ).cast("double")
+
+
+def stopword_ratio(toks_col: str = "__toks", stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    arr = "array(" + ",".join(f"'{w}'" for w in stopwords) + ")"
+    hits = F.expr(f"size(filter({toks_col}, x -> array_contains({arr}, x)))")
+    return F.round(hits.cast("double") / F.size(F.col(toks_col)), 4).cast("double")
+
+
+def quality_score(uniq_ratio: Column, stop_ratio: Column) -> Column:
+    """Composite [0,1] quality heuristic: reward lexical diversity, light
+    stopword presence (some is natural; too many = boilerplate)."""
+    return F.round(
+        F.lit(0.6) * uniq_ratio + F.lit(0.4) * (F.lit(1.0) - stop_ratio), 4
+    ).cast("double")
+
+
+def language_scores(toks_col: str = "__toks") -> dict[str, Column]:
+    """Marker-hit count per language (with multiplicity)."""
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+        out[lang] = F.expr(f"size(filter({toks_col}, x -> array_contains({arr}, x)))")
+    return out
+
+
+def language_id(toks_col: str = "__toks") -> Column:
+    """Deterministic argmax over language marker scores; fixed precedence
+    order (en, es, de, fr, zh) breaks ties."""
+    s = language_scores(toks_col)
+    return (
+        F.when(s["en"] >= F.greatest(s["es"], s["de"], s["fr"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["de"], s["fr"], s["zh"]), "es")
+        .when(s["de"] >= F.greatest(s["fr"], s["zh"]), "de")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+
+
+def min_window_fingerprint(text_col: str, toks_col: str = "__toks", n: int = 5) -> Column:
+    """Winnowing-style rolling fingerprint: md5 each word n-gram window,
+    keep the lexicographic minimum. Documents shorter than n tokens fall
+    back to md5(full text). Content-defined → robust to reordering of
+    surrounding text; used for near-dup clustering by fingerprint."""
+    sh_hashes = F.expr(
+        f"transform(sequence(0, size({toks_col})-{n}),"
+        f" i -> md5(concat_ws(' ', slice({toks_col}, i+1, {n}))))"
+    )
+    return F.when(F.size(F.col(toks_col)) >= n, F.array_min(sh_hashes)).otherwise(
+        F.md5(F.col(text_col))
+    )

@@ -1,0 +1,408 @@
+"""LLM-training-data query catalog: dedup, similarity search, text
+analysis, multimodal metadata (BASELINE.json north star) over the driver's
+``documents`` and ``embeddings`` tables.
+
+Queries with exact cross-engine semantics carry DuckDB oracle SQL; the
+LSH-based approximate operators (MinHash, SimHash-band, random-projection)
+are deliberately rows-only — their math (murmur3/xxhash64, seeded
+hyperplanes) is Spark-side by construction, and their *exact* counterparts
+(q22 shingle-jaccard, q25 brute-force cosine) are the oracle-checked
+references they are validated against in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..io_utils import load
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..operators.similarity import cosine_topk
+from ..operators.text import (
+    STOPWORDS_EN,
+    language_id,
+    min_window_fingerprint,
+    quality_score,
+    stopword_ratio,
+    tokens,
+    unique_token_ratio,
+)
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# q21 — exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_dedup_exact",
+    tags=("dedup", "A1", "W3"),
+    oracle="""
+SELECT md5(text) AS text_hash,
+  MIN(doc_id) AS keeper_doc_id,
+  COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def q21_dedup_exact(spark: SparkSession, sf_dir: str):
+    """Exact content dedup: one shuffle keyed on md5(text) — uniform key
+    space, no skew, linear scale-out. Keeper = min(doc_id)."""
+    return exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q22 — n-gram Jaccard near-dup (exact baseline for MinHash)
+# ---------------------------------------------------------------------------
+
+_JACCARD_N = 3
+_JACCARD_THRESHOLD = 0.1
+_JACCARD_MAX_DF = 50
+
+
+@register(
+    "q22_near_dup_jaccard",
+    tags=("dedup", "J7", "J8", "A1"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_JACCARD_N}
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_JACCARD_N - 1})) AS i FROM toks)
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_MAX_DF}
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2, inter_size,
+  CAST(ROUND(CAST(inter_size AS DOUBLE) / (sa.n_sh + sb.n_sh - inter_size), 4) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id1
+JOIN sizes sb ON sb.doc_id = id2
+WHERE CAST(inter_size AS DOUBLE) / (sa.n_sh + sb.n_sh - inter_size) >= {_JACCARD_THRESHOLD}
+""",
+)
+def q22_near_dup_jaccard(spark: SparkSession, sf_dir: str):
+    """Exact word-3-gram Jaccard pairs over discriminative shingles
+    (doc-frequency cap bounds the self-join fan-out — see
+    operators.dedup). This is the verification stage LSH candidates feed
+    into at scale."""
+    return shingle_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=_JACCARD_N,
+        threshold=_JACCARD_THRESHOLD,
+        max_shingle_df=_JACCARD_MAX_DF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — MinHash LSH near-dup candidates (scale path; rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("q23_near_dup_minhash_lsh", tags=("dedup", "U1"))
+def q23_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str):
+    """MinHash+LSH candidate pairs (seeded, deterministic). Rows-only
+    check: murmur3/minhash math is not reproducible in ANSI SQL; its
+    recall against exact Jaccard (q22) is asserted in tests."""
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", n=3, max_distance=0.95
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — SimHash near-dup candidates (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("q24_near_dup_simhash", tags=("dedup",))
+def q24_near_dup_simhash(spark: SparkSession, sf_dir: str):
+    """60-bit SimHash banded near-dup pairs (xxhash64 is JVM-side and
+    deterministic but engine-specific → rows-only check)."""
+    return simhash_near_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — brute-force cosine top-k ANN baseline
+# ---------------------------------------------------------------------------
+
+_ANN_K = 10
+
+
+@register(
+    "q25_ann_cosine_topk",
+    tags=("similarity", "J8", "W1"),
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+p AS (
+  SELECT q.query_id, c.cand_id,
+    list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qn,
+    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))) AS cn
+  FROM q, c WHERE c.cand_id <> q.query_id
+), scored AS (
+  SELECT query_id, cand_id, CAST(ROUND(dot / (qn * cn), 4) AS DOUBLE) AS cosine
+  FROM p
+)
+SELECT query_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_ANN_K}
+""",
+)
+def q25_ann_cosine_topk(spark: SparkSession, sf_dir: str):
+    """Exact ANN baseline: broadcast 5 query vectors, score all candidates
+    with a JVM-side fold, per-query top-10. Ranking uses the rounded score
+    + cand_id tiebreak so ordering is engine-stable."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    out = cosine_topk(queries, candidates, k=_ANN_K)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q26 — embedding norm stats per label (vector column aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q26_embedding_label_stats",
+    tags=("similarity", "A1", "A2"),
+    oracle="""
+WITH n AS (
+  SELECT label,
+    CAST(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS DECIMAL(18,6)) AS norm_dec
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+  CAST(ROUND(CAST(SUM(norm_dec) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_norm
+FROM n GROUP BY label
+""",
+)
+def q26_embedding_label_stats(spark: SparkSession, sf_dir: str):
+    """Per-label embedding norm stats. Per-row norms are quantized to
+    DECIMAL(18,6) before the exact sum so the rollup is order-independent
+    (same policy as money aggregates)."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n = emb.select("label", norm.cast("decimal(18,6)").alias("norm_dec"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("norm_dec").cast("double") / F.count(F.lit(1)), 4)
+        .cast("double")
+        .alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — token stats per source (text analysis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q27_token_stats",
+    tags=("text", "A1", "A2"),
+    oracle="""
+SELECT source,
+  COUNT(*) AS docs,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+  CAST(ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 2) AS DOUBLE) AS avg_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+""",
+)
+def q27_token_stats(spark: SparkSession, sf_dir: str):
+    """Whitespace token counting per source — the cheap length/token
+    profile every corpus pipeline starts with."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.max(n_tok).cast("long").alias("max_tokens"),
+        F.round(F.sum(n_tok).cast("double") / F.count(F.lit(1)), 2)
+        .cast("double")
+        .alias("avg_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 — per-document quality scoring (text analysis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q28_doc_quality",
+    tags=("text", "P6"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    CAST(ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS DOUBLE) AS uniq_ratio,
+    CAST(ROUND(CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS_EN)}, x))) AS DOUBLE) / len(toks), 4) AS DOUBLE) AS stop_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, uniq_ratio, stop_ratio,
+  CAST(ROUND(0.6 * uniq_ratio + 0.4 * (1.0 - stop_ratio), 4) AS DOUBLE) AS quality
+FROM m
+""",
+)
+def q28_doc_quality(spark: SparkSession, sf_dir: str):
+    """Per-doc quality heuristics (lexical diversity + stopword ratio).
+    Pure Column expressions — whole-stage codegen, no shuffle at all."""
+    d = load(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    uniq = unique_token_ratio("__toks")
+    stop = stopword_ratio("__toks")
+    return d.select(
+        "doc_id",
+        F.size(F.col("__toks")).alias("n_tokens"),
+        uniq.alias("uniq_ratio"),
+        stop.alias("stop_ratio"),
+        quality_score(uniq, stop).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — language-ID heuristic vs labeled lang (text analysis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q29_lang_id_confusion",
+    tags=("text", "A1", "P6"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS en_s,
+    len(list_filter(toks, x -> list_contains(['el','la','de','y','es'], x))) AS es_s,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de_s,
+    len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))) AS fr_s,
+    len(list_filter(toks, x -> list_contains(['的','是','了','在','和'], x))) AS zh_s
+  FROM t
+), p AS (
+  SELECT doc_id, lang,
+    CASE WHEN en_s >= greatest(es_s, de_s, fr_s, zh_s) THEN 'en'
+         WHEN es_s >= greatest(de_s, fr_s, zh_s) THEN 'es'
+         WHEN de_s >= greatest(fr_s, zh_s) THEN 'de'
+         WHEN fr_s >= zh_s THEN 'fr'
+         ELSE 'zh' END AS pred_lang
+  FROM s
+)
+SELECT lang, pred_lang, COUNT(*) AS docs FROM p GROUP BY lang, pred_lang
+""",
+)
+def q29_lang_id_confusion(spark: SparkSession, sf_dir: str):
+    """Marker-word language-ID heuristic, reported as a confusion matrix
+    against the labeled lang column. (The synthetic corpus is
+    English-vocabulary for all langs, so the heuristic converges on 'en' —
+    the query checks the *operator*, not the corpus.)"""
+    d = load(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    return (
+        d.withColumn("pred_lang", language_id("__toks"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — rolling-hash document fingerprint (text analysis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q30_doc_fingerprint",
+    tags=("text", "dedup"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(toks) >= 5
+       THEN list_aggregate(list_transform(generate_series(1, len(toks)-4),
+            i -> md5(toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])), 'min')
+       ELSE md5(text) END AS fingerprint
+FROM t
+""",
+)
+def q30_doc_fingerprint(spark: SparkSession, sf_dir: str):
+    """Winnowing-style min-window-hash fingerprint (md5 is identical
+    across engines → oracle-checkable, unlike xxhash-based simhash)."""
+    d = load(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    return d.select(
+        "doc_id", min_window_fingerprint("text", "__toks", n=5).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — multimodal payload metadata (binary column plumbing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q31_payload_metadata",
+    tags=("multimodal", "P2"),
+    oracle="""
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  sha256(text) AS payload_sha256,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS media_type
+FROM documents
+""",
+)
+def q31_payload_metadata(spark: SparkSession, sf_dir: str):
+    """Opaque-binary metadata layer: byte length + sha256 digest + typed
+    media_type — computed JVM-side on a binary payload column (text bytes
+    stand in for real media; the decode stage is operators.multimodal's
+    mapInPandas pipeline, exercised in tests)."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )
