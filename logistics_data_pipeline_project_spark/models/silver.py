@@ -34,21 +34,22 @@ def _incremental(raw: DataFrame, existing: DataFrame | None, wm_col: str = WATER
 
 # -- customers (dbt/.../silver/dim_customers.sql, silver_error_customers.sql)
 
-_CUSTOMER_RULES: list[tuple[str, Column]] = [
-    ("Missing CUSTOMER_ID", F.col("CUSTOMER_ID").isNull()),
-    ("Missing EMAIL", F.col("EMAIL").isNull()),
-]
+def _customer_rules() -> list[tuple[str, Column]]:
+    return [
+        ("Missing CUSTOMER_ID", F.col("CUSTOMER_ID").isNull()),
+        ("Missing EMAIL", F.col("EMAIL").isNull()),
+    ]
 
 
 def dim_customers(raw: DataFrame, existing: DataFrame | None = None) -> DataFrame:
     """Valid branch: CUSTOMER_ID & EMAIL not null (dim_customers.sql:28-33)."""
-    valid, _ = validity_router(_incremental(raw, existing), _CUSTOMER_RULES)
+    valid, _ = validity_router(_incremental(raw, existing), _customer_rules())
     return valid
 
 
 def silver_error_customers(raw: DataFrame, existing: DataFrame | None = None) -> DataFrame:
     """Error branch with first-match reason (silver_error_customers.sql:24-37)."""
-    _, errors = validity_router(_incremental(raw, existing), _CUSTOMER_RULES)
+    _, errors = validity_router(_incremental(raw, existing), _customer_rules())
     return errors.withColumnRenamed("ERROR_REASON", "error_reason").withColumn(
         "error_logged_at", F.current_timestamp()
     )
@@ -56,21 +57,22 @@ def silver_error_customers(raw: DataFrame, existing: DataFrame | None = None) ->
 
 # -- orders (dbt/.../silver/fact_orders.sql:24-31, silver_error_orders.sql:24-41)
 
-_ORDER_RULES: list[tuple[str, Column]] = [
-    ("Missing ORDER_ID", F.col("ORDER_ID").isNull()),
-    ("Missing ORDER_DATE", F.col("ORDER_DATE").isNull()),
-    ("Missing CUSTOMER_ID", F.col("CUSTOMER_ID").isNull()),
-    ("Missing PRODUCT_ID", F.col("PRODUCT_ID").isNull()),
-]
+def _order_rules() -> list[tuple[str, Column]]:
+    return [
+        ("Missing ORDER_ID", F.col("ORDER_ID").isNull()),
+        ("Missing ORDER_DATE", F.col("ORDER_DATE").isNull()),
+        ("Missing CUSTOMER_ID", F.col("CUSTOMER_ID").isNull()),
+        ("Missing PRODUCT_ID", F.col("PRODUCT_ID").isNull()),
+    ]
 
 
 def fact_orders(raw: DataFrame, existing: DataFrame | None = None) -> DataFrame:
-    valid, _ = validity_router(_incremental(raw, existing), _ORDER_RULES)
+    valid, _ = validity_router(_incremental(raw, existing), _order_rules())
     return valid
 
 
 def silver_error_orders(raw: DataFrame, existing: DataFrame | None = None) -> DataFrame:
-    _, errors = validity_router(_incremental(raw, existing), _ORDER_RULES)
+    _, errors = validity_router(_incremental(raw, existing), _order_rules())
     return errors.withColumnRenamed("ERROR_REASON", "error_reason").withColumn(
         "error_logged_at", F.current_timestamp()
     )
@@ -78,23 +80,24 @@ def silver_error_orders(raw: DataFrame, existing: DataFrame | None = None) -> Da
 
 # -- inventory (dbt/.../silver/fact_inventory.sql:24-32: 20 < STOCK <= 5000)
 
-_INVENTORY_RULES: list[tuple[str, Column]] = [
-    ("Missing ID", F.col("ID").isNull()),
-    ("Missing STOCK", F.col("STOCK").isNull()),
-    ("STOCK too low (<= 20)", F.col("STOCK") <= 20),
-    ("STOCK too high (> 5000)", F.col("STOCK") > 5000),
-    ("Missing SELLER_ID", F.col("SELLER_ID").isNull()),
-    ("Missing PRODUCT_ID", F.col("PRODUCT_ID").isNull()),
-]
+def _inventory_rules() -> list[tuple[str, Column]]:
+    return [
+        ("Missing ID", F.col("ID").isNull()),
+        ("Missing STOCK", F.col("STOCK").isNull()),
+        ("STOCK too low (<= 20)", F.col("STOCK") <= 20),
+        ("STOCK too high (> 5000)", F.col("STOCK") > 5000),
+        ("Missing SELLER_ID", F.col("SELLER_ID").isNull()),
+        ("Missing PRODUCT_ID", F.col("PRODUCT_ID").isNull()),
+    ]
 
 
 def fact_inventory(raw: DataFrame, existing: DataFrame | None = None) -> DataFrame:
-    valid, _ = validity_router(_incremental(raw, existing), _INVENTORY_RULES)
+    valid, _ = validity_router(_incremental(raw, existing), _inventory_rules())
     return valid
 
 
 def silver_error_inventory(raw: DataFrame, existing: DataFrame | None = None) -> DataFrame:
-    _, errors = validity_router(_incremental(raw, existing), _INVENTORY_RULES)
+    _, errors = validity_router(_incremental(raw, existing), _inventory_rules())
     return errors.withColumnRenamed("ERROR_REASON", "error_reason").withColumn(
         "error_logged_at", F.current_timestamp()
     )

@@ -1,0 +1,250 @@
+"""Unit tests for the engine operators: merge semantics (multi-match
+strictness, idempotence), SCD2, router, dedup family cross-validation
+(MinHash recall vs exact Jaccard), similarity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from logistics_data_pipeline_project_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from logistics_data_pipeline_project_spark.operators.merge import (
+    dedup_latest,
+    high_watermark,
+    incremental_filter,
+    merge_upsert,
+    scd2_apply,
+)
+from logistics_data_pipeline_project_spark.operators.multimodal import (
+    attach_payload_metadata,
+    decode_media,
+)
+from logistics_data_pipeline_project_spark.operators.router import validity_router
+from logistics_data_pipeline_project_spark.operators.similarity import cosine_topk
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# -- merge ------------------------------------------------------------------
+
+
+def test_merge_upsert_update_insert_keep(spark):
+    target = spark.createDataFrame(
+        [Row(k=1, v="a", n=10), Row(k=2, v="b", n=20), Row(k=3, v="c", n=30)]
+    )
+    source = spark.createDataFrame([Row(k=2, v="B2"), Row(k=4, v="D")])
+    out = merge_upsert(
+        target,
+        source,
+        keys=["k"],
+        update_set={"v": F.col("s.v")},
+        insert_values={"n": F.lit(0)},
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["v"] == "a" and rows[1]["n"] == 10  # untouched
+    assert rows[2]["v"] == "B2" and rows[2]["n"] == 20  # updated, n kept
+    assert rows[3]["v"] == "c"  # untouched
+    assert rows[4]["v"] == "D" and rows[4]["n"] == 0  # inserted
+    assert out.count() == 4
+
+
+def test_merge_upsert_strict_rejects_dup_source(spark):
+    target = spark.createDataFrame([Row(k=1, v="a")])
+    dup_source = spark.createDataFrame([Row(k=1, v="x"), Row(k=1, v="y")])
+    with pytest.raises(ValueError, match="duplicate source rows"):
+        merge_upsert(target, dup_source, keys=["k"], strict=True)
+
+
+def test_merge_upsert_idempotent_after_dedup(spark):
+    """Replaying the same deduped batch must be a no-op (M3/M4 re-run
+    safety)."""
+    target = spark.createDataFrame([Row(k=1, v="a", t=ts("2024-01-01"))])
+    batch = spark.createDataFrame(
+        [
+            Row(k=1, v="new", t=ts("2024-02-01")),
+            Row(k=1, v="old", t=ts("2024-01-15")),
+            Row(k=2, v="b", t=ts("2024-02-02")),
+        ]
+    )
+    src = dedup_latest(batch, ["k"], [F.desc("t")])
+    once = merge_upsert(target, src, keys=["k"], update_set={"v": F.col("s.v"), "t": F.col("s.t")}, strict=True)
+    twice = merge_upsert(once, src, keys=["k"], update_set={"v": F.col("s.v"), "t": F.col("s.t")}, strict=True)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert {r["v"] for r in once.collect()} == {"new", "b"}
+
+
+def test_scd2_apply_change_and_new_key(spark):
+    t0 = ts("2024-01-01")
+    t1 = ts("2024-06-01")
+    history = spark.createDataFrame(
+        [
+            Row(k=1, seg="A", valid_from=t0, valid_to=None, is_current=True),
+            Row(k=2, seg="B", valid_from=t0, valid_to=None, is_current=True),
+        ],
+        schema="k long, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame([Row(k=1, seg="A2"), Row(k=9, seg="NEW")])
+    out = scd2_apply(history, updates, "k", ["seg"], effective_ts=F.lit(t1))
+    rows = sorted([r.asDict() for r in out.collect()], key=lambda r: (r["k"], str(r["valid_from"])))
+    # k=1: closed old + new current; k=2 untouched; k=9 new
+    assert len(rows) == 4
+    k1 = [r for r in rows if r["k"] == 1]
+    assert {(r["seg"], r["is_current"]) for r in k1} == {("A", False), ("A2", True)}
+    closed = next(r for r in k1 if not r["is_current"])
+    assert closed["valid_to"] == t1
+    k2 = next(r for r in rows if r["k"] == 2)
+    assert k2["is_current"] and k2["valid_to"] is None
+    k9 = next(r for r in rows if r["k"] == 9)
+    assert k9["is_current"] and k9["valid_from"] == t1
+
+
+def test_scd2_apply_no_change_is_noop(spark):
+    t0 = ts("2024-01-01")
+    history = spark.createDataFrame(
+        [Row(k=1, seg="A", valid_from=t0, valid_to=None, is_current=True)],
+        schema="k long, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame([Row(k=1, seg="A")])  # identical
+    out = scd2_apply(history, updates, "k", ["seg"], effective_ts=F.lit(ts("2024-06-01")))
+    assert out.count() == 1
+    assert out.first()["is_current"]
+
+
+def test_high_watermark_and_filter(spark):
+    df = spark.createDataFrame([Row(k=1, t=ts("2024-01-01")), Row(k=2, t=ts("2024-03-01"))])
+    wm = high_watermark(df, "t")
+    assert wm == ts("2024-03-01")
+    newer = spark.createDataFrame([Row(k=3, t=ts("2024-02-01")), Row(k=4, t=ts("2024-04-01"))])
+    assert [r["k"] for r in incremental_filter(newer, "t", wm).collect()] == [4]
+    assert incremental_filter(newer, "t", None).count() == 2
+
+
+# -- router -----------------------------------------------------------------
+
+
+def test_validity_router_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, x=5), Row(id=2, x=None), Row(id=3, x=-1), Row(id=4, x=1000)]
+    )
+    rules = [
+        ("MISSING_X", F.col("x").isNull()),
+        ("NEGATIVE_X", F.col("x") < 0),
+        ("TOO_BIG", F.col("x") > 100),
+    ]
+    valid, errors = validity_router(df, rules)
+    assert [r["id"] for r in valid.collect()] == [1]
+    reasons = {r["id"]: r["ERROR_REASON"] for r in errors.collect()}
+    assert reasons == {2: "MISSING_X", 3: "NEGATIVE_X", 4: "TOO_BIG"}
+    assert "ERROR_REASON" not in valid.columns
+
+
+# -- dedup family -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different content about spark shuffles and parquet files"
+    return spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=other),
+         Row(doc_id=4, text=base)]  # exact dup of 1
+    )
+
+
+def test_exact_dedup(spark, near_dup_docs):
+    out = exact_dedup(near_dup_docs, "text", "doc_id")
+    rows = {r["keeper_doc_id"]: r["dup_count"] for r in out.collect()}
+    assert rows[1] == 2  # docs 1 and 4 identical
+    assert rows[2] == 1 and rows[3] == 1
+
+
+def test_shingle_jaccard_finds_near_dup(spark, near_dup_docs):
+    pairs = shingle_jaccard_pairs(near_dup_docs, "text", "doc_id", n=3, threshold=0.5)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (1, 2) in got  # near dup
+    assert (1, 4) in got  # exact dup → jaccard 1.0
+    assert not any(3 in p for p in got)  # unrelated doc
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, near_dup_docs):
+    """MinHash candidates must include every exact-Jaccard near-dup pair
+    (the differential check promised in queries/llmdata.py)."""
+    exact = {
+        (r["id1"], r["id2"])
+        for r in shingle_jaccard_pairs(near_dup_docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_pairs(near_dup_docs, "text", "doc_id", n=3, max_distance=0.6).collect()
+    }
+    assert exact <= approx
+
+
+def test_simhash_deterministic_and_near(spark, near_dup_docs):
+    fp1 = {r["doc_id"]: r["simhash"] for r in simhash(near_dup_docs, "text", "doc_id").collect()}
+    fp2 = {r["doc_id"]: r["simhash"] for r in simhash(near_dup_docs, "text", "doc_id").collect()}
+    assert fp1 == fp2  # deterministic
+    assert fp1[1] == fp1[4]  # identical docs → identical fingerprint
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
+             simhash_near_pairs(near_dup_docs, "text", "doc_id", max_hamming=20).collect()}
+    assert pairs.get((1, 4)) == 0
+
+
+# -- similarity -------------------------------------------------------------
+
+
+def test_cosine_topk_exact(spark):
+    qs = spark.createDataFrame([Row(query_id=0, qv=[1.0, 0.0])])
+    cands = spark.createDataFrame(
+        [
+            Row(cand_id=1, cv=[1.0, 0.0]),     # cosine 1.0
+            Row(cand_id=2, cv=[0.5, 0.5]),     # cosine ~0.7071
+            Row(cand_id=3, cv=[0.0, 1.0]),     # cosine 0
+            Row(cand_id=4, cv=[-1.0, 0.0]),    # cosine -1
+        ]
+    )
+    out = cosine_topk(qs, cands, k=2)
+    rows = sorted([r.asDict() for r in out.collect()], key=lambda r: r["rnk"])
+    assert [r["cand_id"] for r in rows] == [1, 2]
+    assert rows[0]["cosine"] == pytest.approx(1.0)
+    assert rows[1]["cosine"] == pytest.approx(0.7071)
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_metadata_and_stub_decode(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, payload=bytearray(b"fake-image-bytes"), mtype="image/png"),
+            Row(id=2, payload=bytearray(b"fake-audio-bytes!"), mtype="audio/wav"),
+        ]
+    )
+    meta = attach_payload_metadata(df, "payload", "mtype")
+    m = {r["id"]: r["media_meta"].asDict() for r in meta.collect()}
+    assert m[1]["n_bytes"] == 16 and m[1]["media_type"] == "image/png"
+    assert len(m[1]["sha256"]) == 64
+
+    feats = decode_media(df, "id", "payload", "mtype")
+    rows = {r["id"]: r.asDict() for r in feats.collect()}
+    assert rows[1]["width"] is not None and rows[1]["duration_ms"] is None
+    assert rows[2]["width"] is None and rows[2]["duration_ms"] is not None
+    # deterministic fake decode: replay gives identical features
+    rows2 = {r["id"]: r.asDict() for r in decode_media(df, "id", "payload", "mtype").collect()}
+    assert rows == rows2
+    # sha digest matches the JVM-side metadata digest
+    assert rows[1]["feature_digest"] == m[1]["sha256"]
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_media(df, "id", "payload", "mtype", decode_stub=False).collect()
