@@ -55,9 +55,20 @@ class Model:
 
 
 class ModelRunner:
-    def __init__(self, spark: SparkSession, store: TableStore, threads: int = 3):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: TableStore,
+        threads: int = 3,
+        on_failure: Callable[[str, str, Exception], None] | None = None,
+    ):
+        """``on_failure(model_name, run_id, exc)`` is the K10 failure-alert
+        hook (dags/utils/aws_utils.py:6-38 publishes to SNS; here any
+        callable — pager, log shipper — can subscribe). It fires after the
+        FAILED audit row is written and before the exception propagates."""
         self.spark = spark
         self.store = store
+        self.on_failure = on_failure
         self.threads = threads
         self.models: dict[str, Model] = {}
         self._lock = threading.Lock()
@@ -169,8 +180,13 @@ class ModelRunner:
                 df = self._snapshot_bootstrap(m, df)
             rows = self._materialize(m, df)
             self._audit(name, run_id, "SUCCESS", started, rows)
-        except Exception:
+        except Exception as exc:
             self._audit(name, run_id, "FAILED", started, -1)
+            if self.on_failure is not None:
+                try:
+                    self.on_failure(name, run_id, exc)
+                except Exception:
+                    pass  # alerting must never mask the real failure
             raise
 
     def run(self, select: Sequence[str] | None = None) -> str:

@@ -21,7 +21,7 @@ from ..operators.dedup import (
     shingle_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..operators.similarity import cosine_topk
+from ..operators.similarity import cosine_topk, lsh_topk
 from ..operators.text import (
     STOPWORDS_EN,
     language_id,
@@ -405,4 +405,44 @@ def q31_payload_metadata(spark: SparkSession, sf_dir: str):
         .when(F.col("doc_id") % 3 == 1, "audio/wav")
         .otherwise("video/mp4")
         .alias("media_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — ANN via random-projection LSH buckets (scale path; rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("q32_ann_lsh_bucketed", tags=("similarity", "U1"))
+def q32_ann_lsh_bucketed(spark: SparkSession, sf_dir: str):
+    """Approximate-NN scale path for q25: L2-normalize, hash with seeded
+    random hyperplanes (Spark ML BucketedRandomProjectionLSH), and score
+    candidates only within matching buckets — O(n·tables) hashing plus
+    bucket-local joins instead of the n×q cross product. Rows-only by
+    design (approximate operator; q25 is its exact oracle-checked
+    counterpart and tests/ verify recall against it)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q33 — approximate aggregates (cardinality + percentile scale escape-hatch)
+# ---------------------------------------------------------------------------
+
+
+@register("q33_approx_event_profile", tags=("A2", "A3"))
+def q33_approx_event_profile(spark: SparkSession, sf_dir: str):
+    """Sketch-based per-type event profile: HLL++ distinct users
+    (approx_count_distinct, rsd=1%) and KLL-style value quantiles
+    (percentile_approx). These are the 100 TB substitutes for q08/q12's
+    exact COUNT(DISTINCT)/AVG — fixed-size sketch state, one shuffle,
+    mergeable across partitions. Rows-only: sketch estimates are
+    algorithm-specific, so no cross-engine hash; tests bound the error
+    against the exact values instead."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("value_quartiles"),
     )
