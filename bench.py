@@ -27,6 +27,10 @@ def main() -> None:
     spark = get_spark(app_name="ldp-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warm-up so q01 isn't charged ~5s of one-time session
+    # startup cost (classloading, codegen compiler, shuffle service init).
+    spark.range(1_000_000).agg({"id": "sum"}).collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(REGISTRY):

@@ -74,10 +74,15 @@ def shingle_jaccard_pairs(
     Jaccard is computed over the *discriminative* shingle universe: shingles
     appearing in more than ``max_shingle_df`` documents are discarded before
     both the sizes and the intersection counts (identical semantics on any
-    engine; bounds the self-join as described in the module docstring).
+    engine; bounds the posting lists as described below). Passing
+    ``max_shingle_df=None`` leaves posting lists unbounded — only safe for
+    small corpora/tests, never at scale.
     """
     sh = word_shingles(df, text_col, id_col, n)
     if max_shingle_df is not None:
+        # Pre-count pass BEFORE building posting lists: a stop-shingle that
+        # appears in millions of docs must never reach collect_list — the
+        # cap keeps every in-memory array ≤ max_shingle_df ids.
         keep = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -86,18 +91,22 @@ def shingle_jaccard_pairs(
         )
         sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
-        )
-        .agg(F.count(F.lit(1)).alias("inter_size"))
-    )
+    # Inverted index: shingle → sorted posting list, pairs emitted in-group.
+    # Replaces the shingle self-join (which shuffles both sides and then
+    # re-aggregates the joined fan-out) with one aggregation plus a
+    # generator over each bounded posting list: Σ k·(k-1)/2 pair rows,
+    # k ≤ max_shingle_df, no join.
+    inv = sh.groupBy("shingle").agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    pairs = inv.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i+2, size(ids)),"
+                " y -> struct(x as id1, y as id2))))"
+            )
+        ).alias("p")
+    ).select("p.id1", "p.id2")
+    inter = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter_size"))
     sa = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
     sb = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
     jac = F.col("inter_size").cast("double") / (
