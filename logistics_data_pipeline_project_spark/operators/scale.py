@@ -1,0 +1,132 @@
+"""Physical-layout and skew operators for cluster scale.
+
+These are the knobs SURVEY §7's scale stance promises beyond what AQE does
+automatically (session.py): co-located joins via bucketing, two-phase
+salted aggregation for skewed keys, salted replicated joins, and
+date-partitioned table layout so incremental loads (§M4) prune at the
+scan instead of filtering after it.
+
+All helpers are declarative DataFrame/catalog operations — the physical
+win is visible in `.explain()` (no Exchange for bucket-joins,
+PartitionFilters for pruned scans) and tests/test_scale_layout.py asserts
+those plan properties, not just results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    path: str,
+    sorted_by: Sequence[str] | None = None,
+) -> None:
+    """Materialize ``df`` as a catalog table bucketed (and optionally
+    sorted) on ``keys``.
+
+    Two tables bucketed on the same keys with the same bucket count
+    equi-join WITHOUT a shuffle — the join becomes a zip of co-numbered
+    buckets. This is the 100 TB answer for the recurring fact⋈fact joins
+    (orders⋈lineitem on orderkey, orders⋈shipments on order_id): pay the
+    shuffle once at write time, never again per query.
+    """
+    writer = df.write.mode("overwrite").option("path", path)
+    writer = writer.bucketBy(n_buckets, *keys)
+    if sorted_by:
+        writer = writer.sortBy(*sorted_by)
+    writer.saveAsTable(name)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups on (keys, salt) — the hot key's rows spread over
+    ``n_salts`` reducers; phase 2 merges the partials on keys alone.
+    Only decomposable aggregates are valid here (sum/count/min/max —
+    the caller passes the *phase-1* expressions; phase 2 re-aggregates
+    with the matching merge function inferred from the alias).
+
+    Results are identical to a plain groupBy for decomposable aggregates;
+    deterministic because the salt is a hash of the whole row, not rand().
+    """
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).alias("__salt")
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*aggs)
+    agg_cols = [c for c in partial.columns if c not in (*keys, "__salt")]
+
+    def merge_fn(col: str) -> Column:
+        lowered = col.lower()
+        if lowered.startswith(("n_", "count", "cnt")):
+            return F.sum(col).alias(col)
+        if lowered.startswith("min"):
+            return F.min(col).alias(col)
+        if lowered.startswith("max"):
+            return F.max(col).alias(col)
+        return F.sum(col).alias(col)
+
+    return partial.groupBy(*keys).agg(*[merge_fn(c) for c in agg_cols])
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys and ``small`` is too big to
+    broadcast outright: salt the skewed side (hash of full row → n ways),
+    replicate the other side once per salt, join on (key, salt).
+
+    The hot key's rows land on ``n_salts`` different reducers instead of
+    one straggler. AQE's skew-join split (enabled in session.py) handles
+    moderate skew automatically; this operator is for the pathological
+    case where one key dominates the whole dataset and must be declared
+    upfront. Column set of the result matches a plain inner join.
+    """
+    skew_cols, small_cols = skewed.columns, small.columns
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*skew_cols), F.lit(n_salts))
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted.join(replicated, [key, "__salt"])
+    return out.select(
+        *[skewed[c] for c in skew_cols],
+        *[small[c] for c in small_cols if c != key],
+    )
+
+
+def overwrite_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> DataFrame:
+    """Write a table partitioned by ``partition_cols`` (e.g. ingest date)
+    and return a reader over it.
+
+    The §M4 high-watermark filter (``ts > watermark``) then prunes whole
+    partitions at planning time — the scan's PartitionFilters — instead of
+    reading 100 TB to discard 99% of it. This is the batch analogue of a
+    streaming checkpoint: bronze partitioned by load date makes every
+    incremental run O(new data).
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return spark.read.parquet(path)
+
+
+def day_partition(ts_col: str, name: str = "load_date") -> Column:
+    """Derive the standard daily partition column from an event/ingest
+    timestamp (the layout convention overwrite_partitioned expects)."""
+    return F.to_date(F.col(ts_col)).alias(name)

@@ -1,0 +1,115 @@
+"""Plan-level tests for the scale operators: bucketed joins must not
+shuffle, salted ops must match their plain equivalents, partitioned
+layout must prune at the scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logistics_data_pipeline_project_spark.io_utils import load
+from logistics_data_pipeline_project_spark.operators.scale import (
+    day_partition,
+    overwrite_partitioned,
+    salted_aggregate,
+    salted_join,
+    write_bucketed,
+)
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 8, str(tmp_path / "b_orders"),
+        sorted_by=["o_orderkey"],
+    )
+    write_bucketed(
+        lineitem, "b_lineitem", ["l_orderkey"], 8, str(tmp_path / "b_lineitem"),
+        sorted_by=["l_orderkey"],
+    )
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _explain(joined)
+        assert "Exchange" not in plan, "bucketed equi-join must not shuffle"
+        # co-located join still returns the right answer
+        expected = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    ]
+    plain = {
+        r["event_type"]: r for r in ev.groupBy("event_type").agg(*aggs).collect()
+    }
+    salted = {
+        r["event_type"]: r
+        for r in salted_aggregate(ev, ["event_type"], aggs, n_salts=8).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        for c in ("n_events", "sum_value", "min_ts", "max_ts"):
+            assert plain[k][c] == salted[k][c], (k, c)
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(customer, "o_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(orders, customer, "o_custkey", n_salts=4)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
+    ev = load(spark, sf_dir, "events").withColumn("load_date", day_partition("ts"))
+    reader = overwrite_partitioned(
+        spark, ev, str(tmp_path / "bronze_events"), ["load_date"]
+    )
+    watermark = "1995-06-01"
+    pruned = reader.filter(F.col("load_date") > F.lit(watermark).cast("date"))
+    plan = _explain(pruned)
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must appear in PartitionFilters (pruning),
+    # not only as a post-scan Filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "load_date" in pf
+    exact = ev.filter(F.col("ts").cast("date") > F.lit(watermark).cast("date")).count()
+    assert pruned.count() == exact
