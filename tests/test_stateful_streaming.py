@@ -1,0 +1,86 @@
+"""End-to-end test of the applyInPandasWithState sessionizer: three
+micro-batches through a file source. A cross-batch event-time gap closes
+a session via the data path; a user who goes quiet is closed by the
+watermark-driven event-time timeout."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from logistics_data_pipeline_project_spark.streaming.stateful import (
+    stream_user_sessions,
+)
+
+SCHEMA = "user_id long, ts timestamp"
+OUT_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int"
+
+
+def _write_batch(landing: str, name: str, rows):
+    with open(os.path.join(landing, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_once(spark, landing: str, chk: str, out: str):
+    stream = spark.readStream.format("json").schema(SCHEMA).load(landing)
+    sessions = stream_user_sessions(stream, gap_minutes=30, watermark_delay="0 seconds")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def test_sessions_close_by_gap_and_by_timeout(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    os.makedirs(landing)
+
+    _write_batch(
+        landing,
+        "b1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+            {"user_id": 1, "ts": "2024-01-01 10:05:00"},
+            {"user_id": 2, "ts": "2024-01-01 10:00:00"},
+        ],
+    )
+    _run_once(spark, landing, chk, out)
+    # no gap crossed and watermark hasn't passed any session+gap yet
+    assert spark.read.schema(OUT_SCHEMA).parquet(out).count() == 0
+
+    # batch 2: user 1 returns 2h later -> their 10:00-10:05 session closes
+    # on the data path (event-time gap > 30 min). The same run advances
+    # the watermark to 12:00, which fires user 2's event-time timeout
+    # (10:00 + 30 min): their quiet session closes too.
+    _write_batch(landing, "b2.json", [{"user_id": 1, "ts": "2024-01-01 12:00:00"}])
+    _run_once(spark, landing, chk, out)
+    rows = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2),
+        (2, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1),
+    }
+
+    # batch 3: an unrelated user advances the watermark past 12:30 ->
+    # user 1's open 12:00 session closes by timeout; user 3 stays open
+    _write_batch(landing, "b3.json", [{"user_id": 3, "ts": "2024-01-01 13:00:00"}])
+    _run_once(spark, landing, chk, out)
+    rows = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1) in rows
+    assert len(rows) == 3
