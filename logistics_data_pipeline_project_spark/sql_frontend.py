@@ -1,0 +1,97 @@
+"""SQL text entry point with Snowflake-compat desugaring.
+
+The reference's SQL surface is Snowflake SQL; almost all of it is ANSI
+and runs on Spark SQL unchanged. The one construct Spark SQL lacks is
+``QUALIFY`` (post-window filter sugar, used for latest-record-wins dedup
+at dags/2_logistics-shipment-dag.py:112,121 and
+dags/snowflake-EDW-ETL-dag.py:331). SURVEY §4 custom-work item 3 calls
+for desugaring it when accepting SQL text:
+
+    SELECT ... FROM t QUALIFY <pred> [ORDER BY ...] [LIMIT n]
+      ==>
+    SELECT inner cols FROM (
+        SELECT __q.*, (<pred>) AS __qualify FROM ( SELECT ... FROM t ) __q
+    ) WHERE __qualify [ORDER BY ...] [LIMIT n]   -- __qualify then dropped
+
+Supported subset (documented, test-enforced): one top-level QUALIFY per
+statement whose predicate references columns visible in the query's
+output — which covers every QUALIFY in the reference. Window functions
+in the predicate are evaluated over the de-qualified query's result,
+exactly QUALIFY's semantics for that subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io_utils import register_views
+
+_STOPPERS = ("ORDER BY", "LIMIT")
+
+
+def _toplevel_find(sql: str, word: str, start: int = 0) -> int:
+    """Index of keyword ``word`` at paren-depth 0 outside string literals,
+    case-insensitive; -1 if absent."""
+    upper = sql.upper()
+    word = word.upper()
+    depth = 0
+    i = start
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 2 if sql[i] == "\\" else 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and upper.startswith(word, i):
+            before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            j = i + len(word)
+            after_ok = j >= n or not (sql[j].isalnum() or sql[j] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
+def desugar_qualify(sql: str) -> tuple[str, bool]:
+    """Rewrite a top-level QUALIFY clause into a wrapped subquery filter.
+    Returns (rewritten_sql, had_qualify); the caller drops the helper
+    ``__qualify`` column when had_qualify is True."""
+    q = _toplevel_find(sql, "QUALIFY")
+    if q < 0:
+        return sql, False
+    pred_start = q + len("QUALIFY")
+    pred_end = len(sql)
+    for stopper in _STOPPERS:
+        s = _toplevel_find(sql, stopper, pred_start)
+        if 0 <= s < pred_end:
+            pred_end = s
+    pred = sql[pred_start:pred_end].strip().rstrip(";")
+    inner = sql[:q].strip()
+    tail = sql[pred_end:].strip().rstrip(";")
+    rewritten = (
+        "SELECT * FROM ("
+        f"SELECT __q.*, ({pred}) AS __qualify FROM ({inner}) __q"
+        ") WHERE __qualify"
+    )
+    if tail:
+        rewritten = f"{rewritten} {tail}"
+    return rewritten, True
+
+
+def run_sql(spark: SparkSession, sql: str, sf_dir: str | None = None) -> DataFrame:
+    """Execute one SQL statement against the engine's tables.
+
+    With ``sf_dir`` given, the synthetic tables are (re)registered as
+    temp views first. QUALIFY is desugared; everything else is Spark SQL
+    verbatim (Catalyst plans it like any DataFrame query — same pushdown,
+    broadcast, and AQE behavior)."""
+    if sf_dir is not None:
+        register_views(spark, sf_dir)
+    rewritten, had_qualify = desugar_qualify(sql)
+    df = spark.sql(rewritten)
+    return df.drop("__qualify") if had_qualify else df
