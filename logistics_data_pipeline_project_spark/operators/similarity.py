@@ -69,54 +69,101 @@ def lsh_topk(
     vec_col: str,
     query_ids: list,
     k: int = 10,
-    bucket_length: float = 2.0,
-    num_hash_tables: int = 3,
-    seed: int = 42,
+    n_planes: int = 12,
+    n_bands: int = 6,
+    seed: int = 7,
 ) -> DataFrame:
-    """Approximate NN via random-hyperplane bucketing (Spark ML
-    BucketedRandomProjectionLSH over euclidean distance — equivalent
-    neighbor ordering to cosine for L2-normalized vectors).
+    """Approximate cosine top-k via random-hyperplane (SimHash) LSH,
+    entirely as DataFrame expressions — the scale path for cosine_topk:
 
-    Scale path: candidates are only scored within matching hash buckets, so
-    cost is O(n · tables) hashing + bucket-local joins instead of the full
-    cross product. Returns (query_id, cand_id, distance) candidates;
-    rows-only correctness (approximate by design).
+    1. signature: sign bit of the dot product with ``n_planes`` seeded
+       pseudo-random hyperplanes (P(bits agree) = 1 − θ/π for angle θ —
+       the classic angular LSH guarantee). Hyperplane coefficients derive
+       from a keyed digest, so signatures are deterministic across runs,
+       engines, and partitionings.
+    2. banding: bits split into ``n_bands`` bands; a candidate shares ≥1
+       exact band with the query.
+    3. verify: exact cosine only on bucket-local candidates, per-query
+       top-k window. Cost is O(n · bands) hashing + bucket joins, never
+       the n×q cross product.
+
+    Returns (query_id, cand_id, cosine, rnk) like cosine_topk; rows-only
+    correctness (approximate by design — tests bound recall against the
+    exact operator).
+
+    Tuning: recall rises with shorter bands (n_planes/n_bands bits each)
+    and more bands; selectivity rises with longer bands. The defaults
+    favor recall on loosely-clustered embeddings — at larger corpus sizes
+    raise n_planes (e.g. 32×8) so buckets stay small.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    if n_planes % n_bands:
+        raise ValueError("n_planes must be divisible by n_bands")
+    import hashlib
+    import struct
 
-    # L2-normalize then hash: euclidean-NN == cosine-NN on the unit sphere.
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, cosine double, rnk int"
+        )
+    dim = len(first[0])
+
+    def coef(p: int, d: int) -> float:
+        h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
+        return struct.unpack("<q", h[:8])[0] / float(1 << 63)
+
+    plane_lits = [
+        F.array(*[F.lit(coef(p, d)) for d in range(dim)]) for p in range(n_planes)
+    ]
+
+    def dot_with(plane):
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-    )
-    unit = embeddings.select(
+
+    per_band = n_planes // n_bands
+    sig = embeddings.select(
         F.col(id_col),
-        array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
-        ).alias("features"),
+        F.col(vec_col),
+        *[(dot_with(pl) > 0).cast("int").alias(f"__b{p}") for p, pl in enumerate(plane_lits)],
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
+    banded = sig.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band"),
+                        sum(
+                            F.col(f"__b{bd * per_band + j}") * (2**j)
+                            for j in range(per_band)
+                        ).alias("sig"),
+                    )
+                    for bd in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, vec_col, "bv.band", "bv.sig")
+
+    qs = banded.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "band", "sig"
     )
-    model = lsh.fit(unit)
-    qs = unit.filter(F.col(id_col).isin(query_ids))
-    joined = model.approxSimilarityJoin(qs, unit, float("inf"), distCol="distance")
-    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("cand_id"))
+    cs = banded.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "band", "sig"
+    )
+    cand = (
+        qs.join(cs, ["band", "sig"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    cos = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    scored = cand.withColumn("cosine", F.round(cos, 4).cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
-        joined.select(
-            F.col(f"datasetA.{id_col}").alias("query_id"),
-            F.col(f"datasetB.{id_col}").alias("cand_id"),
-            F.round(F.col("distance"), 6).alias("distance"),
-        )
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
     )

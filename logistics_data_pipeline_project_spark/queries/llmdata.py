@@ -415,12 +415,12 @@ def q31_payload_metadata(spark: SparkSession, sf_dir: str):
 
 @register("q32_ann_lsh_bucketed", tags=("similarity", "U1"))
 def q32_ann_lsh_bucketed(spark: SparkSession, sf_dir: str):
-    """Approximate-NN scale path for q25: L2-normalize, hash with seeded
-    random hyperplanes (Spark ML BucketedRandomProjectionLSH), and score
-    candidates only within matching buckets — O(n·tables) hashing plus
-    bucket-local joins instead of the n×q cross product. Rows-only by
-    design (approximate operator; q25 is its exact oracle-checked
-    counterpart and tests/ verify recall against it)."""
+    """Approximate-NN scale path for q25: seeded random-hyperplane
+    (SimHash) signatures, banded bucketing, and exact cosine only within
+    matching buckets — O(n·bands) hashing plus bucket-local joins instead
+    of the n×q cross product, all JVM-side DataFrame expressions.
+    Rows-only by design (approximate operator; q25 is its exact
+    oracle-checked counterpart and tests/ verify recall against it)."""
     emb = load(spark, sf_dir, "embeddings")
     out = lsh_topk(emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10)
     return out
