@@ -219,20 +219,23 @@ _SIMHASH_BITS = 60  # stay inside a signed 64-bit long (2^60 << 2^63)
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """60-bit SimHash per document, fully JVM-side.
 
-    token weights = term frequency; per bit b: sum(+w if bit set else -w);
-    simhash bit b = 1 iff the sum > 0. One narrow shuffle (groupBy id after
-    groupBy id+token) — both keyed on id so Catalyst reuses the exchange.
+    token weights = term frequency; per bit b: sum over occurrences of
+    (+1 if bit set else -1) — identical to tf-weighted ±w per distinct
+    token; simhash bit b = 1 iff the sum > 0. One shuffle (groupBy id),
+    partial aggregation map-side.
     """
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     )
-    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("w"))
+    # tf-weighted bit sums == per-occurrence ±1 sums (Σ_tok tf·±1 ≡ Σ_occ ±1),
+    # so no (id, tok) pre-aggregation — one shuffle on id, 60 sums in a
+    # single hash aggregate with map-side partials.
     h = F.xxhash64("tok")
-    bit_sums = tf.groupBy(id_col).agg(
+    bit_sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
-                    -F.col("w")
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
                 )
             ).alias(f"b{b}")
             for b in range(_SIMHASH_BITS)

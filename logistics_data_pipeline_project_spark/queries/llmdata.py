@@ -4,8 +4,8 @@ analysis, multimodal metadata (BASELINE.json north star) over the driver's
 
 Queries with exact cross-engine semantics carry DuckDB oracle SQL; the
 LSH-based approximate operators (MinHash, SimHash-band, random-projection)
-are deliberately rows-only — their math (murmur3/xxhash64, seeded
-hyperplanes) is Spark-side by construction, and their *exact* counterparts
+are deliberately rows-only — their math (seeded xxhash64 signatures,
+seeded hyperplanes) is Spark-side by construction, and their *exact* counterparts
 (q22 shingle-jaccard, q25 brute-force cosine) are the oracle-checked
 references they are validated against in tests/.
 """
@@ -118,7 +118,7 @@ def q22_near_dup_jaccard(spark: SparkSession, sf_dir: str):
 @register("q23_near_dup_minhash_lsh", tags=("dedup", "U1"))
 def q23_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str):
     """MinHash+LSH candidate pairs (seeded, deterministic). Rows-only
-    check: murmur3/minhash math is not reproducible in ANSI SQL; its
+    check: xxhash64/minhash math is not reproducible in ANSI SQL; its
     recall against exact Jaccard (q22) is asserted in tests."""
     return minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), "text", "doc_id", n=3, max_distance=0.95
