@@ -880,3 +880,82 @@ def q20_user_sessions(spark: SparkSession, sf_dir: str):
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q34 — date/time scalar family (§2.8: year/month extraction, date_format,
+# INTERVAL arithmetic, datediff; cf. dags/snowflake-EDW-ETL-dag.py:325-328,363,
+# dags/logistics-gold-metrics-sql.py:29,105)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q34_order_month_profile",
+    tags=("A1", "A2", "P6"),
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+  CAST(MIN(EXTRACT(year FROM o_orderdate)) AS INTEGER) AS order_year,
+  COUNT(*) AS n_orders,
+  COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1998-08-02' - INTERVAL 180 DAY THEN 1 END) AS recent_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS month_revenue,
+  CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02')) AS INTEGER) AS max_age_days
+FROM orders
+GROUP BY strftime(o_orderdate, '%Y-%m')
+""",
+)
+def q34_order_month_profile(spark: SparkSession, sf_dir: str):
+    """Date/time scalar surface: TO_CHAR-style month bucketing
+    (date_format), YEAR extraction, CURRENT_DATE-anchored INTERVAL
+    arithmetic (pinned to the dataset's max order date so results are
+    time-invariant), and DATEDIFF day-boundary counting — Snowflake's
+    DATEDIFF(day,a,b) counts boundary crossings, which Spark's datediff
+    over to_date matches exactly (SURVEY §7 risk register)."""
+    o = load(spark, sf_dir, "orders")
+    anchor = F.lit("1998-08-02").cast("date")
+    recent_cut = F.expr("TIMESTAMP '1998-08-02' - INTERVAL 180 DAYS")
+    return o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("order_year"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderdate") >= recent_cut, 1)).alias("recent_orders"),
+        F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("month_revenue"),
+        F.max(F.datediff(anchor, F.to_date("o_orderdate"))).cast("int").alias("max_age_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — string scalar family (§2.8: TRIM/REPLACE/SUBSTRING/LIKE/length;
+# cf. dags/snowflake-EDW-ETL-dag.py:325-329, dags/snowspark-dataframe-ETL.py:131-135,
+# dbt/.../customer_experience_summary.sql:14-23)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q35_part_brand_text_stats",
+    tags=("A1", "A2", "P5"),
+    oracle="""
+SELECT replace(p_brand, '#', '') AS brand_norm,
+  substring(p_type, 1, 6) AS type_prefix,
+  COUNT(*) AS n_parts,
+  COUNT(CASE WHEN p_type LIKE 'PROMO%' THEN 1 END) AS promo_parts,
+  CAST(SUM(length(trim(p_name))) AS BIGINT) AS name_chars,
+  CAST(MIN(upper(p_name)) AS VARCHAR) AS first_name
+FROM part
+GROUP BY replace(p_brand, '#', ''), substring(p_type, 1, 6)
+""",
+)
+def q35_part_brand_text_stats(spark: SparkSession, sf_dir: str):
+    """String scalar surface: REPLACE normalization, SUBSTRING prefixing,
+    LIKE pattern predicates, TRIM+LENGTH, case folding — all JVM-side
+    column expressions inside one hash aggregate."""
+    p = load(spark, sf_dir, "part")
+    return p.groupBy(
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("")).alias("brand_norm"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.count(F.when(F.col("p_type").like("PROMO%"), 1)).alias("promo_parts"),
+        F.sum(F.length(F.trim(F.col("p_name")))).cast("long").alias("name_chars"),
+        F.min(F.upper("p_name")).alias("first_name"),
+    )
