@@ -446,3 +446,92 @@ def q33_approx_event_profile(spark: SparkSession, sf_dir: str):
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("value_quartiles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q36 — embedding-cosine near-dup (exact, label-blocked)
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_COS = 0.35
+
+
+@register(
+    "q36_embedding_near_dup",
+    tags=("dedup", "similarity", "J8", "W1"),
+    oracle=f"""
+WITH unit AS (
+  SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)
+      / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, a.label AS label,
+    list_sum(list_transform(generate_series(1, len(a.u)), k -> a.u[k] * b.u[k])) AS cos
+  FROM unit a JOIN unit b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, nn_id, label, CAST(ROUND(cos, 4) AS DOUBLE) AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cos, 4) DESC, nn_id) AS rn
+  FROM p
+)
+SELECT vec_id, nn_id, label, cosine,
+  CAST(cosine >= {_NEAR_DUP_COS} AS BOOLEAN) AS near_dup
+FROM r WHERE rn = 1
+"""
+)
+def q36_embedding_near_dup(spark: SparkSession, sf_dir: str):
+    """Embedding-cosine near-dup detection: each vector's nearest
+    neighbor within its label block, flagged when cosine crosses the
+    near-dup threshold. Label blocking makes the pair space Σ|block|²
+    instead of n² — the exact-scoring pattern an IVF/LSH bucketing
+    (q32) feeds at 100 TB, where the block key is the coarse quantizer
+    cell rather than a label.
+
+    Each vector is L2-normalized ONCE before the pair join (the oracle
+    normalizes identically), so per-pair work is a single dot-product
+    fold instead of dot + two norms — 3× less arithmetic on the
+    quadratic stage. Ranking uses the rounded score + nn_id tiebreak so
+    ordering is engine-stable."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias("u"),
+    )
+    a = unit.alias("a")
+    b = unit.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("label").alias("b_label"),
+        F.col("u").alias("cu"),
+    ).alias("b")
+    pairs = a.join(
+        b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") != F.col("nn_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("u"), F.col("cu"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.withColumn("cosine", F.round(dot, 4).cast("double"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            "label",
+            "cosine",
+            (F.col("cosine") >= _NEAR_DUP_COS).alias("near_dup"),
+        )
+    )
