@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "exact_dedup",
@@ -80,16 +80,18 @@ def shingle_jaccard_pairs(
     """
     sh = word_shingles(df, text_col, id_col, n)
     if max_shingle_df is not None:
-        # Pre-count pass BEFORE building posting lists: a stop-shingle that
-        # appears in millions of docs must never reach collect_list — the
-        # cap keeps every in-memory array ≤ max_shingle_df ids.
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
+        # Doc-frequency cap BEFORE building posting lists: a stop-shingle
+        # that appears in millions of docs must never reach collect_list —
+        # the cap keeps every in-memory array ≤ max_shingle_df ids. A
+        # window count (bounded running state, no arrays) shares its
+        # shingle-hash exchange with the posting-list aggregation below,
+        # where a count+join formulation would shuffle twice and join.
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
             .filter(F.col("__df") <= max_shingle_df)
-            .select("shingle")
+            .drop("__df")
         )
-        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # Inverted index: shingle → sorted posting list, pairs emitted in-group.
     # Replaces the shingle self-join (which shuffles both sides and then
