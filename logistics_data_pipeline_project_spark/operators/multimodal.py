@@ -29,7 +29,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["attach_payload_metadata", "decode_media", "MEDIA_FEATURE_SCHEMA"]
+__all__ = [
+    "attach_payload_metadata",
+    "decode_media",
+    "sample_frames",
+    "resize_images",
+    "MEDIA_FEATURE_SCHEMA",
+    "FRAME_SCHEMA",
+]
 
 
 def attach_payload_metadata(
@@ -116,3 +123,118 @@ def decode_media(
         F.col(media_type_col).alias(media_type_col),
     )
     return cols.mapInPandas(decode_batches, schema=MEDIA_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_ms", IntegerType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame-sample video payloads via mapInPandas: one output row per
+    sampled frame (id, frame_index, frame_ms, frame_digest).
+
+    Row explosion happens Python-side inside the Arrow batch, so a task's
+    peak memory is one batch of payloads plus its frame rows — the frame
+    rows are tiny (no pixel data leaves the UDF; downstream feature
+    extraction happens in the same pass at real scale). The codec call is
+    STUBBED (no pyav here): frame count/digests derive deterministically
+    from the payload hash so tests pin exact shapes.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires pyav; not in this environment"
+                )
+            out = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(payload).hexdigest()
+                duration_ms = int(digest[:8], 16) % 600000
+                n = min(max_frames, max(1, duration_ms // every_ms))
+                for i in range(n):
+                    out.append(
+                        {
+                            "id": int(_id),
+                            "frame_index": i,
+                            "frame_ms": i * every_ms,
+                            "frame_digest": hashlib.sha256(
+                                payload + i.to_bytes(4, "little")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return cols.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int = 224,
+    height: int = 224,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize image payloads via mapInPandas: (id, width, height,
+    resized_payload) with the binary column preserved end-to-end.
+
+    The Pillow call is STUBBED: the fake "resize" emits a deterministic
+    digest-derived payload of bounded size so the binary-in/binary-out
+    plumbing (Arrow binary columns both directions) is exercised for real.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires Pillow; not in this environment"
+                )
+            out = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                fake = hashlib.sha256(
+                    payload + f"{width}x{height}".encode()
+                ).digest()
+                out.append(
+                    {
+                        "id": int(_id),
+                        "width": width,
+                        "height": height,
+                        "resized_payload": fake,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height", "resized_payload"]
+            )
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return cols.mapInPandas(
+        resize,
+        schema="id long, width int, height int, resized_payload binary",
+    )

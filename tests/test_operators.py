@@ -248,3 +248,35 @@ def test_multimodal_metadata_and_stub_decode(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_media(df, "id", "payload", "mtype", decode_stub=False).collect()
+
+
+def test_multimodal_frame_sample_and_resize(spark):
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"video-bytes-a")), (2, bytearray(b"video-bytes-b"))],
+        "id long, payload binary",
+    )
+    frames = sample_frames(df, "id", "payload", every_ms=1000, max_frames=4)
+    rows = frames.collect()
+    # deterministic: same payload -> same frame count and digests
+    again = sample_frames(df, "id", "payload", every_ms=1000, max_frames=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    for vid, fr in by_id.items():
+        assert 1 <= len(fr) <= 4
+        assert [f["frame_index"] for f in sorted(fr, key=lambda x: x["frame_index"])] == list(range(len(fr)))
+        assert all(f["frame_ms"] == f["frame_index"] * 1000 for f in fr)
+
+    resized = resize_images(df, "id", "payload", width=64, height=64).collect()
+    assert {r["id"] for r in resized} == {1, 2}
+    assert all(r["width"] == 64 and r["height"] == 64 for r in resized)
+    assert all(isinstance(r["resized_payload"], (bytes, bytearray)) for r in resized)
+    # binary-in/binary-out determinism
+    r2 = resize_images(df, "id", "payload", width=64, height=64).collect()
+    assert {bytes(r["resized_payload"]) for r in resized} == {bytes(r["resized_payload"]) for r in r2}
