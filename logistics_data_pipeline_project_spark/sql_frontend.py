@@ -30,8 +30,9 @@ _STOPPERS = ("ORDER BY", "LIMIT")
 
 
 def _toplevel_find(sql: str, word: str, start: int = 0) -> int:
-    """Index of keyword ``word`` at paren-depth 0 outside string literals,
-    case-insensitive; -1 if absent."""
+    """Index of keyword ``word`` at paren-depth 0, outside string literals,
+    double-quoted identifiers, and ``--`` line comments; case-insensitive;
+    -1 if absent."""
     upper = sql.upper()
     word = word.upper()
     depth = 0
@@ -43,6 +44,14 @@ def _toplevel_find(sql: str, word: str, start: int = 0) -> int:
             i += 1
             while i < n and sql[i] != "'":
                 i += 2 if sql[i] == "\\" else 1
+        elif ch == '"':
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
         elif ch == "(":
             depth += 1
         elif ch == ")":

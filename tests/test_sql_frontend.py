@@ -67,3 +67,19 @@ def test_qualify_with_trailing_order_and_limit(spark, sf_dir):
         )
     want = con.execute(sql).fetchall()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_scanner_skips_comments_and_quoted_identifiers():
+    sql = (
+        'SELECT "QUALIFYING" FROM t  -- a QUALIFY inside a comment\n'
+        "WHERE x = 'QUALIFY me'"
+    )
+    out, had = desugar_qualify(sql)
+    assert not had and out == sql
+
+    sql2 = (
+        "SELECT a FROM t -- comment before the clause\n"
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY a) = 1"
+    )
+    out2, had2 = desugar_qualify(sql2)
+    assert had2 and "__qualify" in out2
