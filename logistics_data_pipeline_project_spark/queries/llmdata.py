@@ -521,17 +521,21 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str):
         lambda acc, x: acc + x,
     )
     scored = pairs.withColumn("cosine", F.round(dot, 4).cast("double"))
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "nn_id",
-            "label",
-            "cosine",
-            (F.col("cosine") >= _NEAR_DUP_COS).alias("near_dup"),
-        )
+    # max_by instead of a row_number window: the nearest neighbor reduces
+    # with map-side partials (one row per vec_id crosses the shuffle, not
+    # every scored pair) and needs no sort. Tie-break (cosine desc, nn_id
+    # asc) via the (cosine, -nn_id) ordering struct matches the oracle's
+    # ROW_NUMBER ordering exactly.
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max_by(
+            F.struct("nn_id", "cosine"),
+            F.struct(F.col("cosine"), (-F.col("nn_id")).alias("neg")),
+        ).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.nn_id").alias("nn_id"),
+        "label",
+        F.col("best.cosine").alias("cosine"),
+        (F.col("best.cosine") >= _NEAR_DUP_COS).alias("near_dup"),
     )
