@@ -92,13 +92,19 @@ def shingle_jaccard_pairs(
             .filter(F.col("__df") <= max_shingle_df)
             .drop("__df")
         )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # Inverted index: shingle → sorted posting list, pairs emitted in-group.
     # Replaces the shingle self-join (which shuffles both sides and then
     # re-aggregates the joined fan-out) with one aggregation plus a
     # generator over each bounded posting list: Σ k·(k-1)/2 pair rows,
     # k ≤ max_shingle_df, no join.
     inv = sh.groupBy("shingle").agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    # Per-doc shingle counts derive from the (bounded) posting lists, not
+    # from a second aggregation over the raw shingle stream — the explode
+    # reads inv's already-shuffled output, so the expensive shingle
+    # generation + df-cap subtree is executed once, not once per branch.
+    sizes = inv.select(F.explode("ids").alias(id_col)).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
     pairs = inv.select(
         F.explode(
             F.expr(
@@ -114,6 +120,9 @@ def shingle_jaccard_pairs(
     jac = F.col("inter_size").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter_size")
     )
+    # sizes has one row per document — small next to the pair fan-out but
+    # proportional to corpus size, so the broadcast decision is left to
+    # AQE (runtime-sized) rather than forced with a hint.
     return (
         inter.join(sa, "id1")
         .join(sb, "id2")
@@ -226,28 +235,34 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     token; simhash bit b = 1 iff the sum > 0. One shuffle (groupBy id),
     partial aggregation map-side.
     """
+    # Hash each occurrence ONCE into a materialized column — referencing
+    # F.xxhash64("tok") inside all 60 aggregate expressions would
+    # re-evaluate the hash 60× per token (no CSE across agg exprs).
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
-    )
+    ).select(F.col(id_col), F.xxhash64("tok").alias("__h"))
     # tf-weighted bit sums == per-occurrence ±1 sums (Σ_tok tf·±1 ≡ Σ_occ ±1),
-    # so no (id, tok) pre-aggregation — one shuffle on id, 60 sums in a
-    # single hash aggregate with map-side partials.
-    h = F.xxhash64("tok")
+    # so no (id, tok) pre-aggregation — one shuffle on id, 61 sums in a
+    # single hash aggregate with map-side partials. Per bit we track the
+    # set-bit count s_b (a bare shift+mask sum, no branch); the ±1 sum is
+    # 2·s_b − n, so bit b of the fingerprint is set iff 2·s_b > n.
+    h = F.col("__h")
     bit_sums = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                    F.lit(-1)
-                )
-            ).alias(f"b{b}")
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"b{b}")
             for b in range(_SIMHASH_BITS)
-        ]
+        ],
     )
     fingerprint = reduce(
         lambda acc, b: acc
-        + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")),
+        + F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
         range(1, _SIMHASH_BITS),
-        F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        F.when(F.col("b0") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
     return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))
 
@@ -293,14 +308,16 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
-            F.col("a.simhash").alias("sh1"),
-            F.col("b.simhash").alias("sh2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .distinct()
     )
-    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    # Verify (cheap bit_count filter) BEFORE deduplicating band collisions:
+    # rows failing the Hamming cut never reach the dedup shuffle, and the
+    # survivors carry their distance so dropDuplicates needs no re-compute.
     return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
+        cand.filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2"])
         .select("id1", "id2", "hamming")
     )

@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cosine_topk", "lsh_topk", "block_cosine_topk_pandas"]
+__all__ = [
+    "cosine_topk",
+    "lsh_topk",
+    "block_cosine_topk_pandas",
+    "block_nn_pairs_pandas",
+]
 
 
 def _dot(a: str, b: str):
@@ -229,4 +234,91 @@ def block_cosine_topk_pandas(
     ).groupBy(block_col).applyInPandas(
         score_block,
         schema="vec_id long, nn_id long, block long, cosine double, rnk int",
+    )
+
+
+def block_nn_pairs_pandas(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    block_type: str = "int",
+    margin: float = 2e-4,
+    chunk_rows: int = 256,
+) -> DataFrame:
+    """Block-local nearest-neighbor *candidates* via numpy with
+    **bit-deterministic sequential accumulation** — the fast path that
+    still passes an exact cross-engine value-hash gate.
+
+    Emits (id, nn candidate, block, raw cosine) for every candidate whose
+    raw cosine is within ``margin`` of the row maximum; the caller rounds
+    and picks the winner Spark-side (``round`` + ``max_by``), so the
+    tie-break on the *rounded* score stays in one place and matches the
+    SQL oracle's ``ROW_NUMBER ... ORDER BY ROUND(cos,4) DESC, id``.
+
+    Determinism: unlike ``block_cosine_topk_pandas`` (BLAS matmul,
+    pairwise summation), dots and norms here are computed with
+    ``np.add.accumulate`` — strictly left-to-right, the exact order of
+    Spark's ``F.aggregate`` fold and DuckDB's ``list_sum``, so raw scores
+    are bit-identical across all three engines.
+
+    Margin correctness: rounding to 4 decimals moves a value by ≤ 5e-5,
+    so the post-round argmax always has a raw score within 1e-4 (+ulp) of
+    the raw max; ``margin=2e-4`` keeps every possible winner. Typical
+    emission is ~1 row per id, so the Arrow transfer and downstream
+    shuffle carry O(n) rows, not O(Σ|block|²).
+
+    Memory: pair scoring is chunked to (chunk_rows × |block| × dim)
+    float64; blocks themselves must fit an executor — the same bound the
+    blocking strategy (label / IVF cell / LSH bucket) guarantees upstream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    np_block = {"int": "int32", "long": "int64"}.get(block_type, "object")
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id": pd.Series([], dtype="int64"),
+                    "nn_id": pd.Series([], dtype="int64"),
+                    "block": pd.Series([], dtype=np_block),
+                    "cosine_raw": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        # sequential norm: accumulate of squares == the JVM fold's order
+        norms = np.sqrt(np.add.accumulate(m * m, axis=1)[:, -1])
+        u = m / norms[:, None]
+        out_i, out_j, out_c = [], [], []
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            prod = u[s:e, None, :] * u[None, :, :]
+            dots = np.add.accumulate(prod, axis=2)[:, :, -1]
+            for k in range(e - s):
+                dots[k, s + k] = -np.inf  # mask self-pair
+            rowmax = dots.max(axis=1, keepdims=True)
+            ci, cj = np.nonzero(dots >= rowmax - margin)
+            out_i.append(ids[ci + s])
+            out_j.append(ids[cj])
+            out_c.append(dots[ci, cj])
+        return pd.DataFrame(
+            {
+                "id": np.concatenate(out_i),
+                "nn_id": np.concatenate(out_j),
+                "block": pdf[block_col].iloc[0],
+                "cosine_raw": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        embeddings.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+        .groupBy(block_col)
+        .applyInPandas(
+            score_block,
+            schema=f"id long, nn_id long, block {block_type}, cosine_raw double",
+        )
     )

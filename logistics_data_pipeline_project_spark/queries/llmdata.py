@@ -21,7 +21,7 @@ from ..operators.dedup import (
     shingle_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..operators.similarity import cosine_topk, lsh_topk
+from ..operators.similarity import block_nn_pairs_pandas, cosine_topk, lsh_topk
 from ..operators.text import (
     STOPWORDS_EN,
     language_id,
@@ -488,45 +488,30 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str):
     (q32) feeds at 100 TB, where the block key is the coarse quantizer
     cell rather than a label.
 
-    Each vector is L2-normalized ONCE before the pair join (the oracle
-    normalizes identically), so per-pair work is a single dot-product
-    fold instead of dot + two norms — 3× less arithmetic on the
-    quadratic stage. Ranking uses the rounded score + nn_id tiebreak so
-    ordering is engine-stable."""
+    Pair scoring runs in numpy via ``block_nn_pairs_pandas`` — ONE
+    Arrow batch per label block, elementwise products summed with
+    ``np.add.accumulate`` (strictly left-to-right), which is
+    bit-identical to both Spark's ``F.aggregate`` fold and DuckDB's
+    ``list_sum``, so the exact value-hash gate still holds. The pandas
+    stage emits only near-max candidates (margin 2e-4 > the 1e-4
+    rounding window); the final round + max_by happens Spark-side so the
+    rounded-score + nn_id tiebreak matches the oracle's ROW_NUMBER
+    ordering exactly."""
     emb = load(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    cand = block_nn_pairs_pandas(
+        emb, "vec_id", "embedding", "label", block_type="int"
+    ).select(
+        F.col("id").alias("vec_id"),
+        "nn_id",
+        F.col("block").alias("label"),
+        F.round("cosine_raw", 4).cast("double").alias("cosine"),
     )
-    unit = emb.select(
-        "vec_id",
-        "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias("u"),
-    )
-    a = unit.alias("a")
-    b = unit.select(
-        F.col("vec_id").alias("nn_id"),
-        F.col("label").alias("b_label"),
-        F.col("u").alias("cu"),
-    ).alias("b")
-    pairs = a.join(
-        b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") != F.col("nn_id"))
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("u"), F.col("cu"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = pairs.withColumn("cosine", F.round(dot, 4).cast("double"))
     # max_by instead of a row_number window: the nearest neighbor reduces
-    # with map-side partials (one row per vec_id crosses the shuffle, not
-    # every scored pair) and needs no sort. Tie-break (cosine desc, nn_id
-    # asc) via the (cosine, -nn_id) ordering struct matches the oracle's
-    # ROW_NUMBER ordering exactly.
-    best = scored.groupBy("vec_id", "label").agg(
+    # with map-side partials (one row per vec_id crosses the shuffle) and
+    # needs no sort. Tie-break (cosine desc, nn_id asc) via the
+    # (cosine, -nn_id) ordering struct matches the oracle's ROW_NUMBER
+    # ordering exactly.
+    best = cand.groupBy("vec_id", "label").agg(
         F.max_by(
             F.struct("nn_id", "cosine"),
             F.struct(F.col("cosine"), (-F.col("nn_id")).alias("neg")),
