@@ -31,6 +31,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_near_pairs",
+    "connected_components",
 ]
 
 
@@ -222,6 +223,84 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard_distance") <= max_distance)
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    cluster-resolution step that turns near-dup *pairs* (q22/q23/q24
+    edges) into dedup *groups* with a canonical keeper per group.
+
+    Each node starts labeled with its own id; every round each node takes
+    the minimum of its label and its neighbors' labels, until a round
+    changes nothing. Convergence needs O(graph diameter) rounds — near-dup
+    clusters are shallow (pairs all share content), so a handful in
+    practice. This is a genuinely iterative algorithm: the driver-side
+    loop is over *rounds*, never over rows, and each round is one shuffle
+    (edge⋈label + min-aggregate). ``localCheckpoint`` truncates the plan
+    lineage per round so the final plan stays O(1) deep instead of
+    O(rounds).
+
+    Scale note: at extreme component sizes the alternating
+    small-star/large-star rewrite (Kiveris et al., "Connected Components
+    in MapReduce") converges in O(log n) rounds with the same per-round
+    shape; plain min-propagation is the right default while cluster
+    diameter is small.
+
+    Returns (id, component) for every node; component = min node id of
+    the node's component (singletons map to themselves). Deterministic.
+    Raises if ``max_iter`` rounds do not converge.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
+    ).union(edges.select(F.col(dst_col).alias("__a"), F.col(src_col).alias("__b")))
+    sym = sym.localCheckpoint(eager=True)
+    # Only nodes with at least one edge can ever change label — iterate on
+    # that (typically tiny) subset and union the untouched singletons back
+    # at the end. At corpus scale this shrinks every round's join from
+    # |nodes| to |touched nodes|.
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    touched = sym.select(F.col("__a").alias("id")).distinct()
+    labels = touched.select(
+        "id", F.col("id").alias("component")
+    ).localCheckpoint(eager=True)
+    # Monotone convergence probe: labels only ever decrease, so the total
+    # (exact DECIMAL, overflow-safe) strictly decreases iff any changed.
+    total = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels, sym["__a"] == labels["id"])
+            .groupBy("__b")
+            .agg(F.min("component").alias("__nb_min"))
+        )
+        labels = (
+            labels.join(nb_min, labels["id"] == nb_min["__b"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("__nb_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_total = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if new_total == total:
+            singletons = all_nodes.join(touched, "id", "left_anti").select(
+                "id", F.col("id").alias("component")
+            )
+            return labels.union(singletons)
+        total = new_total
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
 _SIMHASH_BITS = 60  # stay inside a signed 64-bit long (2^60 << 2^63)

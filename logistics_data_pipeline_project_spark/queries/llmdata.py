@@ -16,6 +16,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from ..io_utils import load
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
@@ -445,6 +446,149 @@ def q33_approx_event_profile(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("value_quartiles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — near-dup cluster resolution (connected components over q22 edges)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q37_near_dup_clusters",
+    tags=("dedup", "J8", "A1"),
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_JACCARD_N}
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_JACCARD_N - 1})) AS i FROM toks)
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_MAX_DF}
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT id1, id2 FROM inter
+  JOIN sizes sa ON sa.doc_id = id1
+  JOIN sizes sb ON sb.doc_id = id2
+  WHERE CAST(inter_size AS DOUBLE) / (sa.n_sh + sb.n_sh - inter_size) >= {_JACCARD_THRESHOLD}
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM e UNION ALL SELECT id2, id1 FROM e),
+cc AS (
+  SELECT doc_id AS id, doc_id AS lab FROM documents
+  UNION
+  SELECT s.b, cc.lab FROM cc JOIN sym s ON s.a = cc.id
+),
+lab AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY id),
+cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, cs.cluster_size
+FROM lab l JOIN cs USING (cluster_id)
+""",
+)
+def q37_near_dup_clusters(spark: SparkSession, sf_dir: str):
+    """Near-dup *cluster* resolution: q22's exact Jaccard pairs are only
+    edges; dedup needs the transitive groups (A~B, B~C ⇒ one cluster with
+    one keeper). Components come from iterative min-label propagation
+    (operators.dedup.connected_components — one shuffle per round,
+    O(diameter) rounds, lineage checkpointed per round); the oracle walks
+    the same edges with a recursive CTE. cluster_id = min doc_id of the
+    cluster, i.e. the canonical keeper; singleton docs form their own
+    cluster."""
+    docs = load(spark, sf_dir, "documents")
+    edges = shingle_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n=_JACCARD_N,
+        threshold=_JACCARD_THRESHOLD,
+        max_shingle_df=_JACCARD_MAX_DF,
+    )
+    comp = connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    cs = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(cs, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# q38 — deterministic hash split + stratified sample accounting
+# ---------------------------------------------------------------------------
+
+# Hex-prefix range cuts on md5: engine-portable (pure string compare),
+# salt-keyed, and stable under any reshuffling/backfill — the property a
+# train/val/test split must keep at 100 TB. 'cd'=205/256 ≈ 80.1% train,
+# 'e6'=230 → ≈ 9.8% val, rest ≈ 10.2% test; sample cut '1a'=26/256 ≈ 10.2%.
+_SPLIT_SALT = "split-v1"
+_TRAIN_HI = "cd"
+_VAL_HI = "e6"
+_SAMPLE_HI = "1a"
+
+
+@register(
+    "q38_hash_split_profile",
+    tags=("P6", "A1", "A4"),
+    oracle=f"""
+WITH h AS (
+  SELECT source,
+    substr(md5('{_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 2) AS b1,
+    substr(md5('{_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 3, 2) AS b2,
+    len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), s AS (
+  SELECT source,
+    CASE WHEN b1 < '{_TRAIN_HI}' THEN 'train'
+         WHEN b1 < '{_VAL_HI}' THEN 'val'
+         ELSE 'test' END AS split,
+    CAST(b2 < '{_SAMPLE_HI}' AS INTEGER) AS sampled,
+    n_tok
+  FROM h
+)
+SELECT source, split,
+  COUNT(*) AS docs,
+  CAST(SUM(sampled) AS BIGINT) AS sampled_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM s GROUP BY source, split
+""",
+)
+def q38_hash_split_profile(spark: SparkSession, sf_dir: str):
+    """Deterministic train/val/test assignment + stratified sample
+    accounting: split and sample membership hang off salted md5 hex
+    prefixes of the doc id — no RNG, no state, identical on every engine
+    and under any repartitioning, so a backfill lands every row in the
+    same split it got last year. Pure column expressions (one shuffle for
+    the rollup); the sample bit uses an independent hash window so
+    sampling is unbiased within each split."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(f"{_SPLIT_SALT}:"), F.col("doc_id").cast("string")))
+    b1 = F.substring(h, 1, 2)
+    b2 = F.substring(h, 3, 2)
+    split = (
+        F.when(b1 < _TRAIN_HI, "train").when(b1 < _VAL_HI, "val").otherwise("test")
+    )
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            (b2 < _SAMPLE_HI).cast("int").alias("sampled"),
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("sampled").cast("long").alias("sampled_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
     )
 
 

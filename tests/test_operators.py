@@ -280,3 +280,27 @@ def test_multimodal_frame_sample_and_resize(spark):
     # binary-in/binary-out determinism
     r2 = resize_images(df, "id", "payload", width=64, height=64).collect()
     assert {bytes(r["resized_payload"]) for r in resized} == {bytes(r["resized_payload"]) for r in r2}
+
+
+def test_connected_components_min_label():
+    # standalone graph: chain 1-2-3, pair 10-11, singleton 99; edges are
+    # undirected regardless of (src, dst) orientation in the input
+    from logistics_data_pipeline_project_spark.operators.dedup import (
+        connected_components,
+    )
+    from logistics_data_pipeline_project_spark.session import get_spark
+
+    spark = get_spark()
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (99,)], "id long")
+    edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], "id1 long, id2 long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    # deterministic under re-run
+    again = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == again
