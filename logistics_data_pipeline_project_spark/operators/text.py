@@ -16,6 +16,8 @@ from pyspark.sql import Column, functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "bpe_ish_tokens",
+    "BPE_ISH_RE",
     "unique_token_ratio",
     "stopword_ratio",
     "quality_score",
@@ -41,6 +43,22 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.lower(c), " ")
+
+
+#: GPT-2-style pre-tokenizer regex, restricted to constructs whose
+#: semantics are identical across Java regex (Spark) and RE2 (DuckDB):
+#: contractions, space-prefixed letter runs, space-prefixed digit runs,
+#: space-prefixed punctuation runs, residual space runs. ASCII-only on
+#: purpose — the portable subset every engine agrees on.
+BPE_ISH_RE = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+| +"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokenization (the unit a byte-pair encoder would
+    merge over) as a pure column expression — the realistic token-count
+    proxy for LLM corpus accounting, next to the whitespace `tokens`."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0)
 
 
 def token_count(text: Column | str) -> Column:

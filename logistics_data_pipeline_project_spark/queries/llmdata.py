@@ -24,7 +24,9 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import block_nn_pairs_pandas, cosine_topk, lsh_topk
 from ..operators.text import (
+    BPE_ISH_RE,
     STOPWORDS_EN,
+    bpe_ish_tokens,
     language_id,
     min_window_fingerprint,
     quality_score,
@@ -446,6 +448,57 @@ def q33_approx_event_profile(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("value_quartiles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — BPE-style tokenizer profile (text analysis)
+# ---------------------------------------------------------------------------
+
+_BPE_RE_SQL = BPE_ISH_RE.replace("'", "''")
+
+
+@register(
+    "q39_bpe_token_profile",
+    tags=("text", "A1", "A5"),
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+    regexp_extract_all(text, '{_BPE_RE_SQL}') AS bt,
+    len(string_split(text, ' ')) AS ws
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS docs,
+  CAST(SUM(len(bt)) AS BIGINT) AS bpe_tokens,
+  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+  CAST(ROUND(CAST(SUM(len(bt)) AS DOUBLE) / SUM(ws), 4) AS DOUBLE) AS tokens_per_word,
+  CAST(SUM(len(list_filter(bt, x -> regexp_matches(x, '^ ?[A-Za-z]+$')))) AS BIGINT) AS alpha_tokens,
+  CAST(SUM(len(list_filter(bt, x -> regexp_matches(x, '^ ?[0-9]+$')))) AS BIGINT) AS num_tokens
+FROM t GROUP BY source
+""",
+)
+def q39_bpe_token_profile(spark: SparkSession, sf_dir: str):
+    """LLM corpus token accounting with a BPE-style pre-tokenizer
+    (GPT-2-ish regex, restricted to the Java/RE2-portable subset) next to
+    the whitespace count: total/alpha/numeric token volumes and the
+    tokens-per-word inflation ratio per source. Pure column expressions —
+    one shuffle for the rollup, whole-stage codegen for the scan."""
+    d = load(spark, sf_dir, "documents")
+    bt = bpe_ish_tokens("text")
+    ws = F.size(F.split(F.col("text"), " "))
+    t = d.select("source", bt.alias("bt"), ws.alias("ws"))
+    n_alpha = F.size(F.expr("filter(bt, x -> x rlike '^ ?[A-Za-z]+$')"))
+    n_num = F.size(F.expr("filter(bt, x -> x rlike '^ ?[0-9]+$')"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size("bt")).cast("long").alias("bpe_tokens"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.round(
+            F.sum(F.size("bt")).cast("double") / F.sum("ws"), 4
+        ).cast("double").alias("tokens_per_word"),
+        F.sum(n_alpha).cast("long").alias("alpha_tokens"),
+        F.sum(n_num).cast("long").alias("num_tokens"),
     )
 
 
