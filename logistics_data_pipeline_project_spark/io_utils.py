@@ -44,6 +44,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read ``events`` with ``ts`` left as raw nanosecond Longs.
+
+    The normal ``load`` wraps ts in ``timestamp_micros(ts div 1000)`` — a
+    *derived* column, so range predicates on it cannot be pushed into the
+    parquet scan (the source only accepts plain attribute comparisons).
+    Incremental/watermark patterns should filter on this raw column with
+    ns bounds (see queries q18) so the predicate reaches the reader and
+    prunes row groups via min/max stats — the difference between a
+    full-table scan and an incremental one at 100 TB."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every synthetic table as a temp view for spark.sql queries."""
     for name in TABLES:

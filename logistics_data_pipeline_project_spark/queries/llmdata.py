@@ -12,7 +12,7 @@ references they are validated against in tests/.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession, Window, functions as F
 
 from ..io_utils import load
 from ..operators.dedup import (
@@ -642,6 +642,49 @@ def q38_hash_split_profile(spark: SparkSession, sf_dir: str):
             F.sum("sampled").cast("long").alias("sampled_docs"),
             F.sum("n_tok").cast("long").alias("total_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 — per-source vocabulary top-k (text analysis)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 20
+
+
+@register(
+    "q40_top_tokens",
+    tags=("text", "A1", "W1", "O3"),
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY source, tok
+), r AS (
+  SELECT source, tok, n,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rnk
+  FROM cnt
+)
+SELECT source, tok, n, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= {_VOCAB_K}
+""",
+)
+def q40_top_tokens(spark: SparkSession, sf_dir: str):
+    """Vocabulary building: per-source token frequency table cut to the
+    top-k — the first step of any tokenizer/frequency analysis over a
+    corpus. Two shuffles: (source, tok) count with map-side partials, then
+    the per-source top-k window; the heavy explode never crosses the
+    second shuffle because counting collapses it first. Ties break on the
+    token itself so ranking is engine-stable."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    cnt = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _VOCAB_K)
+        .select("source", "tok", "n", "rnk")
     )
 
 
