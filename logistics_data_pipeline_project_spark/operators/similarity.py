@@ -25,6 +25,8 @@ __all__ = [
     "lsh_topk",
     "block_cosine_topk_pandas",
     "block_nn_pairs_pandas",
+    "kmeans_cells",
+    "ivf_topk",
 ]
 
 
@@ -168,6 +170,216 @@ def lsh_topk(
     )
     cos = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
     scored = cand.withColumn("cosine", F.round(cos, 4).cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cosine", "rnk")
+    )
+
+
+def _cell_dist_structs(cents: list[tuple[int, list[float]]]):
+    """Array of struct(d, cell) — squared L2 distance from the ``v``
+    column to each centroid literal, computed by the same strict
+    left-to-right fold the DuckDB oracle's ``list_sum`` performs, so
+    distances are bit-identical across engines. Centroids ride along as
+    literals (k·dim doubles — the IVF centroid table is always tiny
+    relative to the corpus; real systems broadcast it the same way), so
+    assignment is a pure projection: no join, no shuffle."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(c)) for c in cvec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(int(cell)).alias("cell"),
+            )
+            for cell, cvec in cents
+        ]
+    )
+
+
+def _assign_cells_pandas(dbl: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Arrow-batched numpy twin of the ``_cell_dist_structs`` projection:
+    per-dim squared differences summed with ``np.add.accumulate`` —
+    strictly left-to-right, the exact order of the JVM fold and DuckDB's
+    ``list_sum`` — and ``argmin`` (first-minimum) reproducing the
+    ties-to-lower-cell rule, since centroids arrive sorted by cell.
+    Bit-identical to the expression path (asserted in tests); ~10× faster
+    because the work is vectorized instead of per-row interpreted HOFs."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([cvec for _, cvec in cents], dtype=np.float64)
+    cells = np.array([cell for cell, _ in cents], dtype=np.int32)
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            diff2 = (x[:, None, :] - C[None, :, :]) ** 2
+            d = np.add.accumulate(diff2, axis=2)[:, :, -1]
+            j = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "v": pdf["v"],
+                    "cell": cells[j],
+                    "sq_dist": d[np.arange(len(pdf)), j],
+                }
+            )
+
+    return dbl.mapInPandas(
+        part, schema="id long, v array<double>, cell int, sq_dist double"
+    )
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    assign_impl: str = "pandas",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Deterministic Lloyd k-means over an embedding column, expressed as
+    DataFrame ops — the coarse quantizer an IVF index is built on.
+
+    Semantics (bit-reproducible on any engine, any partitioning):
+    - init: centroids = the vectors of the ``k`` smallest ids, cell index
+      = rank by id (no RNG — a seeded deterministic choice).
+    - assign: argmin over squared L2 distance, ties broken on the lower
+      cell index. Distances are strict left-to-right folds over the dims
+      (``F.aggregate``), bit-equal to DuckDB's sequential ``list_sum``.
+    - update: the per-cell mean is folded over members *sorted by id*
+      (``array_sort(collect_list(struct(id, v)))`` then a zip_with add
+      fold), so per-dim sums visit values in id order — the exact IEEE
+      addition sequence of the oracle's ``list_sum(list(x ORDER BY id))``.
+      Exactly ``n_iter`` update rounds (no convergence probe), so the
+      computation is a fixed dataflow both engines can replay.
+
+    The iterative driver loop is over *rounds* (each one Spark job: a
+    zero-shuffle assignment + one groupBy(cell) shuffle); centroids
+    (k·dim doubles) are collected per round and re-embedded as literals —
+    the Python float round-trip is exact IEEE754. Assignment has two
+    bit-identical implementations (``assign_impl``): "pandas" (default) —
+    vectorized numpy with sequential accumulation over dims, Arrow
+    batches; "expr" — pure JVM expression fold (``_cell_dist_structs``).
+    Tests assert they agree exactly; the oracle gate checks both orders.
+
+    Scale note: the sorted-member fold is the cross-engine-exact gate
+    choice; at corpus scale swap the update for decimal-quantized partial
+    sums per (cell, dim) — order-independent, fully distributed, no
+    per-cell collect_list — at the cost of a quantization step the SQL
+    value-hash gate cannot replay bit-exactly.
+
+    Returns (assignment, centroids): assignment = (id, v, cell, sq_dist)
+    under the final centroids; centroids = [(cell, [c0..cd])] sorted.
+    """
+    dbl = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # One materialization feeds every round's job (n_iter+1 assignments +
+    # n_iter updates + the init collect all rescan this) instead of
+    # re-reading and re-casting the parquet per job.
+    dbl = dbl.localCheckpoint(eager=True)
+    init = dbl.orderBy("id").limit(k).collect()
+    if not init:
+        empty = dbl.select("id", "v", F.lit(0).alias("cell"), F.lit(0.0).alias("sq_dist"))
+        return empty, []
+    cents = [(i, list(r["v"])) for i, r in enumerate(init)]
+    dim = len(cents[0][1])
+
+    def assign(c):
+        if assign_impl == "pandas":
+            return _assign_cells_pandas(dbl, c)
+        best = F.array_min(_cell_dist_structs(c))
+        return dbl.select(
+            "id", "v", best["cell"].alias("cell"), best["d"].alias("sq_dist")
+        )
+
+    assigned = None
+    for it in range(n_iter + 1):
+        assigned = assign(cents)
+        if it == n_iter:
+            break
+        upd = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("id", "v"))).alias("ms"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell",
+                F.transform(
+                    F.aggregate(
+                        F.col("ms"),
+                        F.array_repeat(F.lit(0.0), dim),
+                        lambda acc, m: F.zip_with(acc, m["v"], lambda a, b: a + b),
+                    ),
+                    lambda s: s / F.col("n"),
+                ).alias("cvec"),
+            )
+            .collect()
+        )
+        cents = sorted((r["cell"], list(r["cvec"])) for r in upd)
+    return assigned, cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    k: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate nearest-neighbor search: k-means coarse quantizer
+    (``kmeans_cells``) + per-query probing of the ``nprobe`` nearest
+    cells + exact cosine only within probed cells — the classic inverted-
+    file ANN layout. Unlike LSH (``lsh_topk``), the candidate sets here
+    are *deterministic partitions*, so the whole operator (build + probe
+    + scoring) is exactly reproducible cross-engine and oracle-checkable.
+
+    Scale shape: scoring cost drops from n×q (brute force, q25) to
+    q·(nprobe/n_cells)·n; the probe join shuffles on the cell id, and
+    each cell's candidate list is the unit of parallelism. Raise n_cells
+    (√n is the usual rule) to shrink cells; recall is tunable via nprobe.
+
+    Returns (query_id, cand_id, cosine, rnk), rnk ≤ k per query, ranked
+    by rounded cosine desc with cand_id tiebreak (engine-stable).
+    """
+    assigned, cents = kmeans_cells(embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter)
+    probe = (
+        assigned.filter(F.col("id").isin(query_ids))
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v"),
+            F.explode(
+                F.slice(F.array_sort(_cell_dist_structs(cents)), 1, nprobe)
+            ).alias("pc"),
+        )
+        .select("query_id", F.col("v").alias("qv"), F.col("pc.cell").alias("cell"))
+    )
+    cands = assigned.select(
+        F.col("id").alias("cand_id"), F.col("v").alias("cv"), "cell"
+    )
+    # Each candidate lives in exactly one cell (a partition, not a hash
+    # bucket), so the probe join introduces no duplicate pairs.
+    pairs = probe.join(cands, "cell").filter(F.col("cand_id") != F.col("query_id"))
+    cos = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    scored = pairs.withColumn("cosine", F.round(cos, round_to).cast("double"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -22,7 +22,13 @@ from ..operators.dedup import (
     shingle_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..operators.similarity import block_nn_pairs_pandas, cosine_topk, lsh_topk
+from ..operators.similarity import (
+    block_nn_pairs_pandas,
+    cosine_topk,
+    ivf_topk,
+    kmeans_cells,
+    lsh_topk,
+)
 from ..operators.text import (
     BPE_ISH_RE,
     STOPWORDS_EN,
@@ -685,6 +691,175 @@ def q40_top_tokens(spark: SparkSession, sf_dir: str):
         cnt.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= _VOCAB_K)
         .select("source", "tok", "n", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41/q42 — IVF index: deterministic k-means coarse quantizer + probe search
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_ITER = 2
+_IVF_DIM = 64
+_IVF_NPROBE = 2
+_IVF_TOPK = 10
+
+
+def _kmeans_ctes(k: int, n_iter: int, dim: int) -> str:
+    """DuckDB CTE chain replaying kmeans_cells exactly: cent0 = vectors of
+    the k smallest ids; per round an argmin assignment (sequential-fold
+    distances, ties to the lower cell) and a sorted-fold mean update
+    (list(x ORDER BY vec_id) → list_sum visits members in id order — the
+    same IEEE addition sequence as the Spark fold). Final assignment
+    a{n_iter+1} uses the last centroids."""
+    parts = [
+        f"""cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(1, n_iter + 2):
+        parts.append(
+            f"""d{it} AS (
+  SELECT e.vec_id, c.cell,
+    list_sum(list_transform(generate_series(1, {dim}),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+         * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS dist
+  FROM embeddings e CROSS JOIN cent{it - 1} c
+)"""
+        )
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT vec_id, cell, dist,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d{it}) WHERE rn = 1
+)"""
+        )
+        if it <= n_iter:
+            parts.append(
+                f"""x{it} AS (
+  SELECT a.cell, i.i AS i,
+    list_sum(list(CAST(e.embedding[i.i] AS DOUBLE) ORDER BY e.vec_id)) AS sv,
+    COUNT(*) AS n
+  FROM a{it} a JOIN embeddings e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) i
+  GROUP BY a.cell, i.i
+)"""
+            )
+            parts.append(
+                f"""cent{it} AS (
+  SELECT cell, list(sv / n ORDER BY i) AS cvec FROM x{it} GROUP BY cell
+)"""
+            )
+    return ",\n".join(parts)
+
+
+@register(
+    "q41_ivf_kmeans_assign",
+    tags=("similarity", "A1", "J2"),
+    oracle=f"""
+WITH {_kmeans_ctes(_IVF_K, _IVF_ITER, _IVF_DIM)},
+sizes AS (
+  SELECT cell, COUNT(*) AS cell_size FROM a{_IVF_ITER + 1} GROUP BY cell
+)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+  CAST(ROUND(a.dist, 4) AS DOUBLE) AS sq_dist, s.cell_size
+FROM a{_IVF_ITER + 1} a JOIN sizes s USING (cell)
+""",
+)
+def q41_ivf_kmeans_assign(spark: SparkSession, sf_dir: str):
+    """IVF index build: deterministic Lloyd k-means (k=8, 2 fixed update
+    rounds, init = vectors of the 8 smallest ids) assigns every embedding
+    to a coarse-quantizer cell. A genuinely iterative algorithm expressed
+    as DataFrame ops — per round a zero-shuffle assignment projection
+    (centroids ride as literals) plus one groupBy(cell) shuffle for the
+    sorted-fold mean — and still oracle-checked bit-exactly: the DuckDB
+    CTE chain replays the same fold orders (operators.similarity.
+    kmeans_cells documents the determinism contract and the
+    decimal-partial-sum variant that replaces the sorted fold at corpus
+    scale)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_cells(emb, "vec_id", "embedding", k=_IVF_K, n_iter=_IVF_ITER)
+    cs = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_size"))
+    return (
+        assigned.join(cs, "cell")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.round("sq_dist", 4).cast("double").alias("sq_dist"),
+            "cell_size",
+        )
+    )
+
+
+@register(
+    "q42_ann_ivf_topk",
+    tags=("similarity", "J1", "W1", "O3"),
+    oracle=f"""
+WITH {_kmeans_ctes(_IVF_K, _IVF_ITER, _IVF_DIM)},
+pd AS (
+  SELECT q.query_id, c.cell,
+    list_sum(list_transform(generate_series(1, {_IVF_DIM}),
+      i -> (q.qv[i] - c.cvec[i]) * (q.qv[i] - c.cvec[i]))) AS dist
+  FROM (SELECT vec_id AS query_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5) q
+  CROSS JOIN cent{_IVF_ITER} c
+),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+    FROM pd) WHERE rn <= {_IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probe p JOIN a{_IVF_ITER + 1} a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT s.query_id, s.cand_id,
+    CAST(ROUND(
+      list_sum(list_transform(generate_series(1, {_IVF_DIM}),
+        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, {_IVF_DIM}),
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(generate_series(1, {_IVF_DIM}),
+           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+    , 4) AS DOUBLE) AS cosine
+  FROM pairs s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.cand_id
+)
+SELECT query_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT query_id, cand_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_IVF_TOPK}
+""",
+)
+def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str):
+    """ANN search through the IVF index: each query probes its nprobe=2
+    nearest coarse cells and scores exact cosine only against those
+    cells' members — q25's brute force restricted to deterministic
+    partitions, so unlike LSH (q32) the whole approximate path is
+    oracle-checked bit-exactly. Scoring cost is q·(nprobe/k)·n instead of
+    q·n; the probe join shuffles on the cell id. Recall vs the exact scan
+    is asserted in tests (same top-1 for most queries on this corpus)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        query_ids=[0, 1, 2, 3, 4],
+        k=_IVF_TOPK,
+        n_cells=_IVF_K,
+        n_iter=_IVF_ITER,
+        nprobe=_IVF_NPROBE,
     )
 
 

@@ -221,6 +221,54 @@ def test_cosine_topk_exact(spark):
     assert rows[1]["cosine"] == pytest.approx(0.7071)
 
 
+def test_kmeans_assign_impls_bit_identical(spark, sf_dir):
+    """The vectorized numpy assignment (np.add.accumulate) and the JVM
+    expression fold must agree bit-for-bit — the determinism contract the
+    q41/q42 oracle gate rests on."""
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.operators.similarity import kmeans_cells
+
+    emb = load(spark, sf_dir, "embeddings")
+    a_pd, c_pd = kmeans_cells(emb, "vec_id", "embedding", k=4, n_iter=2, assign_impl="pandas")
+    a_ex, c_ex = kmeans_cells(emb, "vec_id", "embedding", k=4, n_iter=2, assign_impl="expr")
+    assert c_pd == c_ex  # centroid doubles bit-equal through both paths
+    rows_pd = {r["id"]: (r["cell"], r["sq_dist"]) for r in a_pd.collect()}
+    rows_ex = {r["id"]: (r["cell"], r["sq_dist"]) for r in a_ex.collect()}
+    assert rows_pd == rows_ex
+
+
+def test_kmeans_cells_partition_all_rows(spark, sf_dir):
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.operators.similarity import kmeans_cells
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_cells(emb, "vec_id", "embedding", k=8, n_iter=1)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("id").distinct().count() == n  # exactly one cell per vector
+    assert len(cents) <= 8 and all(len(v) == 64 for _, v in cents)
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF probe search must recover most of the exact top-k even on
+    near-random embeddings (nprobe=2 of 8 cells)."""
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cands = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(queries, cands, k=10).collect()}
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in ivf_topk(emb, "vec_id", "embedding", query_ids=qids, k=10).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.7
+
+
 # -- multimodal -------------------------------------------------------------
 
 
