@@ -232,6 +232,7 @@ def connected_components(
     src_col: str = "id1",
     dst_col: str = "id2",
     max_iter: int = 25,
+    local_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     cluster-resolution step that turns near-dup *pairs* (q22/q23/q24
@@ -253,6 +254,16 @@ def connected_components(
     shape; plain min-propagation is the right default while cluster
     diameter is small.
 
+    Adaptive execution: the symmetrized edge set is materialized (and
+    counted for free) before iterating; when it fits the driver
+    (≤ ``local_edge_threshold`` edges — near-dup graphs have O(n) edges,
+    and 1M tuples ≈ tens of MB) the components are solved with a local
+    union-find and broadcast-joined back, replacing O(diameter) shuffle
+    rounds with one job. The labels are identical by construction
+    (min-id per component); the distributed loop remains the path for
+    graphs that outgrow the driver, mirroring how AQE picks a broadcast
+    join once runtime sizes are known.
+
     Returns (id, component) for every node; component = min node id of
     the node's component (singletons map to themselves). Deterministic.
     Raises if ``max_iter`` rounds do not converge.
@@ -261,11 +272,38 @@ def connected_components(
         F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
     ).union(edges.select(F.col(dst_col).alias("__a"), F.col(src_col).alias("__b")))
     sym = sym.localCheckpoint(eager=True)
+    all_nodes_df = nodes.select(F.col(id_col).alias("id"))
+    if sym.count() <= local_edge_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in sym.collect():
+            u, v = r["__a"], r["__b"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        labels = sorted((x, find(x)) for x in parent)
+        spark = edges.sparkSession
+        id_type = dict(nodes.dtypes)[id_col]
+        lab_df = spark.createDataFrame(labels, f"id {id_type}, component {id_type}")
+        singleton_rows = all_nodes_df.join(
+            F.broadcast(lab_df.select("id")), "id", "left_anti"
+        ).select("id", F.col("id").alias("component"))
+        return lab_df.union(singleton_rows)
     # Only nodes with at least one edge can ever change label — iterate on
     # that (typically tiny) subset and union the untouched singletons back
     # at the end. At corpus scale this shrinks every round's join from
     # |nodes| to |touched nodes|.
-    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    all_nodes = all_nodes_df
     touched = sym.select(F.col("__a").alias("id")).distinct()
     labels = touched.select(
         "id", F.col("id").alias("component")
@@ -359,6 +397,12 @@ def simhash_near_pairs(
     shuffle on (band_idx, band_value), linear in candidates."""
     sh = simhash(df, text_col, id_col)
     band_width = _SIMHASH_BITS // n_bands
+
+    def band_val(col, i):
+        return F.shiftright(col, i * band_width).bitwiseAND(
+            F.lit((1 << band_width) - 1)
+        )
+
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -367,9 +411,7 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * band_width)
-                        .bitwiseAND(F.lit((1 << band_width) - 1))
-                        .alias("val"),
+                        band_val(F.col("simhash"), i).alias("val"),
                     )
                     for i in range(n_bands)
                 ]
@@ -377,6 +419,21 @@ def simhash_near_pairs(
         ).alias("bv"),
     ).select(F.col(id_col), "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     a, b = bands.alias("a"), bands.alias("b")
+    # First-matching-band ownership: a pair colliding in m bands would
+    # surface m times; instead of a dropDuplicates shuffle over the full
+    # candidate set, each pair is emitted only by its lowest matching band
+    # — "no band before this one also matches" is a pure bit-expression on
+    # the two fingerprints already present on the joined row, so the
+    # entire dedup costs zero extra exchanges.
+    prior_mismatch = reduce(
+        lambda acc, j: acc
+        & (
+            (F.col("a.band") <= j)
+            | (band_val(F.col("a.simhash"), j) != band_val(F.col("b.simhash"), j))
+        ),
+        range(n_bands - 1),
+        F.lit(True),
+    )
     cand = (
         a.join(
             b,
@@ -384,6 +441,7 @@ def simhash_near_pairs(
             & (F.col("a.val") == F.col("b.val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(prior_mismatch)
         .select(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
@@ -392,11 +450,6 @@ def simhash_near_pairs(
             ).alias("hamming"),
         )
     )
-    # Verify (cheap bit_count filter) BEFORE deduplicating band collisions:
-    # rows failing the Hamming cut never reach the dedup shuffle, and the
-    # survivors carry their distance so dropDuplicates needs no re-compute.
-    return (
-        cand.filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id1", "id2"])
-        .select("id1", "id2", "hamming")
+    return cand.filter(F.col("hamming") <= max_hamming).select(
+        "id1", "id2", "hamming"
     )

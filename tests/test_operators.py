@@ -352,3 +352,12 @@ def test_connected_components_min_label():
         for r in connected_components(nodes, edges).collect()
     }
     assert got == again
+    # the distributed label-propagation path (threshold 0 forces it) must
+    # produce the identical labeling as the local union-find fast path
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            nodes, edges, local_edge_threshold=0
+        ).collect()
+    }
+    assert dist == got
