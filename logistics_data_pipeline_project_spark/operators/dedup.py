@@ -24,6 +24,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .scale import fan_out
+
 __all__ = [
     "exact_dedup",
     "word_shingles",
@@ -47,6 +49,9 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle) rows.
     Documents shorter than n tokens produce no shingles."""
+    # Shingling fans each row out ~|tokens| ways; widen an
+    # under-partitioned scan first so the explode runs on every core.
+    df = fan_out(df)
     toks = df.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__t")
     ).filter(F.size("__t") >= n)
@@ -355,7 +360,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # Hash each occurrence ONCE into a materialized column — referencing
     # F.xxhash64("tok") inside all 60 aggregate expressions would
     # re-evaluate the hash 60× per token (no CSE across agg exprs).
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).select(F.col(id_col), F.xxhash64("tok").alias("__h"))
     # tf-weighted bit sums == per-occurrence ±1 sums (Σ_tok tf·±1 ≡ Σ_occ ±1),

@@ -19,6 +19,28 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
+def fan_out(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Round-robin repartition an under-partitioned input to the cluster's
+    default parallelism before a CPU-heavy derivation (shingling, hashing,
+    tokenization).
+
+    Parquet scan parallelism follows *bytes* (`files.maxPartitionBytes`),
+    but derivation cost follows *work per row* — a few-MB documents file
+    arrives as one task and serializes an explode that fans every row out
+    a thousandfold. When the incoming partition count is below
+    ``min_fraction`` of ``defaultParallelism``, insert one round-robin
+    exchange of the (small) raw rows so the expensive downstream stage
+    runs wide; at real scale the scan is already wide and this is a no-op
+    (no exchange is added). The check reads the logical plan's partition
+    count only — nothing is executed.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_fraction)):
+        return df.repartition(target)
+    return df
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

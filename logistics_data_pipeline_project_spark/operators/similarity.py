@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .scale import fan_out
+
 __all__ = [
     "cosine_topk",
     "lsh_topk",
@@ -59,7 +61,9 @@ def cosine_topk(
     round_to: int = 4,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, cand_id, cosine, rnk)."""
-    pairs = candidates.crossJoin(F.broadcast(queries)).filter(
+    # The per-row cost is |queries| dot-product folds — widen a
+    # few-partition candidate scan before paying it.
+    pairs = fan_out(candidates).crossJoin(F.broadcast(queries)).filter(
         F.col(cand_id) != F.col(query_id)
     )
     cos = _dot(query_vec, cand_vec) / (_norm(query_vec) * _norm(cand_vec))
@@ -133,6 +137,9 @@ def lsh_topk(
         )
 
     per_band = n_planes // n_bands
+    # n_planes interpreted higher-order-function dot products per row —
+    # the signature stage must run wide even off a one-file scan.
+    embeddings = fan_out(embeddings)
     sig = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -283,7 +290,9 @@ def kmeans_cells(
     Returns (assignment, centroids): assignment = (id, v, cell, sq_dist)
     under the final centroids; centroids = [(cell, [c0..cd])] sorted.
     """
-    dbl = embeddings.select(
+    # fan_out before the checkpoint: localCheckpoint freezes partitioning,
+    # so every round's assignment job inherits this width.
+    dbl = fan_out(embeddings).select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )

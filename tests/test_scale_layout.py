@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from logistics_data_pipeline_project_spark.io_utils import load
 from logistics_data_pipeline_project_spark.operators.scale import (
     day_partition,
+    fan_out,
     overwrite_partitioned,
     salted_aggregate,
     salted_join,
@@ -113,3 +114,14 @@ def test_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
     assert "load_date" in pf
     exact = ev.filter(F.col("ts").cast("date") > F.lit(watermark).cast("date")).count()
     assert pruned.count() == exact
+
+
+def test_fan_out_widens_narrow_input_only(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").coalesce(1)
+    wide = fan_out(docs)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # rows unchanged, only redistributed
+    assert wide.count() == docs.count()
+    # an already-wide input passes through without an added exchange
+    already = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert fan_out(already) is already
