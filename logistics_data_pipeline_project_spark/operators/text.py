@@ -11,10 +11,13 @@ the deterministic, SQL-expressible analysis layer.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .scale import fan_out
 
 __all__ = [
     "tokens",
+    "top_ngram_repetition",
     "token_count",
     "bpe_ish_tokens",
     "BPE_ISH_RE",
@@ -63,6 +66,64 @@ def bpe_ish_tokens(text: Column | str) -> Column:
 
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
+
+
+def top_ngram_repetition(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signal: the most frequent word ``n``-gram
+    per document and the fraction of the document's characters it covers
+    (count × gram length / text length; overlapping occurrences each
+    count, so heavily templated text scores > typical prose).
+
+    The canonical "repetitious document" filter from the Gopher/MassiveText
+    quality rules (Rae et al. 2021, §A1.1), next to q28's lexical-diversity
+    and stopword heuristics.
+
+    Dataflow: explode n-grams (all occurrences — unlike
+    ``dedup.word_shingles`` there is no distinct, frequency is the point)
+    → count per (doc, gram) with map-side partials → per-doc argmax via a
+    row_number window; the window re-shuffles only the already-collapsed
+    (doc, gram, cnt) rows, never the raw gram stream. Ties break on the
+    lexicographically smallest gram, so the winner is engine-independent.
+    Documents with fewer than ``n`` tokens produce no row.
+
+    Returns (id, gram, cnt, char_frac); char_frac rounded to 4 places
+    (all-integer ratio → identical on any engine).
+    """
+    base = fan_out(df).select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__len"),
+        tokens(text_col).alias("__t"),
+    ).filter(F.size("__t") >= n)
+    grams = base.select(
+        F.col(id_col),
+        F.col("__len"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__t)-{n}),"
+                f" i -> concat_ws(' ', slice(__t, i+1, {n})))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "__len", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            "gram",
+            "cnt",
+            F.round(
+                (F.col("cnt") * F.length("gram")).cast("double") / F.col("__len"), 4
+            )
+            .cast("double")
+            .alias("char_frac"),
+        )
+    )
 
 
 def unique_token_ratio(toks_col: str = "__toks") -> Column:

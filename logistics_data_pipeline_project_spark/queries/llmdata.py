@@ -38,6 +38,7 @@ from ..operators.text import (
     quality_score,
     stopword_ratio,
     tokens,
+    top_ngram_repetition,
     unique_token_ratio,
 )
 from .registry import register
@@ -939,3 +940,67 @@ def q36_embedding_near_dup(spark: SparkSession, sf_dir: str):
         F.col("best.cosine").alias("cosine"),
         (F.col("best.cosine") >= _NEAR_DUP_COS).alias("near_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 — Gopher-style n-gram repetition filter (text analysis)
+# ---------------------------------------------------------------------------
+
+
+def _rep_oracle_cte(n: int, p: str) -> str:
+    """DuckDB twin of top_ngram_repetition for word n-grams of size n."""
+    return f"""
+{p}_g AS (
+  SELECT doc_id, n_chars,
+    unnest(list_transform(generate_series(1, len(toks)-{n - 1}),
+      i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS gram
+  FROM t WHERE len(toks) >= {n}
+), {p}_c AS (
+  SELECT doc_id, n_chars, gram, count(*) AS cnt FROM {p}_g GROUP BY ALL
+), {p} AS (
+  SELECT doc_id, gram, cnt,
+    CAST(ROUND(CAST(cnt * length(gram) AS DOUBLE) / n_chars, 4) AS DOUBLE) AS frac,
+    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+  FROM {p}_c
+)"""
+
+
+@register(
+    "q43_ngram_repetition",
+    tags=("text", "A1", "W1"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(lower(text), ' ') AS toks
+  FROM documents
+), {_rep_oracle_cte(2, "bi")}, {_rep_oracle_cte(3, "tri")}
+SELECT b.doc_id,
+  b.gram AS top_bigram, CAST(b.cnt AS BIGINT) AS bigram_cnt, b.frac AS bigram_char_frac,
+  tr.gram AS top_trigram, CAST(tr.cnt AS BIGINT) AS trigram_cnt, tr.frac AS trigram_char_frac
+FROM bi b JOIN tri tr ON b.doc_id = tr.doc_id AND b.rn = 1 AND tr.rn = 1
+""",
+)
+def q43_ngram_repetition(spark: SparkSession, sf_dir: str):
+    """Repetitious-document filter signals à la Gopher/MassiveText: the
+    dominant word bigram and trigram per document with the character
+    fraction each covers. The canonical pre-training quality rule that
+    q28's diversity/stopword heuristics don't capture — templated spam
+    scores high here while looking normal on lexical diversity.
+
+    Two independent `top_ngram_repetition` passes (n=2, n=3) joined on
+    doc_id; each pass is explode → partial-agg count → argmax window over
+    the collapsed counts (operators/text.py docstring for the exchange
+    story)."""
+    d = load(spark, sf_dir, "documents")
+    bi = top_ngram_repetition(d, "text", "doc_id", n=2).select(
+        "doc_id",
+        F.col("gram").alias("top_bigram"),
+        F.col("cnt").cast("long").alias("bigram_cnt"),
+        F.col("char_frac").alias("bigram_char_frac"),
+    )
+    tri = top_ngram_repetition(d, "text", "doc_id", n=3).select(
+        "doc_id",
+        F.col("gram").alias("top_trigram"),
+        F.col("cnt").cast("long").alias("trigram_cnt"),
+        F.col("char_frac").alias("trigram_char_frac"),
+    )
+    return bi.join(tri, "doc_id")

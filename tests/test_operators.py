@@ -361,3 +361,28 @@ def test_connected_components_min_label():
         ).collect()
     }
     assert dist == got
+
+
+def test_top_ngram_repetition_semantics(spark):
+    from logistics_data_pipeline_project_spark.operators.text import (
+        top_ngram_repetition,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # "b c" wins on count (2 overlapping occurrences)
+            (1, "a b c b c"),
+            # all bigrams tie at 1 -> lexicographically smallest wins
+            (2, "z y x"),
+            # shorter than n -> no row
+            (3, "solo"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in top_ngram_repetition(df, "text", "doc_id").collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["gram"] == "b c" and got[1]["cnt"] == 2
+    # 2 occurrences x 3 chars / 9 chars
+    assert got[1]["char_frac"] == round(2 * 3 / 9, 4)
+    assert got[2]["gram"] == "y x"  # "y x" < "z y"
+    assert got[2]["cnt"] == 1
