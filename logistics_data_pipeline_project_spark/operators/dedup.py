@@ -34,6 +34,7 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "connected_components",
+    "decontaminate",
 ]
 
 
@@ -457,4 +458,38 @@ def simhash_near_pairs(
     )
     return cand.filter(F.col("hamming") <= max_hamming).select(
         "id1", "id2", "hamming"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any word
+    ``n``-gram with an evaluation/benchmark document — the GPT-3-style
+    overlap rule (Brown et al. 2020 used 13-grams; pick ``n`` relative to
+    document length and vocabulary).
+
+    Shape is the whole point at 100 TB: the eval side is a benchmark
+    (thousands of docs), the train side the corpus. The eval n-gram set is
+    distinct-collapsed and **broadcast**, so the train shingle stream is
+    probed map-side — a broadcast semi-join shape with no shuffle of the
+    corpus, embarrassingly parallel over train partitions. The only
+    exchange is the final per-doc aggregation of hits (rows ∝ contaminated
+    grams, a vanishing fraction of the corpus).
+
+    Returns one row per *contaminated* train doc:
+    (id, n_overlap_grams, n_eval_docs).
+    """
+    ev = word_shingles(eval_df, text_col, id_col, n).select(
+        "shingle", F.col(id_col).alias("__eval_id")
+    )
+    tr = word_shingles(train, text_col, id_col, n)
+    hits = tr.join(F.broadcast(ev), "shingle")
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("shingle").alias("n_overlap_grams"),
+        F.count_distinct("__eval_id").alias("n_eval_docs"),
     )

@@ -17,6 +17,7 @@ from pyspark.sql import SparkSession, Window, functions as F
 from ..io_utils import load
 from ..operators.dedup import (
     connected_components,
+    decontaminate,
     exact_dedup,
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
@@ -1004,3 +1005,42 @@ def q43_ngram_repetition(spark: SparkSession, sf_dir: str):
         F.col("char_frac").alias("trigram_char_frac"),
     )
     return bi.join(tri, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q44 — eval-set decontamination (broadcast n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+_DECON_EVAL_MAX_ID = 20
+
+
+@register(
+    "q44_decontamination",
+    tags=("dedup", "J1", "J6", "A3"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_DECON_N}
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_DECON_N - 1})) AS i FROM toks)
+), ev AS (SELECT gram, doc_id AS eval_id FROM sh WHERE doc_id < {_DECON_EVAL_MAX_ID}),
+tr AS (SELECT * FROM sh WHERE doc_id >= {_DECON_EVAL_MAX_ID})
+SELECT tr.doc_id,
+  CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_overlap_grams,
+  CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.doc_id
+""",
+)
+def q44_decontamination(spark: SparkSession, sf_dir: str):
+    """GPT-3-style decontamination: train docs (doc_id >= 20) sharing any
+    word 4-gram with the stand-in eval set (doc_id < 20). The eval gram
+    set broadcasts — the corpus side is probed map-side with no shuffle;
+    operators/dedup.py::decontaminate for the scale story. n=4 is the
+    short-synthetic-doc equivalent of the paper's 13-gram rule."""
+    d = load(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") < _DECON_EVAL_MAX_ID)
+    tr = d.filter(F.col("doc_id") >= _DECON_EVAL_MAX_ID)
+    return decontaminate(tr, ev, "text", "doc_id", n=_DECON_N)

@@ -386,3 +386,28 @@ def test_top_ngram_repetition_semantics(spark):
     assert got[1]["char_frac"] == round(2 * 3 / 9, 4)
     assert got[2]["gram"] == "y x"  # "y x" < "z y"
     assert got[2]["cnt"] == 1
+
+
+def test_decontaminate_broadcast_overlap(spark):
+    from logistics_data_pipeline_project_spark.operators.dedup import decontaminate
+
+    ev = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id int, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (10, "said the quick brown fox jumps high"),  # shares 4-grams
+            (11, "completely different words here today"),
+            (12, "a b"),  # shorter than n
+        ],
+        "doc_id int, text string",
+    )
+    out = decontaminate(tr, ev, "text", "doc_id", n=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {10}
+    # "the quick brown fox" + "quick brown fox jumps"
+    assert rows[10]["n_overlap_grams"] == 2
+    assert rows[10]["n_eval_docs"] == 1
+    # the eval gram set must broadcast: corpus side stays shuffle-free
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
