@@ -23,6 +23,7 @@ from ..operators.dedup import (
     shingle_jaccard_pairs,
     simhash_near_pairs,
 )
+from ..operators.mixing import source_mix_sample
 from ..operators.similarity import (
     block_nn_pairs_pandas,
     cosine_topk,
@@ -1044,3 +1045,49 @@ def q44_decontamination(spark: SparkSession, sf_dir: str):
     ev = d.filter(F.col("doc_id") < _DECON_EVAL_MAX_ID)
     tr = d.filter(F.col("doc_id") >= _DECON_EVAL_MAX_ID)
     return decontaminate(tr, ev, "text", "doc_id", n=_DECON_N)
+
+
+# ---------------------------------------------------------------------------
+# q45 — deterministic source-mix sampling / upsampling (corpus assembly)
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"src0": 2.5, "src1": 2.0, "src2": 1.25, "src3": 0.5, "src4": 0.1}
+_MIX_SALT = "mix-v1"
+
+
+def _mix_case(value_of, default) -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {value_of(r)}" for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"(CASE source {whens} ELSE {default} END)"
+
+
+@register(
+    "q45_source_mix_sample",
+    tags=("P6", "J7", "A4"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+    substr(md5('{_MIX_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h4
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+    {_mix_case(lambda r: int(r), 1)}
+    + CAST(h4 < {_mix_case(lambda r: "'" + format(round((r - int(r)) * 65536), "04x") + "'", "'0000'")} AS INTEGER) AS n_copies
+  FROM h
+)
+SELECT doc_id, source, CAST(e.epoch AS INTEGER) AS epoch
+FROM n, LATERAL (SELECT unnest(generate_series(1, n.n_copies)) AS epoch) e
+WHERE n.n_copies > 0
+""",
+)
+def q45_source_mix_sample(spark: SparkSession, sf_dir: str):
+    """Source-weighted corpus assembly (The Pile / LLaMA mix weights):
+    src0 ×2.5, src1 ×2.0, src2 ×1.25, src3 ×0.5, src4 ×0.1, rest ×1.
+    Upsampling emits explicit epoch copies; every keep/copy decision is a
+    salted-md5 prefix compare — RNG-free, engine- and partitioning-stable
+    (operators/mixing.py). Map-side only: no shuffle anywhere."""
+    d = load(spark, sf_dir, "documents")
+    return source_mix_sample(
+        d, "doc_id", "source", _MIX_RATES, salt=_MIX_SALT
+    ).select("doc_id", "source", "epoch")

@@ -411,3 +411,40 @@ def test_decontaminate_broadcast_overlap(spark):
     # the eval gram set must broadcast: corpus side stays shuffle-free
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_source_mix_sample_deterministic_epochs(spark):
+    from logistics_data_pipeline_project_spark.operators.mixing import (
+        source_mix_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "up" if i % 2 else "down") for i in range(200)],
+        "doc_id int, source string",
+    )
+    out = source_mix_sample(df, "doc_id", "source", {"up": 2.5, "down": 0.3})
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # upsampled docs appear 2 or 3 times with contiguous 1-based epochs;
+    # downsampled docs appear 0 or 1 times
+    n_up3 = 0
+    for doc, epochs in per_doc.items():
+        src = "up" if doc % 2 else "down"
+        if src == "up":
+            assert sorted(epochs) in ([1, 2], [1, 2, 3])
+            n_up3 += len(epochs) == 3
+        else:
+            assert epochs == [1]
+    assert 0 < n_up3 < 100  # fractional upsample hit some but not all
+    down_kept = sum(1 for d in per_doc if d % 2 == 0)
+    assert 10 <= down_kept <= 50  # ~30% of 100
+    # deterministic: identical output on recompute
+    again = {(r["doc_id"], r["epoch"]) for r in out.collect()}
+    assert again == {(r["doc_id"], r["epoch"]) for r in rows}
+    # rates must be validated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="negative rate"):
+        source_mix_sample(df, "doc_id", "source", {"up": -1.0})
