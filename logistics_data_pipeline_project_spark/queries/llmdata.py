@@ -1091,3 +1091,58 @@ def q45_source_mix_sample(spark: SparkSession, sf_dir: str):
     return source_mix_sample(
         d, "doc_id", "source", _MIX_RATES, salt=_MIX_SALT
     ).select("doc_id", "source", "epoch")
+
+
+# ---------------------------------------------------------------------------
+# q46 — per-source token-budget cut (corpus assembly)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 600
+_BUDGET_SALT = "budget-v1"
+
+
+@register(
+    "q46_token_budget_cut",
+    tags=("A1", "W1", "P6"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_tok,
+    md5('{_BUDGET_SALT}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tok,
+    SUM(n_tok) OVER (
+      PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+  cum_tokens <= {_BUDGET_TOKENS} AS kept
+FROM c
+""",
+)
+def q46_token_budget_cut(spark: SparkSession, sf_dir: str):
+    """Token-budget curation: each source contributes documents, in
+    salted-md5 order (an unbiased, RNG-free, backfill-stable shuffle of
+    the source), until its running token total exceeds the budget. The
+    running sum is an explicit ROWS-frame window — a frame-spec window
+    class the reference never uses (SURVEY §2.6 'not present'), here a
+    first-class beyond-reference op. One shuffle on source; the hash
+    order is total (hash, doc_id), so the cut is engine-identical."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(f"{_BUDGET_SALT}:"), F.col("doc_id").cast("string")))
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        n_tok.cast("long").alias("n_tok"),
+        F.sum(n_tok).over(w).cast("long").alias("cum_tokens"),
+    ).withColumn("kept", F.col("cum_tokens") <= _BUDGET_TOKENS)
