@@ -11,5 +11,6 @@ from .registry import REGISTRY, QuerySpec, register  # noqa: F401
 # Populate the registry.
 from . import relational  # noqa: E402,F401
 from . import llmdata  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

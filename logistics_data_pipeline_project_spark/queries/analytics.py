@@ -1,0 +1,326 @@
+"""Analytic-window / grouping-set query catalog — operator classes the
+reference never uses (SURVEY §2.5 "not present: grouping sets / cube /
+rollup, median/percentile"; §2.6 "frame-spec windows, lag/lead: not
+present"; §2.4 "not present: right joins, full-outer, semi-join") —
+implemented here as first-class, oracle-checked engine capabilities so a
+reference user gets a strictly larger relational surface.
+
+Scale notes: every query is a declarative DataFrame plan — rollup runs as
+Spark's Expand + partial/final hash agg (one shuffle); window queries
+shuffle once on their partition key; the full-outer and semi joins are
+plain shuffled hash joins with AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import dec
+from ..io_utils import load
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# q48 — ROLLUP over (source, lang) (grouping sets family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q48_source_lang_rollup",
+    tags=("A1", "A2"),
+    oracle="""
+SELECT source, lang,
+  CAST(GROUPING(source) * 2 + GROUPING(lang) AS INTEGER) AS lvl,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY ROLLUP (source, lang)
+""",
+)
+def q48_source_lang_rollup(spark: SparkSession, sf_dir: str):
+    """Hierarchical corpus accounting: per (source, lang), per source, and
+    grand total in ONE pass — `rollup()` compiles to a single Expand +
+    hash aggregate, so the three levels cost one shuffle instead of three
+    jobs. `grouping_id()` disambiguates subtotal rows from real NULL
+    groups (Spark and DuckDB bit order both make `lvl` =
+    GROUPING(source)*2 + GROUPING(lang))."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+        .select("source", "lang", "lvl", "n_docs", "total_chars", "total_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — exact percentiles (median/p90/p99) per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q49_doc_length_percentiles",
+    tags=("A1", "A2", "W1"),
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+  CAST(MAX(n) AS BIGINT) AS n_docs,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS BIGINT) AS p50_chars,
+  CAST(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p90_chars,
+  CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p99_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM ranked
+GROUP BY source
+""",
+)
+def q49_doc_length_percentiles(spark: SparkSession, sf_dir: str):
+    """Exact nearest-rank percentiles (median/p90/p99) of document length
+    per source — the length-distribution profile every pretraining corpus
+    audit starts with. Implemented as rank-selection over a single sort
+    window (deterministic tiebreak on doc_id), so results are integers and
+    engine-identical — no interpolation-method drift between engines. At
+    scale this is one shuffle on source; for a global percentile over
+    10^11 rows the same query swaps to approx_percentile (q33 pattern)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    pick = lambda cond, name: F.max(F.when(cond, F.col("n_chars"))).cast("long").alias(name)  # noqa: E731
+    n = F.col("n")
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        pick(F.col("rn") == F.expr("(n + 1) div 2"), "p50_chars"),
+        pick(F.col("rn") == F.ceil(F.lit(0.90) * n).cast("long"), "p90_chars"),
+        pick(F.col("rn") == F.ceil(F.lit(0.99) * n).cast("long"), "p99_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — lag/lead inter-event gap analytics per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q50_user_event_gaps",
+    tags=("W1", "A1", "A2"),
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+    lead(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT user_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+  CAST(SUM(CASE WHEN event_type = next_type THEN 1 ELSE 0 END) AS BIGINT) AS repeat_transitions
+FROM g
+GROUP BY user_id
+""",
+)
+def q50_user_event_gaps(spark: SparkSession, sf_dir: str):
+    """Per-user event-stream cadence: lag() inter-arrival gaps (exact
+    integer microseconds) and lead() transition analysis (how often the
+    next event repeats the current type). lag/lead are absent from the
+    reference (SURVEY §2.6) — here they're the batch twin of the
+    sessionization state machine (q20/streaming.stateful). One shuffle on
+    user_id serves both window functions and the final aggregate (same
+    key → Catalyst reuses the partitioning, no second exchange)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select(
+        "user_id",
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.sum(F.when(F.col("event_type") == F.col("next_type"), 1).otherwise(0))
+        .cast("long")
+        .alias("repeat_transitions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — ROWS-frame moving average over daily revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q51_daily_revenue_ma7",
+    tags=("W1", "A1", "A5"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_day,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev,
+    COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT order_day, n_orders,
+  CAST(day_rev AS DOUBLE) AS day_rev,
+  CAST(ROUND(CAST(SUM(day_rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 2) AS DOUBLE) AS ma7_rev,
+  CAST(ROUND(CAST(MAX(day_rev) OVER w AS DOUBLE), 2) AS DOUBLE) AS max7_rev
+FROM daily
+WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def q51_daily_revenue_ma7(spark: SparkSession, sf_dir: str):
+    """7-day trailing revenue statistics: pre-aggregate orders to one row
+    per day (shrinks the window input from O(orders) to O(days) BEFORE
+    any sort), then a ROWS 6-PRECEDING frame for the moving average/max —
+    the frame-spec window class the reference never uses. Window sums run
+    on DECIMAL so the moving average is partition-order-independent; the
+    single-partition global window is safe because its input is only
+    O(days) rows (~2.4k at any SF)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("order_day")).agg(
+        F.sum(dec("o_totalprice")).alias("day_rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("order_day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "order_day",
+        "n_orders",
+        F.col("day_rev_dec").cast("double").alias("day_rev"),
+        F.round(
+            F.sum("day_rev_dec").over(w).cast("double") / F.count(F.lit(1)).over(w), 2
+        )
+        .cast("double")
+        .alias("ma7_rev"),
+        F.round(F.max("day_rev_dec").over(w).cast("double"), 2).alias("max7_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — full-outer join: customer activity across two years
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q52_customer_year_overlap",
+    tags=("J1", "A4", "P6"),
+    oracle="""
+WITH y95 AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev95,
+    COUNT(*) AS n95
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+), y96 AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev96,
+    COUNT(*) AS n96
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+)
+SELECT COALESCE(y95.o_custkey, y96.o_custkey) AS custkey,
+  CAST(COALESCE(y95.n95, 0) AS BIGINT) AS n95,
+  CAST(COALESCE(y96.n96, 0) AS BIGINT) AS n96,
+  CAST(COALESCE(y95.rev95, 0) AS DOUBLE) AS rev95,
+  CAST(COALESCE(y96.rev96, 0) AS DOUBLE) AS rev96,
+  CASE WHEN y95.o_custkey IS NULL THEN 'new_in_96'
+       WHEN y96.o_custkey IS NULL THEN 'churned_after_95'
+       ELSE 'retained' END AS status
+FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
+""",
+)
+def q52_customer_year_overlap(spark: SparkSession, sf_dir: str):
+    """Customer retention via FULL OUTER join of two per-year aggregates —
+    the join type the reference only has implicitly inside MERGE (SURVEY
+    §2.4 'not present'; our merge_upsert is built on exactly this
+    operator). Aggregating BEFORE the join means the full-outer shuffles
+    only O(customers) rows per side, not O(orders); both sides shuffle on
+    the same key so AQE can plan a colocated sort-merge join."""
+    o = load(spark, sf_dir, "orders")
+
+    def year_agg(yr: int, rev: str, n: str):
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(dec("o_totalprice")).alias(rev),
+                F.count(F.lit(1)).alias(n),
+            )
+        )
+
+    a = year_agg(1995, "rev95_d", "n95")
+    b = year_agg(1996, "rev96_d", "n96").withColumnRenamed("o_custkey", "custkey96")
+    fo = a.join(b, a["o_custkey"] == b["custkey96"], "full_outer")
+    return fo.select(
+        F.coalesce(F.col("o_custkey"), F.col("custkey96")).alias("custkey"),
+        F.coalesce(F.col("n95"), F.lit(0)).cast("long").alias("n95"),
+        F.coalesce(F.col("n96"), F.lit(0)).cast("long").alias("n96"),
+        F.coalesce(F.col("rev95_d"), F.lit(0)).cast("double").alias("rev95"),
+        F.coalesce(F.col("rev96_d"), F.lit(0)).cast("double").alias("rev96"),
+        F.when(F.col("o_custkey").isNull(), F.lit("new_in_96"))
+        .when(F.col("custkey96").isNull(), F.lit("churned_after_95"))
+        .otherwise(F.lit("retained"))
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — left-semi join: orders with at least one returned line
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q53_orders_with_returns",
+    tags=("J6", "A1", "A4"),
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(*) AS n_return_orders,
+  CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS return_order_revenue
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+""",
+)
+def q53_orders_with_returns(spark: SparkSession, sf_dir: str):
+    """EXISTS-style LEFT SEMI join (the reference only has the anti
+    variant, SURVEY §2.4): orders having >=1 returned lineitem, profiled
+    by priority. The semi join deduplicates the probe side inside the
+    join operator itself — no DISTINCT pass over lineitem, and only
+    matching order keys cross the shuffle. The returnflag filter is
+    pushed into the lineitem parquet scan."""
+    o = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    hit = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_return_orders"),
+        F.round(F.sum(dec("o_totalprice")).cast("double"), 2)
+        .cast("double")
+        .alias("return_order_revenue"),
+    )

@@ -1146,3 +1146,85 @@ def q46_token_budget_cut(spark: SparkSession, sf_dir: str):
         n_tok.cast("long").alias("n_tok"),
         F.sum(n_tok).over(w).cast("long").alias("cum_tokens"),
     ).withColumn("kept", F.col("cum_tokens") <= _BUDGET_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# q47 — sequence packing profile (concat-and-chunk into context windows)
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 512
+_PACK_SALT = "pack-v1"
+
+
+@register(
+    "q47_sequence_packing",
+    tags=("A1", "W1"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+    len(string_split(text, ' ')) AS n_tok,
+    md5('{_PACK_SALT}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT source, n_tok,
+    SUM(n_tok) OVER (
+      PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum
+  FROM t
+), spans AS (
+  SELECT source, n_tok, cum,
+    ((cum - 1) // {_PACK_CTX}) - ((cum - n_tok) // {_PACK_CTX}) + 1 AS n_spans
+  FROM c
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  CAST((MAX(cum) + {_PACK_CTX} - 1) // {_PACK_CTX} AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN n_spans > 1 THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs,
+  CAST(MAX(n_spans) AS BIGINT) AS max_spans,
+  CAST(ROUND(CAST(MAX(cum) AS DOUBLE)
+    / (((MAX(cum) + {_PACK_CTX} - 1) // {_PACK_CTX}) * {_PACK_CTX}), 4) AS DOUBLE) AS fill_ratio
+FROM spans
+GROUP BY source
+""",
+)
+def q47_sequence_packing(spark: SparkSession, sf_dir: str):
+    """Sequence packing for LM pretraining (GPT-style concat-and-chunk):
+    per source, documents are concatenated in salted-md5 order and the
+    token stream is split into fixed {ctx}-token context windows. Reports
+    per-source chunk counts, how many documents straddle a chunk boundary
+    (attention-mask fragmentation), and fill ratio of the final chunk.
+    The whole layout is one ROWS-frame cumulative window + integer DIV
+    arithmetic — no data movement of the text itself, engine-identical
+    because the (hash, doc_id) order is total. One shuffle on source."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(f"{_PACK_SALT}:"), F.col("doc_id").cast("string")))
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "source", n_tok.alias("n_tok"), F.sum(n_tok).over(w).alias("cum")
+    )
+    spans = c.withColumn(
+        "n_spans",
+        F.expr(f"((cum - 1) div {_PACK_CTX}) - ((cum - n_tok) div {_PACK_CTX}) + 1"),
+    )
+    n_chunks = F.expr(f"(max(cum) + {_PACK_CTX} - 1) div {_PACK_CTX}")
+    return spans.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        n_chunks.cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("n_spans") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("boundary_docs"),
+        F.max("n_spans").cast("long").alias("max_spans"),
+        F.round(
+            F.max("cum").cast("double") / (n_chunks * _PACK_CTX).cast("double"), 4
+        )
+        .cast("double")
+        .alias("fill_ratio"),
+    )
