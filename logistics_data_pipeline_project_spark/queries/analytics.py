@@ -324,3 +324,113 @@ def q53_orders_with_returns(spark: SparkSession, sf_dir: str):
         .cast("double")
         .alias("return_order_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — right-outer join: every supplier keeps a row
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q56_supplier_line_coverage",
+    tags=("J1", "J3", "A2", "P7"),
+    oracle="""
+WITH li AS (
+  SELECT l_suppkey,
+    COUNT(*) AS n_lines,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_nationkey,
+  CAST(COALESCE(li.n_lines, 0) AS BIGINT) AS n_lines_97,
+  CAST(ROUND(CAST(COALESCE(li.rev, 0) AS DOUBLE), 2) AS DOUBLE) AS rev_97,
+  li.l_suppkey IS NULL AS dormant
+FROM li RIGHT JOIN supplier s ON li.l_suppkey = s.s_suppkey
+""",
+)
+def q56_supplier_line_coverage(spark: SparkSession, sf_dir: str):
+    """Supplier activity coverage via a genuine RIGHT OUTER join (a join
+    type the reference never issues, SURVEY §2.4): the shipped-lines
+    aggregate on the left, the supplier dim preserved on the right, so
+    dormant suppliers surface with zeroed metrics instead of vanishing.
+    Lineitem is pre-aggregated to O(suppliers) rows before the join and
+    the shipdate filter is pushed into the scan; the preserved side is a
+    broadcast-size dim, which Spark handles as a broadcast right-outer."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec("l_extendedprice")).alias("rev"),
+        )
+    )
+    s = load(spark, sf_dir, "supplier")
+    return li.join(s, li["l_suppkey"] == s["s_suppkey"], "right_outer").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines_97"),
+        F.round(F.coalesce(F.col("rev"), F.lit(0)).cast("double"), 2)
+        .cast("double")
+        .alias("rev_97"),
+        F.col("l_suppkey").isNull().alias("dormant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57 — cross-join scaffold: dense (source × lang) grid with zero-fill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q57_source_lang_grid",
+    tags=("J1", "J3", "A1", "P7"),
+    oracle="""
+WITH s AS (SELECT DISTINCT source FROM documents),
+  l AS (SELECT DISTINCT lang FROM documents),
+  counts AS (
+    SELECT source, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source, lang
+  )
+SELECT s.source, l.lang,
+  CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+  CAST(COALESCE(c.total_chars, 0) AS BIGINT) AS total_chars,
+  c.source IS NULL AS is_gap
+FROM s CROSS JOIN l
+LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
+""",
+)
+def q57_source_lang_grid(spark: SparkSession, sf_dir: str):
+    """Dense-grid completion: CROSS JOIN of the distinct source and lang
+    domains (the only cross join in the reference is the lateral flatten,
+    SURVEY §2.4) scaffolds every combination, then a left join zero-fills
+    the holes — the standard fix for downstream consumers that can't
+    handle missing matrix cells. Both domain sides are tiny distinct
+    aggregates, so the cartesian product is a broadcast nested-loop over
+    dozens of rows — the grid never touches the fact-scale data, which is
+    reduced by one hash aggregate first."""
+    d = load(spark, sf_dir, "documents")
+    src = d.select("source").distinct()
+    lng = d.select("lang").distinct().withColumnRenamed("lang", "g_lang")
+    counts = (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumnRenamed("source", "c_source")
+    )
+    grid = src.crossJoin(lng)
+    return grid.join(
+        counts,
+        (grid["source"] == counts["c_source"]) & (grid["g_lang"] == counts["lang"]),
+        "left",
+    ).select(
+        "source",
+        F.col("g_lang").alias("lang"),
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("total_chars"), F.lit(0)).cast("long").alias("total_chars"),
+        F.col("c_source").isNull().alias("is_gap"),
+    )

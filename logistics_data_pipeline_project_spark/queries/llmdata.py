@@ -1228,3 +1228,170 @@ def q47_sequence_packing(spark: SparkSession, sf_dir: str):
         .cast("double")
         .alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q54 — content-defined chunking (rolling-hash split points)
+# ---------------------------------------------------------------------------
+
+_CDC_W = 3  # token-window width feeding the boundary hash
+_CDC_PREFIX = "2"  # boundary iff md5 hex starts below this => P = 2/16
+
+
+@register(
+    "q54_content_defined_chunks",
+    tags=("J7", "W1", "A1"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, i,
+    CASE WHEN md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) < '{_CDC_PREFIX}'
+         THEN 1 ELSE 0 END AS is_boundary
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_CDC_W - 1})) AS i
+        FROM toks WHERE len(t) >= {_CDC_W})
+), bnd AS (
+  SELECT doc_id, i,
+    i - COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS seg_len
+  FROM pos WHERE is_boundary = 1
+), per_doc AS (
+  SELECT p.doc_id,
+    COUNT(*) AS n_grams,
+    CAST(SUM(is_boundary) AS BIGINT) AS n_boundaries
+  FROM pos p GROUP BY p.doc_id
+)
+SELECT d.doc_id, n_grams, n_boundaries,
+  n_boundaries + 1 AS n_chunks,
+  CAST(ROUND(CAST(n_grams AS DOUBLE) / (n_boundaries + 1), 4) AS DOUBLE) AS avg_chunk_len,
+  CAST(COALESCE(MAX(b.seg_len), 0) AS BIGINT) AS max_seg_len
+FROM per_doc d LEFT JOIN bnd b ON b.doc_id = d.doc_id
+GROUP BY d.doc_id, n_grams, n_boundaries
+""",
+)
+def q54_content_defined_chunks(spark: SparkSession, sf_dir: str):
+    """Content-defined chunking (rolling-hash splitting, the FastCDC /
+    rsync family): a boundary falls wherever the hash of the local
+    {w}-token window drops below a fixed prefix — so chunk edges are a
+    function of CONTENT, not offsets, and an insertion early in a
+    document only reshuffles one chunk instead of every downstream one
+    (the property that makes chunk-hash dedup incremental at 100 TB).
+    Emits per-doc chunk counts and segment-length stats. Map-side
+    explode + one window/agg shuffle on doc_id; md5-prefix thresholding
+    keeps the boundary decision engine-identical."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    ).filter(F.size("t") >= _CDC_W)
+    pos = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(f"slice(t, 1, size(t) - {_CDC_W - 1})")).alias("i0", "_w0"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        F.when(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr("t[i0]"),
+                    F.expr("t[i0 + 1]"),
+                    F.expr("t[i0 + 2]"),
+                )
+            )
+            < _CDC_PREFIX,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_boundary"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bnd = (
+        pos.filter(F.col("is_boundary") == 1)
+        .withColumn("seg_len", F.col("i") - F.coalesce(F.lag("i").over(w), F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.max("seg_len").cast("long").alias("max_seg"))
+    )
+    per_doc = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("is_boundary").cast("long").alias("n_boundaries"),
+    )
+    return (
+        per_doc.join(bnd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boundaries",
+            (F.col("n_boundaries") + 1).alias("n_chunks"),
+            F.round(
+                F.col("n_grams").cast("double") / (F.col("n_boundaries") + 1), 4
+            )
+            .cast("double")
+            .alias("avg_chunk_len"),
+            F.coalesce(F.col("max_seg"), F.lit(0)).cast("long").alias("max_seg_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — tf-idf-style keyword extraction (integer-exact scoring)
+# ---------------------------------------------------------------------------
+
+_KW_TOPK = 3
+
+
+@register(
+    "q55_doc_keywords",
+    tags=("J7", "A1", "A3", "W1"),
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, w AS token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    (tf.tf * n.n_docs * 1000) // df.df AS score_x1000
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, score_x1000, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_x1000 DESC, token) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_KW_TOPK}
+""",
+)
+def q55_doc_keywords(spark: SparkSession, sf_dir: str):
+    """Per-document keyword extraction by tf-idf-style relevance with
+    INTEGER-exact scoring: score = tf * N * 1000 DIV df — the log() of
+    textbook idf is monotone in N/df, so the ranking is identical while
+    the arithmetic stays engine-exact (no libm drift across engines).
+    Two shuffles: (doc, token) tf aggregate, then df join back on token
+    (corpus-frequency table is Zipf-small → AQE broadcasts it); top-k by
+    one row_number window with a lexicographic tiebreak."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df_tbl, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.expr(f"(tf * {n_docs} * 1000) div df").alias("score_x1000"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_x1000"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _KW_TOPK)
+        .select("doc_id", "token", "tf", "df", "score_x1000", "rnk")
+    )
