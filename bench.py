@@ -35,9 +35,17 @@ def main() -> None:
     # Python worker pool + Arrow serialization (q36). Standard
     # warmup-excluded methodology — measured numbers reflect sustained
     # per-query throughput.
+    # q41's first run additionally compiles the iterative-assignment plan
+    # shapes (fold exprs + Arrow applyInPandas round-trips) — ~7s of
+    # one-time codegen at any SF, measured steady-state is ~3s.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for wq in ("q01_pricing_summary", "q36_embedding_near_dup"):
+        for wq in (
+            "q01_pricing_summary",
+            "q22_near_dup_jaccard",
+            "q36_embedding_near_dup",
+            "q41_ivf_kmeans_assign",
+        ):
             if wq in REGISTRY:
                 REGISTRY[wq].fn(spark, warm_dir).write.format("noop").mode(
                     "overwrite"

@@ -274,9 +274,18 @@ def connected_components(
     the node's component (singletons map to themselves). Deterministic.
     Raises if ``max_iter`` rounds do not converge.
     """
+    # Symmetrize map-side with one explode instead of union(edges,
+    # edges-swapped): a union would execute the (expensive — e.g. the q22
+    # shingle pipeline) edge subtree once per branch, the explode runs it
+    # exactly once.
     sym = edges.select(
-        F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
-    ).union(edges.select(F.col(dst_col).alias("__a"), F.col(src_col).alias("__b")))
+        F.explode(
+            F.array(
+                F.struct(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")),
+                F.struct(F.col(dst_col).alias("__a"), F.col(src_col).alias("__b")),
+            )
+        ).alias("__e")
+    ).select("__e.__a", "__e.__b")
     sym = sym.localCheckpoint(eager=True)
     all_nodes_df = nodes.select(F.col(id_col).alias("id"))
     if sym.count() <= local_edge_threshold:
