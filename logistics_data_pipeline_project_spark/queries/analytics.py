@@ -434,3 +434,108 @@ def q57_source_lang_grid(spark: SparkSession, sf_dir: str):
         F.coalesce(F.col("total_chars"), F.lit(0)).cast("long").alias("total_chars"),
         F.col("c_source").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — correlated scalar subquery (per-group threshold, TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q58_small_quantity_revenue",
+    tags=("J1", "A1", "A2", "P10"),
+    oracle="""
+WITH thr AS (
+  SELECT l_partkey,
+    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS q_thr
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+  COUNT(*) AS n_small_lines,
+  CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS DOUBLE) AS small_line_revenue
+FROM lineitem l
+JOIN thr ON thr.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < thr.q_thr
+GROUP BY p.p_brand
+""",
+)
+def q58_small_quantity_revenue(spark: SparkSession, sf_dir: str):
+    """Per-group correlated threshold (the TPC-H Q17 shape): lines whose
+    quantity is below 20% of their part's average — the reference only
+    has UNcorrelated scalar subqueries (SURVEY §2.3 P10); the correlated
+    form decorrelates into a per-key aggregate joined back, which is
+    exactly how Catalyst rewrites it. The threshold aggregate and the
+    probe shuffle on the same key (l_partkey), and the average is
+    DECIMAL-sum / count so the threshold is engine-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    thr = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("q_thr")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("q_thr"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
+            .cast("double")
+            .alias("small_line_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — set operators: INTERSECT / EXCEPT / UNION cohort accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q59_customer_cohort_setops",
+    tags=("A1", "A3", "W4"),
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+  b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'retained' AS cohort, COUNT(*) AS n_customers
+  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'churned_after_95', COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'new_in_96', COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+UNION ALL
+SELECT 'either_year', COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)
+""",
+)
+def q59_customer_cohort_setops(spark: SparkSession, sf_dir: str):
+    """Cohort accounting through the relational set operators —
+    INTERSECT, EXCEPT, and distinct UNION (none appear in the reference,
+    which reaches for joins every time): year-over-year retained /
+    churned / new / either-year customer counts. Spark executes
+    intersect/subtract as semi/anti hash joins over distinct inputs, so
+    each cohort is one shuffle on the customer key; the four one-row
+    aggregates are unioned into a single summary."""
+    o = load(spark, sf_dir, "orders")
+
+    def year_keys(yr: int):
+        return (
+            o.filter(F.year("o_orderdate") == yr).select("o_custkey").distinct()
+        )
+
+    a, b = year_keys(1995), year_keys(1996)
+
+    def tag(df, name: str):
+        return df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(name).alias("cohort"), "n_customers"
+        )
+
+    return (
+        tag(a.intersect(b), "retained")
+        .unionByName(tag(a.subtract(b), "churned_after_95"))
+        .unionByName(tag(b.subtract(a), "new_in_96"))
+        .unionByName(tag(a.union(b).distinct(), "either_year"))
+    )
