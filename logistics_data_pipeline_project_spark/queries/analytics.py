@@ -539,3 +539,137 @@ def q59_customer_cohort_setops(spark: SparkSession, sf_dir: str):
         .unionByName(tag(b.subtract(a), "new_in_96"))
         .unionByName(tag(a.union(b).distinct(), "either_year"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — as-of (point-in-time) join: purchase → latest prior view
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q60_purchase_asof_view",
+    tags=("J4", "W1"),
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS view_event_id, user_id, ts AS vts
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, v.view_event_id,
+  CAST(epoch_us(p.ts) - epoch_us(v.vts) AS BIGINT) AS view_to_buy_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.vts
+""",
+)
+def q60_purchase_asof_view(spark: SparkSession, sf_dir: str):
+    """AS-OF join (operators/temporal.py): every purchase event matched
+    to the same user's most recent prior view — the point-in-time join
+    Spark has no built-in for (and the reference lacks entirely, SURVEY
+    §2.4). Implemented as union + one keyed window carrying the latest
+    view forward — one shuffle on user_id, no per-row subquery, no
+    driver loop; the oracle is DuckDB's native ASOF LEFT JOIN, making
+    the custom operator's semantics externally checkable. (by, ts) is
+    unique in events, so the match is deterministic without a tiebreak."""
+    from ..operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        p, v, by=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["view_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_matched")))
+        .cast("long")
+        .alias("view_to_buy_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — interval (range) join: events ↔ session intervals via binning
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 1800 * 1_000_000
+
+
+@register(
+    "q61_session_interval_events",
+    tags=("J4", "W1", "A1"),
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+    epoch_us(ts) AS us
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {_SESS_GAP_US} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM t
+), sess AS (
+  SELECT user_id, sess_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+    COUNT(*) AS n_events
+  FROM s GROUP BY user_id, sess_id
+)
+SELECT sess.user_id, CAST(sess.sess_id AS BIGINT) AS sess_id,
+  CAST(sess.n_events AS BIGINT) AS n_events,
+  COUNT(*) AS n_joined,
+  CAST(epoch_us(sess.end_ts) - epoch_us(sess.start_ts) AS BIGINT) AS duration_us
+FROM sess
+JOIN events e ON e.user_id = sess.user_id
+  AND e.ts BETWEEN sess.start_ts AND sess.end_ts
+GROUP BY sess.user_id, sess.sess_id, sess.n_events,
+  epoch_us(sess.end_ts) - epoch_us(sess.start_ts)
+""",
+)
+def q61_session_interval_events(spark: SparkSession, sf_dir: str):
+    """Interval (range) join via binning (operators/temporal.py): events
+    are joined back to the session windows derived from them (q20's
+    30-minute-gap sessions). Spark would plan the raw BETWEEN predicate
+    as a broadcast nested loop; the operator instead explodes each
+    session to its covered 1-hour bins and equi-joins on (user, bin) —
+    the scalable bucketed range join. Differential invariant: n_joined
+    must equal n_events for every session (sessions tile the user's
+    events), and the DuckDB oracle executes the naive range join to
+    certify it."""
+    from ..operators.temporal import interval_bin_join
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | ((us - prev) > _SESS_GAP_US), 1).otherwise(0),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.withColumn("sess_id", F.sum("new_sess").over(wcum))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    pts = ev.select("user_id", "ts")
+    joined = interval_bin_join(
+        pts, sess, by=["user_id"], ts_col="ts",
+        start_col="start_ts", end_col="end_ts",
+    )
+    return joined.groupBy(
+        "user_id",
+        F.col("sess_id").cast("long").alias("sess_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.unix_micros("end_ts") - F.unix_micros("start_ts"))
+        .cast("long")
+        .alias("duration_us"),
+    ).agg(F.count(F.lit(1)).alias("n_joined"))

@@ -1,0 +1,107 @@
+"""Unit tests for the temporal join operators (as-of, binned interval).
+
+Golden-row style per SURVEY §5: tiny fixtures with hand-computed
+expectations, covering exact-match inclusion/exclusion, no-match NULLs,
+tiebreak determinism, and interval boundary inclusivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logistics_data_pipeline_project_spark.operators.temporal import (
+    asof_join,
+    interval_bin_join,
+)
+
+
+def _ts(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_basic(spark):
+    left = _ts(
+        spark,
+        [(1, 100, "2024-01-01 10:00:00"), (1, 101, "2024-01-01 12:00:00"),
+         (2, 200, "2024-01-01 09:00:00")],
+        "k int, lid int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = _ts(
+        spark,
+        [(1, 7, "2024-01-01 09:30:00"), (1, 8, "2024-01-01 11:00:00"),
+         (3, 9, "2024-01-01 08:00:00")],
+        "k int, rid int, rts string",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = asof_join(
+        left, right, by=["k"], left_ts="ts", right_ts="rts", value_cols=["rid"]
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    # 10:00 sees 09:30; 12:00 sees 11:00; key 2 has no right rows at all.
+    assert got == {100: 7, 101: 8, 200: None}
+
+
+def test_asof_exact_vs_strict(spark):
+    left = _ts(spark, [(1, 100, "2024-01-01 10:00:00")], "k int, lid int, ts string")
+    left = left.withColumn("ts", F.to_timestamp("ts"))
+    right = _ts(spark, [(1, 7, "2024-01-01 10:00:00")], "k int, rid int, rts string")
+    right = right.withColumn("rts", F.to_timestamp("rts"))
+    exact = asof_join(left, right, ["k"], "ts", "rts", ["rid"]).collect()[0]
+    strict = asof_join(
+        left, right, ["k"], "ts", "rts", ["rid"], allow_exact=False
+    ).collect()[0]
+    assert exact["rid"] == 7  # ts == rts counts when allow_exact
+    assert strict["rid"] is None  # and is excluded when strict
+
+
+def test_asof_tiebreak_deterministic(spark):
+    left = _ts(spark, [(1, 100, "2024-01-01 10:00:00")], "k int, lid int, ts string")
+    left = left.withColumn("ts", F.to_timestamp("ts"))
+    # Two right rows at the SAME timestamp: greatest tiebreak wins.
+    right = _ts(
+        spark,
+        [(1, 7, "2024-01-01 09:00:00"), (1, 8, "2024-01-01 09:00:00")],
+        "k int, rid int, rts string",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = asof_join(
+        left, right, ["k"], "ts", "rts", ["rid"], right_tiebreak="rid"
+    ).collect()[0]
+    assert out["rid"] == 8
+
+
+def test_interval_bin_join_boundaries(spark):
+    pts = _ts(
+        spark,
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),
+         (1, "2024-01-01 11:00:01"), (2, "2024-01-01 10:30:00")],
+        "k int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = _ts(
+        spark,
+        [(1, 55, "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+        "k int, ivid int, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.to_timestamp("start_ts")).withColumn(
+        "end_ts", F.to_timestamp("end_ts")
+    )
+    out = interval_bin_join(
+        pts, iv, by=["k"], ts_col="ts", start_col="start_ts", end_col="end_ts"
+    )
+    rows = sorted(str(r["ts"]) for r in out.collect())
+    # Both endpoints inclusive; 11:00:01 outside; key 2 never matches.
+    assert rows == ["2024-01-01 10:00:00", "2024-01-01 11:00:00"]
+
+
+def test_interval_bin_join_long_interval_no_dups(spark):
+    # Interval spanning many bins must still match each point exactly once.
+    pts = _ts(spark, [(1, "2024-01-01 13:37:00")], "k int, ts string")
+    pts = pts.withColumn("ts", F.to_timestamp("ts"))
+    iv = _ts(
+        spark,
+        [(1, 1, "2024-01-01 00:00:00", "2024-01-02 00:00:00")],
+        "k int, ivid int, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.to_timestamp("start_ts")).withColumn(
+        "end_ts", F.to_timestamp("end_ts")
+    )
+    out = interval_bin_join(
+        pts, iv, by=["k"], ts_col="ts", start_col="start_ts", end_col="end_ts"
+    )
+    assert out.count() == 1
