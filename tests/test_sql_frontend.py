@@ -69,6 +69,84 @@ def test_qualify_with_trailing_order_and_limit(spark, sf_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_snowflake_function_rewrites():
+    from logistics_data_pipeline_project_spark.sql_frontend import translate_snowflake
+
+    assert (
+        translate_snowflake("SELECT IFF(a, 'x', IFF(b, 'y', 'z'))")
+        == "SELECT IF(a, 'x', IF(b, 'y', 'z'))"
+    )
+    assert (
+        translate_snowflake("SELECT TRY_TO_TIMESTAMP_NTZ(s), TO_TIMESTAMP_NTZ(u)")
+        == "SELECT TRY_TO_TIMESTAMP(s), TO_TIMESTAMP(u)"
+    )
+    # Snowflake DATEDIFF(day,...) counts boundary crossings → to_date form;
+    # other units / 2-arg pass through untouched.
+    assert (
+        translate_snowflake("SELECT DATEDIFF(day, a, b), DATEDIFF(month, a, b)")
+        == "SELECT DATEDIFF(TO_DATE(b), TO_DATE(a)), DATEDIFF(month, a, b)"
+    )
+    assert (
+        translate_snowflake("SELECT TO_CHAR(d, 'YYYY-MM-DD HH24:MI:SS'), TO_CHAR(n)")
+        == "SELECT DATE_FORMAT(d, 'yyyy-MM-dd HH:mm:ss'), CAST(n AS STRING)"
+    )
+    # rewrites leave string literals alone
+    sql = "SELECT 'IFF(x, 1, 2) DATEDIFF(day, a, b)' AS s"
+    assert translate_snowflake(sql) == sql
+
+
+def test_snowflake_datediff_boundary_semantics(spark):
+    # 20 minutes of elapsed time across midnight = 1 Snowflake day
+    df = run_sql(
+        spark,
+        "SELECT DATEDIFF(day, TIMESTAMP'2024-01-01 23:50:00',"
+        " TIMESTAMP'2024-01-02 00:10:00') AS d",
+    )
+    assert df.collect()[0]["d"] == 1
+
+
+def test_snowflake_json_path(spark, sf_dir):
+    # dags/2_logistics-shipment-dag.py:125-146 path-projection style over
+    # the events.props VARIANT-as-string column
+    got = run_sql(
+        spark,
+        "SELECT event_id, props:k::INT AS k FROM events ORDER BY event_id LIMIT 5",
+        sf_dir,
+    ).collect()
+    want = run_sql(
+        spark,
+        "SELECT event_id, CAST(GET_JSON_OBJECT(props, '$.k') AS INT) AS k"
+        " FROM events ORDER BY event_id LIMIT 5",
+        sf_dir,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r["k"] is not None for r in got)
+
+
+def test_snowflake_split_to_table(spark, sf_dir):
+    # dbt/.../customer_experience_summary.sql:16,22
+    got = run_sql(
+        spark,
+        "SELECT TRIM(value) AS v FROM (SELECT ' a, b ,c' AS csv) t,"
+        " TABLE(SPLIT_TO_TABLE(t.csv, ',')) s",
+        sf_dir,
+    )
+    assert [r["v"] for r in got.collect()] == ["a", "b", "c"]
+
+
+def test_snowflake_lateral_flatten(spark, sf_dir):
+    # dags/2_logistics-shipment-dag.py:102-103 array-of-objects flatten +
+    # per-element JSON path + lenient cast
+    got = run_sql(
+        spark,
+        """SELECT f.value:sid::STRING AS sid, f.value:qty::INT AS qty
+        FROM (SELECT '[{"sid":"s1","qty":3},{"sid":"s2","qty":4}]' AS j) raw,
+        LATERAL FLATTEN(input => raw.j) f""",
+        sf_dir,
+    )
+    assert [tuple(r) for r in got.collect()] == [("s1", 3), ("s2", 4)]
+
+
 def test_scanner_skips_comments_and_quoted_identifiers():
     sql = (
         'SELECT "QUALIFYING" FROM t  -- a QUALIFY inside a comment\n'
