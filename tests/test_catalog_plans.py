@@ -42,3 +42,45 @@ def test_q21_scan_prunes_to_referenced_columns(spark, sf_dir):
     # untouched columns must not be read
     for unused in ("lang", "source", "n_chars"):
         assert unused not in line, f"column {unused} should be pruned: {line}"
+
+
+def test_q53_semi_join_pushes_returnflag(spark, sf_dir):
+    plan = _explain(REGISTRY["q53_orders_with_returns"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan, "filter must reach the lineitem scan"
+
+
+def _physical(df) -> str:
+    """Physical plan tree only (explain('formatted') repeats every node
+    name in its details section, which breaks occurrence counting)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q50_window_and_agg_share_one_exchange(spark, sf_dir):
+    plan = _physical(REGISTRY["q50_user_event_gaps"].fn(spark, sf_dir))
+    # lag/lead window and the final groupBy hash on the same key → exactly
+    # one shuffle in the whole plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q58_threshold_and_probe_share_partitioning(spark, sf_dir):
+    plan = _physical(REGISTRY["q58_small_quantity_revenue"].fn(spark, sf_dir))
+    # part dim joins broadcast; only the l_partkey agg/join and the final
+    # p_brand agg shuffle
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_q60_asof_is_single_shuffle(spark, sf_dir):
+    plan = _physical(REGISTRY["q60_purchase_asof_view"].fn(spark, sf_dir))
+    # the union+window as-of formulation must not introduce a join at all
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q61_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _explain(REGISTRY["q61_session_interval_events"].fn(spark, sf_dir))
+    # binning turns the BETWEEN range join into an equi hash/sort-merge
+    # join — a nested-loop plan would be O(points × intervals)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
