@@ -1,4 +1,10 @@
 from .landing import stream_file_landing, stream_hourly_event_counts
 from .stateful import stream_user_sessions
+from .upsert import stream_merge_upsert
 
-__all__ = ["stream_file_landing", "stream_hourly_event_counts", "stream_user_sessions"]
+__all__ = [
+    "stream_file_landing",
+    "stream_hourly_event_counts",
+    "stream_merge_upsert",
+    "stream_user_sessions",
+]
