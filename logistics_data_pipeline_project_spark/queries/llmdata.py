@@ -1395,3 +1395,125 @@ def q55_doc_keywords(spark: SparkSession, sf_dir: str):
         .filter(F.col("rnk") <= _KW_TOPK)
         .select("doc_id", "token", "tf", "df", "score_x1000", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — cross-document repeated passages (passage-level dedup)
+# ---------------------------------------------------------------------------
+
+_PASSAGE_W = 8
+
+
+@register(
+    "q62_repeated_passages",
+    tags=("dedup", "J7", "A1", "A3"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_PASSAGE_W}
+), win AS (
+  SELECT doc_id,
+    md5(list_aggr(t[i:i+{_PASSAGE_W - 1}], 'string_agg', ' ')) AS gram_hash
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_PASSAGE_W - 1})) AS i
+        FROM toks)
+)
+SELECT gram_hash,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  COUNT(*) AS n_occurrences,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM win
+GROUP BY gram_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def q62_repeated_passages(spark: SparkSession, sf_dir: str):
+    """Passage-level dedup: every {w}-token sliding window is hashed and
+    windows shared by >= 2 distinct documents surface with their spread —
+    the passage-granular twin of document dedup (q21/q22): boilerplate
+    and quotations repeat across otherwise-distinct documents, and at
+    100 TB this is how they're found (one shuffle keyed on the window
+    hash — uniform key space — with a distinct-doc count). Window text
+    itself never shuffles: only the 32-byte md5 does."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    ).filter(F.size("t") >= _PASSAGE_W)
+    win = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(t, 1, size(t) - {_PASSAGE_W - 1}),"
+                f" (x, i) -> md5(concat_ws(' ', slice(t, i + 1, {_PASSAGE_W}))))"
+            )
+        ).alias("gram_hash"),
+    )
+    return (
+        win.groupBy("gram_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — skew-salted aggregation parity (operators/scale.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q63_salted_event_rollup",
+    tags=("A1", "A2", "scale"),
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+  CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+""",
+)
+def q63_salted_event_rollup(spark: SparkSession, sf_dir: str):
+    """Pathological-skew aggregation: event_type has only 5 values, so a
+    plain groupBy lands the whole table on 5 reducers. The salted
+    two-phase operator (operators/scale.py::salted_aggregate) spreads
+    each hot key over 16 salts, merges partials on the bare key, and —
+    because every aggregate is decomposable (count/sum/min/max; the
+    distinct-user count is an exact two-level distinct-then-count) —
+    returns bit-identical results to the plain plan, which is exactly
+    what the DuckDB oracle certifies. Money-ish sums use floor(x*100)
+    integer cents so the rollup is order-independent."""
+    from ..operators.scale import salted_aggregate
+
+    ev = load(spark, sf_dir, "events")
+    base = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.min("event_id").alias("min_ev"),
+            F.max("event_id").alias("max_ev"),
+        ],
+    )
+    # exact COUNT(DISTINCT user_id) under skew: dedup (type, user) pairs
+    # first (salt-free — the pair key is already high-cardinality), then
+    # count per type.
+    users = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return base.join(users, "event_type").select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+        "n_users",
+        F.col("min_ev").cast("long").alias("min_event_id"),
+        F.col("max_ev").cast("long").alias("max_event_id"),
+    )
