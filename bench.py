@@ -42,7 +42,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for wq in (
             "q01_pricing_summary",
-            "q22_near_dup_jaccard",
+            "q37_near_dup_clusters",  # also warms q22's shingle pipeline
             "q36_embedding_near_dup",
             "q41_ivf_kmeans_assign",
         ):
