@@ -542,6 +542,168 @@ def q59_customer_cohort_setops(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# q64 — ranking-function family: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q64_order_value_deciles",
+    tags=("W1", "A1"),
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority,
+    NTILE(10) OVER w AS decile,
+    PERCENT_RANK() OVER w AS pr,
+    CUME_DIST() OVER w AS cd,
+    FIRST_VALUE(o_orderkey) OVER w AS top_orderkey,
+    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(MIN(pr), 6) AS DOUBLE) AS min_pct_rank,
+  CAST(ROUND(MAX(cd), 6) AS DOUBLE) AS max_cume_dist,
+  CAST(MAX(top_orderkey) AS BIGINT) AS top_orderkey,
+  CAST(ROUND(CAST(SUM(price) AS DOUBLE), 2) AS DOUBLE) AS decile_revenue
+FROM r
+GROUP BY o_orderpriority, decile
+""",
+)
+def q64_order_value_deciles(spark: SparkSession, sf_dir: str):
+    """The ranking-function family the reference never touches beyond
+    ROW_NUMBER (SURVEY §2.6): NTILE decile assignment, PERCENT_RANK,
+    CUME_DIST, and FIRST_VALUE, all over one window (one shuffle on
+    o_orderpriority serves every function), rolled up to a 50-row
+    decile revenue profile. The window's ORDER BY carries the orderkey
+    tiebreak, so the rational rank arithmetic ((rank-1)/(n-1), rounded)
+    is engine-exact."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    r = o.select(
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(w).alias("top_orderkey"),
+        dec("o_totalprice").alias("price"),
+    )
+    return r.groupBy("o_orderpriority", F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("pr"), 6).cast("double").alias("min_pct_rank"),
+        F.round(F.max("cd"), 6).cast("double").alias("max_cume_dist"),
+        F.max("top_orderkey").cast("long").alias("top_orderkey"),
+        F.round(F.sum("price").cast("double"), 2).cast("double").alias("decile_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — RANGE-frame window over a sparse day axis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q65_revenue_range_window",
+    tags=("W1", "A1", "A5"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev,
+    COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY 1
+)
+SELECT day_no, n_orders,
+  CAST(day_rev AS DOUBLE) AS day_rev,
+  CAST(ROUND(CAST(SUM(day_rev) OVER w AS DOUBLE), 2) AS DOUBLE) AS rev_7d,
+  CAST(COUNT(*) OVER w AS BIGINT) AS days_present_7d
+FROM daily
+WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def q65_revenue_range_window(spark: SparkSession, sf_dir: str):
+    """RANGE-frame trailing 7-day revenue: unlike q51's ROWS frame (6
+    physical predecessor rows — wrong on a calendar with holes), a RANGE
+    frame bounds the window by the *value* of the day axis, so missing
+    days shrink the window instead of silently stretching it. The
+    ``days_present_7d`` column exposes exactly where the two frames
+    diverge. Day axis = integer epoch-days via pure DATE arithmetic
+    (o_orderdate is TIMESTAMP_NTZ — no timezone in play on either
+    engine); window input is pre-aggregated to O(days) rows."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no")
+    ).agg(
+        F.sum(dec("o_totalprice")).alias("day_rev_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        F.col("day_no").cast("long").alias("day_no"),
+        "n_orders",
+        F.col("day_rev_dec").cast("double").alias("day_rev"),
+        F.round(F.sum("day_rev_dec").over(w).cast("double"), 2)
+        .cast("double")
+        .alias("rev_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_present_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — UNPIVOT (wide → long reshape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q66_part_attrs_unpivot",
+    tags=("A1", "P8"),
+    oracle="""
+WITH long_form AS (
+  SELECT p_brand, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_brand, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+)
+SELECT p_brand, attr,
+  COUNT(*) AS n_vals,
+  CAST(SUM(CAST(floor(val * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(MIN(val) AS DOUBLE) AS min_val,
+  CAST(MAX(val) AS DOUBLE) AS max_val
+FROM long_form
+GROUP BY p_brand, attr
+""",
+)
+def q66_part_attrs_unpivot(spark: SparkSession, sf_dir: str):
+    """Wide→long reshape via UNPIVOT (the inverse of q09's pivot; absent
+    from the reference): part's numeric attributes melt into (attr, val)
+    rows — Spark's ``unpivot`` produces them in one map-side Expand, no
+    shuffle and no N self-scans like the UNION ALL a SQL user would
+    write — then a per-(brand, attr) profile. Sums use floor-cents
+    integers (order-independent); min/max are order-free already."""
+    p = load(spark, sf_dir, "part")
+    long_form = p.select(
+        "p_brand",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_brand"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+    return long_form.groupBy("p_brand", "attr").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum(F.floor(F.col("val") * 100).cast("long")).cast("long").alias("sum_cents"),
+        F.min("val").cast("double").alias("min_val"),
+        F.max("val").cast("double").alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q60 — as-of (point-in-time) join: purchase → latest prior view
 # ---------------------------------------------------------------------------
 
