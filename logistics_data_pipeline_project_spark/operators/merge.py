@@ -64,6 +64,7 @@ def merge_upsert(
     update_set: Mapping[str, Column] | None = None,
     insert_values: Mapping[str, Column] | None = None,
     strict: bool = False,
+    delete_condition: Column | None = None,
 ) -> DataFrame:
     """MERGE INTO semantics (SURVEY §M1/M2) as a pure-Spark operator.
 
@@ -83,6 +84,13 @@ def merge_upsert(
     ``strict=True`` replicates Snowflake's duplicate-source-match error:
     raises if any key appears more than once in ``source`` (the reference
     avoids this by window pre-dedup — use ``dedup_latest`` first).
+
+    ``delete_condition`` adds Snowflake MERGE's third clause — ``WHEN
+    MATCHED AND <cond> THEN DELETE``: matched rows satisfying the
+    condition (expressed over the ``t``/``s`` aliases, e.g.
+    ``F.col("s.is_deleted")``) are dropped instead of updated — the CDC
+    hard-delete path. The reference never issues DELETE merges, so this
+    is engine surface beyond parity.
     """
     if strict:
         dup = (
@@ -105,6 +113,10 @@ def merge_upsert(
 
     matched = F.col(f"t.{keys[0]}").isNotNull() & F.col(f"s.{keys[0]}").isNotNull()
     t_only = F.col(f"s.{keys[0]}").isNull()
+    if delete_condition is not None:
+        joined = joined.filter(
+            ~(matched & F.coalesce(delete_condition, F.lit(False)))
+        )
 
     update_set = dict(update_set or {})
     insert_values = dict(insert_values or {})

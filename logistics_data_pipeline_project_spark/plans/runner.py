@@ -28,7 +28,7 @@ from collections.abc import Callable, Sequence
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, Row, SparkSession, functions as F
 
 from ..operators.merge import dedup_latest, merge_upsert, scd2_apply
 from .materialize import TableStore
@@ -118,13 +118,20 @@ class ModelRunner:
         with self._lock:
             self.store.append(AUDIT_TABLE, self.spark.createDataFrame([row]))
 
+    def _write_counted(self, name: str, df: DataFrame) -> int:
+        """Atomic overwrite + audit row count in ONE job: an Observation
+        accumulates count(*) while the parquet write runs, replacing the
+        read-back-and-count second scan (2× the write-path I/O at scale)."""
+        obs = Observation()
+        self.store.overwrite(name, df.observe(obs, F.count(F.lit(1)).alias("rows")))
+        return obs.get["rows"]
+
     def _materialize(self, m: Model, df: DataFrame) -> int:
         if m.materialization == "view":
             df.createOrReplaceTempView(m.name)
             return df.count()
         if m.materialization == "table" or not self.store.exists(m.name):
-            self.store.overwrite(m.name, df)
-            return self.store.read(m.name).count()
+            return self._write_counted(m.name, df)
         if m.materialization == "incremental":
             target = self.store.read(m.name)
             source = df
@@ -149,8 +156,7 @@ class ModelRunner:
                 update_set=update_set,
                 strict=not m.dedup_order,
             )
-            self.store.overwrite(m.name, merged)
-            return self.store.read(m.name).count()
+            return self._write_counted(m.name, merged)
         if m.materialization == "snapshot":
             history = self.store.read(m.name)
             updated = scd2_apply(
@@ -160,8 +166,7 @@ class ModelRunner:
                 tracked_cols=list(m.tracked_cols),
                 effective_ts=F.current_timestamp(),
             )
-            self.store.overwrite(m.name, updated)
-            return self.store.read(m.name).count()
+            return self._write_counted(m.name, updated)
         raise ValueError(f"unknown materialization {m.materialization!r}")
 
     def _snapshot_bootstrap(self, m: Model, df: DataFrame) -> DataFrame:

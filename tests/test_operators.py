@@ -58,6 +58,32 @@ def test_merge_upsert_update_insert_keep(spark):
     assert out.count() == 4
 
 
+def test_merge_upsert_delete_clause(spark):
+    """WHEN MATCHED AND s.deleted THEN DELETE (the CDC hard-delete path):
+    flagged matches vanish, unflagged matches update, unmatched target
+    rows survive, and a deleted-flag row for an absent key inserts
+    normally (DELETE only applies to matches, per MERGE semantics)."""
+    target = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    source = spark.createDataFrame(
+        [
+            Row(k=2, v="B2", deleted=False),
+            Row(k=3, v="x", deleted=True),
+            Row(k=4, v="D", deleted=False),
+        ]
+    )
+    out = merge_upsert(
+        target,
+        source,
+        keys=["k"],
+        update_set={"v": F.col("s.v")},
+        delete_condition=F.col("s.deleted"),
+    )
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: "a", 2: "B2", 4: "D"}  # 3 hard-deleted
+
+
 def test_merge_upsert_strict_rejects_dup_source(spark):
     target = spark.createDataFrame([Row(k=1, v="a")])
     dup_source = spark.createDataFrame([Row(k=1, v="x"), Row(k=1, v="y")])
