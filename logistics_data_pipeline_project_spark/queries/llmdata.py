@@ -1517,3 +1517,203 @@ def q63_salted_event_rollup(spark: SparkSession, sf_dir: str):
         F.col("min_ev").cast("long").alias("min_event_id"),
         F.col("max_ev").cast("long").alias("max_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — C4-style rule funnel with first-failing-rule attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q67_filter_rule_funnel",
+    tags=("text", "P6", "A4"),
+    oracle=f"""
+WITH t AS (
+  SELECT source, string_split(lower(text), ' ') AS toks FROM documents
+), r AS (
+  SELECT source, len(toks) AS n_tok,
+    CASE
+      WHEN len(toks) < 20 THEN 'too_short'
+      WHEN len(toks) > 88 THEN 'too_long'
+      WHEN len(list_filter(toks, x -> list_contains({list(STOPWORDS_EN)}, x))) = 0
+        THEN 'no_stopword'
+      WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.35
+        THEN 'low_diversity'
+      ELSE 'keep'
+    END AS verdict
+  FROM t
+)
+SELECT source, verdict,
+  COUNT(*) AS docs,
+  CAST(SUM(n_tok) AS BIGINT) AS tokens
+FROM r GROUP BY source, verdict
+""",
+)
+def q67_filter_rule_funnel(spark: SparkSession, sf_dir: str):
+    """C4/Gopher-style document filter expressed as a rule FUNNEL: each
+    doc is attributed to the FIRST rule it fails (fixed rule order —
+    length bounds, stopword presence, lexical diversity; Raffel et al.
+    2020 §2.2 / Rae et al. 2021 A1.1 style), so the per-(source, rule)
+    retention report tells a pipeline operator which rule costs which
+    corpus how many tokens. Pure column expressions over one scan — no
+    shuffle before the tiny final aggregation, whole-stage codegen
+    end-to-end; at 100 TB this is scan-bound, exactly as a filter should
+    be."""
+    d = load(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    n_tok = F.size(F.col("__toks"))
+    arr = "array(" + ",".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
+    stop_hits = F.expr(f"size(filter(__toks, x -> array_contains({arr}, x)))")
+    diversity = F.size(F.array_distinct(F.col("__toks"))).cast("double") / n_tok
+    verdict = (
+        F.when(n_tok < 20, "too_short")
+        .when(n_tok > 88, "too_long")
+        .when(stop_hits == 0, "no_stopword")
+        .when(diversity < 0.35, "low_diversity")
+        .otherwise("keep")
+    )
+    return (
+        d.select("source", n_tok.alias("n_tok"), verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — token-SET signature dedup (vocabulary-fingerprint blocking)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q68_token_set_dedup",
+    tags=("dedup", "A3"),
+    oracle="""
+WITH s AS (
+  SELECT source,
+    md5(text) AS exact_sig,
+    md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+      AS set_sig
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS docs,
+  CAST(COUNT(DISTINCT exact_sig) AS BIGINT) AS exact_groups,
+  CAST(COUNT(DISTINCT set_sig) AS BIGINT) AS set_groups,
+  CAST(COUNT(*) - COUNT(DISTINCT set_sig) AS BIGINT) AS set_dup_docs
+FROM s GROUP BY source
+""",
+)
+def q68_token_set_dedup(spark: SparkSession, sf_dir: str):
+    """Bag-of-words SET-signature dedup: two docs collide when they use
+    the same vocabulary regardless of word order or repetition — the
+    cheap order-insensitive near-dup blocker that sits between exact
+    hash dedup (q21, catches nothing here) and shingle Jaccard (q22,
+    quadratic candidate work). Only a 32-byte md5 per doc ever shuffles;
+    the double COUNT(DISTINCT) pair runs as one Expand + two-level
+    hash aggregate (one logical pass), not two jobs."""
+    d = load(spark, sf_dir, "documents")
+    set_sig = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+    )
+    return (
+        d.select(
+            "source",
+            F.md5(F.col("text")).alias("exact_sig"),
+            set_sig.alias("set_sig"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("exact_sig").cast("long").alias("exact_groups"),
+            F.countDistinct("set_sig").cast("long").alias("set_groups"),
+            (F.count(F.lit(1)) - F.countDistinct("set_sig"))
+            .cast("long")
+            .alias("set_dup_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — int8 embedding quantization profile (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q69_embedding_quantization",
+    tags=("similarity", "A1", "A2"),
+    oracle="""
+WITH v AS (
+  SELECT label, embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT label, scale,
+    list_sum(list_transform(embedding,
+      x -> CAST(abs(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)) AS BIGINT)))
+      AS abs_q,
+    len(list_filter(embedding,
+      x -> floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) = 0)) AS zeros,
+    list_sum(list_transform(embedding,
+      x -> CAST(floor(
+        (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) * scale / 127.0)
+        * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) * scale / 127.0)
+        * 1000000000000.0) AS BIGINT))) AS err_micro
+  FROM v
+  WHERE scale > 0
+)
+SELECT label,
+  COUNT(*) AS n_vecs,
+  CAST(SUM(abs_q) AS BIGINT) AS sum_abs_q,
+  CAST(SUM(zeros) AS BIGINT) AS zero_elems,
+  CAST(SUM(err_micro) AS BIGINT) AS recon_err_micro,
+  CAST(ROUND(CAST(SUM(CAST(scale AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+    AS avg_scale
+FROM q GROUP BY label
+""",
+)
+def q69_embedding_quantization(spark: SparkSession, sf_dir: str):
+    """Symmetric int8 scalar quantization profile — the compression step
+    a 100 TB embedding store applies before ANN serving (4x smaller than
+    float32, SIMD-friendly int dot products). Per vector: scale =
+    max|x|, q_i = floor(x_i*127/scale + 0.5); per label we report total
+    quantized mass, zeroed elements, and the reconstruction error folded
+    to integer picounits BEFORE the cross-row sum, so every aggregate is
+    order-independent (integers commute; scale means go through
+    DECIMAL(18,9) per the engine policy) and the whole approximate-
+    storage pipeline stays oracle-checkable. Everything is built-in
+    array lambdas — JVM codegen, zero shuffles before the 10-group agg."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.withColumn(
+        "scale",
+        F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+    ).filter(F.col("scale") > 0)
+    qexpr = "floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)"
+    recon = f"(CAST(x AS DOUBLE) - {qexpr} * scale / 127.0)"
+    q = v.select(
+        "label",
+        "scale",
+        F.expr(
+            f"aggregate(transform(embedding, x -> CAST(abs({qexpr}) AS BIGINT)), "
+            "0L, (acc, e) -> acc + e)"
+        ).alias("abs_q"),
+        F.expr(f"size(filter(embedding, x -> {qexpr} = 0))").alias("zeros"),
+        F.expr(
+            f"aggregate(transform(embedding, x -> CAST(floor({recon} * {recon} "
+            "* 1000000000000.0) AS BIGINT)), 0L, (acc, e) -> acc + e)"
+        ).alias("err_micro"),
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("abs_q").cast("long").alias("sum_abs_q"),
+        F.sum("zeros").cast("long").alias("zero_elems"),
+        F.sum("err_micro").cast("long").alias("recon_err_micro"),
+        F.round(
+            F.sum(F.col("scale").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("avg_scale"),
+    )
