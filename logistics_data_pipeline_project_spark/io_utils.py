@@ -31,10 +31,13 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Path layout per TESTDATA.md.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet — Spark reads it as Long
-    nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to a
-    microsecond TimestampType, exactly matching DuckDB's ns→µs read of the
-    same file (both floor)."""
+    ``events.ts`` is stored as parquet TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ) — a plain attribute column, so range predicates on it
+    are pushed into the parquet scan and prune row groups via min/max
+    stats (asserted in tests/test_catalog_plans). Older generations of the
+    testdata stored TIMESTAMP(NANOS), which Spark reads as Long nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``); that path converts to a
+    microsecond TimestampType, matching DuckDB's ns→µs floor."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -42,20 +45,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
-
-
-def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read ``events`` with ``ts`` left as raw nanosecond Longs.
-
-    The normal ``load`` wraps ts in ``timestamp_micros(ts div 1000)`` — a
-    *derived* column, so range predicates on it cannot be pushed into the
-    parquet scan (the source only accepts plain attribute comparisons).
-    Incremental/watermark patterns should filter on this raw column with
-    ns bounds (see queries q18) so the predicate reaches the reader and
-    prunes row groups via min/max stats — the difference between a
-    full-table scan and an incremental one at 100 TB."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

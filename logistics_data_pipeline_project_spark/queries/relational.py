@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dec, exact_avg, exact_sum, pct
-from ..io_utils import load, load_events_raw
+from ..io_utils import load
 from ..operators.merge import (
     high_watermark,
     merge_upsert,
@@ -783,31 +783,24 @@ def q18_incremental_event_load(spark: SparkSession, sf_dir: str):
     already-loaded target (simulated as pre-cutoff events), source filtered
     to ts > watermark.
 
-    Both range predicates run against the RAW nanosecond Long column
-    (io_utils.load_events_raw), not the derived µs timestamp — a filter on
-    a derived column cannot be pushed into the parquet scan, while these
-    plain attribute comparisons reach the reader and prune row groups via
-    min/max stats (PushedFilters; asserted in tests/test_catalog_plans).
-    The ns bounds replicate the µs semantics exactly:
-    µs(ts) < C ⟺ ns < C·1000 (cutoff is whole µs), and
-    µs(ts) > W ⟺ ns ≥ (W+1)·1000 (floor division is monotone), so the
-    result is bit-identical to the µs-domain oracle."""
-    ev = load_events_raw(spark, sf_dir)
-    cutoff_ns = (
-        F.unix_micros(F.lit("2024-01-20 00:00:00").cast("timestamp")) * 1000
-    )  # foldable literal expression → constant before pushdown
-    target = ev.filter(F.col("ts") < cutoff_ns)
-    wm_ns = high_watermark(target, "ts")
-    if wm_ns is None:
-        inc = ev
-    else:
-        wm_us = wm_ns // 1000
-        inc = ev.filter(F.col("ts") >= F.lit((wm_us + 1) * 1000))
+    ``events.ts`` is a plain parquet TIMESTAMP(MICROS) attribute, so both
+    range predicates (the cutoff and the collected watermark literal) are
+    pushed into the parquet scan and prune row groups via min/max stats
+    (PushedFilters; asserted in tests/test_catalog_plans) — the difference
+    between a full-table scan and an incremental one at 100 TB. The
+    watermark literal is cast to the column's exact type (TIMESTAMP_NTZ)
+    so the comparison stays a foldable attribute predicate."""
+    ev = load(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    cutoff = F.lit("2024-01-20 00:00:00").cast(ts_type)
+    target = ev.filter(F.col("ts") < cutoff)
+    wm = high_watermark(target, "ts")
+    inc = ev if wm is None else ev.filter(F.col("ts") > F.lit(wm).cast(ts_type))
     return inc.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("rows_loaded"),
         exact_sum("value", "sum_value"),
-        F.timestamp_micros(F.expr("min(ts) div 1000")).alias("first_ts"),
-        F.timestamp_micros(F.expr("max(ts) div 1000")).alias("last_ts"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
     )
 
 

@@ -41,9 +41,14 @@ ENGINE_CONF: dict[str, str] = {
     # cluster this is overridden by AQE coalescing + initialPartitionNum.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.parquet.compression.codec": "snappy",
-    # The driver's events.parquet stores TIMESTAMP(NANOS); Spark reads those
-    # as LongType nanos with this flag, and io_utils.load converts to a
-    # microsecond TimestampType (truncating — matching DuckDB's ns→µs read).
+    # The driver's parquet timestamps are tz-naive TIMESTAMP(MICROS). Read
+    # them as session-tz TimestampType (not TIMESTAMP_NTZ): with the UTC
+    # session the values are identical to naive, and the whole function
+    # surface (unix_micros, window(), date arithmetic) applies uniformly.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Older testdata generations stored events.ts as TIMESTAMP(NANOS);
+    # with this flag Spark reads those as LongType nanos and io_utils.load
+    # converts to microsecond TimestampType (truncating — matching DuckDB).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Bind the UI off in test containers; harmless on clusters that set it.
     "spark.ui.enabled": "false",

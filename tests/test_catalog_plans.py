@@ -29,8 +29,11 @@ def test_q18_pushes_watermark_into_scan(spark, sf_dir):
     ]
     assert pushed, "expected a parquet scan with PushedFilters"
     # the incremental watermark must be a pushed range predicate on the
-    # raw ns column, not a post-scan filter on a derived timestamp
-    assert any("GreaterThanOrEqual(ts" in line for line in pushed), pushed
+    # ts attribute, not a post-scan filter on a derived column
+    assert any(
+        "GreaterThan(ts" in line or "GreaterThanOrEqual(ts" in line
+        for line in pushed
+    ), pushed
 
 
 def test_q21_scan_prunes_to_referenced_columns(spark, sf_dir):
