@@ -835,3 +835,68 @@ def q61_session_interval_events(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("duration_us"),
     ).agg(F.count(F.lit(1)).alias("n_joined"))
+
+
+# ---------------------------------------------------------------------------
+# q72 — decimal-exact Pearson correlation / covariance (stats aggregates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q72_qty_price_correlation",
+    tags=("A1", "A2", "A5"),
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_lines,
+  CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DOUBLE)
+    AS corr_qty_price,
+  CAST(ROUND((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 4) AS DOUBLE)
+    AS covar_qty_price
+FROM s
+""",
+)
+def q72_qty_price_correlation(spark: SparkSession, sf_dir: str):
+    """Pearson correlation + sample covariance per return flag, computed
+    from DECIMAL moment sums (n, Σx, Σy, Σxy, Σx², Σy²) with the closed
+    formula applied in DOUBLE at the very end.
+
+    Spark's built-in ``corr``/``covar_samp`` accumulate running DOUBLE
+    state, so their low-order bits depend on partitioning and AQE's
+    runtime re-plan — unacceptable under this engine's determinism policy
+    (queries/registry.py). Moment sums in DECIMAL are exact and
+    order-independent: one map-side-combinable hash aggregate (a single
+    shuffle of 6 numbers per group), bit-identical on any plan and any
+    engine — this is also the textbook one-pass formulation you want at
+    100 TB, never a centered two-pass."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity", 12, 2), dec("l_extendedprice", 12, 2)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    corr = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / n_d) / (n_d - F.lit(1.0))
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_lines"),
+        F.round(corr, 6).cast("double").alias("corr_qty_price"),
+        F.round(covar, 4).cast("double").alias("covar_qty_price"),
+    )

@@ -1717,3 +1717,205 @@ def q69_embedding_quantization(spark: SparkSession, sf_dir: str):
         .cast("double")
         .alias("avg_scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — sensitive-term redaction profile (regex scrub pass)
+# ---------------------------------------------------------------------------
+
+_REDACT_PAT = r"\b(customer|value|key)\b"
+
+
+@register(
+    "q70_term_redaction",
+    tags=("text", "P5", "A4"),
+    oracle=f"""
+WITH r AS (
+  SELECT source, text,
+    len(regexp_extract_all(text, '{_REDACT_PAT}')) AS hits,
+    regexp_replace(text, '{_REDACT_PAT}', '[TERM]', 'g') AS scrubbed
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS docs,
+  COUNT(CASE WHEN hits > 0 THEN 1 END) AS docs_redacted,
+  CAST(SUM(hits) AS BIGINT) AS redactions,
+  CAST(SUM(len(text)) AS BIGINT) AS chars_in,
+  CAST(SUM(len(scrubbed)) AS BIGINT) AS chars_out
+FROM r GROUP BY source
+""",
+)
+def q70_term_redaction(spark: SparkSession, sf_dir: str):
+    """PII-style scrub pass: a word-boundary regex replaces every hit of a
+    sensitive-term list with a fixed mask token and the per-source report
+    shows document coverage, replacement counts, and size drift — the audit
+    a redaction stage must emit before training data ships.
+
+    Scale: regexp_replace/regexp_extract_all are JVM-side codegen'd
+    expressions over a single scan (no shuffle before the tiny per-source
+    aggregate) — the same shape as the C4 filter funnel (q67), scan-bound
+    at 100 TB. The scrubbed text itself would be written back to the lake
+    in the real pipeline; here the aggregate certifies the transform."""
+    d = load(spark, sf_dir, "documents")
+    hits = F.size(F.regexp_extract_all("text", F.lit(_REDACT_PAT), 0))
+    scrubbed = F.regexp_replace("text", _REDACT_PAT, "[TERM]")
+    return (
+        d.select(
+            "source",
+            F.length("text").alias("chars"),
+            hits.alias("hits"),
+            F.length(scrubbed).alias("chars_scrubbed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count(F.when(F.col("hits") > 0, 1)).alias("docs_redacted"),
+            F.sum("hits").cast("long").alias("redactions"),
+            F.sum("chars").cast("long").alias("chars_in"),
+            F.sum("chars_scrubbed").cast("long").alias("chars_out"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — robust outlier detection via median absolute deviation (MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q71_doc_length_outliers",
+    tags=("quality", "A1", "A2"),
+    oracle="""
+WITH d AS (SELECT source, n_chars FROM documents),
+med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med, COUNT(*) AS n_docs
+  FROM d GROUP BY source
+),
+dev AS (
+  SELECT d.source, abs(d.n_chars - m.med) AS dev, m.med, m.n_docs
+  FROM d JOIN med m USING (source)
+),
+mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY source)
+SELECT dev.source,
+  MAX(dev.n_docs) AS n_docs,
+  CAST(MAX(dev.med) AS DOUBLE) AS med_chars,
+  CAST(MAX(mad.mad) AS DOUBLE) AS mad_chars,
+  COUNT(CASE WHEN dev.dev > 3 * mad.mad THEN 1 END) AS n_outliers,
+  CAST(ROUND(100.0 * COUNT(CASE WHEN dev.dev > 3 * mad.mad THEN 1 END)
+    / MAX(dev.n_docs), 2) AS DOUBLE) AS outlier_pct
+FROM dev JOIN mad USING (source)
+GROUP BY dev.source
+""",
+)
+def q71_doc_length_outliers(spark: SparkSession, sf_dir: str):
+    """Robust per-source outlier screen: median + median-absolute-deviation
+    of document length, flagging docs beyond 3·MAD — the length filter a
+    curation pipeline uses where mean/stddev would be dragged by the very
+    outliers it hunts.
+
+    Determinism: exact percentile at p=0.5 interpolates between two
+    integers (or integer-deviations), so every median/MAD is a dyadic
+    rational represented exactly in DOUBLE on both engines — the 3·MAD
+    comparison is bit-stable by construction, no float-tolerance needed.
+
+    Scale: two grouped exact medians + two broadcast joins of tiny
+    per-source stats tables. Exact percentile holds per-group sorted state
+    — fine when groups are corpus sources (dozens); for high-cardinality
+    keys the approx_percentile twin (q33/q49 family) is the scale path."""
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    med = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "source",
+        "med",
+        "n_docs",
+        F.abs(F.col("n_chars") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("source").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    is_out = F.col("dev") > F.lit(3) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("med").cast("double").alias("med_chars"),
+            F.max("mad").cast("double").alias("mad_chars"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+            F.round(
+                F.lit(100.0) * F.count(F.when(is_out, 1)) / F.max("n_docs"), 2
+            )
+            .cast("double")
+            .alias("outlier_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — blocked edit-distance near-dup (entity-resolution blocking)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q73_part_name_editdist",
+    tags=("dedup", "J8", "A4"),
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_name, split_part(p_name, ' ', 2) AS noun
+  FROM part
+),
+pairs AS (
+  SELECT a.p_brand, a.noun,
+    levenshtein(a.p_name, b.p_name) AS dist
+  FROM p a JOIN p b
+    ON a.p_brand = b.p_brand AND a.noun = b.noun
+   AND a.p_partkey < b.p_partkey
+)
+SELECT p_brand, noun,
+  COUNT(*) AS candidate_pairs,
+  COUNT(CASE WHEN dist <= 3 THEN 1 END) AS close_pairs,
+  MIN(dist) AS min_dist,
+  CAST(ROUND(100.0 * COUNT(CASE WHEN dist <= 3 THEN 1 END) / COUNT(*), 2) AS DOUBLE)
+    AS close_pct
+FROM pairs GROUP BY p_brand, noun
+""",
+)
+def q73_part_name_editdist(spark: SparkSession, sf_dir: str):
+    """Edit-distance near-dup with entity-resolution blocking: candidate
+    pairs are generated only inside (brand, head-noun) blocks, then scored
+    with exact levenshtein — the classic record-linkage shape (block →
+    compare → threshold) that complements the token-set (q68) and shingle
+    (q22) dedup families with a typo-tolerant string metric.
+
+    Scale: the self-join is a plain equi-join on the block key, so the
+    quadratic comparison cost is bounded per block (shuffle partitions by
+    block key, AQE splits skewed blocks); levenshtein is a JVM codegen'd
+    expression. Blocking quality, not the metric, decides feasibility at
+    100 TB — exactly as in production entity resolution."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.expr("split_part(p_name, ' ', 2)").alias("noun"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_brand").alias("p_brand"),
+        F.col("a.noun").alias("noun"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    )
+    close = F.count(F.when(F.col("dist") <= 3, 1))
+    return pairs.groupBy("p_brand", "noun").agg(
+        F.count(F.lit(1)).alias("candidate_pairs"),
+        close.alias("close_pairs"),
+        F.min("dist").alias("min_dist"),
+        F.round(F.lit(100.0) * close / F.count(F.lit(1)), 2)
+        .cast("double")
+        .alias("close_pct"),
+    )
