@@ -900,3 +900,107 @@ def q72_qty_price_correlation(spark: SparkSession, sf_dir: str):
         F.round(corr, 6).cast("double").alias("corr_qty_price"),
         F.round(covar, 4).cast("double").alias("covar_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — sequential event funnel (MATCH_RECOGNIZE-style ordered steps)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q74_event_funnel",
+    tags=("A1", "A4", "W1"),
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+ta AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS ta
+  FROM events GROUP BY user_id
+),
+tb AS (
+  SELECT e.user_id, min(e.ts) AS tb
+  FROM events e JOIN ta USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > ta.ta
+    AND e.ts <= ta.ta + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+tc AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN tb USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > tb.tb
+    AND e.ts <= tb.tb + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  COUNT(ta.ta) AS viewed,
+  COUNT(tb.tb) AS clicked_after_view,
+  COUNT(tc.tc) AS purchased_after_click,
+  CAST(ROUND(100.0 * COUNT(tc.tc) / COUNT(ta.ta), 2) AS DOUBLE) AS conversion_pct,
+  CAST(SUM(CASE WHEN tc.tc IS NOT NULL
+    THEN epoch_us(tc.tc) - epoch_us(ta.ta) END) AS BIGINT) AS funnel_micros
+FROM u
+LEFT JOIN ta USING (user_id)
+LEFT JOIN tb USING (user_id)
+LEFT JOIN tc USING (user_id)
+""",
+)
+def q74_event_funnel(spark: SparkSession, sf_dir: str):
+    """Ordered-step funnel (view → click within 24h → purchase within 24h),
+    earliest-completion semantics — the MATCH_RECOGNIZE/funnel-analysis
+    shape, expressed as three chained conditional window minimums instead
+    of three self-joins.
+
+    Each step's timestamp is `min(ts) FILTER (step condition AND ts after
+    previous step)` over the user partition; since all three windows and
+    the per-user collapse hash on user_id, the whole funnel runs on ONE
+    exchange (asserted in tests/test_catalog_plans) — at 100 TB the
+    equivalent 3-way self-join would shuffle the event stream four times.
+    Funnel latency is summed in integer microseconds (exact)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    steps = (
+        e.withColumn(
+            "ta", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "tb",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("ta"))
+                    & (F.col("ts") <= F.col("ta") + F.expr("INTERVAL 24 HOURS")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("tb"))
+                    & (F.col("ts") <= F.col("tb") + F.expr("INTERVAL 24 HOURS")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(F.max("ta").alias("ta"), F.max("tb").alias("tb"), F.max("tc").alias("tc"))
+    )
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("ta").alias("viewed"),
+        F.count("tb").alias("clicked_after_view"),
+        F.count("tc").alias("purchased_after_click"),
+        F.round(F.lit(100.0) * F.count("tc") / F.count("ta"), 2)
+        .cast("double")
+        .alias("conversion_pct"),
+        F.sum(
+            F.when(
+                F.col("tc").isNotNull(),
+                F.unix_micros("tc") - F.unix_micros("ta"),
+            )
+        )
+        .cast("long")
+        .alias("funnel_micros"),
+    )

@@ -59,6 +59,14 @@ def _physical(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_q74_funnel_runs_on_one_hash_exchange(spark, sf_dir):
+    plan = _physical(REGISTRY["q74_event_funnel"].fn(spark, sf_dir))
+    # three chained conditional window mins + the per-user collapse all
+    # hash on user_id -> one shuffle of the event stream (the final global
+    # agg is a SinglePartition collapse of one row per reducer)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_q50_window_and_agg_share_one_exchange(spark, sf_dir):
     plan = _physical(REGISTRY["q50_user_event_gaps"].fn(spark, sf_dir))
     # lag/lead window and the final groupBy hash on the same key → exactly
