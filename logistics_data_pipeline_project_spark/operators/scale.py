@@ -152,3 +152,74 @@ def day_partition(ts_col: str, name: str = "load_date") -> Column:
     """Derive the standard daily partition column from an event/ingest
     timestamp (the layout convention overwrite_partitioned expects)."""
     return F.to_date(F.col(ts_col)).alias(name)
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Morton/Z-order key: interleave the low ``bits`` bits of each
+    (non-negative, pre-scaled integer) column into one Long sort key.
+
+    Sorting/range-partitioning files by this key clusters rows that are
+    close in EVERY dimension into the same file, so parquet min/max
+    stats prune multi-dimensional predicates — a linear sort clusters
+    only its leading column and leaves every file spanning the full
+    range of the others. Pure bit-arithmetic column expression
+    (whole-stage codegen, no UDF); ``bits * len(cols)`` must fit a Long.
+    """
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a Long sort key")
+    out = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for i in range(bits):
+            # bit i of column ci lands at interleaved position i*n + ci
+            out = out + F.shiftright(col, i).bitwiseAND(F.lit(1)).cast(
+                "long"
+            ) * F.lit(1 << (i * n + ci))
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    cols: Sequence[str],
+    path: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet laid out in Z-order over ``cols``.
+
+    Each column is min/max scaled to ``bits`` bits (two tiny scalar
+    aggregates), interleaved with :func:`zorder_key`, then
+    ``repartitionByRange`` + ``sortWithinPartitions`` on the key produce
+    ``n_files`` files whose per-file min/max spans shrink on EVERY
+    z-ordered column (~n_files^(-1/len(cols)) of the global span each,
+    vs. the full span on all non-leading columns under a linear sort).
+    The one range exchange here is paid at write time; every later scan
+    with predicates on any subset of ``cols`` prunes row groups for
+    free. This is the same layout idea as Delta/Iceberg OPTIMIZE ZORDER,
+    expressed with stock DataFrame ops."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    stats = df.agg(*aggs).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+        span = (hi - lo) or 1
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c) - F.lit(lo)) * (float(top) / float(span))).cast(
+                    "long"
+                ),
+            )
+        )
+    keyed = df.withColumn("__z", zorder_key(scaled, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1004,3 +1004,60 @@ def q74_event_funnel(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("funnel_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — ordered string aggregation: order-status journey mining
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q75_order_status_journeys",
+    tags=("A1", "A2", "W1"),
+    oracle="""
+WITH j AS (
+  SELECT o_custkey,
+    string_agg(o_orderstatus, '' ORDER BY o_orderdate, o_orderkey) AS journey,
+    COUNT(*) AS n_orders,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT journey,
+  COUNT(*) AS customers,
+  CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+  CAST(ROUND(SUM(revenue), 2) AS DOUBLE) AS revenue
+FROM j GROUP BY journey
+""",
+)
+def q75_order_status_journeys(spark: SparkSession, sf_dir: str):
+    """Ordered aggregation (SQL string_agg ... ORDER BY): each customer's
+    chronological order-status string becomes a "journey" signature, then
+    journeys are grouped — the sequence-mining shape behind churn/ops
+    analyses (e.g. which status paths precede high revenue).
+
+    Spark has no ordered string_agg; the deterministic equivalent is
+    collect_list of (sort-key..., value) structs -> array_sort ->
+    transform -> array_join, all inside one hash aggregate: journeys are
+    assembled with ONE shuffle on the group key and no window sort.
+    Per-group state is bounded by orders-per-customer; the unique
+    o_orderkey tiebreaker makes the journey engine-independent."""
+    o = load(spark, sf_dir, "orders")
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderdate", "o_orderkey", "o_orderstatus"))
+            ),
+            lambda x: x["o_orderstatus"],
+        ),
+        "",
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        journey.alias("journey"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).alias("revenue"),
+    )
+    return per_cust.groupBy("journey").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.sum("n_orders").cast("long").alias("total_orders"),
+        F.round(F.sum("revenue"), 2).cast("double").alias("revenue"),
+    )

@@ -15,6 +15,8 @@ from logistics_data_pipeline_project_spark.operators.scale import (
     salted_aggregate,
     salted_join,
     write_bucketed,
+    write_zordered,
+    zorder_key,
 )
 
 
@@ -125,3 +127,74 @@ def test_fan_out_widens_narrow_input_only(spark, sf_dir):
     # an already-wide input passes through without an added exchange
     already = docs.repartition(spark.sparkContext.defaultParallelism)
     assert fan_out(already) is already
+
+
+def test_zorder_key_interleaves_bits(spark):
+    # x=0b101, y=0b011 -> x bits at even positions, y bits at odd:
+    # pos0=x0=1, pos1=y0=1, pos2=x1=0, pos3=y1=1, pos4=x2=1, pos5=y2=0
+    # = 1 + 2 + 8 + 16 = 27
+    row = (
+        spark.range(1)
+        .select(zorder_key([F.lit(5), F.lit(3)], bits=3).alias("z"))
+        .first()
+    )
+    assert row["z"] == 27
+
+
+def test_zorder_layout_shrinks_spans_on_both_dims(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    n_files = 16
+    path = str(tmp_path / "zorder_events")
+    write_zordered(ev, ["user_id", "day"], path, n_files=n_files, bits=8)
+
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("day"), F.max("day")
+    ).first()
+    user_span = stats[1] - stats[0]
+    day_span = stats[3] - stats[2]
+
+    spans = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        cols = {
+            md.schema.column(i).name: i for i in range(md.schema.names.__len__())
+        }
+        umin = min(
+            md.row_group(g).column(cols["user_id"]).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        umax = max(
+            md.row_group(g).column(cols["user_id"]).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        dmin = min(
+            md.row_group(g).column(cols["day"]).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        dmax = max(
+            md.row_group(g).column(cols["day"]).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        spans.append(((umax - umin) / user_span, (dmax - dmin) / day_span))
+    assert len(spans) >= n_files // 2
+    avg_user = sum(s[0] for s in spans) / len(spans)
+    avg_day = sum(s[1] for s in spans) / len(spans)
+    # a linear sort leaves the non-leading dimension spanning ~100% of its
+    # range in every file; z-order shrinks BOTH dimensions per file
+    assert avg_user < 0.6, (avg_user, avg_day)
+    assert avg_day < 0.6, (avg_user, avg_day)
+
+    # round-trip: layout must not lose or duplicate rows
+    assert (
+        spark.read.parquet(path).count() == ev.count()
+    )
