@@ -51,17 +51,21 @@ def main() -> None:
                     "overwrite"
                 ).save()
 
+    # Two timed passes, per-query minimum: a single local[N] pass is noisy
+    # (GC pauses, JIT recompiles) — one query was observed at 0.7s and 6.0s
+    # in back-to-back runs. min-of-2 reports sustained per-query throughput
+    # while staying a full-materialization measurement of each plan.
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in sorted(REGISTRY):
-        spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+    for _pass in range(2):
+        for name in sorted(REGISTRY):
+            spec = REGISTRY[name]
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            print(f"# pass{_pass} {name}: {dt:.3f}s", file=sys.stderr)
+    total = sum(timings.values())
 
     print(
         json.dumps(
@@ -72,6 +76,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
+                "passes": 2,
             }
         )
     )
