@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import dec
+from ..functions.scalar import dec, exact_sum
 from ..io_utils import load
 from .registry import register
 
@@ -1060,4 +1060,51 @@ def q75_order_status_journeys(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("customers"),
         F.sum("n_orders").cast("long").alias("total_orders"),
         F.round(F.sum("revenue"), 2).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — equi-width histogram (binning family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q77_order_value_histogram",
+    tags=("A1", "A4"),
+    oracle="""
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+SELECT o_orderpriority,
+  CAST(least(9, floor((o_totalprice - b.lo) / (b.hi - b.lo) * 10.0)) AS BIGINT)
+    AS bin,
+  COUNT(*) AS orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders, b
+GROUP BY o_orderpriority, bin
+""",
+)
+def q77_order_value_histogram(spark: SparkSession, sf_dir: str):
+    """Equi-width 10-bin histogram of order value per priority class —
+    the distribution profile behind any data-drift / data-quality
+    dashboard, as a first-class binning operator.
+
+    Two-pass shape: a scalar min/max aggregate (collected to the driver,
+    the DataFrame twin of the oracle's scalar subquery) parameterizes the
+    bin expression, then one hash aggregate on (priority, bin) — the
+    binning itself is a pure codegen projection, so at 100 TB this costs
+    one scan + one tiny shuffle. The bin edges use the identical
+    double-arithmetic expression on both engines, so bin assignment is
+    bit-deterministic."""
+    o = load(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    bin_col = F.least(
+        F.lit(9),
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * 10.0),
+    ).cast("long")
+    return (
+        o.select("o_orderpriority", bin_col.alias("bin"), "o_totalprice")
+        .groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            exact_sum("o_totalprice", "revenue"),
+        )
     )

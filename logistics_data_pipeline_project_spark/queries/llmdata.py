@@ -22,6 +22,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
     simhash_near_pairs,
+    word_shingles,
 )
 from ..operators.mixing import source_mix_sample
 from ..operators.similarity import (
@@ -1918,4 +1919,84 @@ def q73_part_name_editdist(spark: SparkSession, sf_dir: str):
         F.round(F.lit(100.0) * close / F.count(F.lit(1)), 2)
         .cast("double")
         .alias("close_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — cross-source n-gram overlap matrix (corpus leakage analysis)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_N = 5
+
+
+@register(
+    "q76_source_overlap_matrix",
+    tags=("dedup", "A3", "J8"),
+    oracle=f"""
+WITH toks AS (
+  SELECT source, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_OVERLAP_N}
+),
+sh AS (
+  SELECT DISTINCT source,
+    array_to_string(t[i:i+{_OVERLAP_N - 1}], ' ') AS shingle
+  FROM (SELECT source, t,
+          unnest(generate_series(1, len(t)-{_OVERLAP_N - 1})) AS i FROM toks)
+),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS src1, b.source AS src2, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src1, src2, shared,
+  CAST(ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) AS DOUBLE)
+    AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src1
+JOIN sizes sb ON sb.source = src2
+""",
+)
+def q76_source_overlap_matrix(spark: SparkSession, sf_dir: str):
+    """Corpus-leakage matrix: for every pair of sources, how many distinct
+    word-5-grams they share and the Jaccard of their shingle sets — the
+    report that catches one crawl mirroring another before both are
+    upsampled as "independent" sources (the cross-source twin of q44's
+    eval-set decontamination).
+
+    Scale: the posting list per shingle is the set of SOURCES containing
+    it — bounded by the source count (dozens), not the corpus, so unlike
+    document-pair dedup (q22) no df-cap is needed: collect_set + in-group
+    pair generation is O(sources²) per shingle worst case, and only
+    (src1, src2) pair rows ever shuffle after the one shingle exchange."""
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(d, "text", "source", n=_OVERLAP_N).distinct()
+    inv = sh.groupBy("shingle").agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    sizes = inv.select(F.explode("srcs").alias("source")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    pairs = inv.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) ->"
+                " transform(slice(srcs, i+2, size(srcs)),"
+                " y -> struct(x as src1, y as src2))))"
+            )
+        ).alias("p")
+    ).select("p.src1", "p.src2")
+    inter = pairs.groupBy("src1", "src2").agg(F.count(F.lit(1)).alias("shared"))
+    sa = sizes.select(F.col("source").alias("src1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("source").alias("src2"), F.col("n_sh").alias("n2"))
+    jac = F.col("shared").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("shared")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src1")
+        .join(F.broadcast(sb), "src2")
+        .select(
+            "src1",
+            "src2",
+            "shared",
+            F.round(jac, 4).cast("double").alias("jaccard"),
+        )
     )
