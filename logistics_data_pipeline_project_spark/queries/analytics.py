@@ -1108,3 +1108,112 @@ def q77_order_value_histogram(spark: SparkSession, sf_dir: str):
             exact_sum("o_totalprice", "revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — CUBE with grouping flags (grouping-sets family beyond q48's rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q78_priority_status_cube",
+    tags=("A1", "A2", "A4"),
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+  COUNT(*) AS orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def q78_priority_status_cube(spark: SparkSession, sf_dir: str):
+    """Full CUBE over (priority, status): all four aggregation levels —
+    detail, each single-dimension margin, and the grand total — in ONE
+    Expand + partial/final hash aggregate (a single shuffle), where four
+    separate GROUP BYs would scan and shuffle four times. GROUPING()
+    flags disambiguate a genuine NULL key from a rolled-up margin row,
+    exactly as in the SQL standard. Complements q48 (ROLLUP) by covering
+    the cross-margin the rollup hierarchy omits."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.expr("CAST(grouping(o_orderpriority) AS INT)").alias("g_pri"),
+            F.expr("CAST(grouping(o_orderstatus) AS INT)").alias("g_st"),
+            F.count(F.lit(1)).alias("orders"),
+            exact_sum("o_totalprice", "revenue"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "g_pri",
+            "g_st",
+            "orders",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — ratio-to-report (share-of-total window over an aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q79_nation_revenue_share",
+    tags=("A1", "A5", "W1", "J1"),
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation,
+  CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
+  CAST(ROUND(100.0 * CAST(revenue AS DOUBLE)
+    / CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE), 2) AS DOUBLE)
+    AS region_share_pct,
+  CAST(ROUND(100.0 * CAST(revenue AS DOUBLE)
+    / CAST(SUM(revenue) OVER () AS DOUBLE), 2) AS DOUBLE) AS global_share_pct
+FROM rev
+""",
+)
+def q79_nation_revenue_share(spark: SparkSession, sf_dir: str):
+    """Ratio-to-report: each nation's revenue as a share of its region and
+    of the world — the percent-of-total window (Oracle RATIO_TO_REPORT)
+    every BI layer needs.
+
+    The window runs over the AGGREGATED rows (O(nations), not O(orders)):
+    the fact stream is collapsed by one hash aggregate first, then two
+    unbounded window sums — the share denominators — read dozens of rows.
+    Denominators stay DECIMAL (exact) until the final double division.
+    Dims broadcast onto the fact scan as usual."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    share = lambda den: F.round(
+        F.lit(100.0) * F.col("rev_dec").cast("double") / den.cast("double"), 2
+    ).cast("double")
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
+        share(F.sum("rev_dec").over(w_region)).alias("region_share_pct"),
+        share(F.sum("rev_dec").over(w_all)).alias("global_share_pct"),
+    )
