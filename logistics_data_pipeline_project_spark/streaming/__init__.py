@@ -1,8 +1,10 @@
+from .joins import stream_attribution_join
 from .landing import stream_file_landing, stream_hourly_event_counts
 from .stateful import stream_user_sessions
 from .upsert import stream_merge_upsert
 
 __all__ = [
+    "stream_attribution_join",
     "stream_file_landing",
     "stream_hourly_event_counts",
     "stream_merge_upsert",

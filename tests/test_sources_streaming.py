@@ -151,3 +151,62 @@ def test_streaming_landing_archive_and_windows(spark, tmp_path):
     assert not os.listdir(landing)
     archived = [p for _, _, fs in os.walk(archive) for p in fs]
     assert "e1.json" in archived
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    from logistics_data_pipeline_project_spark.streaming import (
+        stream_attribution_join,
+    )
+
+    clicks_dir = tmp_path / "clicks"
+    purch_dir = tmp_path / "purchases"
+    clicks_dir.mkdir()
+    purch_dir.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+
+    def _write(d, name, rows):
+        with open(os.path.join(str(d), name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    _write(
+        clicks_dir,
+        "c1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01 10:00:00", "value": 0.0},
+            {"user_id": 1, "ts": "2024-01-01 11:30:00", "value": 0.0},
+            {"user_id": 2, "ts": "2024-01-01 10:00:00", "value": 0.0},
+        ],
+    )
+    _write(
+        purch_dir,
+        "p1.json",
+        [
+            # within 1h of user 1's 10:00 click only
+            {"user_id": 1, "ts": "2024-01-01 10:30:00", "value": 50.0},
+            # within 1h of user 1's 11:30 click only
+            {"user_id": 1, "ts": "2024-01-01 12:00:00", "value": 70.0},
+            # user 3 never clicked
+            {"user_id": 3, "ts": "2024-01-01 10:15:00", "value": 9.0},
+        ],
+    )
+
+    clicks = stream_file_landing(spark, str(clicks_dir), schema, fmt="json")
+    purchases = stream_file_landing(spark, str(purch_dir), schema, fmt="json")
+    joined = stream_attribution_join(clicks, purchases, max_delay="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["click_ts"]), str(r["purchase_ts"]), r["purchase_value"])
+        for r in spark.table("attrib").collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 50.0),
+        (1, "2024-01-01 11:30:00", "2024-01-01 12:00:00", 70.0),
+    }
