@@ -1217,3 +1217,45 @@ def q79_nation_revenue_share(spark: SparkSession, sf_dir: str):
         share(F.sum("rev_dec").over(w_region)).alias("region_share_pct"),
         share(F.sum("rev_dec").over(w_all)).alias("global_share_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q80_order_count_distribution",
+    tags=("J3", "J4", "A1", "A3"),
+    oracle="""
+WITH co AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM co GROUP BY c_count
+""",
+)
+def q80_order_count_distribution(spark: SparkSession, sf_dir: str):
+    """Frequency-of-frequencies (TPC-H Q13): how many customers placed k
+    non-urgent orders, including k=0 — the distribution report behind
+    engagement/retention dashboards, and the classic case where the
+    filter must live in the LEFT JOIN's ON clause to keep zero-order
+    customers.
+
+    Scale: orders are pre-aggregated to one row per customer BEFORE the
+    join (the ON-filter becomes a pushed scan predicate), so the join
+    shuffles O(customers) rows instead of O(orders) — algebraically
+    identical to the textbook join-then-count form, asserted by the
+    oracle which uses that form. The final frequency table is dozens of
+    rows."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    c = load(spark, sf_dir, "customer")
+    co = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count")
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
