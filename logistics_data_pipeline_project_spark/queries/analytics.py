@@ -1259,3 +1259,68 @@ def q80_order_count_distribution(spark: SparkSession, sf_dir: str):
         F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count")
     )
     return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q81 — gaps-and-islands: longest consecutive-day activity streak
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q81_activity_streaks",
+    tags=("W1", "A1", "A3"),
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id,
+    date_diff('day', DATE '2024-01-01', d)
+      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS streak_len
+  FROM isl GROUP BY user_id, anchor
+),
+longest AS (
+  SELECT user_id, MAX(streak_len) AS max_streak, COUNT(*) AS n_streaks
+  FROM streaks GROUP BY user_id
+)
+SELECT max_streak,
+  COUNT(*) AS users,
+  CAST(SUM(n_streaks) AS BIGINT) AS total_streaks
+FROM longest GROUP BY max_streak
+""",
+)
+def q81_activity_streaks(spark: SparkSession, sf_dir: str):
+    """Gaps-and-islands: the longest run of CONSECUTIVE active days per
+    user, reported as a streak-length distribution — the retention-streak
+    metric, via the classic day_number − row_number() island anchor (two
+    rows are in the same island iff the difference is constant).
+
+    Scale: everything after the initial distinct collapses partitions by
+    user_id — the distinct, the row_number window, and both follow-up
+    aggregates all hash on user_id (or its superset), so the plan re-uses
+    one exchange of O(user-days) rows; the final distribution is dozens
+    of rows. No self-join, no recursive CTE."""
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    isl = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")) - rn
+        ).alias("anchor"),
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    return longest.groupBy("max_streak").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("n_streaks").cast("long").alias("total_streaks"),
+    )
