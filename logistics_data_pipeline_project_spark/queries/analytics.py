@@ -1324,3 +1324,52 @@ def q81_activity_streaks(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("users"),
         F.sum("n_streaks").cast("long").alias("total_streaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — sliding-window COUNT DISTINCT (7-day active users)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q82_rolling_active_users",
+    tags=("W1", "A3", "J7"),
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+dom AS (SELECT DISTINCT d FROM days)
+SELECT dom.d AS window_end,
+  COUNT(DISTINCT days.user_id) AS users_7d
+FROM dom JOIN days ON days.d BETWEEN dom.d - 6 AND dom.d
+GROUP BY dom.d
+""",
+)
+def q82_rolling_active_users(spark: SparkSession, sf_dir: str):
+    """Rolling 7-day distinct active users per day — the DAU/WAU family.
+    SQL window frames cannot express COUNT(DISTINCT) over a sliding
+    RANGE, and the oracle's domain⋈days range join re-scans 7× rows per
+    window; the scalable DataFrame formulation EXPLODES each (user, day)
+    into the ≤7 windows it contributes to, semi-joins against the
+    observed-day domain (broadcast — it is O(days)), and runs one exact
+    distinct aggregate on (window, user).
+
+    Scale: shuffle volume is O(7 · user-days) narrow rows — linear fan-out
+    replacing a quadratic-ish range join; the distinct aggregate is the
+    standard two-level hash (partial distinct map-side). This is the
+    textbook way to get sliding distinct counts at 100 TB (or swap the
+    final distinct for HLL partials when approximate is acceptable)."""
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    dom = days.select("d").distinct().withColumnRenamed("d", "window_end")
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, date_add(d, 6), interval 1 day)")
+        ).alias("window_end"),
+    )
+    return (
+        contrib.join(F.broadcast(dom), "window_end")
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
