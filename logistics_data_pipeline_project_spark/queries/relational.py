@@ -973,3 +973,49 @@ def q35_part_brand_text_stats(spark: SparkSession, sf_dir: str):
         F.sum(F.length(F.trim(F.col("p_name")))).cast("long").alias("name_chars"),
         F.min(F.upper("p_name")).alias("first_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — VARIANT semi-structured access (Spark 4 parity with Snowflake
+# VARIANT, the reference's core bronze type — SURVEY §1.1/§1.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q83_props_variant_kpi",
+    tags=("P2", "P3", "A1"),
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS events,
+  COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS with_k,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+  CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q83_props_variant_kpi(spark: SparkSession, sf_dir: str):
+    """Open-schema JSON access through Spark 4's VARIANT type — the
+    engine-native equivalent of the reference's Snowflake `VARIANT`
+    columns and `value:path::TYPE` casts (SURVEY §1.1-§1.2,
+    dags/2_logistics-shipment-dag.py:100-103): `parse_json` keeps the
+    payload schema-on-read (no schema inference pass, unknown keys
+    preserved), `variant_get(v, '$.k', 'int')` is the typed path cast.
+
+    The engine's struct-based flows (models/shipments.py) remain the
+    closed-schema path; VARIANT is the true schema-on-read option — at
+    100 TB it trades a binary-encoded column (larger scan) for zero
+    schema-drift failures. Path extraction is JVM-side; one hash
+    aggregate after a pure projection."""
+    e = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.count("k").alias("with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )

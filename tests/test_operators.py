@@ -474,3 +474,28 @@ def test_source_mix_sample_deterministic_epochs(spark):
 
     with _pytest.raises(ValueError, match="negative rate"):
         source_mix_sample(df, "doc_id", "source", {"up": -1.0})
+
+
+def test_native_session_window_matches_gap_sessionization(spark, sf_dir):
+    """Spark's built-in session_window (gap-merged event-time windows)
+    must agree with the engine's island-anchor sessionization (q20 /
+    operators.temporal style) on session counts and event totals."""
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.queries import REGISTRY
+
+    e = load(spark, sf_dir, "events")
+    native = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )
+    q20 = REGISTRY["q20_user_sessions"].fn(spark, sf_dir)
+    q20_cols = set(q20.columns)
+    assert {"user_id", "n_sessions"} <= q20_cols, q20_cols
+    got = {r["user_id"]: r["n_sessions"] for r in native.collect()}
+    want = {r["user_id"]: r["n_sessions"] for r in q20.collect()}
+    assert got == want
