@@ -1,14 +1,30 @@
-"""Atomic table materialization over a parquet warehouse directory.
+"""Versioned, atomic table materialization over a parquet warehouse.
 
-The reference's writes are Snowflake CTAS / MERGE — implicitly atomic.
-Over files, atomicity = write-temp-then-swap (SURVEY §7 Phase 2): readers
-see either the old or the new table, never a partial write, and an
-incremental model can safely read its own previous state while computing
-the next one (the temp write materializes before the swap).
+The reference's writes are Snowflake CTAS / MERGE — implicitly atomic and
+(in Snowflake) time-travelable. Over files the same guarantees come from a
+tiny commit protocol, the essence of what Delta/Iceberg do with manifest
+files (SURVEY §7 Phase 2):
 
-At real cluster scale this protocol is what Delta/Iceberg table commits do
-with manifest files; the TableStore API (read/exists/overwrite) is format
-agnostic so a lakehouse format can back it without touching callers.
+- every write lands in a NEW immutable version directory
+  (``warehouse/name/v_000001`` …) that is invisible to readers,
+- a one-line ``_LATEST`` pointer file is then swapped atomically
+  (``os.replace``) — readers see either the old or the new snapshot,
+  never a partial write,
+- old versions are retained (``retain_versions``) for time-travel reads
+  (``read(name, version=n)``) and instant ``rollback`` (a pointer swap,
+  no data copy), then garbage-collected.
+
+``append`` snapshots cheaply: the new version hardlinks the current
+version's files and adds the appended part files next to them — O(files)
+metadata, zero data copy, and the previous snapshot stays intact.
+
+An incremental model can therefore safely read its own previous state
+while computing the next one, and a bad batch is undone in O(1). The API
+(read/exists/overwrite/append/versions/rollback) is format agnostic so a
+lakehouse format can back it without touching callers.
+
+Pre-versioning layouts (parquet files directly under ``warehouse/name``)
+are migrated into ``v_000001`` on the next write.
 """
 
 from __future__ import annotations
@@ -19,41 +35,154 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+_POINTER = "_LATEST"
+_VPREFIX = "v_"
+
 
 class TableStore:
-    """Name → parquet directory mapping with atomic overwrite."""
+    """Name → versioned parquet directory mapping with atomic commits."""
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    def __init__(
+        self, spark: SparkSession, warehouse_dir: str, retain_versions: int = 3
+    ):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
+        self.retain_versions = max(1, retain_versions)
         os.makedirs(warehouse_dir, exist_ok=True)
 
-    def path(self, name: str) -> str:
+    # -- layout ---------------------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
         return os.path.join(self.warehouse_dir, name)
 
-    def exists(self, name: str) -> bool:
-        p = self.path(name)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+    def _vdir(self, name: str, version: int) -> str:
+        return os.path.join(self._table_dir(name), f"{_VPREFIX}{version:06d}")
+
+    def versions(self, name: str) -> list[int]:
+        """All retained snapshot versions, oldest first."""
+        d = self._table_dir(name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.startswith(_VPREFIX) and f[len(_VPREFIX) :].isdigit():
+                out.append(int(f[len(_VPREFIX) :]))
+        return sorted(out)
+
+    def current_version(self, name: str) -> int | None:
+        """The committed version the ``_LATEST`` pointer names (falls back
+        to the newest version directory if a crash lost the pointer)."""
+        ptr = os.path.join(self._table_dir(name), _POINTER)
+        if os.path.isfile(ptr):
+            with open(ptr) as f:
+                v = f.read().strip()
+            if v.isdigit() and os.path.isdir(self._vdir(name, int(v))):
+                return int(v)
+        vs = self.versions(name)
+        return vs[-1] if vs else None
+
+    def _has_legacy_files(self, name: str) -> bool:
+        d = self._table_dir(name)
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(d)
         )
 
-    def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+    def _migrate_legacy(self, name: str) -> None:
+        """Move a pre-versioning flat layout into v_000001 + pointer."""
+        d = self._table_dir(name)
+        v1 = self._vdir(name, 1)
+        os.makedirs(v1)
+        for f in os.listdir(d):
+            if f != os.path.basename(v1) and not f.startswith(_VPREFIX):
+                os.rename(os.path.join(d, f), os.path.join(v1, f))
+        self._commit_pointer(name, 1)
+
+    def _resolve(self, name: str, version: int | None) -> str:
+        if self._has_legacy_files(name):
+            return self._table_dir(name)
+        cur = self.current_version(name)
+        if version is None:
+            version = cur
+        if version is None:
+            return self._table_dir(name)  # nonexistent; let Spark error
+        if version not in self.versions(name):
+            raise ValueError(
+                f"table {name!r} has no version {version}; "
+                f"retained: {self.versions(name)}"
+            )
+        return self._vdir(name, version)
+
+    def _commit_pointer(self, name: str, version: int) -> None:
+        d = self._table_dir(name)
+        tmp = os.path.join(d, f"{_POINTER}.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(d, _POINTER))  # atomic on POSIX
+
+    def _gc(self, name: str) -> None:
+        cur = self.current_version(name)
+        keep = set(self.versions(name)[-self.retain_versions :])
+        if cur is not None:
+            keep.add(cur)
+        for v in self.versions(name):
+            if v not in keep:
+                shutil.rmtree(self._vdir(name, v), ignore_errors=True)
+
+    # -- public API -----------------------------------------------------
+
+    def path(self, name: str, version: int | None = None) -> str:
+        """Resolved data directory of a (versioned) snapshot."""
+        return self._resolve(name, version)
+
+    def exists(self, name: str) -> bool:
+        if self._has_legacy_files(name):
+            return True
+        return self.current_version(name) is not None
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to ``version``."""
+        return self.spark.read.parquet(self._resolve(name, version))
 
     def overwrite(self, name: str, df: DataFrame) -> None:
-        """Atomic swap: write tmp → move old aside → rename tmp → drop old."""
-        final = self.path(name)
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        trash = f"{final}.trash-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        try:
-            if os.path.exists(final):
-                os.rename(final, trash)
-            os.rename(tmp, final)
-        finally:
-            for leftover in (trash, tmp):
-                if os.path.exists(leftover) and leftover != final:
-                    shutil.rmtree(leftover, ignore_errors=True)
+        """Commit ``df`` as a new snapshot version (atomic pointer swap)."""
+        if self._has_legacy_files(name):
+            self._migrate_legacy(name)
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        vs = self.versions(name)
+        nxt = (vs[-1] + 1) if vs else 1
+        # the version dir is invisible to readers until the pointer swap,
+        # so Spark can write it in place; a crash leaves an uncommitted
+        # orphan dir that the next write's numbering skips and GC removes
+        df.write.mode("overwrite").parquet(self._vdir(name, nxt))
+        self._commit_pointer(name, nxt)
+        self._gc(name)
 
     def append(self, name: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.path(name))
+        """Commit a new snapshot = current files (hardlinked, zero copy)
+        + ``df``'s part files."""
+        if self._has_legacy_files(name):
+            self._migrate_legacy(name)
+        cur = self.current_version(name)
+        if cur is None:
+            self.overwrite(name, df)
+            return
+        vs = self.versions(name)
+        nxt = vs[-1] + 1
+        src, dst = self._vdir(name, cur), self._vdir(name, nxt)
+        os.makedirs(dst)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+        df.write.mode("append").parquet(dst)
+        self._commit_pointer(name, nxt)
+        self._gc(name)
+
+    def rollback(self, name: str, version: int) -> None:
+        """Point the table back at an earlier retained snapshot — a pure
+        pointer swap, O(1), no data copy."""
+        if version not in self.versions(name):
+            raise ValueError(
+                f"cannot rollback {name!r} to {version}; "
+                f"retained: {self.versions(name)}"
+            )
+        self._commit_pointer(name, version)
