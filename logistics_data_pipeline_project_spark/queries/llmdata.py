@@ -1990,9 +1990,13 @@ def q76_source_overlap_matrix(spark: SparkSession, sf_dir: str):
     jac = F.col("shared").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("shared")
     )
+    # No broadcast() hint on sa/sb: a hint forces separate BroadcastExchange
+    # subtrees, which defeats ReuseExchange — the whole shingle pipeline
+    # would re-execute once per branch (3 scans). Left to AQE, the shuffled
+    # inv subtree is computed once and reused by sizes and pairs.
     return (
-        inter.join(F.broadcast(sa), "src1")
-        .join(F.broadcast(sb), "src2")
+        inter.join(sa, "src1")
+        .join(sb, "src2")
         .select(
             "src1",
             "src2",
