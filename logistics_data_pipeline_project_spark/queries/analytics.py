@@ -1373,3 +1373,82 @@ def q82_rolling_active_users(spark: SparkSession, sf_dir: str):
         .groupBy("window_end")
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — cohort retention triangle (first-activity cohort × months since)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q84_order_cohort_retention",
+    tags=("A1", "A3", "W1", "J1"),
+    oracle="""
+WITH first AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+act AS (
+  SELECT DISTINCT o.o_custkey, f.cohort,
+    date_diff('month', f.cohort, date_trunc('month', o.o_orderdate)) AS month_n
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+),
+size_ AS (SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort)
+SELECT CAST(act.cohort AS DATE) AS cohort_month,
+  act.month_n,
+  COUNT(*) AS active_customers,
+  CAST(MAX(size_.cohort_size) AS BIGINT) AS cohort_size,
+  CAST(ROUND(100.0 * COUNT(*) / MAX(size_.cohort_size), 2) AS DOUBLE)
+    AS retention_pct
+FROM act JOIN size_ ON act.cohort = size_.cohort
+GROUP BY act.cohort, act.month_n
+""",
+)
+def q84_order_cohort_retention(spark: SparkSession, sf_dir: str):
+    """Cohort retention triangle: customers grouped by first-order month,
+    tracked by distinct activity in each subsequent month — the classic
+    retention matrix every growth dashboard draws.
+
+    Scale: first-order months and per-(customer, month) activity both
+    collapse the fact stream by customer-keyed hash aggregates before
+    anything joins; the cohort-size table is O(months) and broadcast.
+    The month_n arithmetic uses months_between on truncated dates —
+    integer-exact on both engines."""
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    act = (
+        o.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort")
+            )
+            .cast("long")
+            .alias("month_n"),
+        )
+        .distinct()
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        act.join(F.broadcast(sizes), "cohort")
+        .groupBy("cohort", "month_n")
+        .agg(
+            F.count(F.lit(1)).alias("active_customers"),
+            F.max("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.lit(100.0) * F.count(F.lit(1)) / F.max("cohort_size"), 2
+            )
+            .cast("double")
+            .alias("retention_pct"),
+        )
+        .select(
+            F.col("cohort").cast("date").alias("cohort_month"),
+            "month_n",
+            "active_customers",
+            "cohort_size",
+            "retention_pct",
+        )
+    )

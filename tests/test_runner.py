@@ -200,3 +200,58 @@ def test_table_store_migrates_legacy_layout(spark, tmp_path):
     # the pre-versioning data is preserved as version 1
     assert store.read("t", version=1).first()["id"] == 1
     assert store.read("t").first()["id"] == 2
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.plans.incremental import (
+        incremental_rollup,
+        read_rollup,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    rows = [
+        # (day, key, v) — three "daily" slices
+        (1, "a", 10.0), (1, "b", 5.0),
+        (2, "a", 7.0), (2, "c", 1.0),
+        (3, "b", 2.0), (3, "a", 4.0),
+    ]
+    full = spark.createDataFrame(rows, "day int, k string, v double")
+    measures = {
+        "n": ("*", "count"),
+        "total": ("v", "sum"),
+        "vmin": ("v", "min"),
+        "vmax": ("v", "max"),
+    }
+    # feed slices incrementally (cursor = day)
+    for d in (1, 2, 3):
+        incremental_rollup(
+            store, "rollup", full.filter(F.col("day") <= d), ["k"], measures, "day"
+        )
+    got = {
+        r["k"]: (r["n"], float(r["total"]), r["vmin"], r["vmax"])
+        for r in read_rollup(store, "rollup").collect()
+    }
+    want = {
+        r["k"]: (r["n"], float(r["total"]), r["vmin"], r["vmax"])
+        for r in full.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(27,2)")).alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == want
+    # idempotent when no new rows arrive
+    before = store.current_version("rollup")
+    incremental_rollup(store, "rollup", full, ["k"], measures, "day")
+    again = {
+        r["k"]: (r["n"], float(r["total"]), r["vmin"], r["vmax"])
+        for r in read_rollup(store, "rollup").collect()
+    }
+    assert again == want
+    # the no-delta run still commits a snapshot; history lets us roll back
+    assert store.current_version("rollup") == before + 1
