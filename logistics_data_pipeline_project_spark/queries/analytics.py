@@ -1452,3 +1452,57 @@ def q84_order_cohort_retention(spark: SparkSession, sf_dir: str):
             "retention_pct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — bitmap aggregate: activity bitmask + popcount (bitmap-index family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q85_activity_bitmap",
+    tags=("A2", "A3", "W1"),
+    oracle="""
+WITH bm AS (
+  SELECT user_id,
+    bit_or(CAST(1 AS BIGINT) << (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))) AS days_mask
+  FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-02-01'
+  GROUP BY user_id
+)
+SELECT bit_count(days_mask) AS active_days,
+  COUNT(*) AS users,
+  CAST(MIN(days_mask) AS BIGINT) AS min_mask
+FROM bm GROUP BY bit_count(days_mask)
+""",
+)
+def q85_activity_bitmap(spark: SparkSession, sf_dir: str):
+    """Bitmap-index distinct counting: each user's active days in a
+    32-day window fold into ONE 64-bit mask via bit_or, and popcount
+    (bit_count) reads the distinct-day count straight out of the mask.
+
+    The bitmap is the cheap half of a roaring-bitmap pipeline: the
+    aggregate state is 8 bytes per user regardless of event volume
+    (vs. a hash set for COUNT DISTINCT), it merges associatively —
+    perfectly map-side combinable — and set operations between masks
+    (AND = both-active days, OR = either) are single instructions.
+    The distribution of popcounts + the min mask per bucket make the
+    whole structure oracle-checkable bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    lo = F.lit("2024-01-01").cast("date")
+    bm = (
+        e.filter((d >= lo) & (d <= F.lit("2024-02-01").cast("date")))
+        .select(
+            "user_id",
+            F.expr(
+                "shiftleft(1L, datediff(cast(ts as date), date'2024-01-01'))"
+            ).alias("b"),
+        )
+        .groupBy("user_id")
+        .agg(F.bit_or("b").alias("days_mask"))
+    )
+    return bm.groupBy(F.bit_count("days_mask").alias("active_days")).agg(
+        F.count(F.lit(1)).alias("users"),
+        F.min("days_mask").cast("long").alias("min_mask"),
+    )
