@@ -2004,3 +2004,128 @@ def q76_source_overlap_matrix(spark: SparkSession, sf_dir: str):
             F.round(jac, 4).cast("double").alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — boilerplate/template detection via shared document prefixes
+# ---------------------------------------------------------------------------
+
+_PREFIX_K = 3
+
+
+@register(
+    "q86_boilerplate_prefixes",
+    tags=("text", "dedup", "A1"),
+    oracle=f"""
+WITH p AS (
+  SELECT source,
+    array_to_string(string_split(lower(text), ' ')[1:{_PREFIX_K}], ' ')
+      AS prefix_sig
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_PREFIX_K}
+),
+t AS (
+  SELECT source, prefix_sig, COUNT(*) AS docs
+  FROM p GROUP BY source, prefix_sig
+  HAVING COUNT(*) >= 2
+)
+SELECT source,
+  COUNT(*) AS templates,
+  CAST(SUM(docs) AS BIGINT) AS docs_in_templates,
+  CAST(MAX(docs) AS BIGINT) AS largest_template
+FROM t GROUP BY source
+""",
+)
+def q86_boilerplate_prefixes(spark: SparkSession, sf_dir: str):
+    """Boilerplate/template detection: documents opening with the same
+    first-k tokens inside one source are template instances (site
+    headers, license preambles, scraper artifacts) — the C4-style cleanup
+    target that per-document quality scores (q28) cannot see because
+    every instance looks individually fine.
+
+    Scale: the prefix signature is a fixed-k slice (pure column exprs, no
+    explode — unlike shingling the cost does not scale with document
+    length); only (source, 6-token-prefix) rows shuffle into the group
+    count, then a per-source rollup. Swap the raw prefix for its md5 to
+    shuffle 16 bytes at extreme scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    p = d.filter(F.size(toks) >= _PREFIX_K).select(
+        "source",
+        F.array_join(F.slice(toks, 1, _PREFIX_K), " ").alias("prefix_sig"),
+    )
+    t = (
+        p.groupBy("source", "prefix_sig")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .filter(F.col("docs") >= 2)
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("templates"),
+        F.sum("docs").cast("long").alias("docs_in_templates"),
+        F.max("docs").cast("long").alias("largest_template"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — canonical selection: keep the best replica of each duplicate group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q87_canonical_selection",
+    tags=("dedup", "A1", "A4"),
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+    md5(text) AS sig,
+    CASE lang WHEN 'en' THEN 0 ELSE 1 END * 10000000000 + doc_id AS pref
+  FROM documents
+),
+canon AS (
+  SELECT sig, MIN(pref) AS best_pref, COUNT(*) AS replicas
+  FROM ranked GROUP BY sig
+)
+SELECT r.source,
+  COUNT(*) AS docs,
+  COUNT(CASE WHEN r.pref = c.best_pref THEN 1 END) AS kept,
+  COUNT(CASE WHEN r.pref <> c.best_pref THEN 1 END) AS dropped,
+  COUNT(CASE WHEN c.replicas > 1 AND r.pref = c.best_pref THEN 1 END)
+    AS kept_from_dup_groups
+FROM ranked r JOIN canon c USING (sig)
+GROUP BY r.source
+""",
+)
+def q87_canonical_selection(spark: SparkSession, sf_dir: str):
+    """Keep-best dedup: exact-duplicate groups (md5 of text) keep ONE
+    canonical replica chosen by an explicit preference order (here:
+    English first, then lowest doc_id) — the selection step that turns a
+    duplicate REPORT (q21) into a duplicate RESOLUTION, with per-source
+    keep/drop accounting for the curation audit trail.
+
+    The preference is folded into a single integer (rank · 10^10 +
+    doc_id) so argmin-by-preference is a plain MIN — engine-portable,
+    total order, no min_by/arg_min semantics differences, deterministic
+    under any partitioning. One shuffle on the 16-byte signature, one
+    broadcast-size join back (group table is O(distinct texts))."""
+    d = load(spark, sf_dir, "documents")
+    pref = (
+        F.when(F.col("lang") == "en", 0).otherwise(1).cast("long")
+        * F.lit(10_000_000_000).cast("long")
+        + F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id", "source", F.md5("text").alias("sig"), pref.alias("pref")
+    )
+    canon = ranked.groupBy("sig").agg(
+        F.min("pref").alias("best_pref"), F.count(F.lit(1)).alias("replicas")
+    )
+    j = ranked.join(canon, "sig")
+    is_best = F.col("pref") == F.col("best_pref")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count(F.when(is_best, 1)).alias("kept"),
+        F.count(F.when(~is_best, 1)).alias("dropped"),
+        F.count(F.when((F.col("replicas") > 1) & is_best, 1)).alias(
+            "kept_from_dup_groups"
+        ),
+    )
