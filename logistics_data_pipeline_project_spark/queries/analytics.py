@@ -1506,3 +1506,71 @@ def q85_activity_bitmap(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("users"),
         F.min("days_mask").cast("long").alias("min_mask"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — exact weighted median (weighted order statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q88_weighted_median_doclen",
+    tags=("W1", "A2"),
+    oracle="""
+WITH w AS (
+  SELECT source, n_chars, doc_id,
+    len(string_split(text, ' ')) AS wt
+  FROM documents
+),
+c AS (
+  SELECT source, n_chars, wt,
+    SUM(wt) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(wt) OVER (PARTITION BY source) AS tot
+  FROM w
+)
+SELECT source,
+  CAST(MIN(CASE WHEN 2 * cum >= tot THEN n_chars END) AS BIGINT)
+    AS weighted_median_chars,
+  CAST(MAX(tot) AS BIGINT) AS total_tokens
+FROM c GROUP BY source
+""",
+)
+def q88_weighted_median_doclen(spark: SparkSession, sf_dir: str):
+    """Token-weighted median document length per source: the document
+    length at which half the source's TOKEN MASS sits in shorter docs —
+    the right centering statistic when downstream cost follows tokens,
+    not document counts (an unweighted median over-weights short docs).
+
+    Weighted order statistics have no built-in aggregate on either
+    engine; the formulation is one sort-window cumulative sum and the
+    first cumulative-weight crossing of half the total. All-integer
+    arithmetic (2·cum ≥ tot avoids division entirely), and the crossing
+    VALUE is invariant to tie order, so the result is engine- and
+    partitioning-independent. One shuffle on source for the windows plus
+    the final per-source collapse on the same key."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "source",
+        "n_chars",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("wt"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_win = Window.partitionBy("source")
+    c = w.select(
+        "source",
+        "n_chars",
+        F.sum("wt").over(win).alias("cum"),
+        F.sum("wt").over(tot_win).alias("tot"),
+    )
+    return c.groupBy("source").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("n_chars")))
+        .cast("long")
+        .alias("weighted_median_chars"),
+        F.max("tot").cast("long").alias("total_tokens"),
+    )
