@@ -66,7 +66,10 @@ def incremental_rollup(
     if store.exists(name):
         prev = store.read(name)
         wm = prev.agg(F.max(wm_col)).first()[0]
-        delta = source.filter(F.col(cursor_col) > F.lit(wm))
+        # a NULL watermark means the stored rollup has processed no rows
+        # yet (e.g. the first increment was empty) — take everything;
+        # `cursor > NULL` would silently drop the whole source
+        delta = source if wm is None else source.filter(F.col(cursor_col) > F.lit(wm))
     else:
         prev = None
         delta = source
@@ -90,10 +93,15 @@ def incremental_rollup(
             )
         )
         gmax = merged.agg(F.max(wm_col)).first()[0]
-        merged = merged.withColumn(wm_col, F.lit(gmax))
     else:
+        merged = part
         gmax = part.agg(F.max(wm_col)).first()[0]
-        merged = part.withColumn(wm_col, F.lit(gmax))
+    # re-broadcast the global watermark onto every row, keeping the column
+    # typed even when gmax is None (an untyped null would drift the schema
+    # and break the next run's unionByName)
+    merged = merged.withColumn(
+        wm_col, F.lit(gmax).cast(dict(merged.dtypes)[wm_col])
+    )
     # localCheckpoint cuts lineage to the store's previous snapshot files
     # before the atomic swap (same discipline as streaming/upsert.py)
     store.overwrite(name, merged.localCheckpoint(eager=True))

@@ -185,3 +185,57 @@ class TestScd2Properties:
                 want[k] = v
         got = {r["k"]: r["v"] for r in rows_ if r["is_current"]}
         assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+class TestIncrementalRollupProperties:
+    rollup_rows = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # day (cursor)
+            st.sampled_from(["a", "b", "c"]),  # key
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @given(data=rollup_rows, cut=st.integers(min_value=1, max_value=4))
+    @prop
+    def test_any_slicing_matches_full_recompute(self, spark, tmp_path_factory, data, cut):
+        from logistics_data_pipeline_project_spark.plans import (
+            TableStore,
+            incremental_rollup,
+            read_rollup,
+        )
+
+        store = TableStore(
+            spark, str(tmp_path_factory.mktemp("wh")), retain_versions=1
+        )
+        full = spark.createDataFrame(data, "day int, k string, v int")
+        measures = {
+            "n": ("*", "count"),
+            "total": ("v", "sum"),
+            "vmin": ("v", "min"),
+            "vmax": ("v", "max"),
+        }
+        # arbitrary cut point: rows ≤ cut first, then everything
+        incremental_rollup(
+            store, "r", full.filter(F.col("day") <= cut), ["k"], measures, "day"
+        )
+        incremental_rollup(store, "r", full, ["k"], measures, "day")
+        got = {
+            r["k"]: (r["n"], float(r["total"]), r["vmin"], r["vmax"])
+            for r in read_rollup(store, "r").collect()
+        }
+        want = {
+            r["k"]: (r["n"], float(r["total"]), r["vmin"], r["vmax"])
+            for r in full.groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(27,2)")).alias("total"),
+                F.min("v").alias("vmin"),
+                F.max("v").alias("vmax"),
+            )
+            .collect()
+        }
+        assert got == want
