@@ -198,3 +198,21 @@ def test_zorder_layout_shrinks_spans_on_both_dims(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(path).count() == ev.count()
     )
+
+
+def test_zorder_key_is_bijective_on_the_grid(spark):
+    # every (x, y) pair in the full 5-bit grid must map to a unique key
+    # within [0, 2^10) — interleaving is a bijection onto the square
+    bits = 5
+    n = 1 << bits
+    grid = spark.range(n * n).selectExpr(
+        f"id % {n} AS x", f"id div {n} AS y"
+    )
+    keyed = grid.select(zorder_key(["x", "y"], bits=bits).alias("z"))
+    stats = keyed.agg(
+        F.countDistinct("z").alias("d"),
+        F.min("z").alias("lo"),
+        F.max("z").alias("hi"),
+    ).first()
+    assert stats["d"] == n * n
+    assert stats["lo"] == 0 and stats["hi"] == n * n - 1
