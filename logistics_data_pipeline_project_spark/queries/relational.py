@@ -1019,3 +1019,74 @@ def q83_props_variant_kpi(spark: SparkSession, sf_dir: str):
             F.max("k").cast("int").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — generated calendar dimension + coverage (EDW dim_date,
+# dags/snowflake-EDW-ETL-dag.py:321-339 builds dim_date from order dates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q89_calendar_coverage",
+    tags=("S10", "J3", "A4"),
+    oracle="""
+WITH cal AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+ev AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+    COUNT(DISTINCT user_id) AS users
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT cal.d AS cal_date,
+  dayofweek(cal.d) AS dow,
+  dayofweek(cal.d) IN (0, 6) AS is_weekend,
+  CAST(COALESCE(ev.n, 0) AS BIGINT) AS n_events,
+  CAST(COALESCE(ev.users, 0) AS BIGINT) AS active_users,
+  ev.d IS NULL AS is_gap
+FROM cal LEFT JOIN ev ON cal.d = ev.d
+""",
+)
+def q89_calendar_coverage(spark: SparkSession, sf_dir: str):
+    """Generated calendar dimension (the reference's EDW dim_date,
+    dags/snowflake-EDW-ETL-dag.py:321-339) joined to daily event rollups:
+    `sequence()` + explode generates the date spine engine-side — no
+    seed file — and the left join surfaces days with NO data (`is_gap`),
+    the check that catches silent ingestion holes that an inner-join
+    rollup would hide.
+
+    DOW normalization: Spark's dayofweek is 1=Sunday..7=Saturday,
+    DuckDB's is 0=Sunday..6=Saturday — the engine subtracts 1 so both
+    report the same ISO-agnostic 0-based encoding. The spine is O(days)
+    → broadcast; the fact stream collapses to O(days) first."""
+    e = load(spark, sf_dir, "events")
+    cal = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(date'2024-01-01', date'2024-01-30', interval 1 day)"
+            )
+        ).alias("cal_date")
+    )
+    ev = (
+        e.select(F.col("ts").cast("date").alias("d"), "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+    dow = F.dayofweek("cal_date") - 1  # Spark 1=Sun → 0=Sun like DuckDB
+    return (
+        F.broadcast(cal)
+        .join(ev, cal.cal_date == ev.d, "left")
+        .select(
+            "cal_date",
+            dow.alias("dow"),
+            dow.isin(0, 6).alias("is_weekend"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("users"), F.lit(0)).cast("long").alias("active_users"),
+            F.col("d").isNull().alias("is_gap"),
+        )
+    )
