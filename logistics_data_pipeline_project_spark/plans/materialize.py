@@ -159,12 +159,25 @@ class TableStore:
 
     def append(self, name: str, df: DataFrame) -> None:
         """Commit a new snapshot = current files (hardlinked, zero copy)
-        + ``df``'s part files."""
+        + ``df``'s part files.
+
+        If ``df``'s schema drifts from the current snapshot (new, missing,
+        or re-typed columns), the append falls back to a unionByName
+        rewrite — existing rows get NULLs for new columns, incoming rows
+        get NULLs for columns they lack — so the committed snapshot always
+        has ONE coherent schema (readers never need mergeSchema). The
+        zero-copy hardlink path is taken only on an exact schema match."""
         if self._has_legacy_files(name):
             self._migrate_legacy(name)
         cur = self.current_version(name)
         if cur is None:
             self.overwrite(name, df)
+            return
+        current = self.read(name)
+        if current.schema != df.schema:
+            evolved = current.unionByName(df, allowMissingColumns=True)
+            # localCheckpoint cuts lineage to the snapshot being replaced
+            self.overwrite(name, evolved.localCheckpoint(eager=True))
             return
         vs = self.versions(name)
         nxt = vs[-1] + 1

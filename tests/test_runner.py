@@ -255,3 +255,22 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     assert again == want
     # the no-delta run still commits a snapshot; history lets us roll back
     assert store.current_version("rollup") == before + 1
+
+
+def test_table_store_append_schema_evolution(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"), retain_versions=4)
+    store.overwrite("t", spark.createDataFrame([(1, "x")], "id long, a string"))
+    # drifted schema: new column b, missing column a
+    store.append("t", spark.createDataFrame([(2, 9.5)], "id long, b double"))
+    rows = {r["id"]: (r["a"], r["b"]) for r in store.read("t").collect()}
+    assert rows == {1: ("x", None), 2: (None, 9.5)}
+    # snapshot has ONE coherent schema; no mergeSchema needed
+    assert set(store.read("t").columns) == {"id", "a", "b"}
+    # time travel still shows the narrow pre-evolution schema
+    assert set(store.read("t", version=1).columns) == {"id", "a"}
+    # matching schema appends keep taking the fast path and stay readable
+    store.append(
+        "t",
+        spark.createDataFrame([(3, "y", 1.5)], "id long, a string, b double"),
+    )
+    assert store.read("t").count() == 3
