@@ -136,3 +136,41 @@ def stream_user_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_first_seen(
+    df: DataFrame,
+    key_col: str = "sig",
+) -> DataFrame:
+    """Streaming exactly-once deduplication: the first row bearing each
+    key is emitted (with its in-batch occurrence count); every later
+    arrival of the same key — in the same or ANY later micro-batch — is
+    dropped. Checkpoint-recoverable via the state store.
+
+    This is the streaming half of the exact-dedup family (batch twins:
+    q21/q87): a landing stream of document signatures passes each content
+    hash downstream exactly once. State is one boolean per distinct key —
+    O(distinct keys); on unbounded key spaces pair it with a TTL/timeout
+    eviction policy and push exactness into a compacted batch pass (the
+    standard memory/exactness trade at 100 TB).
+
+    Implemented on ``applyInPandasWithState`` (the stateful API available
+    without extra deps; Spark 4's ``transformWithStateInPandas`` twin
+    additionally needs protobuf at runtime)."""
+
+    def first_seen(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            return
+        state.update((True,))
+        yield pd.DataFrame({key_col: [key[0]], "occurrences": [n]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        first_seen,
+        outputStructType=f"{key_col} string, occurrences long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

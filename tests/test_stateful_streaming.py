@@ -84,3 +84,49 @@ def test_sessions_close_by_gap_and_by_timeout(spark, tmp_path):
     }
     assert (1, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1) in rows
     assert len(rows) == 3
+
+
+def test_first_seen_dedup_across_batches(spark, tmp_path):
+    from logistics_data_pipeline_project_spark.streaming.stateful import (
+        stream_first_seen,
+    )
+
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    os.makedirs(landing)
+    out_schema = "sig string, occurrences bigint"
+
+    def run_once():
+        stream = spark.readStream.format("json").schema("sig string").load(landing)
+        q = (
+            stream_first_seen(stream, "sig")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    _write_batch(landing, "b1.json", [{"sig": "A"}, {"sig": "B"}, {"sig": "A"}])
+    run_once()
+    got1 = {
+        (r["sig"], r["occurrences"])
+        for r in spark.read.schema(out_schema).parquet(out).collect()
+    }
+    assert got1 == {("A", 2), ("B", 1)}
+
+    # B recurs in a later batch -> dropped; C is new -> emitted once
+    _write_batch(landing, "b2.json", [{"sig": "B"}, {"sig": "C"}])
+    run_once()
+    got2 = {
+        (r["sig"], r["occurrences"])
+        for r in spark.read.schema(out_schema).parquet(out).collect()
+    }
+    assert got2 == {("A", 2), ("B", 1), ("C", 1)}
