@@ -1574,3 +1574,406 @@ def q88_weighted_median_doclen(spark: SparkSession, sf_dir: str):
         .alias("weighted_median_chars"),
         F.max("tot").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — GROUPING SETS (arbitrary level combinations, beyond ROLLUP/CUBE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q90_priority_grouping_sets",
+    tags=("A1", "A2", "grouping"),
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+  GROUPING(o_orderpriority) AS g_pri,
+  GROUPING(o_orderstatus) AS g_sta,
+  COUNT(*) AS orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+""",
+)
+def q90_priority_grouping_sets(spark: SparkSession, sf_dir: str):
+    """Arbitrary GROUPING SETS — the level combination ((a,b),(a),(b)) that
+    neither ROLLUP (q48) nor CUBE (q78) can express (no grand total, both
+    one-column margins). One Expand (3 replicas per input row) feeding one
+    hash aggregate: a single shuffle where three separate GROUP BYs would
+    scan the fact three times. GROUPING() flags distinguish margin rows
+    from genuine NULL keys, exactly as in the CUBE query."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [
+                [F.col("o_orderpriority"), F.col("o_orderstatus")],
+                [F.col("o_orderpriority")],
+                [F.col("o_orderstatus")],
+            ],
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("long").alias("g_sta"),
+            F.count(F.lit(1)).alias("orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q91 — TPC-H Q21 shape: EXISTS + NOT EXISTS decorrelated to one aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q91_sole_late_supplier",
+    tags=("J6", "J8", "A3", "P6"),
+    oracle="""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+agg AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM li GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM agg JOIN supplier s ON agg.late_supp = s.s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s.s_name
+""",
+)
+def q91_sole_late_supplier(spark: SparkSession, sf_dir: str):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order (late = shipped >60 days after order date).
+
+    The textbook formulation is a correlated EXISTS (another supplier on
+    the order) plus NOT EXISTS (another LATE supplier) — two extra passes
+    over lineitem. Here both quantifiers decorrelate into ONE per-order
+    aggregation: n_supp≥2 ⇔ EXISTS, n_late=1 ∧ this-supplier-late ⇔
+    NOT EXISTS, and since n_late=1 the late supplier is recoverable as
+    MAX(CASE WHEN late). One shuffle on orderkey (lineitem is already
+    join-keyed to orders there), one tiny shuffle of O(orders) rows to the
+    supplier rollup, supplier dim broadcast. At 100 TB the decorrelated
+    form reads lineitem once instead of three times.
+
+    The two COUNT(DISTINCT suppkey) aggregates are cascaded: collapse to
+    one row per (orderkey, suppkey) first (late = BOOL_OR over the
+    supplier's lines), then count plain rows per orderkey. Both aggregates
+    hash on orderkey so the second needs NO new exchange — this replaces
+    the Expand (2× row replication) Spark plans for multi-distinct."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    agg = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        agg.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — TPC-H Q22 shape: scalar-subquery threshold + anti-join on recency
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q92_dormant_rich_customers",
+    tags=("J6", "P10", "A2"),
+    oracle="""
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey,
+  COUNT(*) AS numcust,
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-06-01'
+  )
+GROUP BY c.c_nationkey
+""",
+)
+def q92_dormant_rich_customers(spark: SparkSession, sf_dir: str):
+    """TPC-H Q22 shape: above-average-balance customers with NO recent
+    orders, rolled up per nation. The positive-balance average is a scalar
+    subquery — computed as an exact DECIMAL sum divided once in DOUBLE so
+    both engines derive the identical threshold bits regardless of
+    summation order. The NOT EXISTS is a LEFT ANTI join whose probe side
+    is pre-filtered to recent orders only (the date predicate pushes into
+    the orders scan, so the anti join hashes months — not years — of
+    orders). Customer side stays un-shuffled at O(customers)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — TPC-H Q15 shape: argmax via scalar-max join-back on exact revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q93_top_revenue_supplier",
+    tags=("P10", "A2", "J1"),
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q93_top_revenue_supplier(spark: SparkSession, sf_dir: str):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue. Revenue stays DECIMAL end-to-end so the `= MAX(...)` equality
+    is exact — with DOUBLE sums the argmax could differ between engines
+    (and between Spark plans) on last-bit ties. The revenue CTE is
+    computed once and reused for both the max scalar and the join-back
+    (Spark executes it twice but it is one map-side-combined shuffle of
+    O(suppliers) rows; at scale, persist it or let AQE reuse the
+    exchange). Supplier dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — TPC-H Q11 shape: global-share threshold, all-DECIMAL comparison
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q94_important_part_value",
+    tags=("P10", "A2"),
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
+FROM pv
+WHERE value * 10000 > (SELECT SUM(value) FROM pv)
+""",
+)
+def q94_important_part_value(spark: SparkSession, sf_dir: str):
+    """TPC-H Q11 shape: parts whose traded value exceeds 1/10000 of the
+    global total. The share test is `value * 10000 > total` in DECIMAL —
+    no division, no doubles, so the cut is bit-exact on both engines and
+    invariant to partitioning. One map-side-combined shuffle on partkey;
+    the grand total is a broadcast scalar over the already-aggregated
+    O(parts) rows."""
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2))).alias(
+            "value"
+        )
+    )
+    tot = pv.agg(F.sum("value").alias("total"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("value") * 10000 > F.col("total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — mode (most-frequent value) per group with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q97_segment_priority_mode",
+    tags=("A1", "W1"),
+    oracle="""
+WITH cnt AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_orderpriority
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+            ORDER BY orders DESC, o_orderpriority ASC) AS rn
+  FROM cnt
+)
+SELECT c_mktsegment, o_orderpriority AS modal_priority, orders
+FROM r WHERE rn = 1
+""",
+)
+def q97_segment_priority_mode(spark: SparkSession, sf_dir: str):
+    """Per-segment modal order priority — the MODE aggregate, which Spark's
+    built-in `mode()` implements with engine-specific tie behavior; this
+    formulation makes the tie deterministic (highest count, then
+    lexicographically smallest priority) so it is oracle-checkable. The
+    fact stream collapses to O(segments × priorities) rows in one
+    map-side-combined shuffle BEFORE the window touches anything, so the
+    row_number sorts dozens of rows regardless of fact size."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cnt = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("orders"))
+    )
+    win = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("orders"), F.asc("o_orderpriority")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — referential-integrity orphan audit (the dbt relationship test as
+# a first-class query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q98_integrity_orphan_audit",
+    tags=("J6", "DQ"),
+    oracle="""
+SELECT 'lineitem_without_order' AS check_name,
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS bad_rows
+UNION ALL
+SELECT 'order_without_customer',
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_null_keys',
+  (SELECT COUNT(*) FROM lineitem
+   WHERE l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL)
+UNION ALL
+SELECT 'order_dup_pk',
+  (SELECT COUNT(*) FROM
+    (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+""",
+)
+def q98_integrity_orphan_audit(spark: SparkSession, sf_dir: str):
+    """The reference's dbt `relationships` / `not_null` / `unique` schema
+    tests (dbt/dbt-project/models/schema.yml:40-47,77-82) expressed as one
+    audit query: orphan counts via LEFT ANTI joins, null-key counts via a
+    pushed-down scan predicate, and primary-key duplicate detection via
+    groupBy-HAVING. Each check is a count — the audit row stream is four
+    single-number rows unioned together, so the sink cost is nil and each
+    anti join shuffles only the keys it probes (customer side broadcasts
+    when small)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"), F.col("cnt").alias("bad_rows")
+        )
+
+    orphan_li = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    orphan_o = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    null_li = li.filter(
+        F.col("l_orderkey").isNull()
+        | F.col("l_partkey").isNull()
+        | F.col("l_suppkey").isNull()
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    dup_o = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        one("lineitem_without_order", orphan_li)
+        .unionAll(one("order_without_customer", orphan_o))
+        .unionAll(one("lineitem_null_keys", null_li))
+        .unionAll(one("order_dup_pk", dup_o))
+    )

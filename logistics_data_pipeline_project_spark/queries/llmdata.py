@@ -2129,3 +2129,71 @@ def q87_canonical_selection(spark: SparkSession, sf_dir: str):
             "kept_from_dup_groups"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — source-mix concentration (integer-exact HHI per language)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q95_source_mix_hhi",
+    tags=("mixing", "A1", "A2"),
+    oracle="""
+WITH st AS (
+  SELECT lang, source,
+    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS toks
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT lang, source, toks,
+    SUM(toks) OVER (PARTITION BY lang) AS lang_toks
+  FROM st
+),
+sh AS (
+  SELECT lang, source, toks, lang_toks,
+    (toks * 1000000) // lang_toks AS share_ppm
+  FROM tot
+)
+SELECT lang,
+  COUNT(*) AS n_sources,
+  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+  CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2,
+  CAST(MAX(share_ppm) AS BIGINT) AS max_share_ppm
+FROM sh GROUP BY lang
+""",
+)
+def q95_source_mix_hhi(spark: SparkSession, sf_dir: str):
+    """Source-mix concentration per language: Herfindahl–Hirschman index
+    over token shares — the pretraining-mix health check that catches one
+    crawl dominating a language (HHI → 1e12 ppm² means a single source).
+
+    Shares are integer parts-per-million via BIGINT `DIV` (no doubles
+    anywhere), so HHI = Σ share² is bit-exact on both engines and
+    invariant to partitioning. The token explode never happens —
+    `size(split())` is a codegen'd scalar — and the only shuffle carries
+    O(langs × sources) aggregated rows; the per-lang total is a window
+    over that tiny set, not the corpus. The same two-level shape holds at
+    100 TB: corpus-size map-side partials, KB-size reduce."""
+    d = load(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "lang",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("t"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.sum("t").alias("toks"))
+    )
+    lw = Window.partitionBy("lang")
+    sh = st.withColumn("lang_toks", F.sum("toks").over(lw)).withColumn(
+        "share_ppm", F.expr("(toks * 1000000) DIV lang_toks")
+    )
+    return sh.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum(F.col("share_ppm") * F.col("share_ppm"))
+        .cast("long")
+        .alias("hhi_ppm2"),
+        F.max("share_ppm").cast("long").alias("max_share_ppm"),
+    )
