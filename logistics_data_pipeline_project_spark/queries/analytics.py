@@ -1977,3 +1977,218 @@ def q98_integrity_orphan_audit(spark: SparkSession, sf_dir: str):
         .unionAll(one("lineitem_null_keys", null_li))
         .unionAll(one("order_dup_pk", dup_o))
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — TPC-H Q7 shape: nation-pair trade volume (double dim lineage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q96_nation_pair_volume",
+    tags=("J2", "A1", "A2"),
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(YEAR(l.l_shipdate) AS BIGINT) AS ship_year,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+""",
+)
+def q96_nation_pair_volume(spark: SparkSession, sf_dir: str):
+    """TPC-H Q7 shape: yearly trade volume between two nations, with the
+    nation attributed through TWO different lineages (supplier side and
+    customer side) — the double-dim-lookup join pattern. All four dims
+    broadcast; only lineitem⋈orders is a real shuffle and its l_shipdate
+    range predicate pushes into the parquet scan, so at 100 TB the join
+    reads two years, not the whole history. The nation-pair disjunction is
+    applied AFTER the broadcasts (cheap codegen filter) but BEFORE the
+    aggregate, so the hash agg sees only matching pairs."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.sum(dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2)))
+        .cast("double")
+        .alias("volume")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — TPC-H Q8 shape: market share (conditional-sum ratio per year)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q99_nation_market_share",
+    tags=("J2", "A4", "A5"),
+    oracle="""
+WITH vol AS (
+  SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS order_year,
+    SUM(CASE WHEN n1.n_name = 'NATION_3'
+        THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+        ELSE CAST(0 AS DECIMAL(12,2)) END) AS nation_volume,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS total_volume
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  JOIN region r   ON n2.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY YEAR(o.o_orderdate)
+)
+SELECT order_year,
+  CAST(nation_volume AS DOUBLE) AS nation_volume,
+  CAST(total_volume AS DOUBLE) AS total_volume,
+  CAST(nation_volume AS DOUBLE) / CAST(total_volume AS DOUBLE) AS mkt_share
+FROM vol
+""",
+)
+def q99_nation_market_share(spark: SparkSession, sf_dir: str):
+    """TPC-H Q8 shape: one supplier-nation's share of a region's yearly
+    revenue. Numerator and denominator are computed in the SAME hash
+    aggregate as a conditional DECIMAL sum — one pass, one shuffle, no
+    self-join of the fact — and the share is a single double division at
+    the end (identical bits on both engines). Region restriction flows
+    customer→nation→region through broadcasts, so the fact stream is
+    filtered before the aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    vol = dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n2_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("order_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        ).alias("nation_volume_d"),
+        F.sum(vol).alias("total_volume_d"),
+    )
+    return agg.select(
+        "order_year",
+        F.col("nation_volume_d").cast("double").alias("nation_volume"),
+        F.col("total_volume_d").cast("double").alias("total_volume"),
+        (
+            F.col("nation_volume_d").cast("double")
+            / F.col("total_volume_d").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 — TPC-H Q20 shape: semi-join on an aggregated-threshold subquery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q100_dominant_part_suppliers",
+    tags=("J6", "A2", "P10"),
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty, COUNT(*) AS n_supp
+  FROM pq GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name,
+  COUNT(*) AS dominated_parts
+FROM pq JOIN tot ON pq.l_partkey = tot.l_partkey
+JOIN supplier s ON pq.l_suppkey = s.s_suppkey
+WHERE tot.n_supp >= 2 AND 2 * pq.supp_qty > tot.part_qty
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def q100_dominant_part_suppliers(spark: SparkSession, sf_dir: str):
+    """TPC-H Q20 shape: suppliers providing the majority (>50%) of a
+    part's shipped quantity in a year, for parts with real competition
+    (≥2 suppliers). The correlated 'more than half of the part total'
+    subquery decorrelates into a per-(part, supplier) aggregate joined
+    back to its own per-part rollup — both aggregates and the join hash
+    on partkey so one exchange serves all three, and the majority test
+    `2·supp_qty > part_qty` is division-free DECIMAL (bit-exact, plan-
+    independent). The year predicate prunes the scan; supplier dim
+    broadcasts for the final name lookup."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity", 18, 2)).alias("supp_qty")
+    )
+    tot = pq.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        pq.join(tot, "l_partkey")
+        .filter((F.col("n_supp") >= 2) & (2 * F.col("supp_qty") > F.col("part_qty")))
+        .join(F.broadcast(s), pq.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("dominated_parts"))
+    )
