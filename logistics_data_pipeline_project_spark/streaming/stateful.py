@@ -174,3 +174,26 @@ def stream_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Bounded-state streaming deduplication via the built-in
+    ``dropDuplicatesWithinWatermark``: a key's recurrences are dropped as
+    long as they arrive within ``delay`` (event time) of the retained row;
+    once the watermark passes ``first_ts + delay`` the key's state is
+    EVICTED, so a much-later recurrence is emitted again.
+
+    This is the complementary memory/exactness trade to
+    :func:`stream_first_seen`: first-seen keeps one state row per distinct
+    key forever (exactly-once output, unbounded state), this keeps state
+    only for keys inside the watermark horizon (O(recent keys) state,
+    at-least-once across horizons). On an unbounded 100 TB landing stream
+    the watermarked form is the one that survives; re-run a batch
+    exact-dedup (q21/q87) over the sink for the long tail.
+    """
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)

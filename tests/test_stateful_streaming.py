@@ -130,3 +130,80 @@ def test_first_seen_dedup_across_batches(spark, tmp_path):
         for r in spark.read.schema(out_schema).parquet(out).collect()
     }
     assert got2 == {("A", 2), ("B", 1), ("C", 1)}
+
+
+def test_dedup_within_watermark_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: recurrences inside the delay horizon
+    drop; once the watermark passes first_ts + delay the key's state is
+    evicted and a later recurrence re-emits (the bounded-state contract)."""
+    from logistics_data_pipeline_project_spark.streaming.stateful import (
+        stream_dedup_within_watermark,
+    )
+
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    os.makedirs(landing)
+    schema = "sig string, ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.format("json").schema(schema).load(landing)
+        q = (
+            stream_dedup_within_watermark(stream, ["sig"], "ts", "10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    _write_batch(
+        landing,
+        "b1.json",
+        [
+            {"sig": "A", "ts": "2024-01-01 10:00:00"},
+            {"sig": "A", "ts": "2024-01-01 10:03:00"},  # in-horizon dup
+            {"sig": "B", "ts": "2024-01-01 10:00:00"},
+        ],
+    )
+    run_once()
+    got = [
+        (r["sig"], str(r["ts"]))
+        for r in spark.read.schema(schema).parquet(out).collect()
+    ]
+    assert sorted(got) == [
+        ("A", "2024-01-01 10:00:00"),
+        ("B", "2024-01-01 10:00:00"),
+    ]
+
+    # batch 2: another in-horizon A dup still drops; a fresh event advances
+    # the watermark far past A's 10:00+10min horizon so A's state evicts.
+    _write_batch(
+        landing,
+        "b2.json",
+        [
+            {"sig": "A", "ts": "2024-01-01 10:05:00"},
+            {"sig": "Z", "ts": "2024-01-01 12:00:00"},
+        ],
+    )
+    run_once()
+    # batch 3: A recurs AFTER eviction -> re-emitted (at-least-once across
+    # watermark horizons, O(recent keys) state)
+    _write_batch(landing, "b3.json", [{"sig": "A", "ts": "2024-01-01 12:01:00"}])
+    run_once()
+    got3 = sorted(
+        (r["sig"], str(r["ts"]))
+        for r in spark.read.schema(schema).parquet(out).collect()
+    )
+    assert got3 == [
+        ("A", "2024-01-01 10:00:00"),
+        ("A", "2024-01-01 12:01:00"),
+        ("B", "2024-01-01 10:00:00"),
+        ("Z", "2024-01-01 12:00:00"),
+    ]
