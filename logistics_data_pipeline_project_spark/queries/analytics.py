@@ -1665,9 +1665,10 @@ def q91_sole_late_supplier(spark: SparkSession, sf_dir: str):
 
     The two COUNT(DISTINCT suppkey) aggregates are cascaded: collapse to
     one row per (orderkey, suppkey) first (late = BOOL_OR over the
-    supplier's lines), then count plain rows per orderkey. Both aggregates
-    hash on orderkey so the second needs NO new exchange — this replaces
-    the Expand (2× row replication) Spark plans for multi-distinct."""
+    supplier's lines), then count plain rows per orderkey. This replaces
+    the Expand (2× replication of the raw joined stream) Spark plans for
+    multi-distinct with a second exchange that carries only the collapsed
+    O(order × supplier) rows — the cheap side of the trade at scale."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     s = load(spark, sf_dir, "supplier")
@@ -2169,11 +2170,13 @@ def q100_dominant_part_suppliers(spark: SparkSession, sf_dir: str):
     part's shipped quantity in a year, for parts with real competition
     (≥2 suppliers). The correlated 'more than half of the part total'
     subquery decorrelates into a per-(part, supplier) aggregate joined
-    back to its own per-part rollup — both aggregates and the join hash
-    on partkey so one exchange serves all three, and the majority test
-    `2·supp_qty > part_qty` is division-free DECIMAL (bit-exact, plan-
-    independent). The year predicate prunes the scan; supplier dim
-    broadcasts for the final name lookup."""
+    back to its own per-part rollup. The raw stream collapses with
+    map-side combine BEFORE anything re-shuffles, so the rollup and the
+    join-back move only O(part × supplier) rows (deliberately cheaper at
+    scale than forcing one partkey exchange of the un-aggregated stream),
+    and the majority test `2·supp_qty > part_qty` is division-free
+    DECIMAL (bit-exact, plan-independent). The year predicate prunes the
+    scan; supplier dim broadcasts for the final name lookup."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))

@@ -95,3 +95,33 @@ def test_q61_interval_join_is_hash_not_nested_loop(spark, sf_dir):
     # join — a nested-loop plan would be O(points × intervals)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q91_no_expand_for_multi_distinct(spark, sf_dir):
+    """The cascaded-aggregate rewrite must keep the Expand operator (2×
+    row replication Spark plans for multiple COUNT(DISTINCT)s) out of the
+    plan, and the order-supplier join must stay broadcast-free of sorts."""
+    df = REGISTRY["q91_sole_late_supplier"].fn(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in phys, "multi-distinct should be cascaded aggs, not Expand"
+
+
+def test_q96_single_real_shuffle_join(spark, sf_dir):
+    """Q7 shape: all four dims broadcast; the only non-broadcast join is
+    lineitem⋈orders."""
+    df = REGISTRY["q96_nation_pair_volume"].fn(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in phys or phys.count("SortMergeJoin") <= 1
+
+
+def test_q96_pushes_shipdate_range_into_scan(spark, sf_dir):
+    plan = _explain(REGISTRY["q96_nation_pair_volume"].fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l and "GreaterThanOrEqual" in l for l in pushed), pushed
+
+
+def test_q100_year_predicate_reaches_scan(spark, sf_dir):
+    plan = _explain(REGISTRY["q100_dominant_part_suppliers"].fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), pushed
