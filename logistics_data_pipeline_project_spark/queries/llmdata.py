@@ -2197,3 +2197,142 @@ def q95_source_mix_hhi(spark: SparkSession, sf_dir: str):
         .alias("hhi_ppm2"),
         F.max("share_ppm").cast("long").alias("max_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — end-to-end curation funnel (exact dedup → set-signature near-dup
+# → quality filter → per-source token budget), per-stage survivor audit
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SALT = "funnel-v1"
+_FUNNEL_BUDGET = 800
+_FUNNEL_MIN_TOK = 10
+_FUNNEL_MAX_TOK = 5000
+
+
+@register(
+    "q101_curation_funnel",
+    tags=("dedup", "text", "mixing", "W1", "A4"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+    string_split(lower(text), ' ') AS toks,
+    len(string_split(lower(text), ' ')) AS n_tok,
+    md5(text) AS exact_sig,
+    md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS set_sig,
+    md5('{_FUNNEL_SALT}:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+s1 AS (
+  SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY exact_sig) AS keep1 FROM base
+),
+s2 AS (
+  SELECT *, keep1 AND doc_id = MIN(CASE WHEN keep1 THEN doc_id END)
+            OVER (PARTITION BY set_sig) AS keep2
+  FROM s1
+),
+s3 AS (
+  SELECT *, keep2 AND n_tok BETWEEN {_FUNNEL_MIN_TOK} AND {_FUNNEL_MAX_TOK}
+         AND len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) > 0 AS keep3
+  FROM s2
+),
+s4 AS (
+  SELECT *, keep3 AND SUM(CASE WHEN keep3 THEN n_tok ELSE 0 END) OVER (
+      PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) <= {_FUNNEL_BUDGET} AS keep4
+  FROM s3
+)
+SELECT source,
+  COUNT(*) AS docs,
+  CAST(SUM(CASE WHEN keep1 THEN 1 ELSE 0 END) AS BIGINT) AS after_exact,
+  CAST(SUM(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS after_setsig,
+  CAST(SUM(CASE WHEN keep3 THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+  CAST(SUM(CASE WHEN keep4 THEN 1 ELSE 0 END) AS BIGINT) AS after_budget,
+  CAST(SUM(CASE WHEN keep4 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM s4 GROUP BY source
+""",
+)
+def q101_curation_funnel(spark: SparkSession, sf_dir: str):
+    """The whole curation pipeline as ONE declarative plan with a
+    per-stage survivor audit — what a real 100 TB pretraining run reports
+    after each pass:
+
+      1. exact dedup        keep the min-doc_id replica per md5(text)
+      2. set-signature dedup vocabulary-fingerprint near-dups (q68's
+                            blocking) resolved against stage-1 survivors
+      3. quality filter     token-count bounds + stopword presence
+                            (q28/q67's rules)
+      4. token budget       per-source salted-md5-order cumulative cut
+                            (q46's RNG-free sampling)
+
+    Composition matters: each stage's keep flag conditions the next
+    (survivor-of counts are nested, not independent), yet everything is
+    window flags over one stream — three hash exchanges total (exact_sig,
+    set_sig, source), each on a uniform md5 key, and the text column
+    never shuffles (only 32-byte signatures and integer token counts).
+    Deterministic keepers (min doc_id, total salted order) make the whole
+    funnel bit-identical to the DuckDB oracle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    base = d.select(
+        "doc_id",
+        "source",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tok"),
+        F.md5(F.col("text")).alias("exact_sig"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+        ).alias("set_sig"),
+        F.md5(
+            F.concat(F.lit(f"{_FUNNEL_SALT}:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    w_exact = Window.partitionBy("exact_sig")
+    w_set = Window.partitionBy("set_sig")
+    w_budget = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stop = F.array(*[F.lit(x) for x in ("the", "a", "of", "and", "is")])
+    s = (
+        base.withColumn(
+            "keep1", F.col("doc_id") == F.min("doc_id").over(w_exact)
+        )
+        .withColumn(
+            "keep2",
+            F.col("keep1")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("keep1"), F.col("doc_id"))).over(w_set)
+            ),
+        )
+        .withColumn(
+            "keep3",
+            F.col("keep2")
+            & F.col("n_tok").between(_FUNNEL_MIN_TOK, _FUNNEL_MAX_TOK)
+            & F.arrays_overlap("toks", stop),
+        )
+        .withColumn(
+            "keep4",
+            F.col("keep3")
+            & (
+                F.sum(
+                    F.when(F.col("keep3"), F.col("n_tok")).otherwise(0)
+                ).over(w_budget)
+                <= _FUNNEL_BUDGET
+            ),
+        )
+    )
+    flag = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        flag("keep1").alias("after_exact"),
+        flag("keep2").alias("after_setsig"),
+        flag("keep3").alias("after_quality"),
+        flag("keep4").alias("after_budget"),
+        F.sum(F.when(F.col("keep4"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
