@@ -2195,3 +2195,115 @@ def q100_dominant_part_suppliers(spark: SparkSession, sf_dir: str):
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("dominated_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — TPC-H Q2 shape: min-cost supplier per part (correlated argmin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q102_min_cost_supplier",
+    tags=("J1", "W1", "P10"),
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+r AS (
+  SELECT l_partkey, l_suppkey, cost,
+    ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY cost ASC, l_suppkey ASC) AS rn
+  FROM ps
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, CAST(r.cost AS DOUBLE) AS min_cost
+FROM r
+JOIN part p     ON r.l_partkey = p.p_partkey
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rn = 1 AND p.p_size = 5
+""",
+)
+def q102_min_cost_supplier(spark: SparkSession, sf_dir: str):
+    """TPC-H Q2 shape: for each part (of a given size class) the supplier
+    offering the minimum price — the correlated `= (SELECT MIN ...)`
+    subquery decorrelated into a per-(part, supplier) aggregate + one
+    ranking window on partkey. Cost stays DECIMAL so the argmin
+    comparison is exact, with suppkey as the deterministic tiebreaker
+    (the textbook query is underspecified on ties). The size filter is
+    applied via the broadcast part dim AFTER the argmin — semantics
+    require the minimum over all suppliers of the part, not of the
+    filtered subset — and both dims broadcast, so the only exchanges are
+    the map-side-combined (part, supp) aggregate and its partkey window."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice", 12, 2)).alias("cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.asc("cost"), F.asc("l_suppkey"))
+    best = ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(
+            F.broadcast(p.filter(F.col("p_size") == 5)),
+            best.l_partkey == p.p_partkey,
+        )
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — TPC-H Q18 shape: HAVING threshold + semi-join back to the facts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q103_large_volume_orders",
+    tags=("A2", "J1", "O3"),
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 220
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM big b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q103_large_volume_orders(spark: SparkSession, sf_dir: str):
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, enriched back to customer. The IN-subquery of the textbook
+    form is simply the aggregate itself joined onward — lineitem
+    collapses to O(orders) rows with map-side partials before any join,
+    the HAVING threshold cuts that aggregate to a handful of rows, and
+    AQE turns the survivors' join to orders into a broadcast at runtime.
+    Quantity sums are DECIMAL so the >220 cut is exact under any plan."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 18, 2)).alias("total_qty"))
+        .filter(F.col("total_qty") > 220)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
