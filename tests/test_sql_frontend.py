@@ -161,3 +161,110 @@ def test_scanner_skips_comments_and_quoted_identifiers():
     )
     out2, had2 = desugar_qualify(sql2)
     assert had2 and "__qualify" in out2
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO statement entry (the reference's raw-SQL merge form,
+# dags/logistics-airbyte-sql.py:25-49)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_sql_upserts_and_is_idempotent(spark, tmp_path):
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+    from logistics_data_pipeline_project_spark.sql_frontend import run_merge_sql
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(
+        "dim_customers",
+        spark.createDataFrame(
+            [(1, "alice", "2024-01-01"), (2, "bob", "2024-01-01")],
+            "customer_id int, name string, updated_at string",
+        ),
+    )
+    spark.createDataFrame(
+        [(2, "robert", "2024-02-01"), (3, "cara", "2024-02-01")],
+        "id int, name string, extracted_at string",
+    ).createOrReplaceTempView("raw_customers")
+
+    sql = """
+    MERGE INTO silver.dim_customers AS tgt
+    USING (SELECT id, name, extracted_at FROM raw_customers) AS src
+    ON tgt.customer_id = src.id
+    WHEN MATCHED THEN UPDATE SET name = src.name, updated_at = src.extracted_at
+    WHEN NOT MATCHED THEN INSERT (customer_id, name, updated_at)
+      VALUES (src.id, src.name, src.extracted_at)
+    """
+    out = run_merge_sql(spark, sql, store)
+    got = {
+        (r["customer_id"], r["name"], r["updated_at"]) for r in out.collect()
+    }
+    assert got == {
+        (1, "alice", "2024-01-01"),
+        (2, "robert", "2024-02-01"),
+        (3, "cara", "2024-02-01"),
+    }
+    # re-running the same MERGE is a no-op (idempotent upsert)
+    again = run_merge_sql(spark, sql, store)
+    assert {
+        (r["customer_id"], r["name"], r["updated_at"]) for r in again.collect()
+    } == got
+
+
+def test_merge_sql_strict_duplicate_source_errors(spark, tmp_path):
+    import pytest
+
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+    from logistics_data_pipeline_project_spark.sql_frontend import run_merge_sql
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(
+        "t", spark.createDataFrame([(1, "x")], "k int, v string")
+    )
+    spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k int, v string"
+    ).createOrReplaceTempView("dup_src")
+    sql = """
+    MERGE INTO t USING dup_src s ON t.k = s.k
+    WHEN MATCHED THEN UPDATE SET v = s.v
+    WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+    """
+    # Snowflake errors on duplicate source matches; strict=True replicates
+    with pytest.raises(ValueError, match="duplicate source"):
+        run_merge_sql(spark, sql, store)
+
+
+def test_merge_sql_delete_clause_and_snowflake_source_dialect(spark, tmp_path):
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+    from logistics_data_pipeline_project_spark.sql_frontend import run_merge_sql
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(
+        "acct",
+        spark.createDataFrame(
+            [(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01")],
+            "k int, bal double, ts string",
+        ),
+    )
+    spark.createDataFrame(
+        [(1, 11.0, "2024-02-01", True, 1), (2, 99.0, "2024-02-01", False, 1),
+         (2, 21.0, "2024-02-02", False, 2), (3, 30.0, "2024-02-01", False, 1)],
+        "k int, bal double, ts string, is_deleted boolean, seq int",
+    ).createOrReplaceTempView("cdc_acct")
+
+    # source uses the Snowflake dialect (QUALIFY latest-record dedup, IFF)
+    sql = """
+    MERGE INTO acct AS t
+    USING (
+      SELECT k, IFF(bal < 0, 0.0, bal) AS bal, ts, is_deleted, seq FROM cdc_acct
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+    ) AS s
+    ON t.k = s.k
+    WHEN MATCHED AND s.is_deleted THEN DELETE
+    WHEN MATCHED THEN UPDATE SET bal = s.bal, ts = s.ts
+    WHEN NOT MATCHED THEN INSERT (k, bal, ts) VALUES (s.k, s.bal, s.ts)
+    """
+    out = run_merge_sql(spark, sql, store)
+    got = {(r["k"], r["bal"], r["ts"]) for r in out.collect()}
+    # k=1 deleted (is_deleted on latest), k=2 updated to latest seq row,
+    # k=3 inserted
+    assert got == {(2, 21.0, "2024-02-02"), (3, 30.0, "2024-02-01")}
