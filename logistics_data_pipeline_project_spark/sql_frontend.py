@@ -681,3 +681,77 @@ def run_merge_sql(
     )
     store.overwrite(tname, merged)
     return store.read(tname)
+
+
+# ---------------------------------------------------------------------------
+# Statement dispatcher — the full SQL-text entry the reference's DAGs use
+# (SURVEY §2.2 K2-K4: CREATE OR REPLACE VIEW, CTAS full refresh,
+# INSERT INTO ... SELECT, plus MERGE above). COPY INTO/LIST map to the
+# sources module (read_*_stage / has_pending_files), not SQL.
+# ---------------------------------------------------------------------------
+
+
+def run_statement(
+    spark: SparkSession,
+    sql: str,
+    store=None,
+    sf_dir: str | None = None,
+) -> DataFrame | None:
+    """Execute one statement of the reference's SQL surface.
+
+    - ``CREATE OR REPLACE [TEMP[ORARY]] VIEW name AS select`` → dialect-
+      translated select registered as a temp view (K3; Spark views over
+      the engine's tables are always re-resolved at read time).
+    - ``CREATE OR REPLACE TABLE name AS select`` → full-refresh
+      materialization through the store's atomic snapshot swap (K4).
+    - ``INSERT INTO name [(cols)] select`` → append through the store
+      (K2) with by-name column alignment when a column list is given.
+    - ``MERGE INTO ...`` → :func:`run_merge_sql` (M1).
+    - anything else → :func:`run_sql` (query).
+
+    Returns the statement's DataFrame (post-write state for writes,
+    ``None`` for view creation).
+    """
+    s = sql.strip().rstrip(";")
+    mv = re.match(
+        r"CREATE\s+OR\s+REPLACE\s+(?:TEMP(?:ORARY)?\s+)?VIEW\s+([A-Za-z0-9_.\"]+)\s+AS\s+(.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mv:
+        name = mv.group(1).strip('"').split(".")[-1]
+        run_sql(spark, mv.group(2), sf_dir=sf_dir).createOrReplaceTempView(name)
+        return None
+    mt = re.match(
+        r"CREATE\s+OR\s+REPLACE\s+TABLE\s+([A-Za-z0-9_.\"]+)\s+AS\s+(.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mt:
+        if store is None:
+            raise ValueError("CTAS requires a TableStore")
+        name = mt.group(1).strip('"').split(".")[-1]
+        store.overwrite(name, run_sql(spark, mt.group(2), sf_dir=sf_dir))
+        return store.read(name)
+    mi = re.match(
+        r"INSERT\s+INTO\s+([A-Za-z0-9_.\"]+)\s*(\([^)]*\))?\s*(.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mi:
+        if store is None:
+            raise ValueError("INSERT INTO requires a TableStore")
+        name = mi.group(1).strip('"').split(".")[-1]
+        df = run_sql(spark, mi.group(3), sf_dir=sf_dir)
+        if mi.group(2):
+            cols = [c.strip().strip('"') for c in _split_args(mi.group(2)[1:-1])]
+            if len(cols) != len(df.columns):
+                raise ValueError("INSERT column/select arity mismatch")
+            df = df.toDF(*cols)
+        store.append(name, df)
+        return store.read(name)
+    if re.match(r"MERGE\s+INTO\b", s, re.IGNORECASE):
+        if store is None:
+            raise ValueError("MERGE requires a TableStore")
+        return run_merge_sql(spark, s, store, sf_dir=sf_dir)
+    return run_sql(spark, s, sf_dir=sf_dir)

@@ -268,3 +268,39 @@ def test_merge_sql_delete_clause_and_snowflake_source_dialect(spark, tmp_path):
     # k=1 deleted (is_deleted on latest), k=2 updated to latest seq row,
     # k=3 inserted
     assert got == {(2, 21.0, "2024-02-02"), (3, 30.0, "2024-02-01")}
+
+
+def test_run_statement_view_ctas_insert_roundtrip(spark, tmp_path, sf_dir):
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+    from logistics_data_pipeline_project_spark.sql_frontend import run_statement
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    # K3: gold-view DDL in the reference's style
+    run_statement(
+        spark,
+        """CREATE OR REPLACE VIEW gold.nation_orders AS
+           SELECT c_nationkey, COUNT(*) AS n
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY c_nationkey""",
+        sf_dir=sf_dir,
+    )
+    assert spark.table("nation_orders").count() > 0
+
+    # K4: CTAS full refresh through the atomic store
+    run_statement(
+        spark,
+        "CREATE OR REPLACE TABLE gold.region_names AS SELECT r_name FROM region",
+        store=store,
+        sf_dir=sf_dir,
+    )
+    assert store.read("region_names").count() == 5
+
+    # K2: INSERT INTO ... SELECT appends (with a column list remap)
+    out = run_statement(
+        spark,
+        "INSERT INTO gold.region_names (r_name) SELECT r_name FROM region",
+        store=store,
+        sf_dir=sf_dir,
+    )
+    assert out.count() == 10
