@@ -216,3 +216,27 @@ def test_zorder_key_is_bijective_on_the_grid(spark):
     ).first()
     assert stats["d"] == n * n
     assert stats["lo"] == 0 and stats["hi"] == n * n - 1
+
+
+def test_dynamic_partition_pruning_from_dim_join(spark, sf_dir, tmp_path):
+    """DPP: when the partition key is only constrained THROUGH a join to a
+    filtered dimension, Spark must inject a runtime subquery into the
+    fact's PartitionFilters (dynamicpruning) instead of scanning every
+    partition — the mechanism that keeps date-partitioned fact scans
+    bounded at 100 TB when the date restriction lives on a calendar dim."""
+    ev = load(spark, sf_dir, "events").withColumn("load_date", day_partition("ts"))
+    fact = overwrite_partitioned(
+        spark, ev, str(tmp_path / "bronze_events_dpp"), ["load_date"]
+    )
+    dim = (
+        ev.select("load_date")
+        .distinct()
+        .withColumn("is_hot", F.col("load_date") >= F.lit("1995-06-01").cast("date"))
+    )
+    joined = fact.join(dim.filter(F.col("is_hot")), "load_date")
+    plan = _explain(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    exact = ev.filter(
+        F.col("load_date") >= F.lit("1995-06-01").cast("date")
+    ).count()
+    assert joined.count() == exact
