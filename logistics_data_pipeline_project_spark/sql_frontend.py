@@ -755,3 +755,57 @@ def run_statement(
             raise ValueError("MERGE requires a TableStore")
         return run_merge_sql(spark, s, store, sf_dir=sf_dir)
     return run_sql(spark, s, sf_dir=sf_dir)
+
+
+def _split_statements(script: str) -> list[str]:
+    """Split a SQL script on top-level semicolons (outside literals,
+    quoted identifiers, and comments)."""
+    out, cur_start, i, n = [], 0, 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch == "'":
+            i += 1
+            while i < n and script[i] != "'":
+                i += 2 if script[i] == "\\" else 1
+        elif ch == '"':
+            i += 1
+            while i < n and script[i] != '"':
+                i += 1
+        elif ch == "-" and i + 1 < n and script[i + 1] == "-":
+            while i < n and script[i] != "\n":
+                i += 1
+            continue
+        elif ch == ";":
+            stmt = _strip_leading_comments(script[cur_start:i])
+            if stmt:
+                out.append(stmt)
+            cur_start = i + 1
+        i += 1
+    stmt = _strip_leading_comments(script[cur_start:])
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+def _strip_leading_comments(stmt: str) -> str:
+    """Drop leading whitespace and `--` comment lines (a trailing comment
+    after one statement's semicolon otherwise prefixes the next)."""
+    lines = stmt.strip().splitlines()
+    while lines and (not lines[0].strip() or lines[0].lstrip().startswith("--")):
+        lines.pop(0)
+    return "\n".join(lines).strip()
+
+
+def run_script(
+    spark: SparkSession,
+    script: str,
+    store=None,
+    sf_dir: str | None = None,
+) -> DataFrame | None:
+    """Execute a multi-statement SQL script (the body of a reference
+    Airflow SQL task) statement-by-statement via :func:`run_statement`.
+    Returns the last statement's DataFrame."""
+    last = None
+    for stmt in _split_statements(script):
+        last = run_statement(spark, stmt, store=store, sf_dir=sf_dir)
+    return last

@@ -304,3 +304,34 @@ def test_run_statement_view_ctas_insert_roundtrip(spark, tmp_path, sf_dir):
         sf_dir=sf_dir,
     )
     assert out.count() == 10
+
+
+def test_run_script_multi_statement_task(spark, tmp_path, sf_dir):
+    """A reference-style SQL task body: stage a view, CTAS a gold table
+    from it, upsert a correction — three statements, one call."""
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+    from logistics_data_pipeline_project_spark.sql_frontend import run_script
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    out = run_script(
+        spark,
+        """
+        CREATE OR REPLACE VIEW region_counts AS
+          SELECT r_regionkey, r_name, COUNT(*) AS n
+          FROM region GROUP BY r_regionkey, r_name;  -- stage
+
+        CREATE OR REPLACE TABLE gold.region_counts_t AS
+          SELECT * FROM region_counts;
+
+        MERGE INTO gold.region_counts_t t
+        USING (SELECT 0 AS r_regionkey, 'AFRICA (corrected)' AS r_name, 2 AS n) s
+        ON t.r_regionkey = s.r_regionkey
+        WHEN MATCHED THEN UPDATE SET r_name = s.r_name, n = s.n
+        WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name, n)
+          VALUES (s.r_regionkey, s.r_name, s.n);
+        """,
+        store=store,
+        sf_dir=sf_dir,
+    )
+    rows = {(r["r_regionkey"], r["r_name"], r["n"]) for r in out.collect()}
+    assert (0, "AFRICA (corrected)", 2) in rows and len(rows) == 5
