@@ -2307,3 +2307,59 @@ def q103_large_volume_orders(spark: SparkSession, sf_dir: str):
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — market-basket pair mining (co-occurrence / affinity analysis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q104_brand_affinity",
+    tags=("J8", "A3", "A1"),
+    oracle="""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+)
+SELECT brand_a, brand_b, COUNT(*) AS orders_together
+FROM pairs GROUP BY brand_a, brand_b
+HAVING COUNT(*) >= 5
+""",
+)
+def q104_brand_affinity(spark: SparkSession, sf_dir: str):
+    """Market-basket co-occurrence (the candidate-pair step of Apriori):
+    how often two part brands appear in the same order. The quadratic
+    blow-up is bounded BEFORE the self-join: distinct (order, brand)
+    first — collapsing multi-line repeats so a k-brand order contributes
+    exactly C(k,2) pairs, k ≤ brand cardinality — and the canonical
+    `brand_a < brand_b` ordering halves the pair stream while making
+    group keys deterministic. Both self-join sides are the same
+    aggregated frame hashing on orderkey, and the Zipf-small pair
+    domain collapses map-side. The same shape at 100 TB is the standard
+    frequent-itemset first pass: bound the per-basket fan-out, never
+    shuffle raw baskets."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
+    )
+    return (
+        a.join(b, (a.ok == b.ok2) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("orders_together"))
+        .filter(F.col("orders_together") >= 5)
+    )
