@@ -1672,15 +1672,24 @@ def q91_sole_late_supplier(spark: SparkSession, sf_dir: str):
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     s = load(spark, sf_dir, "supplier")
-    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        ).alias("late"),
-    )
-    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("late")
+    # lateness is monotone in shipdate, so MAX(l_shipdate) per
+    # (order, supplier) decides "any line late" BEFORE the orders join —
+    # the raw line stream collapses ~4× with map-side combine and only
+    # three narrow columns ever shuffle
+    per_supp = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
     )
     agg = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
