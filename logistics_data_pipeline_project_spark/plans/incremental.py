@@ -29,6 +29,13 @@ _MERGE = {
     "count": lambda c: F.sum(c),  # counts merge by summing partial counts
     "min": F.min,
     "max": F.max,
+    # COUNT DISTINCT has no decomposable exact partial, but its HLL sketch
+    # is a fixed-size mergeable one: registers merge by max, so union is
+    # associative/commutative and the maintained sketch is IDENTICAL to a
+    # full recompute no matter how history was sliced into increments.
+    # The stored partial is the sketch binary; estimates are derived at
+    # read time (`rollup_distinct_estimate`).
+    "approx_distinct": F.hll_union_agg,
 }
 
 
@@ -39,6 +46,8 @@ def _partial(kind: str, col: str) -> Column:
         # exact decimal so the merged result is independent of how history
         # was split into increments (float partials would drift per path)
         return F.sum(F.col(col).cast("decimal(27,2)"))
+    if kind == "approx_distinct":
+        return F.hll_sketch_agg(F.col(col))
     return _MERGE[kind](F.col(col))
 
 
@@ -111,3 +120,14 @@ def incremental_rollup(
 def read_rollup(store: TableStore, name: str) -> DataFrame:
     """Read a maintained rollup without its internal watermark column."""
     return store.read(name).drop("__cursor_wm")
+
+
+def rollup_distinct_estimate(df: DataFrame, sketch_cols: list[str]) -> DataFrame:
+    """Replace maintained ``approx_distinct`` sketch columns with their
+    cardinality estimates (the read-time derivation, like avg from
+    sum/count). The sketches themselves stay queryable for further
+    union-merging — e.g. rolling daily sketches up to months."""
+    out = df
+    for c in sketch_cols:
+        out = out.withColumn(c, F.hll_sketch_estimate(F.col(c)))
+    return out

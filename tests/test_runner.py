@@ -274,3 +274,53 @@ def test_table_store_append_schema_evolution(spark, tmp_path):
         spark.createDataFrame([(3, "y", 1.5)], "id long, a string, b double"),
     )
     assert store.read("t").count() == 3
+
+
+def test_incremental_rollup_hll_distinct_matches_full(spark, tmp_path):
+    """approx_distinct partials: HLL sketch registers merge by max, so the
+    incrementally-maintained sketch is identical to one full recompute
+    regardless of how history was sliced — estimates must match exactly
+    (no tolerance), and the maintained estimate must equal the true
+    distinct count on this small domain."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.plans.incremental import (
+        incremental_rollup,
+        read_rollup,
+        rollup_distinct_estimate,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    rows = [
+        (1, "a", 101), (1, "a", 102), (1, "b", 101),
+        (2, "a", 102), (2, "a", 103), (2, "b", 104),
+        (3, "b", 104), (3, "b", 105), (3, "a", 101),
+    ]
+    full = spark.createDataFrame(rows, "day int, k string, user bigint")
+    measures = {"users": ("user", "approx_distinct"), "n": ("*", "count")}
+    for d in (1, 2, 3):
+        incremental_rollup(
+            store, "actives", full.filter(F.col("day") <= d), ["k"], measures, "day"
+        )
+    got = {
+        r["k"]: (r["users"], r["n"])
+        for r in rollup_distinct_estimate(
+            read_rollup(store, "actives"), ["users"]
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["users"], r["n"])
+        for r in rollup_distinct_estimate(
+            full.groupBy("k").agg(
+                F.hll_sketch_agg("user").alias("users"),
+                F.count(F.lit(1)).alias("n"),
+            ),
+            ["users"],
+        ).collect()
+    }
+    assert got == want
+    exact = {
+        r["k"]: r["d"]
+        for r in full.groupBy("k").agg(F.countDistinct("user").alias("d")).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == exact
