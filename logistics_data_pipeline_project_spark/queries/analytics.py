@@ -2372,3 +2372,93 @@ def q104_brand_affinity(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("orders_together"))
         .filter(F.col("orders_together") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — event-rate spike detection (trailing-window anomaly screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q105_event_rate_spikes",
+    tags=("W1", "A4", "DQ"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+    COUNT(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+w AS (
+  SELECT event_type, day, cnt,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_sum,
+    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail_n
+  FROM daily
+),
+f AS (
+  SELECT *,
+    trail_n >= 7 AND cnt * trail_n >= 2 * trail_sum AS is_spike,
+    CASE WHEN trail_sum > 0 THEN (cnt * trail_n * 1000000) // trail_sum END
+      AS ratio_ppm
+  FROM w
+)
+SELECT event_type,
+  COUNT(*) AS days_observed,
+  CAST(SUM(CASE WHEN is_spike THEN 1 ELSE 0 END) AS BIGINT) AS spike_days,
+  CAST(MAX(CASE WHEN trail_n >= 7 THEN ratio_ppm END) AS BIGINT)
+    AS max_ratio_ppm
+FROM f GROUP BY event_type
+""",
+)
+def q105_event_rate_spikes(spark: SparkSession, sf_dir: str):
+    """Ingestion-rate anomaly screen: a day is a spike when its event
+    count reaches 2× its own trailing 7-day mean — the monitoring check
+    that catches a mis-deployed producer or a replayed backlog before it
+    poisons downstream marts.
+
+    The mean comparison is division-free (`cnt·n ≥ 2·Σ`) and the reported
+    ratio is integer ppm, so day-boundary effects aside, every flag and
+    every number is bit-identical across engines and plans. The raw
+    stream collapses to O(types × days) rows in one map-side-combined
+    shuffle before the ROWS-frame windows (which reuse that same
+    partitioning), so the screen costs one scan + one tiny exchange at
+    any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    trail = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(trail).alias("trail_sum"),
+        F.count(F.lit(1)).over(trail).alias("trail_n"),
+    )
+    f = w.select(
+        "event_type",
+        (
+            (F.col("trail_n") >= 7)
+            & (F.col("cnt") * F.col("trail_n") >= 2 * F.col("trail_sum"))
+        ).alias("is_spike"),
+        F.when(
+            F.col("trail_sum") > 0,
+            F.expr("(cnt * trail_n * 1000000) DIV trail_sum"),
+        ).alias("ratio_ppm"),
+        F.col("trail_n"),
+    )
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("days_observed"),
+        F.sum(F.when(F.col("is_spike"), 1).otherwise(0))
+        .cast("long")
+        .alias("spike_days"),
+        F.max(F.when(F.col("trail_n") >= 7, F.col("ratio_ppm")))
+        .cast("long")
+        .alias("max_ratio_ppm"),
+    )
