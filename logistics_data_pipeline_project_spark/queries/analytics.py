@@ -2344,31 +2344,34 @@ HAVING COUNT(*) >= 5
 def q104_brand_affinity(spark: SparkSession, sf_dir: str):
     """Market-basket co-occurrence (the candidate-pair step of Apriori):
     how often two part brands appear in the same order. The quadratic
-    blow-up is bounded BEFORE the self-join: distinct (order, brand)
-    first — collapsing multi-line repeats so a k-brand order contributes
-    exactly C(k,2) pairs, k ≤ brand cardinality — and the canonical
-    `brand_a < brand_b` ordering halves the pair stream while making
-    group keys deterministic. Both self-join sides are the same
-    aggregated frame hashing on orderkey, and the Zipf-small pair
-    domain collapses map-side. The same shape at 100 TB is the standard
-    frequent-itemset first pass: bound the per-basket fan-out, never
-    shuffle raw baskets."""
+    blow-up is bounded BEFORE any pairing: each order's brands collapse
+    to one sorted distinct array (collect_set, k ≤ brand cardinality)
+    and the C(k,2) canonical pairs are GENERATED in-group by an array
+    comprehension — no self-join, so the basket stream shuffles once (on
+    orderkey) instead of twice, the same posting-list trick the
+    shingle-Jaccard operator uses. The sorted array makes `brand_a <
+    brand_b` structural, and the Zipf-small pair domain collapses
+    map-side in the final count. The same shape at 100 TB is the
+    standard frequent-itemset first pass: bound the per-basket fan-out,
+    never shuffle raw baskets."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    ob = (
+    baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    a = ob.select(
-        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
-    )
-    b = ob.select(
-        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
-    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, (x, i) ->"
+                " transform(slice(brands, i+2, size(brands)),"
+                " y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.brand_a", "pr.brand_b")
     return (
-        a.join(b, (a.ok == b.ok2) & (F.col("brand_a") < F.col("brand_b")))
-        .groupBy("brand_a", "brand_b")
+        pairs.groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("orders_together"))
         .filter(F.col("orders_together") >= 5)
     )
