@@ -2465,3 +2465,146 @@ def q105_event_rate_spikes(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("max_ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — one-pass column profile (data-profiling / DQ reconnaissance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q106_orders_column_profile",
+    tags=("DQ", "A2", "A3"),
+    oracle="""
+SELECT 'o_orderkey' AS col,
+  COUNT(*) AS n_rows,
+  COUNT(o_orderkey) AS n_nonnull,
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+  CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+  CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+  MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+  MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+""",
+)
+def q106_orders_column_profile(spark: SparkSession, sf_dir: str):
+    """One-pass table profiling (the first thing run against any new
+    100 TB source): per-column row/non-null/distinct counts and min/max,
+    unpivoted to one row per column. The wide table melts through a
+    single stack() Expand — one scan feeding one hash aggregate on the
+    column name, instead of the N scans the naive per-column UNION runs
+    (the oracle keeps the naive form precisely to certify equivalence).
+    Values profile as their string representation so heterogeneous column
+    types share one schema; COUNT(DISTINCT) is exact here and swaps to
+    approx_count_distinct at extreme cardinalities."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    stack_expr = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    melted = o.select(F.expr(f"stack({len(cols)}, {stack_expr}) AS (col, repr)"))
+    prof = melted.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("repr").alias("n_nonnull"),
+        F.countDistinct("repr").alias("n_distinct"),
+    )
+    # numeric min/max must compare numerically, not lexically — profile
+    # min/max on the typed values in one tiny grand aggregate, then render
+    mm = o.select(
+        *[
+            x
+            for c in cols
+            for x in (
+                F.min(c).cast("string").alias(f"min_{c}"),
+                F.max(c).cast("string").alias(f"max_{c}"),
+            )
+        ]
+    )
+    mm_long = mm.select(
+        F.expr(
+            "stack("
+            + str(len(cols))
+            + ", "
+            + ", ".join(f"'{c}', min_{c}, max_{c}" for c in cols)
+            + ") AS (col, min_repr, max_repr)"
+        )
+    )
+    return prof.join(F.broadcast(mm_long), "col").select(
+        "col", "n_rows", "n_nonnull", "n_distinct", "min_repr", "max_repr"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — disjunctive predicate join (TPC-H Q19 shape: OR of AND-groups)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q107_disjunctive_revenue",
+    tags=("J1", "P6", "A2"),
+    oracle="""
+SELECT
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE
+  (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+    AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+  OR
+  (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 30
+    AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+  OR
+  (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 21 AND 50
+    AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+""",
+)
+def q107_disjunctive_revenue(spark: SparkSession, sf_dir: str):
+    """TPC-H Q19 shape: an OR of three AND-groups mixing predicates from
+    BOTH join sides. The optimizer matters more than the operator here:
+    Catalyst factors the single-table conjuncts out of the disjunction
+    (CNF conversion), so the part scan is pre-filtered to the three
+    brands, the lineitem scan to the quantity hull, and only then does
+    the join see the full disjunction as its residual condition — without
+    that factoring the predicate can't push past the join at all and
+    100 TB of lineitem reaches the join unfiltered. Part (pre-filtered)
+    broadcasts; revenue is the engine-standard exact DECIMAL sum."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    groups = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 30)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(21, 50)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 50)
+        )
+    )
+    return j.filter(groups).agg(
+        F.sum(dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2)))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("lines"),
+    )

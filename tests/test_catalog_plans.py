@@ -125,3 +125,13 @@ def test_q100_year_predicate_reaches_scan(spark, sf_dir):
     plan = _explain(REGISTRY["q100_dominant_part_suppliers"].fn(spark, sf_dir))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("l_shipdate" in l for l in pushed), pushed
+
+
+def test_q107_disjunction_factors_to_both_scans(spark, sf_dir):
+    """TPC-H Q19 shape: Catalyst must factor each side's conjuncts out of
+    the OR-of-AND-groups so BOTH scans carry a pushed disjunction —
+    otherwise the predicate sits above the join and nothing prunes."""
+    plan = _explain(REGISTRY["q107_disjunctive_revenue"].fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l and "Or(" in l for l in pushed), pushed
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), pushed
