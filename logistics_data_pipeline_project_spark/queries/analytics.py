@@ -2608,3 +2608,99 @@ def q107_disjunctive_revenue(spark: SparkSession, sf_dir: str):
         .alias("revenue"),
         F.count(F.lit(1)).alias("lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — NOT IN subquery (null-aware anti join, TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q108_parts_excluding_flagged",
+    tags=("J6", "P10", "A3"),
+    oracle="""
+SELECT p.p_brand, p.p_type,
+  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+AND p.p_size <= 10
+GROUP BY p.p_brand, p.p_type
+""",
+)
+def q108_parts_excluding_flagged(spark: SparkSession, sf_dir: str):
+    """TPC-H Q16 shape: supplier counts per part class EXCLUDING flagged
+    suppliers via `NOT IN (subquery)` — semantically a NULL-AWARE anti
+    join (one NULL in the subquery empties the result), which Spark plans
+    as BroadcastNestedLoopJoin unless it can prove null-freeness; the
+    flag column here is a non-null key so the exclusion stays a cheap
+    broadcast. Expressed via spark.sql so the engine's SQL entry exercises
+    the same decorrelation path the oracle runs; the distinct count
+    collapses on the (brand, type) shuffle with partial aggregation."""
+    from ..io_utils import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type,
+          CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+        AND p.p_size <= 10
+        GROUP BY p.p_brand, p.p_type
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — month-over-month growth (lag on an aggregated series, integer bps)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q109_monthly_revenue_growth",
+    tags=("A2", "W1"),
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT month,
+  CAST(revenue AS DOUBLE) AS revenue,
+  CAST(trunc(CAST((revenue - LAG(revenue) OVER (ORDER BY month)) * 10000 AS DOUBLE)
+       / CAST(LAG(revenue) OVER (ORDER BY month) AS DOUBLE)) AS BIGINT) AS growth_bps
+FROM m
+""",
+)
+def q109_monthly_revenue_growth(spark: SparkSession, sf_dir: str):
+    """Month-over-month revenue growth: the KPI-mart time-series pattern.
+    The fact stream collapses to O(months) rows in one map-side-combined
+    aggregate BEFORE the LAG window touches anything (a global-order
+    window over months is fine — there are dozens of rows, not billions),
+    and the growth rate is integer basis points via DECIMAL floor-divide,
+    so no double division ever happens and the series is bit-identical on
+    both engines. First month's growth is NULL by construction."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(dec("o_totalprice", 18, 2)).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    # the bps ratio divides the exact DECIMAL delta in DOUBLE (identical
+    # IEEE bits both engines) and truncates via the BIGINT cast (the oracle spells trunc() out because DuckDB's double-to-BIGINT cast ROUNDS where Spark's truncates) — floor-
+    # vs-truncate divergence between engines' integer division on
+    # negative growth is exactly what this avoids
+    return m.select(
+        "month",
+        F.col("revenue").cast("double").alias("revenue"),
+        (
+            ((F.col("revenue") - prev) * 10000).cast("double")
+            / prev.cast("double")
+        )
+        .cast("long")
+        .alias("growth_bps"),
+    )
