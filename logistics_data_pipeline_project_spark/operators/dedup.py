@@ -175,12 +175,26 @@ def minhash_lsh_pairs(
     per_band = num_hash_tables // n_bands
     hcols = [f"__h{i}" for i in range(num_hash_tables)]
 
-    sh = word_shingles(df, text_col, id_col, n)
-    sig = sh.groupBy(id_col).agg(
+    # Signatures are a PER-DOCUMENT reduction: the shingle set folds
+    # row-locally (array_min over seeded xxhash64) instead of exploding
+    # into a (doc, shingle) stream and shuffling it back by doc — zero
+    # exchanges for the signature stage, bit-identical to the explode →
+    # groupBy(id) min-aggregate form (asserted before adopting). The
+    # same row-local-fold rule as simhash: any sketch whose state is
+    # per-row never needs the shuffle Spark's agg would pay.
+    toks = fan_out(df).select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__t")
+    ).filter(F.size("__t") >= n)
+    shingle_expr = (
+        f"array_distinct(transform(sequence(0, size(__t)-{n}),"
+        f" i -> concat_ws(' ', slice(__t, i+1, {n}))))"
+    )
+    sig = toks.withColumn("__sh", F.expr(shingle_expr)).select(
+        F.col(id_col),
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(h)
+            F.expr(f"array_min(transform(__sh, s -> xxhash64(s, {seed + i})))").alias(h)
             for i, h in enumerate(hcols)
-        ]
+        ],
     )
     bands = sig.select(
         F.col(id_col),
