@@ -45,6 +45,7 @@ def main() -> None:
             "q37_near_dup_clusters",  # also warms q22's shingle pipeline
             "q36_embedding_near_dup",
             "q41_ivf_kmeans_assign",
+            "q24_near_dup_simhash",  # row-local fold lambdas: one-time codegen
         ):
             if wq in REGISTRY:
                 REGISTRY[wq].fn(spark, warm_dir).write.format("noop").mode(
