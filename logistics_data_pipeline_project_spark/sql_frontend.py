@@ -696,6 +696,7 @@ def run_statement(
     sql: str,
     store=None,
     sf_dir: str | None = None,
+    stage_root: str | None = None,
 ) -> DataFrame | None:
     """Execute one statement of the reference's SQL surface.
 
@@ -706,6 +707,9 @@ def run_statement(
       materialization through the store's atomic snapshot swap (K4).
     - ``INSERT INTO name [(cols)] select`` → append through the store
       (K2) with by-name column alignment when a column list is given.
+    - ``COPY INTO name FROM '<loc>' FILE_FORMAT=(TYPE='JSON'|'CSV' ...)``
+      → stage readers + store append (S3-S5); ``@stage/...`` locations
+      resolve against ``stage_root``.
     - ``MERGE INTO ...`` → :func:`run_merge_sql` (M1).
     - anything else → :func:`run_sql` (query).
 
@@ -750,6 +754,10 @@ def run_statement(
             df = df.toDF(*cols)
         store.append(name, df)
         return store.read(name)
+    if re.match(r"COPY\s+INTO\b", s, re.IGNORECASE):
+        if store is None:
+            raise ValueError("COPY INTO requires a TableStore")
+        return _run_copy_into(spark, s, store, stage_root)
     if re.match(r"MERGE\s+INTO\b", s, re.IGNORECASE):
         if store is None:
             raise ValueError("MERGE requires a TableStore")
@@ -801,11 +809,79 @@ def run_script(
     script: str,
     store=None,
     sf_dir: str | None = None,
+    stage_root: str | None = None,
 ) -> DataFrame | None:
     """Execute a multi-statement SQL script (the body of a reference
     Airflow SQL task) statement-by-statement via :func:`run_statement`.
     Returns the last statement's DataFrame."""
     last = None
     for stmt in _split_statements(script):
-        last = run_statement(spark, stmt, store=store, sf_dir=sf_dir)
+        last = run_statement(spark, stmt, store=store, sf_dir=sf_dir, stage_root=stage_root)
     return last
+
+
+def _run_copy_into(spark, stmt: str, store, stage_root: str | None):
+    """``COPY INTO <table> FROM '<location>' FILE_FORMAT=(TYPE='JSON'|'CSV'
+    [, options]) [PATTERN='regex']`` — the reference's bulk-load statement
+    (dags/2_logistics-shipment-dag.py:83-86, weather_api_dag.py:62-67)
+    routed onto the stage readers + store append.
+
+    Snowflake ``@stage/...`` locations resolve against ``stage_root``
+    (the engine's landing directory standing in for the external stage);
+    plain quoted paths are used as-is.
+    """
+    from .sources.readers import read_csv_stage, read_json_stage
+
+    m = re.match(
+        r"COPY\s+INTO\s+([A-Za-z0-9_.\"]+)\s+FROM\s+'([^']+)'\s*(.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"unsupported COPY INTO form: {stmt[:120]!r}")
+    target = m.group(1).strip('"').split(".")[-1]
+    location, opts = m.group(2), m.group(3)
+    if location.startswith("@"):
+        if stage_root is None:
+            raise ValueError(
+                "COPY FROM @stage needs stage_root (the landing directory "
+                "standing in for the external stage)"
+            )
+        # '@DB.SCHEMA.STAGE/prefix/file' → '<stage_root>/prefix/file'
+        tail = location.split("/", 1)
+        location = stage_root.rstrip("/") + ("/" + tail[1] if len(tail) > 1 else "")
+    fmt = re.search(r"TYPE\s*=\s*'(\w+)'", opts, re.IGNORECASE)
+    ftype = (fmt.group(1) if fmt else "CSV").upper()
+    pat = re.search(r"PATTERN\s*=>?\s*'([^']*)'", opts, re.IGNORECASE)
+    on_err = re.search(r"ON_ERROR\s*=\s*'SKIP_FILE'", opts, re.IGNORECASE)
+    if ftype == "JSON":
+        # Snowflake loads NDJSON by default and needs STRIP_OUTER_ARRAY
+        # for whole-file arrays — mapped to Spark's multiLine switch
+        outer_array = re.search(r"STRIP_OUTER_ARRAY\s*=\s*TRUE", opts, re.IGNORECASE)
+        df = read_json_stage(
+            spark,
+            location,
+            skip_bad_records=bool(on_err),
+            multi_line=bool(outer_array),
+        )
+    elif ftype == "CSV":
+        skip_header = re.search(r"SKIP_HEADER\s*=\s*1", opts, re.IGNORECASE)
+        # Snowflake PATTERN is a regex; the reader filters by glob —
+        # translate the two idioms the reference uses (`.*` wildcards,
+        # `\.` escaped dots)
+        glob = (
+            pat.group(1).replace(".*", "*").replace("\\.", ".") if pat else None
+        )
+        df = read_csv_stage(
+            spark,
+            location,
+            pattern=glob,
+            skip_header=bool(skip_header),
+        )
+    else:
+        raise ValueError(f"COPY INTO: unsupported FILE_FORMAT TYPE {ftype!r}")
+    if store.exists(target):
+        store.append(target, df)
+    else:
+        store.overwrite(target, df)
+    return store.read(target)

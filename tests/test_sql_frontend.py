@@ -335,3 +335,48 @@ def test_run_script_multi_statement_task(spark, tmp_path, sf_dir):
     )
     rows = {(r["r_regionkey"], r["r_name"], r["n"]) for r in out.collect()}
     assert (0, "AFRICA (corrected)", 2) in rows and len(rows) == 5
+
+
+def test_copy_into_json_and_csv(spark, tmp_path):
+    """The reference's bulk-load statement (COPY INTO ... FROM stage,
+    dags/2_logistics-shipment-dag.py:83-86) through the dispatcher:
+    JSON stage file into a fresh table, then a CSV batch appended, with
+    @stage resolution against the landing root."""
+    import json as _json
+    import os
+
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+    from logistics_data_pipeline_project_spark.sql_frontend import run_statement
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    stage = tmp_path / "stage" / "logistics_json"
+    os.makedirs(stage)
+    with open(stage / "shipment_1.json", "w") as f:
+        for row in ({"sid": "s1", "qty": 3}, {"sid": "s2", "qty": 4}):
+            f.write(_json.dumps(row) + "\n")
+
+    out = run_statement(
+        spark,
+        "COPY INTO bronze.shipment_raw"
+        " FROM '@DEMO.BRONZE.STAGE/logistics_json/shipment_1.json'"
+        " FILE_FORMAT = (TYPE = 'JSON')",
+        store=store,
+        stage_root=str(tmp_path / "stage"),
+    )
+    assert {(r["sid"], r["qty"]) for r in out.collect()} == {("s1", 3), ("s2", 4)}
+
+    csvdir = tmp_path / "csv"
+    os.makedirs(csvdir)
+    (csvdir / "weather_1.csv").write_text("city,temp\npune,31\nmumbai,33\n")
+    (csvdir / "other.csv").write_text("city,temp\nskip,0\n")
+    out2 = run_statement(
+        spark,
+        f"COPY INTO weather_raw FROM '{csvdir}'"
+        " FILE_FORMAT = (FORMAT_NAME = 'csv_fmt', TYPE = 'CSV', SKIP_HEADER = 1)"
+        " PATTERN = '.*weather_.*\\.csv'",
+        store=store,
+    )
+    assert {(r["city"], r["temp"]) for r in out2.collect()} == {
+        ("pune", "31"),
+        ("mumbai", "33"),
+    }
