@@ -380,3 +380,78 @@ def test_copy_into_json_and_csv(spark, tmp_path):
         ("pune", "31"),
         ("mumbai", "33"),
     }
+
+
+# ---------------------------------------------------------------------------
+# property tests: the statement parsers must be total over generated input
+# ---------------------------------------------------------------------------
+
+
+def test_parse_merge_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logistics_data_pipeline_project_spark.sql_frontend import parse_merge
+
+    names = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        tgt=names, t_alias=names, s_alias=names,
+        keys=st.lists(names, min_size=1, max_size=3, unique=True),
+        upd=st.lists(names, min_size=1, max_size=3, unique=True),
+    )
+    def check(tgt, t_alias, s_alias, keys, upd):
+        # aliases must differ from each other for unambiguous ON parsing
+        if t_alias.lower() == s_alias.lower():
+            s_alias = s_alias + "_s"
+        reserved = {"on", "when", "using", "as", "merge", "into", "and", "then",
+                    "update", "set", "insert", "values", "not", "matched", "delete"}
+        if {t_alias.lower(), s_alias.lower()} & reserved:
+            return
+        on = " AND ".join(f"{t_alias}.{k} = {s_alias}.{k}" for k in keys)
+        sets = ", ".join(f"{c} = {s_alias}.{c}" for c in upd)
+        cols = ", ".join(keys + upd)
+        vals = ", ".join(f"{s_alias}.{c}" for c in keys + upd)
+        sql = (
+            f"MERGE INTO {tgt} AS {t_alias}\n"
+            f"USING (SELECT * FROM src_tbl) AS {s_alias}\n"
+            f"ON {on}\n"
+            f"WHEN MATCHED THEN UPDATE SET {sets}\n"
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+        parsed = parse_merge(sql)
+        assert parsed["target"] == tgt
+        assert [k for k, _ in parsed["keys"]] == keys
+        assert set(parsed["update_set"]) == set(upd)
+        for c in upd:
+            assert parsed["update_set"][c] == f"s.{c}"
+        assert parsed["insert_cols"] == keys + upd
+        assert parsed["insert_vals"] == [f"s.{c}" for c in keys + upd]
+
+    check()
+
+
+def test_split_statements_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logistics_data_pipeline_project_spark.sql_frontend import _split_statements
+
+    # statements made of benign words, literals with embedded semicolons,
+    # and trailing comments must split back into the same count
+    word = st.from_regex(r"[A-Za-z0-9_]{1,8}", fullmatch=True)
+    lit = st.from_regex(r"[A-Za-z0-9;\- ]{0,12}", fullmatch=True)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(word, lit, word), min_size=1, max_size=5))
+    def check(parts):
+        stmts = [f"SELECT {a}, '{b}' FROM {c}" for a, b, c in parts]
+        script = ";\n-- trailing ; comment\n".join(stmts) + ";"
+        got = _split_statements(script)
+        assert len(got) == len(stmts)
+        for g, want in zip(got, stmts):
+            assert g.startswith("SELECT")
+            assert want.split("FROM")[1].strip() in g
+
+    check()
