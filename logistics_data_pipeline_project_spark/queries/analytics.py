@@ -2704,3 +2704,90 @@ def q109_monthly_revenue_growth(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("growth_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — RFM segmentation (quartile scoring + banding classification)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q110_customer_rfm_segments",
+    tags=("A2", "W1", "P6"),
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+    MAX(o_orderdate) AS last_order,
+    COUNT(*) AS frequency,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+    NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+    NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+    NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM rfm
+),
+labeled AS (
+  SELECT *,
+    CASE WHEN r_score = 1 AND f_score = 1 AND m_score = 1 THEN 'champion'
+         WHEN r_score <= 2 AND m_score <= 2 THEN 'loyal'
+         WHEN r_score = 4 AND f_score <= 2 THEN 'at_risk'
+         WHEN r_score = 4 THEN 'lost'
+         ELSE 'regular' END AS segment
+  FROM scored
+)
+SELECT segment, COUNT(*) AS customers,
+  CAST(AVG(CAST(r_score AS DOUBLE)) AS DOUBLE) AS avg_r,
+  CAST(AVG(CAST(f_score AS DOUBLE)) AS DOUBLE) AS avg_f,
+  CAST(AVG(CAST(m_score AS DOUBLE)) AS DOUBLE) AS avg_m
+FROM labeled GROUP BY segment
+""",
+)
+def q110_customer_rfm_segments(spark: SparkSession, sf_dir: str):
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-mart classification the reference's segment CASE chains
+    (dags/snowflake-EDW-ETL-dag.py:353-367) approximate by hand. The
+    fact stream collapses to one row per customer first (map-side
+    combined; monetary in exact DECIMAL), THEN three NTILE(4) windows
+    score the O(customers) aggregate — each with the customer key as
+    tiebreaker, because NTILE's bucket boundaries on ties are otherwise
+    engine-dependent. The global-order windows are fine at this altitude
+    (they sort customers, not orders; for billions of customers swap in
+    approx-percentile cut points). Banding is a pure CASE chain."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice", 18, 2)).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    labeled = scored.withColumn(
+        "segment",
+        F.when(
+            (F.col("r_score") == 1) & (F.col("f_score") == 1) & (F.col("m_score") == 1),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("m_score") <= 2), "loyal")
+        .when((F.col("r_score") == 4) & (F.col("f_score") <= 2), "at_risk")
+        .when(F.col("r_score") == 4, "lost")
+        .otherwise("regular"),
+    )
+    return labeled.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.avg(F.col("r_score").cast("double")).alias("avg_r"),
+        F.avg(F.col("f_score").cast("double")).alias("avg_f"),
+        F.avg(F.col("m_score").cast("double")).alias("avg_m"),
+    )
