@@ -52,6 +52,23 @@ class Model:
     watermark_col: str | None = None  # incremental high-watermark column
     tracked_cols: Sequence[str] = field(default_factory=tuple)  # snapshot
     dedup_order: Sequence[str] = field(default_factory=tuple)  # pre-merge dedup
+    #: dbt-style data tests, gated BEFORE the write: a callable over the
+    #: model's output returning quality.CheckResult rows; any failed check
+    #: aborts the model (FAILED audit + on_failure alert) with the store
+    #: untouched — stricter than dbt, which materializes first and tests
+    #: after, leaving bad data committed when a test fails.
+    checks: Callable[[DataFrame], Sequence] | None = None
+
+
+class DataQualityError(Exception):
+    """A model's constraint suite failed; carries the failed CheckResults."""
+
+    def __init__(self, model: str, failed: Sequence):
+        self.failed = list(failed)
+        detail = "; ".join(
+            f"{r.name}[{r.table}]={r.violations} violations" for r in self.failed
+        )
+        super().__init__(f"model {model!r} failed data-quality checks: {detail}")
 
 
 class ModelRunner:
@@ -181,6 +198,10 @@ class ModelRunner:
         started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         try:
             df = m.fn(self.spark, self.ref)
+            if m.checks is not None:
+                failed = [r for r in m.checks(df) if not r.passed]
+                if failed:
+                    raise DataQualityError(name, failed)
             if m.materialization == "snapshot" and not self.store.exists(m.name):
                 df = self._snapshot_bootstrap(m, df)
             rows = self._materialize(m, df)

@@ -324,3 +324,46 @@ def test_incremental_rollup_hll_distinct_matches_full(spark, tmp_path):
         for r in full.groupBy("k").agg(F.countDistinct("user").alias("d")).collect()
     }
     assert {k: v[0] for k, v in got.items()} == exact
+
+
+def test_model_checks_gate_the_write(spark, store):
+    """A failing constraint suite must abort the model BEFORE anything is
+    committed (FAILED audit row, on_failure alert, store untouched) —
+    stricter than dbt's materialize-then-test ordering."""
+    import pytest
+
+    from logistics_data_pipeline_project_spark.plans import quality
+    from logistics_data_pipeline_project_spark.plans.runner import (
+        DataQualityError,
+        Model,
+        ModelRunner,
+    )
+
+    alerts = []
+    runner = ModelRunner(
+        spark, store, on_failure=lambda m, rid, exc: alerts.append((m, type(exc)))
+    )
+
+    def bad_model(s, ref):
+        return s.createDataFrame([(1, "a"), (None, "b")], "k int, v string")
+
+    def suite(df):
+        return quality.run_checks(
+            [("k_not_null", "bad", lambda: quality.not_null(df, ["k"]))]
+        )
+
+    runner.register(Model(name="bad", fn=bad_model, checks=suite))
+    with pytest.raises(DataQualityError, match="k_not_null"):
+        runner.run(["bad"])
+    assert not store.exists("bad")
+    assert alerts == [("bad", DataQualityError)]
+    audit = runner.audit_log().filter("job_name = 'bad'").collect()
+    assert [r["status"] for r in audit] == ["FAILED"]
+
+    def good_model(s, ref):
+        return s.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+
+    runner2 = ModelRunner(spark, store)
+    runner2.register(Model(name="good", fn=good_model, checks=suite))
+    runner2.run(["good"])
+    assert store.read("good").count() == 2
