@@ -1,4 +1,10 @@
-from .merge import dedup_latest, merge_upsert, scd2_apply, high_watermark
+from .merge import (
+    dedup_latest,
+    high_watermark,
+    merge_upsert,
+    scd2_apply,
+    scd2_as_of,
+)
 from .router import validity_router
 from .scale import (
     day_partition,
@@ -12,6 +18,7 @@ __all__ = [
     "dedup_latest",
     "merge_upsert",
     "scd2_apply",
+    "scd2_as_of",
     "high_watermark",
     "validity_router",
     "write_bucketed",

@@ -197,6 +197,25 @@ def scd2_apply(
     )
 
 
+def scd2_as_of(
+    history: DataFrame,
+    as_of: Column,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time read over an SCD2 history: the version of each key
+    that was current at ``as_of`` — rows with ``valid_from <= as_of`` and
+    ``valid_to`` either open or after ``as_of`` (half-open intervals, so
+    consecutive versions never both match). This is the query side of the
+    M6 snapshot: "what did this dimension look like when the fact
+    happened" joins use it as the build side, and it is a pure filter —
+    no window, no join, pushed straight into the scan."""
+    return history.filter(
+        (F.col(valid_from_col) <= as_of)
+        & (F.col(valid_to_col).isNull() | (F.col(valid_to_col) > as_of))
+    )
+
+
 def high_watermark(target: DataFrame, ts_col: str):
     """Read the incremental high watermark (SURVEY §M4):
     `SELECT MAX(ts) FROM target` (dags/logistics-airbyte-sql.py:35-38).

@@ -499,3 +499,39 @@ def test_native_session_window_matches_gap_sessionization(spark, sf_dir):
     got = {r["user_id"]: r["n_sessions"] for r in native.collect()}
     want = {r["user_id"]: r["n_sessions"] for r in q20.collect()}
     assert got == want
+
+
+def test_scd2_as_of_point_in_time(spark):
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.operators.merge import (
+        scd2_apply,
+        scd2_as_of,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "pune", "2024-01-01", None, True), (2, "goa", "2024-01-01", None, True)],
+        "customer_id int, city string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "customer_id", "city",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    upd = spark.createDataFrame([(1, "mumbai")], "customer_id int, city string")
+    hist2 = scd2_apply(
+        hist, upd, "customer_id", ["city"],
+        F.lit("2024-06-01").cast("timestamp"),
+    )
+    # before the change: customer 1 in pune; after: in mumbai; the closing
+    # boundary itself (half-open) already reads as the new version
+    def city_at(ts):
+        rows = scd2_as_of(hist2, F.lit(ts).cast("timestamp")).collect()
+        return {r["customer_id"]: r["city"] for r in rows}
+
+    assert city_at("2024-03-01") == {1: "pune", 2: "goa"}
+    assert city_at("2024-06-01") == {1: "mumbai", 2: "goa"}
+    assert city_at("2024-12-01") == {1: "mumbai", 2: "goa"}
+    # exactly one version per key at every instant
+    for ts in ("2024-03-01", "2024-06-01", "2024-12-01"):
+        assert len(city_at(ts)) == 2
