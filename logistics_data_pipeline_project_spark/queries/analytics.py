@@ -2791,3 +2791,102 @@ def q110_customer_rfm_segments(spark: SparkSession, sf_dir: str):
         F.avg(F.col("f_score").cast("double")).alias("avg_f"),
         F.avg(F.col("m_score").cast("double")).alias("avg_m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — TPC-H Q9 shape: product-line profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q111_product_profit_by_nation",
+    tags=("J2", "A1", "A2", "P5"),
+    oracle="""
+SELECT n.n_name AS nation,
+  CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+         - CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(3,1))) AS DOUBLE)
+    AS sum_profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%_5%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+""",
+)
+def q111_product_profit_by_nation(spark: SparkSession, sf_dir: str):
+    """TPC-H Q9 shape: profit (revenue minus modeled supply cost at 60%
+    of retail) for a product line, by supplier nation and order year.
+    The part-name LIKE filter lands on the BROADCAST side, so Catalyst
+    prunes the lineitem stream through the join itself (only matching
+    partkeys survive the broadcast hash probe) — the fact scan stays
+    full-width-free and the only real shuffle is lineitem⋈orders on
+    orderkey. Profit arithmetic is exact DECIMAL throughout: the
+    subtraction happens per row pre-aggregation, so the sum is
+    order-independent under any AQE re-plan."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%_5%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2)) - dec(
+        "l_quantity", 12, 2
+    ) * dec("p_retailprice", 12, 2) * F.lit(0.6).cast("decimal(3,1)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — top-k per group WITH ties (rank, not row_number)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q112_top_parts_with_ties",
+    tags=("W1", "O3"),
+    oracle="""
+WITH pq AS (
+  SELECT p.p_brand, l.l_partkey,
+    CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey
+)
+SELECT p_brand, l_partkey, qty, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, RANK() OVER (PARTITION BY p_brand ORDER BY qty DESC) AS rnk
+  FROM pq
+)
+WHERE rnk <= 3
+""",
+)
+def q112_top_parts_with_ties(spark: SparkSession, sf_dir: str):
+    """Top-3 parts per brand by shipped quantity, KEEPING ties — RANK
+    semantics, where row_number's arbitrary tiebreak would silently drop
+    equally-ranked parts (the correct choice for leaderboards where a
+    tie means both belong). The tie comparison is on an exact integer
+    quantity, so group membership is engine- and plan-independent with
+    no tiebreaker column needed; the fact stream collapses to O(brand ×
+    part) rows with map-side combine before the window."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    pq = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(dec("l_quantity", 18, 2)).cast("long").alias("qty"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("qty"))
+    return (
+        pq.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
