@@ -190,6 +190,34 @@ class TableStore:
         self._commit_pointer(name, nxt)
         self._gc(name)
 
+    def compact(self, name: str, target_file_mb: int = 128) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite the current
+        snapshot into ~``target_file_mb``-sized parquet files and commit
+        the result as a new version (same atomic pointer swap — readers
+        of the old snapshot are untouched, rollback still works).
+
+        Repeated appends accumulate one part-file set per batch; at scale
+        the resulting small files dominate scan cost (per-file open +
+        footer read + scheduler overhead beat actual IO). Returns the new
+        file count. Worth running when file count far exceeds
+        bytes/target_file_mb — the same trigger heuristic lakehouse
+        OPTIMIZE jobs use."""
+        cur = self.current_version(name)
+        if cur is None:
+            raise KeyError(f"no table {name!r}")
+        src = self._vdir(name, cur)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        # localCheckpoint cuts lineage to the snapshot being replaced
+        df = self.read(name).coalesce(n_files).localCheckpoint(eager=True)
+        self.overwrite(name, df)
+        new = self._vdir(name, self.current_version(name))
+        return sum(1 for f in os.listdir(new) if f.endswith(".parquet"))
+
     def rollback(self, name: str, version: int) -> None:
         """Point the table back at an earlier retained snapshot — a pure
         pointer swap, O(1), no data copy."""

@@ -367,3 +367,27 @@ def test_model_checks_gate_the_write(spark, store):
     runner2.register(Model(name="good", fn=good_model, checks=suite))
     runner2.run(["good"])
     assert store.read("good").count() == 2
+
+
+def test_table_store_compaction(spark, tmp_path):
+    """compact() rewrites an append-fragmented snapshot into few files as
+    a NEW version — data identical, old snapshot still readable, rollback
+    intact."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    import os
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    store.overwrite("t", df.repartition(8))
+    for _ in range(3):
+        store.append("t", spark.range(1000, 1200).withColumnRenamed("id", "k").repartition(8))
+    v_before = store.current_version("t")
+    files_before = sum(
+        1 for f in os.listdir(store.path("t")) if f.endswith(".parquet")
+    )
+    assert files_before >= 16
+    n_after = store.compact("t")
+    assert n_after < files_before
+    assert store.current_version("t") == v_before + 1
+    assert store.read("t").count() == 1000 + 3 * 200
+    # old snapshot untouched and still time-travel readable
+    assert store.read("t", version=v_before).count() == 1000 + 3 * 200
