@@ -2890,3 +2890,126 @@ def q112_top_parts_with_ties(spark: SparkSession, sf_dir: str):
         pq.withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — new vs returning revenue split (first-order attribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q113_new_vs_returning_revenue",
+    tags=("A4", "W1", "A2"),
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_order FROM orders GROUP BY o_custkey
+),
+tagged AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+    o.o_orderdate = f.first_order AS is_first,
+    CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT month,
+  CAST(SUM(CASE WHEN is_first THEN price ELSE 0 END) AS DOUBLE) AS new_revenue,
+  CAST(SUM(CASE WHEN NOT is_first THEN price ELSE 0 END) AS DOUBLE) AS returning_revenue,
+  CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS new_orders,
+  CAST(SUM(CASE WHEN NOT is_first THEN 1 ELSE 0 END) AS BIGINT) AS returning_orders
+FROM tagged GROUP BY month
+""",
+)
+def q113_new_vs_returning_revenue(spark: SparkSession, sf_dir: str):
+    """Monthly revenue split into first-ever orders vs returning-customer
+    orders — the acquisition-vs-retention KPI. First-order attribution is
+    a per-customer MIN carried back onto the order stream; expressed as a
+    customer-keyed window (one exchange shared by the min and the
+    tag — no separate aggregate + join-back pass), then a tiny
+    O(months) conditional-DECIMAL rollup. An order on the customer's
+    first DAY counts as new (date granularity ties go to 'new', the
+    deterministic choice both engines share)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    tagged = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        (F.col("o_orderdate") == F.min("o_orderdate").over(w)).alias("is_first"),
+        dec("o_totalprice", 18, 2).alias("price"),
+    )
+    return tagged.groupBy("month").agg(
+        F.sum(F.when(F.col("is_first"), F.col("price")).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("new_revenue"),
+        F.sum(F.when(~F.col("is_first"), F.col("price")).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("returning_revenue"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).cast("long").alias("new_orders"),
+        F.sum(F.when(~F.col("is_first"), 1).otherwise(0)).cast("long").alias("returning_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114 — cross-table reconciliation audit (header vs line totals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q114_order_line_reconciliation",
+    tags=("DQ", "A2", "J1"),
+    oracle="""
+WITH lt AS (
+  SELECT l_orderkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS line_total,
+    COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT
+  COUNT(*) AS orders_checked,
+  CAST(SUM(CASE WHEN lt.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_without_lines,
+  CAST(SUM(CASE WHEN lt.l_orderkey IS NOT NULL
+       AND abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - lt.line_total) > CAST(o.o_totalprice AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(2,1))
+       THEN 1 ELSE 0 END) AS BIGINT) AS gross_mismatches,
+  CAST(MAX(lt.n_lines) AS BIGINT) AS max_lines_per_order
+FROM orders o LEFT JOIN lt ON o.o_orderkey = lt.l_orderkey
+""",
+)
+def q114_order_line_reconciliation(spark: SparkSession, sf_dir: str):
+    """Header-vs-detail reconciliation — the cross-table consistency
+    audit every warehouse runs between a fact header and its line table:
+    orders with no lines at all, and orders whose header total diverges
+    grossly (>50%) from the recomputed line total. Divergence math is
+    exact DECIMAL (no double drift can flip a verdict); lineitem
+    collapses to O(orders) with map-side combine before the LEFT join
+    back to headers, and the verdict stream reduces to one audit row.
+    The synthetic generator prices headers independently of lines, so
+    non-zero mismatch counts here are expected — the query checks the
+    OPERATOR, the thresholds are the knob."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lt = li.groupBy("l_orderkey").agg(
+        F.sum(
+            dec("l_extendedprice", 18, 2)
+            * (1 - dec("l_discount", 4, 2))
+            * (1 + dec("l_tax", 4, 2))
+        ).alias("line_total"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = o.join(lt, o.o_orderkey == lt.l_orderkey, "left")
+    hdr = dec("o_totalprice", 18, 2)
+    return j.agg(
+        F.count(F.lit(1)).alias("orders_checked"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("orders_without_lines"),
+        F.sum(
+            F.when(
+                F.col("l_orderkey").isNotNull()
+                & (
+                    F.abs(hdr - F.col("line_total"))
+                    > hdr * F.lit(0.5).cast("decimal(2,1)")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("gross_mismatches"),
+        F.max("n_lines").cast("long").alias("max_lines_per_order"),
+    )
