@@ -3013,3 +3013,45 @@ def q114_order_line_reconciliation(spark: SparkSession, sf_dir: str):
         .alias("gross_mismatches"),
         F.max("n_lines").cast("long").alias("max_lines_per_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — state-transition matrix (Markov first pass over ordered events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q115_status_transition_matrix",
+    tags=("W1", "A1"),
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus,
+    LAG(o_orderstatus) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ) AS prev_status
+  FROM orders
+)
+SELECT prev_status, o_orderstatus AS next_status, COUNT(*) AS transitions
+FROM seq WHERE prev_status IS NOT NULL
+GROUP BY prev_status, o_orderstatus
+""",
+)
+def q115_status_transition_matrix(spark: SparkSession, sf_dir: str):
+    """Order-status transition matrix — the Markov-chain first pass
+    (state → next state counts over each customer's chronological order
+    sequence) behind churn models and process mining. LAG carries the
+    previous state on one customer-keyed window (orderkey tiebreak makes
+    same-day sequences deterministic), and the transition pairs collapse
+    map-side into the tiny |states|² matrix. One exchange on customer
+    for the window; at 100 TB the matrix itself never grows."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+        F.col("o_orderstatus").alias("next_status"),
+    )
+    return (
+        seq.filter(F.col("prev_status").isNotNull())
+        .groupBy("prev_status", "next_status")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
