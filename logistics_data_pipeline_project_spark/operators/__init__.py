@@ -7,6 +7,7 @@ from .merge import (
 )
 from .router import validity_router
 from .scale import (
+    backfill_partitions,
     day_partition,
     overwrite_partitioned,
     salted_aggregate,
@@ -25,5 +26,6 @@ __all__ = [
     "salted_aggregate",
     "salted_join",
     "overwrite_partitioned",
+    "backfill_partitions",
     "day_partition",
 ]

@@ -148,6 +148,31 @@ def overwrite_partitioned(
     return spark.read.parquet(path)
 
 
+def backfill_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> DataFrame:
+    """Selective backfill: replace ONLY the partitions present in ``df``
+    (dynamic partition overwrite), leaving every other partition's files
+    untouched.
+
+    This is the correction-run primitive: re-deriving one bad load date
+    of a 100 TB date-partitioned bronze rewrites that day, not the table.
+    The overwrite granularity is the whole partition — ``df`` must carry
+    the COMPLETE corrected content of every partition it mentions (the
+    same contract as Hive/Delta dynamic overwrite). The mode is set only
+    for this write and restored after."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(path)
+
+
 def day_partition(ts_col: str, name: str = "load_date") -> Column:
     """Derive the standard daily partition column from an event/ingest
     timestamp (the layout convention overwrite_partitioned expects)."""

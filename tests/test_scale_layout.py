@@ -240,3 +240,36 @@ def test_dynamic_partition_pruning_from_dim_join(spark, sf_dir, tmp_path):
         F.col("load_date") >= F.lit("1995-06-01").cast("date")
     ).count()
     assert joined.count() == exact
+
+
+def test_backfill_replaces_only_touched_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: a correction run carrying one day
+    replaces that day wholesale and leaves the other days' files alone."""
+    from logistics_data_pipeline_project_spark.operators.scale import (
+        backfill_partitions,
+    )
+
+    path = str(tmp_path / "bronze")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"),
+         ("2024-01-02", 3, "bad"), ("2024-01-03", 4, "d")],
+        "load_date string, id int, v string",
+    ).withColumn("load_date", F.col("load_date").cast("date"))
+    overwrite_partitioned(spark, base, path, ["load_date"])
+
+    fix = spark.createDataFrame(
+        [("2024-01-02", 3, "good"), ("2024-01-02", 5, "new")],
+        "load_date string, id int, v string",
+    ).withColumn("load_date", F.col("load_date").cast("date"))
+    out = backfill_partitions(spark, fix, path, ["load_date"])
+
+    rows = {(str(r["load_date"]), r["id"], r["v"]) for r in out.collect()}
+    assert rows == {
+        ("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"),
+        ("2024-01-02", 3, "good"), ("2024-01-02", 5, "new"),
+        ("2024-01-03", 4, "d"),
+    }
+    # the overwrite mode must be restored (static is Spark's default)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )
