@@ -46,6 +46,7 @@ def stream_merge_upsert(
     enrich_dim: DataFrame | None = None,
     dim_key: str | None = None,
     available_now: bool = True,
+    checks=None,
 ) -> StreamingQuery:
     """Run a streaming query that keeps ``store[table]`` merged up to
     date with ``source_stream``.
@@ -57,6 +58,14 @@ def stream_merge_upsert(
     ``available_now=True`` drains everything currently in the source and
     stops (the batch-parity mode the tests use); ``False`` runs
     continuously.
+
+    ``checks`` (optional) is the streaming data-quality circuit breaker:
+    a callable over the deduped micro-batch returning
+    ``quality.CheckResult`` rows. Any failed check raises inside
+    ``foreachBatch``, so the query STOPS with the source offsets
+    uncommitted — the target keeps its last good state and a restart
+    reprocesses the same batch (fix the data in place, restart, resume).
+    Bad data can never advance the checkpoint past itself.
     """
     stream = source_stream
     if enrich_dim is not None:
@@ -68,6 +77,12 @@ def stream_merge_upsert(
         latest = dedup_latest(
             batch_df, keys, [F.desc(cursor_col), F.desc(tiebreak_col)]
         )
+        if checks is not None:
+            from ..plans.runner import DataQualityError
+
+            failed = [r for r in checks(latest) if not r.passed]
+            if failed:
+                raise DataQualityError(f"{table} micro-batch {epoch_id}", failed)
         if store.exists(table):
             target = store.read(table)
             # WHEN MATCHED: the fresher source row wins on every non-key

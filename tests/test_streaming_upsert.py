@@ -109,3 +109,62 @@ def test_stream_merge_with_static_enrichment(spark, tmp_path):
            for r in store.read("dim_customers").collect()}
     # stream-static left join: known key enriched, unknown key kept with NULL
     assert got == {1: "gold", 9: None}
+
+
+def test_stream_checks_block_bad_batch_until_fixed(spark, tmp_path):
+    """The streaming DQ circuit breaker: a micro-batch failing its
+    constraint suite stops the query with offsets uncommitted — the
+    target keeps its last good state — and after fixing the data IN
+    PLACE a restart reprocesses the same files and succeeds."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from logistics_data_pipeline_project_spark.plans import quality
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+    from logistics_data_pipeline_project_spark.streaming.upsert import (
+        stream_merge_upsert,
+    )
+
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    schema = "k long, v string, seq long"
+
+    def write_file(name, rows):
+        with open(os.path.join(landing, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def suite(df):
+        return quality.run_checks(
+            [("k_not_null", "t", lambda: quality.not_null(df, ["k"]))]
+        )
+
+    def run_once():
+        stream = spark.readStream.format("json").schema(schema).load(landing)
+        q = stream_merge_upsert(
+            stream, store, "t", ["k"], "seq", "seq", chk, checks=suite
+        )
+        q.awaitTermination(180)
+
+    write_file("b1.json", [{"k": 1, "v": "a", "seq": 1}])
+    run_once()
+    assert {(r["k"], r["v"]) for r in store.read("t").collect()} == {(1, "a")}
+
+    # batch with a null key -> circuit breaker trips, target untouched
+    write_file("b2.json", [{"k": None, "v": "x", "seq": 2}, {"k": 2, "v": "b", "seq": 2}])
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="k_not_null"):
+        run_once()
+    assert {(r["k"], r["v"]) for r in store.read("t").collect()} == {(1, "a")}
+
+    # fix the file IN PLACE -> restart reprocesses the same batch
+    write_file("b2.json", [{"k": 3, "v": "x", "seq": 2}, {"k": 2, "v": "b", "seq": 2}])
+    run_once()
+    assert {(r["k"], r["v"]) for r in store.read("t").collect()} == {
+        (1, "a"), (2, "b"), (3, "x"),
+    }
