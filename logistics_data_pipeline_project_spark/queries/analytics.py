@@ -3055,3 +3055,50 @@ def q115_status_transition_matrix(spark: SparkSession, sf_dir: str):
         .groupBy("prev_status", "next_status")
         .agg(F.count(F.lit(1)).alias("transitions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — Benford first-digit audit (synthetic/fabricated-data screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q116_benford_price_audit",
+    tags=("DQ", "A1"),
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+    AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit,
+  COUNT(*) AS n,
+  CAST((COUNT(*) * 1000000) // SUM(COUNT(*)) OVER () AS BIGINT) AS share_ppm
+FROM d GROUP BY digit
+""",
+)
+def q116_benford_price_audit(spark: SparkSession, sf_dir: str):
+    """First-digit distribution of order totals — the Benford's-law
+    screen auditors run to catch fabricated or unit-shifted monetary
+    data (organic amounts lean on digit 1 ~30%; uniform generators,
+    like this synthetic set, flatten to ~11% — which is exactly what
+    the audit should surface here). Digit extraction is pure string
+    codegen on the scan, the rollup is nine rows, and shares are
+    integer ppm over a window total — no doubles anywhere, bit-stable
+    on both engines."""
+    o = load(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    cnt = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    return cnt.select(
+        "digit",
+        "n",
+        F.expr("CAST((n * 1000000) DIV SUM(n) OVER () AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )
