@@ -3102,3 +3102,168 @@ def q116_benford_price_audit(spark: SparkSession, sf_dir: str):
             "share_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — ABC / Pareto classification (cumulative-share banding)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q117_part_abc_classes",
+    tags=("W1", "A2", "P6"),
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+c AS (
+  SELECT l_partkey, revenue,
+    SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(revenue) OVER () AS total
+  FROM pv
+),
+k AS (
+  SELECT *,
+    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+         WHEN cum * 100 <= total * 95 THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM c
+)
+SELECT abc_class,
+  COUNT(*) AS parts,
+  CAST(SUM(revenue) AS DOUBLE) AS class_revenue,
+  CAST((CAST(SUM(revenue) * 100 AS BIGINT) * 1000000)
+       // CAST(MAX(total) * 100 AS BIGINT) AS BIGINT) AS share_ppm
+FROM k GROUP BY abc_class
+""",
+)
+def q117_part_abc_classes(spark: SparkSession, sf_dir: str):
+    """ABC / Pareto classification: parts banded by cumulative revenue
+    share (A = first 80% of revenue, B = to 95%, C = tail) — the
+    inventory-prioritization classic. The fact stream collapses to
+    O(parts) with map-side combine before the one revenue-ordered
+    cumulative window (partkey tiebreak makes the running sum total-
+    ordered), and every band cut is division-free DECIMAL
+    (`cum·100 ≤ total·80`), so class membership is bit-stable across
+    engines and plans. At extreme part cardinality the global-order
+    window swaps for pre-computed percentile cut points."""
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice", 18, 2) * (1 - dec("l_discount", 4, 2))).alias(
+            "revenue"
+        )
+    )
+    cum_w = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy()
+    c = pv.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(cum_w).alias("cum"),
+        F.sum("revenue").over(tot_w).alias("total"),
+    )
+    k = c.withColumn(
+        "abc_class",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C"),
+    )
+    return k.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("parts"),
+        F.sum("revenue").cast("double").alias("class_revenue"),
+        F.expr(
+            "CAST((CAST(SUM(revenue) * 100 AS BIGINT) * 1000000)"
+            " DIV CAST(MAX(total) * 100 AS BIGINT) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — dispersion statistics from exact moments (stddev / CV)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q118_price_dispersion",
+    tags=("A2", "A5"),
+    oracle="""
+WITH m AS (
+  SELECT p.p_brand,
+    COUNT(*) AS n,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sx,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sxx
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+num AS (
+  SELECT p_brand, n, sx,
+    CAST(n AS DECIMAL(38,0)) * CAST(sxx * 10000 AS DECIMAL(38,0))
+      - CAST(sx * 100 AS DECIMAL(38,0)) * CAST(sx * 100 AS DECIMAL(38,0)) AS var_num_u
+  FROM m WHERE n > 1
+)
+SELECT p_brand, n,
+  CAST(sx AS DOUBLE) / n AS mean_price,
+  sqrt(CAST(CAST(var_num_u AS VARCHAR) AS DOUBLE)
+       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 10000.0)) AS stddev_price,
+  sqrt(CAST(CAST(var_num_u AS VARCHAR) AS DOUBLE)
+       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 10000.0))
+    / (CAST(sx AS DOUBLE) / n) AS coeff_variation
+FROM num
+""",
+)
+def q118_price_dispersion(spark: SparkSession, sf_dir: str):
+    """Per-brand price dispersion (sample stddev + coefficient of
+    variation) WITHOUT the built-in `stddev` — Spark's and DuckDB's
+    running-state variance aggregates are order-dependent in the last
+    bits, so the engine sums exact DECIMAL moments (n, Σx, Σx²) instead
+    and applies the closed formula in DOUBLE at the end: identical IEEE
+    operations on identical inputs on both engines, one map-side-
+    combinable shuffle of three numbers per group (the same trick as the
+    q72 correlation). sqrt is correctly rounded per IEEE-754, so even
+    the CV division chain is bit-stable."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    x = dec("l_extendedprice", 18, 2)
+    m = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    # the variance numerator n·Σx² − (Σx)² is computed EXACTLY in
+    # DECIMAL(38,0) (cent-scaled units) — doing it in doubles exposes
+    # engine FMA/contraction differences in the a·b − c·d pattern — and
+    # converts to double once, after which every remaining op is a
+    # single correctly-rounded IEEE operation on both engines
+    num = m.withColumn(
+        "var_num_u",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * CAST(sxx * 10000 AS DECIMAL(38,0))"
+            " - CAST(sx * 100 AS DECIMAL(38,0)) * CAST(sx * 100 AS DECIMAL(38,0))"
+        ),
+    )
+    sxd = F.col("sx").cast("double")
+    nd = F.col("n").cast("double")
+    # decimal→double goes through a STRING cast: above 2^63 DuckDB's
+    # direct hugeint→double conversion double-rounds (upper·2^64 + lower,
+    # two float ops), while string→double is correctly rounded on both
+    # engines — the last 1-ulp divergence this query had
+    var = F.col("var_num_u").cast("string").cast("double") / (
+        nd * (F.col("n") - 1).cast("double") * F.lit(10000.0)
+    )
+    return num.select(
+        "p_brand",
+        "n",
+        (sxd / F.col("n")).alias("mean_price"),
+        F.sqrt(var).alias("stddev_price"),
+        (F.sqrt(var) / (sxd / F.col("n"))).alias("coeff_variation"),
+    )
