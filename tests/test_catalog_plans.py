@@ -135,3 +135,27 @@ def test_q107_disjunction_factors_to_both_scans(spark, sf_dir):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("p_brand" in l and "Or(" in l for l in pushed), pushed
     assert any("l_quantity" in l and "Or(" in l for l in pushed), pushed
+
+
+def test_q111_part_filter_prunes_fact_through_broadcast(spark, sf_dir):
+    """Q9 shape: the part-name LIKE filter must land on the broadcast
+    build side (pruning the lineitem stream through the join probe), and
+    all three dims must broadcast — one real shuffle join at most."""
+    df = REGISTRY["q111_product_profit_by_nation"].fn(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("BroadcastHashJoin") >= 3
+    plan = _explain(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_name" in l for l in pushed), pushed
+
+
+def test_q117_collapses_before_global_window(spark, sf_dir):
+    """ABC classification must aggregate to O(parts) BEFORE the global
+    cumulative window — the window's sort input is the aggregate, never
+    the raw fact stream."""
+    df = REGISTRY["q117_part_abc_classes"].fn(spark, sf_dir)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    # HashAggregate (partial+final) must appear below the Window in the
+    # plan tree: the Window's child subtree contains the aggregate
+    win_at = phys.index("Window")
+    assert "HashAggregate" in phys[win_at:], "aggregate must feed the window"
