@@ -3267,3 +3267,164 @@ def q118_price_dispersion(spark: SparkSession, sf_dir: str):
         F.sqrt(var).alias("stddev_price"),
         (F.sqrt(var) / (sxd / F.col("n"))).alias("coeff_variation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — returned-item lost revenue (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q119_returned_item_customers",
+    tags=("J2", "A2", "A4", "O1", "O3"),
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+  COUNT(*) AS return_lines,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS lost_revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q119_returned_item_customers(spark: SparkSession, sf_dir: str):
+    """Returned-item lost revenue by customer (TPC-H Q10 shape) — the
+    refund-exposure report the reference's RTO gold marts circle around
+    (cf. dags/logistics-gold-metrics-sql.py:43-55 seller RTO view). The
+    one-year orderdate window is a raw-attribute predicate so it reaches
+    the parquet scan on the orders side BEFORE the join; the returnflag
+    equality prunes lineitem the same way; customer and nation broadcast.
+    Revenue stays exact DECIMAL through the aggregate (tie-stable ORDER),
+    and the top-20 runs as TakeOrderedAndProject — per-partition top-k +
+    driver merge, never a global sort — with c_custkey as tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("return_lines"),
+            F.round(F.sum(rev), 2).cast("double").alias("lost_revenue"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120 — promotion revenue share per month (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q120_promo_revenue_share",
+    tags=("J1", "A4", "A5"),
+    oracle="""
+WITH m AS (
+  SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+    SUM(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+        ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo_rev,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS total_rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT ship_month,
+  CAST(ROUND(promo_rev, 2) AS DOUBLE) AS promo_revenue,
+  CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue,
+  CAST(promo_rev AS DOUBLE) * 100 / CAST(total_rev AS DOUBLE) AS promo_share_pct
+FROM m
+""",
+)
+def q120_promo_revenue_share(spark: SparkSession, sf_dir: str):
+    """Monthly promotion revenue share (TPC-H Q14 shape): numerator and
+    denominator are conditional DECIMAL sums in ONE hash aggregate over
+    the part-enriched stream — no second scan, no self-join. part
+    broadcasts; the month key comes off the raw l_shipdate so only
+    O(months) rows survive to the final projection, where the single
+    double division (identical operand order both engines) happens
+    once per month."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    zero = F.lit(0).cast("decimal(12,2)")
+    m = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias(
+                "promo_rev"
+            ),
+            F.sum(rev).alias("total_rev"),
+        )
+    )
+    return m.select(
+        "ship_month",
+        F.round("promo_rev", 2).cast("double").alias("promo_revenue"),
+        F.round("total_rev", 2).cast("double").alias("total_revenue"),
+        (
+            F.col("promo_rev").cast("double")
+            * F.lit(100)
+            / F.col("total_rev").cast("double")
+        ).alias("promo_share_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — late-shipment priority split (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q121_late_ship_priority",
+    tags=("J1", "A4", "P6"),
+    oracle="""
+SELECT l.l_returnflag,
+  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count,
+  COUNT(*) AS late_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_returnflag
+""",
+)
+def q121_late_ship_priority(spark: SparkSession, sf_dir: str):
+    """Late-shipment priority accounting (TPC-H Q12 shape): did slow
+    lines hit urgent orders? The 60-day lateness predicate is a
+    cross-table comparison so it can't push to either scan — it filters
+    right after the join — but both join inputs still column-prune to
+    the 3-4 attributes used (ReadSchema), the conditional counts collapse
+    map-side, and only |returnflag| rows reach the driver. The CASE
+    split is the reference's A4 conditional-aggregation pattern on an
+    order attribute fanned out through a fact⋈fact join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.count(F.lit(1)).alias("late_lines"),
+        )
+    )
