@@ -35,6 +35,7 @@ __all__ = [
     "simhash_near_pairs",
     "connected_components",
     "decontaminate",
+    "prefix_filter_jaccard_pairs",
 ]
 
 
@@ -509,4 +510,109 @@ def decontaminate(
     return hits.groupBy(id_col).agg(
         F.count_distinct("shingle").alias("n_overlap_grams"),
         F.count_distinct("__eval_id").alias("n_eval_docs"),
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 1,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Set-similarity join with prefix filtering (SSJoin/PPJoin family —
+    Chaudhuri et al. 2006, Xiao et al. 2008): all pairs with Jaccard ≥
+    threshold_num/threshold_den over each document's SET of word
+    ``n``-grams (``n=1`` → token sets).
+
+    Why it scales where the naive join dies: joining docs on ANY shared
+    token fans out by df² per token ("the" alone is catastrophic). Under
+    a global rarest-first token order, if J(A,B) ≥ t then A and B must
+    share a token among each side's first |X| − ceil(t·|X|) + 1 ordered
+    tokens — so only those PREFIX tokens (the rarest ones, by
+    construction of the order) enter the candidate join, and the fan-out
+    collapses while exactness is preserved (the dropped suffix tokens
+    are exactly the ones a qualifying pair can afford to miss).
+
+    Everything is integer arithmetic: prefix length p = s − ceil(t·s) + 1
+    with ceil(t·s) = (num·s + den − 1) DIV den, and the final test
+    J ≥ num/den ⇔ (num+den)·inter ≥ num·(sa+sb) — no float thresholds,
+    so candidate sets and results are engine-identical. Returns
+    (id1, id2, inter_size, size1, size2, jaccard).
+    """
+    num, den = threshold_num, threshold_den
+    if n <= 1:
+        tok = df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+            ).alias("token"),
+        ).filter(F.col("token") != "")
+    else:
+        tok = word_shingles(df, text_col, id_col, n=n).withColumnRenamed(
+            "shingle", "token"
+        )
+    # global document frequency per element — Zipf-small relative to the
+    # corpus, broadcast back (same stance as q55's df table)
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(F.broadcast(dfreq), "token")
+    w = Window.partitionBy(id_col).orderBy("df", "token")
+    ranked = ranked.select(
+        F.col(id_col),
+        "token",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("sz"),
+    )
+    # p = sz − ceil(t·sz) + 1, all-integer
+    pref = ranked.filter(
+        F.col("pos")
+        <= F.col("sz") - F.expr(f"({num} * sz + {den} - 1) DIV {den}") + F.lit(1)
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+    sets = tok.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("token")).alias("toks"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    s1 = sets.select(
+        F.col(id_col).alias("id1"),
+        F.col("toks").alias("t1"),
+        F.col("sz").alias("size1"),
+    )
+    s2 = sets.select(
+        F.col(id_col).alias("id2"),
+        F.col("toks").alias("t2"),
+        F.col("sz").alias("size2"),
+    )
+    scored = (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("inter_size", F.size(F.array_intersect("t1", "t2")).cast("long"))
+        .filter(
+            F.lit(num + den) * F.col("inter_size")
+            >= F.lit(num) * (F.col("size1") + F.col("size2"))
+        )
+    )
+    return scored.select(
+        "id1",
+        "id2",
+        "inter_size",
+        "size1",
+        "size2",
+        F.round(
+            F.col("inter_size").cast("double")
+            / (F.col("size1") + F.col("size2") - F.col("inter_size")),
+            4,
+        ).alias("jaccard"),
     )

@@ -3428,3 +3428,305 @@ def q121_late_ship_priority(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).alias("late_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — Bloom-filter probe pruning audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q123_bloom_probe_audit",
+    tags=("J6", "A4", "P6"),
+    oracle="""
+WITH mem AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < 0),
+bits AS (
+  SELECT DISTINCT d.d, substr(md5(d.d || ':' || CAST(mem.c_custkey AS VARCHAR)), 1, 2) AS bucket
+  FROM mem, (SELECT unnest([1, 2, 3]) AS d) d
+),
+probe AS (
+  SELECT o.o_orderstatus,
+    (substr(md5('1:' || CAST(o.o_custkey AS VARCHAR)), 1, 2)
+       IN (SELECT bucket FROM bits WHERE d = 1)
+     AND substr(md5('2:' || CAST(o.o_custkey AS VARCHAR)), 1, 2)
+       IN (SELECT bucket FROM bits WHERE d = 2)
+     AND substr(md5('3:' || CAST(o.o_custkey AS VARCHAR)), 1, 2)
+       IN (SELECT bucket FROM bits WHERE d = 3)) AS bloom_pass,
+    o.o_custkey IN (SELECT c_custkey FROM mem) AS is_member
+  FROM orders o
+)
+SELECT o_orderstatus,
+  COUNT(*) AS probed,
+  CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+  CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS true_hits,
+  CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+  CAST(SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+FROM probe
+GROUP BY o_orderstatus
+""",
+)
+def q123_bloom_probe_audit(spark: SparkSession, sf_dir: str):
+    """Bloom-filter join pruning, audited (operators/sketch.py): the
+    risk-customer set (negative balance) compresses to a depth-3 ×
+    256-bucket bit list that broadcasts to the orders scan, so the
+    expensive side is pre-filtered MAP-SIDE before any shuffle — the
+    semi-join-reduction shape (Spark's own runtime row-group bloom under
+    `spark.sql.optimizer.runtime.bloomFilter` does this invisibly; here
+    it is a first-class, inspectable operator). md5 bucketing makes the
+    filter deterministic, so the oracle replays the exact same bits and
+    certifies the two Bloom invariants per order status: false_negatives
+    = 0 always, false_positives at the (1−e^{−kn/m})^k rate the audit
+    surfaces."""
+    from ..operators.sketch import bloom_bits, bloom_might_contain
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    mem = c.filter(F.col("c_acctbal") < 0).select("c_custkey").distinct()
+    bits = bloom_bits(mem, "c_custkey")
+    probed = bloom_might_contain(
+        o.select("o_orderstatus", "o_custkey"), bits, "o_custkey"
+    )
+    flagged = probed.join(
+        F.broadcast(mem.withColumn("_is_mem", F.lit(True))),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    ).withColumn("is_member", F.coalesce(F.col("_is_mem"), F.lit(False)))
+    one = F.lit(1)
+    zero = F.lit(0)
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count(one).alias("probed"),
+        F.sum(F.when(F.col("bloom_pass"), one).otherwise(zero))
+        .cast("long")
+        .alias("bloom_hits"),
+        F.sum(F.when(F.col("is_member"), one).otherwise(zero))
+        .cast("long")
+        .alias("true_hits"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_member"), one).otherwise(zero))
+        .cast("long")
+        .alias("false_positives"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_pass"), one).otherwise(zero))
+        .cast("long")
+        .alias("false_negatives"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124 — duplicate-burst suppression (throttle/debounce dedup)
+# ---------------------------------------------------------------------------
+
+_THROTTLE_US = 300_000_000  # 5 minutes
+
+
+@register(
+    "q124_event_burst_throttle",
+    tags=("W1", "A4"),
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+  COUNT(*) AS total_events,
+  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= {_THROTTLE_US} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us < {_THROTTLE_US} THEN 1 ELSE 0 END) AS BIGINT) AS suppressed,
+  CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us < {_THROTTLE_US} THEN 1 ELSE 0 END) * 1000000
+       // COUNT(*) AS BIGINT) AS suppressed_ppm
+FROM g GROUP BY event_type
+""",
+)
+def q124_event_burst_throttle(spark: SparkSession, sf_dir: str):
+    """Duplicate-burst suppression — the log-pipeline twin of exact dedup
+    (q21): a retrying client or replayed producer emits the same (user,
+    type) event seconds apart, so anything closer than 5 minutes to its
+    predecessor is throttled. One LAG window keyed on (user_id,
+    event_type) — the stream shuffles once on the same key the follow-up
+    aggregate reuses — with (ts, event_id) ordering so ties are
+    deterministic; gaps compare in exact integer µs and the rate reports
+    in integer ppm (DIV — no doubles anywhere). The streaming half of
+    this operator is stream_dedup_within_watermark (bounded state);
+    this batch form is the backfill-safe sweep."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    supp = F.col("gap_us").isNotNull() & (F.col("gap_us") < _THROTTLE_US)
+    one, zero = F.lit(1), F.lit(0)
+    return g.groupBy("event_type").agg(
+        F.count(one).alias("total_events"),
+        F.sum(F.when(~supp, one).otherwise(zero)).cast("long").alias("kept"),
+        F.sum(F.when(supp, one).otherwise(zero)).cast("long").alias("suppressed"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us < {_THROTTLE_US} "
+            "THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("suppressed_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125 — per-group OLS regression from exact moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q125_qty_price_regression",
+    tags=("A2", "A5"),
+    oracle="""
+WITH m AS (
+  SELECT p.p_brand,
+    COUNT(*) AS n,
+    SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS sx,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sy,
+    SUM(CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS sxx,
+    SUM(CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sxy,
+    SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS syy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+num AS (
+  SELECT p_brand, n, sx, sy,
+    CAST(n AS DECIMAL(38,0)) * CAST(sxx * 10000 AS DECIMAL(38,0))
+      - CAST(sx * 100 AS DECIMAL(38,0)) * CAST(sx * 100 AS DECIMAL(38,0)) AS sxx_num,
+    CAST(n AS DECIMAL(38,0)) * CAST(sxy * 10000 AS DECIMAL(38,0))
+      - CAST(sx * 100 AS DECIMAL(38,0)) * CAST(sy * 100 AS DECIMAL(38,0)) AS sxy_num,
+    CAST(n AS DECIMAL(38,0)) * CAST(syy * 10000 AS DECIMAL(38,0))
+      - CAST(sy * 100 AS DECIMAL(38,0)) * CAST(sy * 100 AS DECIMAL(38,0)) AS syy_num
+  FROM m WHERE n > 1
+)
+SELECT p_brand, n,
+  CAST(CAST(sxy_num AS VARCHAR) AS DOUBLE) / CAST(CAST(sxx_num AS VARCHAR) AS DOUBLE) AS slope,
+  (CAST(sy AS DOUBLE)
+     - CAST(CAST(sxy_num AS VARCHAR) AS DOUBLE) / CAST(CAST(sxx_num AS VARCHAR) AS DOUBLE)
+       * CAST(sx AS DOUBLE)) / n AS intercept,
+  (CAST(CAST(sxy_num AS VARCHAR) AS DOUBLE) * CAST(CAST(sxy_num AS VARCHAR) AS DOUBLE))
+    / (CAST(CAST(sxx_num AS VARCHAR) AS DOUBLE) * CAST(CAST(syy_num AS VARCHAR) AS DOUBLE)) AS r2
+FROM num
+WHERE sxx_num <> 0 AND syy_num <> 0
+""",
+)
+def q125_qty_price_regression(spark: SparkSession, sf_dir: str):
+    """Per-brand OLS line (extendedprice ~ quantity) without any
+    iterative solver: slope, intercept, and r² are closed forms over the
+    five moment sums (n, Σx, Σy, Σx², Σxy, Σy²), which aggregate exactly
+    in DECIMAL with map-side partials — one shuffle of six numbers per
+    brand, order-independent under any plan (the q118 dispersion recipe
+    generalized to two variables). The a·b − c·d numerators are computed
+    in DECIMAL(38,0) cent²-units (doubles there hit engine FMA
+    differences), converted once to double via the string cast (direct
+    hugeint→double double-rounds past 2^63 in DuckDB), after which
+    slope/intercept/r² are short chains of identical correctly-rounded
+    IEEE ops on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    x = dec("l_quantity", 18, 2)
+    y = dec("l_extendedprice", 18, 2)
+    m = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(y * y).alias("syy"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    num = (
+        m.withColumn(
+            "sxx_num",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * CAST(sxx * 10000 AS DECIMAL(38,0))"
+                " - CAST(sx * 100 AS DECIMAL(38,0)) * CAST(sx * 100 AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "sxy_num",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * CAST(sxy * 10000 AS DECIMAL(38,0))"
+                " - CAST(sx * 100 AS DECIMAL(38,0)) * CAST(sy * 100 AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "syy_num",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * CAST(syy * 10000 AS DECIMAL(38,0))"
+                " - CAST(sy * 100 AS DECIMAL(38,0)) * CAST(sy * 100 AS DECIMAL(38,0))"
+            ),
+        )
+        .filter((F.col("sxx_num") != 0) & (F.col("syy_num") != 0))
+    )
+    sxxd = F.col("sxx_num").cast("string").cast("double")
+    sxyd = F.col("sxy_num").cast("string").cast("double")
+    syyd = F.col("syy_num").cast("string").cast("double")
+    slope = sxyd / sxxd
+    return num.select(
+        "p_brand",
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n")
+        ).alias("intercept"),
+        ((sxyd * sxyd) / (sxxd * syyd)).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — 2-D skyline (Pareto frontier) via one sorted window pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q126_part_price_size_skyline",
+    tags=("W1", "J6", "O1"),
+    oracle="""
+WITH pts AS (
+  SELECT p_retailprice AS price, p_size AS psize,
+    COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
+  FROM part GROUP BY 1, 2
+)
+SELECT price, psize, n_parts, min_partkey
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price <= a.price AND b.psize >= a.psize
+    AND (b.price < a.price OR b.psize > a.psize)
+)
+""",
+)
+def q126_part_price_size_skyline(spark: SparkSession, sf_dir: str):
+    """Skyline / Pareto frontier over (minimize price, maximize size) —
+    the dominance operator behind "cheapest part that is at least this
+    big" sourcing decisions. The oracle keeps the textbook O(n²) NOT
+    EXISTS; the engine exploits the 2-D structure instead: collapse to
+    distinct (price, size) points, sort by (price asc, size desc), and a
+    point survives iff its size beats the running max over all
+    predecessors — every potential dominator precedes it in that order,
+    so ONE window pass replaces the quadratic self-join, certified
+    equivalent by the differential gate. Points collapse before the
+    window (O(distinct pairs), not O(parts)); the frontier itself is
+    tiny. The single-key sort is the only non-partitioned step — at
+    extreme domain cardinality, grid-partition pre-pruning (each cell
+    keeps its local frontier, a union'd second pass finishes) restores
+    full parallelism with the same semantics."""
+    p = load(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+    w = (
+        Window.orderBy(F.asc("price"), F.desc("psize"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("prev_max", F.max("psize").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("psize") > F.col("prev_max")))
+        .select("price", "psize", "n_parts", "min_partkey")
+    )

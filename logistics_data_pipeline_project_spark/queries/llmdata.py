@@ -2336,3 +2336,134 @@ def q101_curation_funnel(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — count-min sketch heavy hitters (deterministic, oracle-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q122_cms_heavy_hitters",
+    tags=("A1", "A2", "U1"),
+    oracle="""
+WITH tok AS (
+  SELECT t AS token
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+cnt AS (SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token),
+buck AS (
+  SELECT d.d, substr(md5(d.d || ':' || cnt.token), 1, 2) AS bucket,
+    CAST(SUM(exact_cnt) AS BIGINT) AS counter
+  FROM cnt, (SELECT unnest([1, 2, 3]) AS d) d
+  GROUP BY 1, 2
+),
+top AS (SELECT token, exact_cnt FROM cnt ORDER BY exact_cnt DESC, token LIMIT 20)
+SELECT t.token, t.exact_cnt,
+  CAST(MIN(b.counter) AS BIGINT) AS cms_est,
+  CAST(MIN(b.counter) - t.exact_cnt AS BIGINT) AS overcount
+FROM top t
+JOIN buck b ON b.bucket = substr(md5(b.d || ':' || t.token), 1, 2)
+GROUP BY t.token, t.exact_cnt
+""",
+)
+def q122_cms_heavy_hitters(spark: SparkSession, sf_dir: str):
+    """Heavy-hitter tokens with their count-min sketch estimates
+    (operators/sketch.py). The sketch is depth 3 × 256 hex-prefix
+    buckets — a few KB of sum-decomposable state that merges map-side
+    regardless of corpus size, vs O(vocabulary) for the exact counts it
+    approximates; at 100 TB the exact pass is the expensive one and the
+    sketch rides along free. md5 bucketing makes every counter (and so
+    every estimate) bit-identical cross-engine — the oracle replays the
+    sketch math in SQL, certifying CMS's one-sided error (overcount ≥ 0)
+    on the exact top-20."""
+    from ..operators.sketch import cms_counters, cms_estimate
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    counters = cms_counters(cnt, "token", weight_col="exact_cnt")
+    top = cnt.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(20)
+    est = cms_estimate(top, counters, "token")
+    return est.select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127 — prefix-filtered set-similarity join (SSJoin/PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q127_prefix_filter_near_dup",
+    tags=("dedup", "J8", "W1"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks)
+),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+ranked AS (
+  SELECT sh.doc_id, sh.shingle,
+    ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.shingle) AS pos,
+    COUNT(*) OVER (PARTITION BY sh.doc_id) AS sz
+  FROM sh JOIN dfreq d USING (shingle)
+),
+pref AS (SELECT * FROM ranked WHERE pos <= sz - (1 * sz + 2 - 1) // 2 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS inter_size
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY c.id1, c.id2
+)
+SELECT i.id1, i.id2, i.inter_size,
+  sa.sz AS size1, sb.sz AS size2,
+  CAST(ROUND(CAST(i.inter_size AS DOUBLE) / (sa.sz + sb.sz - i.inter_size), 4) AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id1
+JOIN sizes sb ON sb.doc_id = i.id2
+WHERE (1 + 2) * i.inter_size >= 1 * (sa.sz + sb.sz)
+""",
+)
+def q127_prefix_filter_near_dup(spark: SparkSession, sf_dir: str):
+    """Exact shingle-set Jaccard ≥ 0.5 via PREFIX FILTERING
+    (operators/dedup.py::prefix_filter_jaccard_pairs) — the third point
+    on the near-dup cost spectrum: q22 keeps the all-pairs join feasible
+    by DROPPING common shingles (a df cap changes semantics at the
+    margin), LSH (q23) keeps it feasible by sampling signatures
+    (probabilistic recall); prefix filtering is EXACT with no cap — under
+    a global rarest-first order a qualifying pair must collide inside
+    each side's (sz − ceil(t·sz) + 1)-element prefix, so only the rarest
+    prefix shingles enter the candidate join and the common-shingle
+    fan-out never happens. All thresholds are integer arithmetic
+    (ceil via DIV, J ≥ 1/2 ⇔ 3·inter ≥ sa+sb), so candidates and
+    results are engine-identical and the oracle replays the same
+    algebra; equivalence to the UNFILTERED join is asserted in
+    tests/test_operators.py."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold_num=1,
+        threshold_den=2,
+    )

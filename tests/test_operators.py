@@ -535,3 +535,84 @@ def test_scd2_as_of_point_in_time(spark):
     # exactly one version per key at every instant
     for ts in ("2024-03-01", "2024-06-01", "2024-12-01"):
         assert len(city_at(ts)) == 2
+
+
+def test_prefix_filter_equals_unfiltered_join(spark, sf_dir):
+    """The prefix filter is a pure optimization: its result must equal the
+    naive all-shared-shingle join at the same threshold (the lemma the
+    operator's docstring cites, certified on real data)."""
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    fast = prefix_filter_jaccard_pairs(docs, "text", "doc_id", n=3)
+    got = {(r.id1, r.id2, r.inter_size) for r in fast.collect()}
+
+    sh = word_shingles(docs, "text", "doc_id", n=3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    naive = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id1"), "id1")
+        .withColumnRenamed("sz", "size1")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed(
+                "sz", "size2"
+            ),
+            "id2",
+        )
+        .filter(3 * F.col("inter_size") >= F.col("size1") + F.col("size2"))
+    )
+    want = {(r.id1, r.id2, r.inter_size) for r in naive.collect()}
+    assert got == want
+    assert want, "fixture should contain at least one qualifying near-dup pair"
+
+
+def test_cms_estimate_never_undercounts(spark):
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    rows = [(f"k{i % 17}",) for i in range(500)] + [("hot",)] * 200
+    df = spark.createDataFrame(rows, "key string")
+    cnt = df.groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    counters = cms_counters(cnt, "key", weight_col="exact_cnt")
+    # sketch state is bounded: depth × 16^hex_chars rows max
+    assert counters.count() <= 3 * 256
+    est = cms_estimate(cnt, counters, "key").collect()
+    assert len(est) == 18
+    for r in est:
+        assert r.cms_est >= r.exact_cnt  # one-sided error, always
+    hot = [r for r in est if r.key == "hot"][0]
+    assert hot.exact_cnt == 200
+
+
+def test_bloom_no_false_negatives(spark):
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(0, 100, 2)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    bits = bloom_bits(members, "k")
+    out = bloom_might_contain(probe, bits, "k").collect()
+    member_set = set(range(0, 100, 2))
+    for r in out:
+        if r.k in member_set:
+            assert r.bloom_pass, f"false negative on member {r.k}"
+    assert len(out) == 100
