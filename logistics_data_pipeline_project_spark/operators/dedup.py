@@ -570,11 +570,17 @@ def prefix_filter_jaccard_pairs(
         <= F.col("sz") - F.expr(f"({num} * sz + {den} - 1) DIV {den}") + F.lit(1)
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # length filter (Arasu et al.): J ≥ t ⇒ t·max(sa,sb) ≤ min(sa,sb),
+    # so size-incompatible collisions drop inside the join before the
+    # distinct — semantics unchanged (the final J test implies it), the
+    # candidate stream shrinks
     cand = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.lit(num) * F.col("a.sz") <= F.lit(den) * F.col("b.sz"))
+            & (F.lit(num) * F.col("b.sz") <= F.lit(den) * F.col("a.sz")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")

@@ -3730,3 +3730,241 @@ def q126_part_price_size_skyline(spark: SparkSession, sf_dir: str):
         .filter(F.col("prev_max").isNull() | (F.col("psize") > F.col("prev_max")))
         .select("price", "psize", "n_parts", "min_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — Gini coefficient of customer revenue per market segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q128_revenue_gini",
+    tags=("W1", "A2", "A5"),
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c.c_mktsegment, cust.o_custkey, cust.rev,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.c_mktsegment ORDER BY cust.rev, cust.o_custkey) AS rn
+  FROM cust JOIN customer c ON cust.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT c_mktsegment,
+    COUNT(*) AS n_customers,
+    SUM(CAST(rev * 100 AS DECIMAL(38,0))) AS s_cents,
+    SUM(rn * CAST(rev * 100 AS DECIMAL(38,0))) AS a_cents,
+    SUM(rev) AS total
+  FROM seg GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_customers,
+  CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue,
+  (2.0 * CAST(CAST(a_cents AS VARCHAR) AS DOUBLE))
+    / (CAST(n_customers AS DOUBLE) * CAST(CAST(s_cents AS VARCHAR) AS DOUBLE))
+  - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE) AS gini
+FROM m
+""",
+)
+def q128_revenue_gini(spark: SparkSession, sf_dir: str):
+    """Revenue-concentration Gini coefficient per market segment — the
+    Lorenz-curve complement to q95's HHI (is 80% of a segment's revenue
+    carried by 2% of its customers?). Uses the rank formulation
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending revenue, so one
+    sort window per segment on the O(customers) pre-aggregated rollup —
+    the fact stream collapses first and never sorts. Both moment sums
+    accumulate in exact DECIMAL cents ((rev, custkey) tiebreak makes tie
+    order — and so the sum — engine-identical), then ONE conversion to
+    double via the string cast and a fixed chain of IEEE ops both
+    engines share bit-for-bit."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cust = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice", 18, 2)).alias("rev"))
+    w = Window.partitionBy("c_mktsegment").orderBy("rev", "o_custkey")
+    seg = (
+        cust.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_custkey", "rev")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    cents = F.expr("CAST(rev * 100 AS DECIMAL(38,0))")
+    m = seg.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(cents).alias("s_cents"),
+        F.sum(F.col("rn") * cents).alias("a_cents"),
+        F.sum("rev").alias("total"),
+    )
+    nd = F.col("n_customers").cast("double")
+    ad = F.col("a_cents").cast("string").cast("double")
+    sd = F.col("s_cents").cast("string").cast("double")
+    return m.select(
+        "c_mktsegment",
+        "n_customers",
+        F.round("total", 2).cast("double").alias("total_revenue"),
+        ((F.lit(2.0) * ad) / (nd * sd) - (nd + F.lit(1.0)) / nd).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129 — fulfillment lead-time SLA percentiles per order priority
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q129_leadtime_sla_by_priority",
+    tags=("J8", "A1", "W1", "A5"),
+    oracle="""
+WITH lead AS (
+  SELECT o.o_orderpriority,
+    date_diff('day', CAST(o.o_orderdate AS DATE), CAST(MAX(l.l_shipdate) AS DATE)) AS lead_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+),
+ranked AS (
+  SELECT o_orderpriority, lead_days,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY lead_days) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM lead
+)
+SELECT o_orderpriority,
+  CAST(MAX(n) AS BIGINT) AS n_orders,
+  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lead_days END) AS BIGINT) AS p50_days,
+  CAST(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN lead_days END) AS BIGINT) AS p90_days,
+  CAST(MAX(lead_days) AS BIGINT) AS max_days,
+  CAST(SUM(CASE WHEN lead_days <= 90 THEN 1 ELSE 0 END) * 1000000 // MAX(n) AS BIGINT) AS within_90d_ppm
+FROM ranked
+GROUP BY o_orderpriority
+""",
+)
+def q129_leadtime_sla_by_priority(spark: SparkSession, sf_dir: str):
+    """Order fulfillment lead time (orderdate → LAST line shipped) with
+    exact SLA percentiles per priority — the engine-native form of the
+    reference's delivery-TAT gold marts (delivery_tat_days,
+    dags/2_logistics-shipment-dag.py:144; avg_delivery_days,
+    dags/logistics-gold-metrics-sql.py:29). lineitem collapses to
+    O(orders) with map-side partials BEFORE anything sorts; lead_days
+    uses date-boundary DATEDIFF semantics (the SURVEY §7 Snowflake-parity
+    risk item — Spark datediff(date,date) counts boundary crossings
+    exactly like Snowflake/DuckDB date_diff); percentiles are exact
+    nearest-rank over integer days (no interpolation drift) and the SLA
+    attainment rate reports in integer ppm. Note lead_days is the window
+    sort key AND a deterministic value under ties — ranks within a tie
+    run are arbitrary but every rank selection lands inside the run, so
+    the selected VALUE is engine-identical (the q49 contract)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lead = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.to_date("last_ship"), F.to_date("o_orderdate")
+            ).alias("lead_days"),
+        )
+    )
+    ranked = lead.select(
+        "o_orderpriority",
+        "lead_days",
+        F.row_number()
+        .over(Window.partitionBy("o_orderpriority").orderBy("lead_days"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    n = F.col("n")
+    pick = lambda cond, name: F.max(F.when(cond, F.col("lead_days"))).cast("long").alias(name)  # noqa: E731
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        pick(F.col("rn") == F.expr("(n + 1) div 2"), "p50_days"),
+        pick(F.col("rn") == F.ceil(F.lit(0.90) * n).cast("long"), "p90_days"),
+        F.max("lead_days").cast("long").alias("max_days"),
+        F.expr(
+            "CAST(SUM(CASE WHEN lead_days <= 90 THEN 1 ELSE 0 END) * 1000000"
+            " DIV MAX(n) AS BIGINT)"
+        ).alias("within_90d_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130 — event-type association lift (market-basket second pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q130_event_type_lift",
+    tags=("J8", "A3", "A5"),
+    oracle="""
+WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+tu AS (SELECT event_type, COUNT(*) AS n_t FROM ue GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+  ta.n_t AS n_a, tb.n_t AS n_b,
+  CAST(p.n_ab * 1000000 // t.n_users AS BIGINT) AS support_ppm,
+  (CAST(p.n_ab AS DOUBLE) * CAST(t.n_users AS DOUBLE))
+    / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)) AS lift
+FROM pairs p
+JOIN tu ta ON ta.event_type = p.type_a
+JOIN tu tb ON tb.event_type = p.type_b
+CROSS JOIN tot t
+""",
+)
+def q130_event_type_lift(spark: SparkSession, sf_dir: str):
+    """Association lift between event types (the rule-scoring pass that
+    follows q104's pair mining): lift(a,b) = P(a∧b)/(P(a)·P(b)) over
+    per-user distinct behavior. The raw stream collapses to distinct
+    (user, type) rows — ≤|types| per user — before the self-join, so the
+    pair fan-out is C(k,2) per user on an already-tiny stream and every
+    follow-up table (per-type counts, pair counts, the user total) is
+    O(|types|) or O(|types|²) and broadcasts. Counts are exact integers;
+    support in integer ppm; the lift ratio is one double expression with
+    identical operand order on both engines."""
+    e = load(spark, sf_dir, "events")
+    ue = e.select("user_id", "event_type").distinct()
+    tot = ue.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    tu = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = ue.alias("a"), ue.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(tu.withColumnRenamed("event_type", "type_a").withColumnRenamed("n_t", "n_a")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(tu.withColumnRenamed("event_type", "type_b").withColumnRenamed("n_t", "n_b")),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr("CAST(n_ab * 1000000 DIV n_users AS BIGINT)").alias("support_ppm"),
+        (
+            (F.col("n_ab").cast("double") * F.col("n_users").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("lift"),
+    )
