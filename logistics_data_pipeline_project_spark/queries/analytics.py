@@ -3968,3 +3968,150 @@ def q130_event_type_lift(spark: SparkSession, sf_dir: str):
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — shipping-priority revenue top-10 (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q131_shipping_priority",
+    tags=("J2", "A1", "O1", "O3"),
+    oracle="""
+SELECT l.l_orderkey,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+""",
+)
+def q131_shipping_priority(spark: SparkSession, sf_dir: str):
+    """Unshipped-revenue top-10 (TPC-H Q3 shape): orders placed before the
+    cutoff whose lines ship after it, for one market segment. All three
+    predicates are raw-attribute comparisons, so each pushes into its own
+    parquet scan (segment prunes customer, the date range prunes orders
+    AND lineitem row groups via min/max stats) BEFORE the joins; the
+    filtered customer side broadcasts; the top-10 runs as
+    TakeOrderedAndProject with (orderdate, orderkey) tiebreaks so the cut
+    is deterministic under revenue ties."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    rev = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            o.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — order-priority EXISTS check (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q132_priority_order_check",
+    tags=("J6", "A1", "A2"),
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+)
+def q132_priority_order_check(spark: SparkSession, sf_dir: str):
+    """Orders per priority with at least one slow line (TPC-H Q4 shape —
+    the reference's lineitem carries shipdate, so Q4's commit<receipt
+    lateness becomes ship > order + 30d). The correlated EXISTS is a
+    LEFT SEMI join: the quarter predicate prunes the orders scan, the
+    probe side deduplicates inside the semi join (no fan-out, no
+    distinct), and only O(priorities) rows leave the final aggregate.
+    The correlated cross-table comparison rides in the join condition."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    quarter = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return (
+        quarter.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133 — forecast revenue-change scan (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q133_discount_revenue_scan",
+    tags=("A2", "A7"),
+    oracle="""
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS potential_revenue,
+  COUNT(*) AS qualifying_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q133_discount_revenue_scan(spark: SparkSession, sf_dir: str):
+    """Pure scan-aggregate (TPC-H Q6 shape): what revenue would removing
+    small-order discounts recover? No join, no window — the whole query
+    is predicate pushdown + a grand total, so the measured cost IS the
+    scan: all four range predicates reach the parquet reader
+    (PushedFilters), row groups outside the ship-year prune on min/max
+    stats, and the DECIMAL partial sums combine map-side into a single
+    output row. The query the scan-bound 100 TB case is won or lost on."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 4, 2)), 2)
+        .cast("double")
+        .alias("potential_revenue"),
+        F.count(F.lit(1)).alias("qualifying_lines"),
+    )
