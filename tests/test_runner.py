@@ -391,3 +391,68 @@ def test_table_store_compaction(spark, tmp_path):
     assert store.read("t").count() == 1000 + 3 * 200
     # old snapshot untouched and still time-travel readable
     assert store.read("t", version=v_before).count() == 1000 + 3 * 200
+
+
+def test_changes_keyed_cdc(spark, tmp_path):
+    """Keyed change feed between snapshot versions: insert/delete/update
+    classification with null-safe value comparison."""
+    store = TableStore(spark, str(tmp_path / "wh"), retain_versions=4)
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30)], "k int, s string, v int"
+    )
+    store.overwrite("t", v1)
+    fromv = store.current_version("t")
+    v2 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b2", None), (4, "d", 40)], "k int, s string, v int"
+    )
+    store.overwrite("t", v2)
+
+    ch = {
+        (r.k, r._change_type): (r.s, r.v)
+        for r in store.changes("t", fromv, keys=["k"]).collect()
+    }
+    assert ch == {
+        (2, "update_postimage"): ("b2", None),
+        (3, "delete"): ("c", 30),
+        (4, "insert"): ("d", 40),
+    }
+    # with preimages the updated key also reports its old row
+    pre = store.changes("t", fromv, keys=["k"], include_preimages=True)
+    rows = {(r.k, r._change_type) for r in pre.collect()}
+    assert (2, "update_preimage") in rows and len(rows) == 4
+    # unchanged key 1 never appears
+    assert not [r for r in pre.collect() if r.k == 1]
+
+
+def test_changes_multiset_diff(spark, tmp_path):
+    """Keyless change feed is a duplicate-correct multiset diff."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite(
+        "t", spark.createDataFrame([("x",), ("x",), ("y",)], "s string")
+    )
+    fromv = store.current_version("t")
+    store.overwrite(
+        "t", spark.createDataFrame([("x",), ("z",), ("z",)], "s string")
+    )
+    ch = sorted(
+        (r.s, r._change_type) for r in store.changes("t", fromv).collect()
+    )
+    assert ch == [
+        ("x", "delete"),
+        ("y", "delete"),
+        ("z", "insert"),
+        ("z", "insert"),
+    ]
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    """Diffing across an evolving append: the new column reads as NULL on
+    the older side, so pre-existing rows don't spuriously report."""
+    store = TableStore(spark, str(tmp_path / "wh"), retain_versions=4)
+    store.overwrite("t", spark.createDataFrame([(1, "a")], "k int, s string"))
+    fromv = store.current_version("t")
+    store.append(
+        "t", spark.createDataFrame([(2, "b", 9.5)], "k int, s string, score double")
+    )
+    ch = {r.k: (r._change_type, r.score) for r in store.changes("t", fromv, keys=["k"]).collect()}
+    assert ch == {2: ("insert", 9.5)}
