@@ -4115,3 +4115,78 @@ def q133_discount_revenue_scan(spark: SparkSession, sf_dir: str):
         .alias("potential_revenue"),
         F.count(F.lit(1)).alias("qualifying_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — period-over-period distribution drift audit (TVD in integer ppm)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q134_order_value_drift",
+    tags=("A1", "A4", "A5"),
+    oracle="""
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+bins AS (
+  SELECT CAST(least(9, floor((o_totalprice - b.lo) / (b.hi - b.lo) * 10.0)) AS BIGINT) AS bin,
+    CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_1997,
+    CAST(SUM(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_1998
+  FROM orders, b
+  WHERE year(o_orderdate) IN (1997, 1998)
+  GROUP BY 1
+)
+SELECT bin, cnt_1997, cnt_1998,
+  CAST(cnt_1997 * 1000000 // SUM(cnt_1997) OVER () AS BIGINT) AS share_1997_ppm,
+  CAST(cnt_1998 * 1000000 // SUM(cnt_1998) OVER () AS BIGINT) AS share_1998_ppm,
+  CAST(abs(cnt_1997 * 1000000 // SUM(cnt_1997) OVER ()
+         - cnt_1998 * 1000000 // SUM(cnt_1998) OVER ()) AS BIGINT) AS drift_ppm
+FROM bins
+""",
+)
+def q134_order_value_drift(spark: SparkSession, sf_dir: str):
+    """Period-over-period distribution drift — the data-quality screen
+    that catches a silently shifted upstream (price scale change,
+    truncated feed, currency bug) even when row counts look fine. One
+    scan: q77's bit-deterministic equi-width binning + BOTH years as
+    conditional counts in a single hash aggregate (no join of two
+    histograms), then per-bin population shares and their absolute gap —
+    summing drift_ppm/2 over the 10 output rows IS the total-variation
+    distance. Everything after the scan is integer (ppm via DIV over
+    unbounded window totals on the O(bins) rollup): no float sum-order
+    anywhere, bit-identical cross-engine."""
+    o = load(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    yr = F.year("o_orderdate")
+    bin_col = F.least(
+        F.lit(9),
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * 10.0),
+    ).cast("long")
+    one, zero = F.lit(1), F.lit(0)
+    bins = (
+        o.filter(yr.isin(1997, 1998))
+        .select(bin_col.alias("bin"), yr.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("y") == 1997, one).otherwise(zero))
+            .cast("long")
+            .alias("cnt_1997"),
+            F.sum(F.when(F.col("y") == 1998, one).otherwise(zero))
+            .cast("long")
+            .alias("cnt_1998"),
+        )
+    )
+    return bins.select(
+        "bin",
+        "cnt_1997",
+        "cnt_1998",
+        F.expr(
+            "CAST(cnt_1997 * 1000000 DIV SUM(cnt_1997) OVER () AS BIGINT)"
+        ).alias("share_1997_ppm"),
+        F.expr(
+            "CAST(cnt_1998 * 1000000 DIV SUM(cnt_1998) OVER () AS BIGINT)"
+        ).alias("share_1998_ppm"),
+        F.expr(
+            "CAST(abs(cnt_1997 * 1000000 DIV SUM(cnt_1997) OVER ()"
+            " - cnt_1998 * 1000000 DIV SUM(cnt_1998) OVER ()) AS BIGINT)"
+        ).alias("drift_ppm"),
+    )

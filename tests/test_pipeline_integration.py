@@ -149,3 +149,53 @@ def test_medallion_pipeline_end_to_end(spark, tmp_path):
     assert (
         {tuple(r) for r in fact2.collect()} == {tuple(r) for r in fact.collect()}
     )
+
+
+def test_cdc_feed_drives_downstream_replica(spark, tmp_path):
+    """End-to-end CDC consumption: a downstream replica applies ONLY the
+    change feed between two upstream snapshot versions (inserts/updates
+    via merge, deletes via anti-join) and converges to exact equality
+    with the upstream — the O(delta) refresh path, never re-reading the
+    full history."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.operators.merge import merge_upsert
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"), retain_versions=4)
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    store.overwrite("upstream", v1)
+    base_v = store.current_version("upstream")
+    # replica bootstraps from the full snapshot once
+    store.overwrite("replica", store.read("upstream"))
+
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    store.overwrite("upstream", v2)
+
+    feed = store.changes("upstream", base_v, keys=["k"])
+    upserts = feed.filter(F.col("_change_type") != "delete").drop("_change_type")
+    deletes = feed.filter(F.col("_change_type") == "delete").select("k")
+
+    replica = store.read("replica")
+    replica = merge_upsert(
+        replica,
+        upserts,
+        keys=["k"],
+        update_set={"s": F.col("s.s"), "v": F.col("s.v")},
+        strict=True,
+    )
+    replica = replica.join(deletes, "k", "left_anti")
+    store.overwrite("replica", replica)
+
+    got = sorted(tuple(r) for r in store.read("replica").collect())
+    want = sorted(tuple(r) for r in v2.collect())
+    assert got == want
+    # and the feed itself was O(delta): 4 changed keys (1 update, 1
+    # delete, 2 inserts), unchanged key 1 absent
+    assert feed.count() == 4
