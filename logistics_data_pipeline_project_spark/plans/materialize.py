@@ -330,3 +330,32 @@ class TableStore:
             out = out.unionByName(pre)
         # restore the snapshot's column order, change type last
         return out.select(*cols, "_change_type")
+
+    def purge_keys(
+        self, name: str, key_col: str, keys: DataFrame
+    ) -> tuple[int, int]:
+        """Hard-delete every row whose ``key_col`` appears in ``keys`` and
+        commit the result as a new snapshot — the right-to-be-forgotten
+        primitive. Returns (rows_purged, new_version).
+
+        The deletion is ONE broadcast anti-join over the current snapshot
+        (the key list is small by nature), so at 100 TB the purge costs a
+        single scan+rewrite, and the atomic pointer swap means readers
+        never observe a half-purged table. NOTE: retained older snapshots
+        still contain the purged rows (that is what makes rollback safe);
+        for a compliance-complete erasure, follow with retention GC by
+        committing ``retain_versions`` new versions or lowering retention
+        — the same two-phase contract Delta's VACUUM has."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_version(name)
+        if cur is None:
+            raise KeyError(f"no table {name!r}")
+        df = self.read(name)
+        klist = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+        kept = df.join(F.broadcast(klist), key_col, "left_anti")
+        before = df.count()
+        # localCheckpoint cuts lineage to the snapshot being replaced
+        self.overwrite(name, kept.localCheckpoint(eager=True))
+        after = self.read(name).count()
+        return before - after, self.current_version(name)

@@ -456,3 +456,28 @@ def test_changes_across_schema_evolution(spark, tmp_path):
     )
     ch = {r.k: (r._change_type, r.score) for r in store.changes("t", fromv, keys=["k"]).collect()}
     assert ch == {2: ("insert", 9.5)}
+
+
+def test_purge_keys_hard_delete(spark, tmp_path):
+    """Right-to-be-forgotten purge: targeted rows gone from the new
+    snapshot, count reported, old snapshot retained until GC."""
+    store = TableStore(spark, str(tmp_path / "wh"), retain_versions=2)
+    store.overwrite(
+        "t",
+        spark.createDataFrame(
+            [(1, "keep"), (2, "erase"), (2, "erase2"), (3, "keep")],
+            "user_id int, payload string",
+        ),
+    )
+    v0 = store.current_version("t")
+    purged, v1 = store.purge_keys(
+        "t", "user_id", spark.createDataFrame([(2,)], "user_id int")
+    )
+    assert purged == 2 and v1 == v0 + 1
+    assert sorted(r.user_id for r in store.read("t").collect()) == [1, 3]
+    # rollback window still holds the pre-purge snapshot (two-phase erasure)
+    assert store.read("t", version=v0).count() == 4
+    # after retention turnover the purged snapshot is gone from disk
+    store.overwrite("t", store.read("t").localCheckpoint(eager=True))
+    store.overwrite("t", store.read("t").localCheckpoint(eager=True))
+    assert v0 not in store.versions("t")
