@@ -574,13 +574,28 @@ def prefix_filter_jaccard_pairs(
     # so size-incompatible collisions drop inside the join before the
     # distinct — semantics unchanged (the final J test implies it), the
     # candidate stream shrinks
+    length_ok = (F.lit(num) * F.col("a.sz") <= F.lit(den) * F.col("b.sz")) & (
+        F.lit(num) * F.col("b.sz") <= F.lit(den) * F.col("a.sz")
+    )
+    # position filter (PPJoin, Xiao et al.): a collision at (pa, pb) caps
+    # the possible overlap at 1 + min(sa−pa, sb−pb); J ≥ t needs overlap
+    # ≥ t/(1+t)·(sa+sb), and a qualifying pair's FIRST common prefix
+    # token always meets the cap — so dropping failing collisions loses
+    # no qualifying pair (survivors are still re-verified exactly).
+    # For t = num/den: (num+den)·(1 + min(remaining)) ≥ num·(sa+sb).
+    position_ok = F.lit(num + den) * (
+        F.lit(1)
+        + F.least(
+            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+        )
+    ) >= F.lit(num) * (F.col("a.sz") + F.col("b.sz"))
     cand = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.lit(num) * F.col("a.sz") <= F.lit(den) * F.col("b.sz"))
-            & (F.lit(num) * F.col("b.sz") <= F.lit(den) * F.col("a.sz")),
+            & length_ok
+            & position_ok,
         )
         .select(
             F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
