@@ -1,6 +1,7 @@
-"""Probabilistic-sketch operators: count-min counters and Bloom-filter
-membership, both built from deterministic md5 bucket hashing so every
-result is reproducible across engines, partitionings, and re-runs (the
+"""Probabilistic-sketch operators: count-min counters, Bloom-filter
+membership, and geometric quantile histograms — all deterministic
+(md5 bucket hashing / literal bin edges) so every result is
+reproducible across engines, partitionings, and re-runs (the
 engine-wide determinism policy — see queries/registry.py).
 
 Why these exist at 100 TB: exact per-key state (counts, membership) is
@@ -19,7 +20,9 @@ md5 agree bit-for-bit) and needs no hex→int conversion, giving
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 
 def _bucket(key: Column, row: int, hex_chars: int) -> Column:
@@ -109,6 +112,133 @@ def bloom_bits(
         .select(F.col("e.hash_row").alias("hash_row"), F.col("e.bucket").alias("bucket"))
         .distinct()
     )
+
+
+def geometric_edges(
+    lo: float, hi: float, bins_per_octave: int = 4
+) -> list[float]:
+    """Geometric bin boundaries ``lo · 2^(i/bpo)`` up to the first edge
+    ≥ ``hi`` — the HdrHistogram layout: constant RELATIVE bin width
+    ``2^(1/bpo) − 1`` (≈19% at bpo=4), so a quantile estimated by
+    in-bin interpolation carries a bounded relative error regardless of
+    the value's magnitude. The edges are plain Python floats embedded as
+    literals on both engines (no runtime log2 whose libm rounding could
+    differ across engines and flip a floor at a bin boundary)."""
+    if lo <= 0 or hi <= lo:
+        raise ValueError("need 0 < lo < hi")
+    edges: list[float] = []
+    i = 0
+    while True:
+        b = lo * (2.0 ** (i / bins_per_octave))
+        edges.append(b)
+        if b >= hi:
+            return edges
+        i += 1
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    edges: Sequence[float],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Mergeable quantile-histogram sketch: one row per (keys…, bin) with
+    ``cnt`` = rows whose value falls in the bin. ``bin`` = number of
+    edges ≤ value (width_bucket semantics over the geometric edges), so
+    bin 0 is (−∞, edges[0]) and bin len(edges) is [last edge, ∞).
+
+    This is the quantile analogue of `cms_counters`/`bloom_bits`: state
+    is O(|keys| × |edges|) regardless of row count, partials combine
+    map-side (counts are sum-decomposable), and two sketches over
+    disjoint batches merge into EXACTLY the sketch of their union
+    (`merge_histogram_sketches`) — so per-group p50/p99 at 100 TB costs
+    one partial-aggregated shuffle of a few-KB state instead of a
+    per-group sort, and incremental refreshes fold new days into the
+    stored sketch without re-reading history (same contract as
+    plans/incremental.py; make ``bin`` a rollup key and ``cnt`` a count
+    measure). The binning is a flat sum of edge comparisons — ONE
+    whole-stage-codegen expression, no UDF, no log() at runtime. (A
+    higher-order `F.aggregate` fold over a literal edge array would be
+    equivalent, but a lambda capturing the outer value column mis-binds
+    when Catalyst later infers join-key filters from the aliased
+    result; plain expression trees have no such hazard.)"""
+    bin_ = F.lit(0)
+    for b in edges:
+        bin_ = bin_ + F.when(
+            F.col(value_col) >= F.lit(float(b)), F.lit(1)
+        ).otherwise(F.lit(0))
+    bin_ = bin_.cast("int")
+    return (
+        df.select(*keys, bin_.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def merge_histogram_sketches(*sketches: DataFrame) -> DataFrame:
+    """Union partial sketches (same keys + edges) into one: counts per
+    (keys…, bin) sum — associative/commutative, so the merged sketch is
+    identical to sketching the concatenated input no matter how history
+    was sliced into batches."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*group).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def histogram_edge_bounds(
+    spark: SparkSession, edges: Sequence[float]
+) -> DataFrame:
+    """Tiny (bin → lo, hi) lookup for a given edge list: bin 0 spans
+    [0, edges[0]); interior bin k spans [edges[k−1], edges[k]); the
+    overflow bin spans [last, 2·last). Broadcast-joined onto the sketch
+    by `histogram_quantiles`."""
+    rows = []
+    m = len(edges)
+    for k in range(m + 1):
+        lo = 0.0 if k == 0 else float(edges[k - 1])
+        hi = float(edges[k]) if k < m else float(edges[m - 1]) * 2.0
+        rows.append((k, lo, hi))
+    return spark.createDataFrame(rows, "bin int, lo double, hi double")
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    edges: Sequence[float],
+    qs: dict[str, float],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Estimate quantiles from a `histogram_sketch`: per key group, walk
+    the cumulative bin counts and linearly interpolate inside the bin
+    where rank ``q·total`` lands. Error is bounded by the bin's relative
+    width (edges from `geometric_edges`: 2^(1/bpo) − 1). One window over
+    the O(|keys|·|edges|) sketch — the fact stream is long gone.
+
+    ``qs`` maps output column name → quantile in (0, 1]. All arithmetic
+    is plain double in a fixed expression shape so an oracle that mirrors
+    it (see q135) reproduces the estimate bit-for-bit."""
+    spark = sketch.sparkSession
+    w_cum = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*[F.col(k) for k in keys])
+    c = (
+        sketch.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("total", F.sum("cnt").over(w_all))
+        .join(F.broadcast(histogram_edge_bounds(spark, edges)), "bin")
+    )
+    aggs = []
+    for alias, q in qs.items():
+        r = F.col("total").cast("double") * F.lit(float(q))
+        before = F.col("cum") - F.col("cnt")
+        est = F.col("lo") + (F.col("hi") - F.col("lo")) * (
+            (r - before.cast("double")) / F.col("cnt").cast("double")
+        )
+        aggs.append(F.max(F.when((before < r) & (r <= F.col("cum")), est)).alias(alias))
+    return c.groupBy(*keys).agg(*aggs)
 
 
 def bloom_might_contain(

@@ -4190,3 +4190,92 @@ def q134_order_value_drift(spark: SparkSession, sf_dir: str):
             " - cnt_1998 * 1000000 DIV SUM(cnt_1998) OVER ()) AS BIGINT)"
         ).alias("drift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — per-group quantiles from a mergeable geometric-histogram sketch
+# ---------------------------------------------------------------------------
+
+# Edges as module-level Python floats: the SAME literals are embedded in the
+# Spark plan (F.lit) and the oracle SQL (CAST('repr' AS DOUBLE) — shortest
+# repr round-trips exactly), so binning and interpolation are bit-identical
+# across engines. 2^(1/4) spacing => <=19% relative bin width.
+_Q135_EDGES = None  # populated below (needs the operator import)
+
+
+def _q135_oracle(edges: list[float]) -> str:
+    arr = ", ".join(f"CAST('{e!r}' AS DOUBLE)" for e in edges)
+    m = len(edges)
+    rows = []
+    for k in range(m + 1):
+        lo = 0.0 if k == 0 else edges[k - 1]
+        hi = edges[k] if k < m else edges[m - 1] * 2.0
+        rows.append(f"({k}, CAST('{lo!r}' AS DOUBLE), CAST('{hi!r}' AS DOUBLE))")
+
+    def est(q: str) -> str:
+        r = f"CAST(total AS DOUBLE) * CAST('{q}' AS DOUBLE)"
+        return (
+            f"MAX(CASE WHEN cum - cnt < {r} AND {r} <= cum THEN "
+            f"lo + (hi - lo) * (({r} - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) "
+            "END)"
+        )
+
+    return f"""
+WITH binned AS (
+  SELECT o_orderpriority AS priority,
+         CAST(len(list_filter([{arr}], b -> o_totalprice >= b)) AS INTEGER) AS bin
+  FROM orders
+), sk AS (
+  SELECT priority, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY priority, bin
+), cum AS (
+  SELECT priority, bin, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY priority ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY priority) AS BIGINT) AS total
+  FROM sk
+), edges(bin, lo, hi) AS (VALUES {", ".join(rows)})
+SELECT priority,
+  {est("0.5")} AS p50_est,
+  {est("0.95")} AS p95_est
+FROM cum JOIN edges USING (bin)
+GROUP BY priority
+"""
+
+
+from ..operators.sketch import (  # noqa: E402
+    geometric_edges,
+    histogram_quantiles,
+    histogram_sketch,
+)
+
+_Q135_EDGES = geometric_edges(1024.0, 524288.0, bins_per_octave=4)
+
+
+@register(
+    "q135_price_quantile_sketch",
+    tags=("A5", "sketch", "approx"),
+    oracle=_q135_oracle(_Q135_EDGES),
+)
+def q135_price_quantile_sketch(spark: SparkSession, sf_dir: str):
+    """Per-priority p50/p95 of order value from a mergeable geometric-
+    histogram sketch (operators/sketch.py) instead of an exact per-group
+    sort: the fact stream collapses map-side into O(groups × bins)
+    counters (one fold over a literal edge array — whole-stage codegen,
+    no runtime log2), ONE shuffle moves only that few-KB state, and the
+    quantile walk + in-bin interpolation runs on the tiny sketch. At
+    100 TB this replaces q49's exact percentile sort wherever ≤19%
+    relative bin error is acceptable — and unlike approx_percentile's
+    opaque internal state, this sketch is a plain DataFrame that merges
+    across batches (`merge_histogram_sketches`) and maintains
+    incrementally (plans/incremental.py with `bin` as a key), so daily
+    sketches roll up to monthly p99s without re-reading history. The
+    estimate is deterministic pure arithmetic — the oracle mirrors it
+    bit-for-bit (same edge literals, same expression shape)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_totalprice"
+    )
+    sk = histogram_sketch(o, "o_totalprice", _Q135_EDGES, keys=("priority",))
+    return histogram_quantiles(
+        sk, _Q135_EDGES, {"p50_est": 0.5, "p95_est": 0.95}, keys=("priority",)
+    )

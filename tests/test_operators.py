@@ -616,3 +616,90 @@ def test_bloom_no_false_negatives(spark):
         if r.k in member_set:
             assert r.bloom_pass, f"false negative on member {r.k}"
     assert len(out) == 100
+
+
+def test_histogram_sketch_quantiles_and_merge(spark):
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        geometric_edges,
+        histogram_quantiles,
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+
+    # deterministic skewed positive values in two groups
+    rows = [("a", float(1 + (i * i) % 997)) for i in range(1, 1200)] + [
+        ("b", float(10 + (7 * i) % 300)) for i in range(1, 800)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    edges = geometric_edges(1.0, 1024.0, bins_per_octave=4)
+    sk = histogram_sketch(df, "v", edges, keys=("g",))
+    # sketch state is bounded by groups × bins regardless of row count
+    assert sk.count() <= 2 * (len(edges) + 1)
+    est = {
+        r.g: (r.p50, r.p99)
+        for r in histogram_quantiles(
+            sk, edges, {"p50": 0.5, "p99": 0.99}, keys=("g",)
+        ).collect()
+    }
+    import statistics
+
+    rel = 2 ** 0.25 - 1  # relative bin width at bpo=4
+    for g in ("a", "b"):
+        vals = sorted(v for gg, v in rows if gg == g)
+        for alias, q in (("p50", 0.5), ("p99", 0.99)):
+            exact = vals[min(len(vals) - 1, int(q * len(vals)))]
+            got = est[g][0 if alias == "p50" else 1]
+            assert abs(got - exact) <= rel * exact + 1.0, (g, alias, got, exact)
+
+    # mergeability: sketch(A) ⊎ sketch(B) == sketch(A ∪ B), exactly
+    half_a = df.filter(F.col("g") == "a")
+    half_b = df.filter(F.col("g") == "b")
+    merged = merge_histogram_sketches(
+        histogram_sketch(half_a, "v", edges, keys=("g",)),
+        histogram_sketch(half_b, "v", edges, keys=("g",)),
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in sk.collect()}
+
+
+def test_histogram_sketch_incremental_rollup(spark, tmp_path):
+    """The sketch maintains incrementally through plans.incremental:
+    `bin` rides as a rollup key, `cnt` as a count measure — two daily
+    batches folded into the store equal one full-history sketch."""
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        geometric_edges,
+        histogram_sketch,
+    )
+    from logistics_data_pipeline_project_spark.plans.incremental import (
+        incremental_rollup,
+        read_rollup,
+    )
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    edges = geometric_edges(1.0, 256.0, bins_per_octave=2)
+
+    def batch(day: int, n: int):
+        rows = [(day, float(1 + (i * 13) % 200)) for i in range(n)]
+        return spark.createDataFrame(rows, "day int, v double")
+
+    full = batch(1, 300).unionByName(batch(2, 500))
+    for day_df in (batch(1, 300), batch(2, 500)):
+        binned = histogram_sketch(day_df, "v", edges, keys=("day",)).withColumn(
+            "day_cursor", F.col("day")
+        )
+        incremental_rollup(
+            store,
+            "hist_rollup",
+            binned,
+            keys=["bin"],
+            measures={"cnt": ("cnt", "sum")},
+            cursor_col="day_cursor",
+        )
+    maintained = {
+        (r.bin, r.cnt) for r in read_rollup(store, "hist_rollup").collect()
+    }
+    expected = {
+        (r.bin, r.cnt)
+        for r in histogram_sketch(full, "v", edges).collect()
+    }
+    assert maintained == expected
