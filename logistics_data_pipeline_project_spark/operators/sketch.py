@@ -1,8 +1,9 @@
 """Probabilistic-sketch operators: count-min counters, Bloom-filter
-membership, and geometric quantile histograms — all deterministic
-(md5 bucket hashing / literal bin edges) so every result is
-reproducible across engines, partitionings, and re-runs (the
-engine-wide determinism policy — see queries/registry.py).
+membership, geometric quantile histograms, and HyperLogLog distinct
+registers — all deterministic (md5 bucket hashing / literal bin edges /
+integer-exact harmonic sums) so every result is reproducible across
+engines, partitionings, and re-runs (the engine-wide determinism policy
+— see queries/registry.py).
 
 Why these exist at 100 TB: exact per-key state (counts, membership) is
 O(distinct keys); both sketches here are O(depth × 16^hex_chars) — a few
@@ -20,6 +21,7 @@ md5 agree bit-for-bit) and needs no hex→int conversion, giving
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -273,4 +275,120 @@ def bloom_might_contain(
         cond = cond & fl
     return out.withColumn(flag_col, cond).drop(
         *[f"_b{r}" for r in range(1, depth + 1)]
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    keys: Sequence[str] = (),
+    index_chars: int = 2,
+    rank_chars: int = 12,
+) -> DataFrame:
+    """HyperLogLog register file as a DataFrame: one row per (keys…,
+    idx) with ``reg`` = max rank seen in that register (Flajolet et al.
+    2007). m = 16^index_chars registers; rank = 1 + leading zero BITS of
+    a ``4·rank_chars``-bit hash suffix, derived entirely from the md5
+    hex string (leading-'0' trim + a CASE on the first non-zero hex
+    digit) — no integer hashing, so Spark and DuckDB produce identical
+    registers bit-for-bit.
+
+    Scale contract (same as `cms_counters`/`bloom_bits`): COUNT(DISTINCT
+    key) is a full shuffle of every distinct key; this is a partial-
+    aggregated shuffle of ≤ m rows per group. max is idempotent/
+    commutative, so register files over arbitrary batch slicings merge
+    (`merge_hll_sketches`) into EXACTLY the full-history register file,
+    and plans/incremental.py maintains one incrementally with ``idx`` as
+    a rollup key and ``reg`` as a ``max`` measure — distinct users over
+    all time without ever re-reading history."""
+    maxr = 4 * rank_chars + 1
+    h = F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
+    base = (
+        df.select(*keys, h.alias("_h"))
+        .select(
+            *keys,
+            F.substring("_h", 1, index_chars).alias("idx"),
+            F.substring("_h", index_chars + 1, rank_chars).alias("_s"),
+        )
+        .withColumn("_t", F.expr("trim(LEADING '0' FROM _s)"))
+    )
+    first = F.substring("_t", 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = (
+        F.when(F.col("_t") == "", F.lit(maxr))
+        .otherwise((F.length("_s") - F.length("_t")) * 4 + extra + 1)
+        .cast("int")
+    )
+    return (
+        base.select(*keys, "idx", rank.alias("_rank"))
+        .groupBy(*keys, "idx")
+        .agg(F.max("_rank").alias("reg"))
+    )
+
+
+def merge_hll_sketches(*sketches: DataFrame) -> DataFrame:
+    """Union register files (same index/rank params) into one: ``reg``
+    per (keys…, idx) maxes — idempotent/associative/commutative, so the
+    merged file is identical to sketching the concatenated input, and
+    re-delivered batches change nothing (exactly-once not required)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group = [c for c in out.columns if c != "reg"]
+    return out.groupBy(*group).agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    keys: Sequence[str] = (),
+    index_chars: int = 2,
+    rank_chars: int = 12,
+    est_col: str = "distinct_est",
+) -> DataFrame:
+    """Cardinality estimate from a `hll_registers` file, deterministic to
+    the bit: the harmonic sum Σ2^(−reg) is computed as the INTEGER
+    Σ shiftleft(1, maxrank − reg) — every term exact, BIGINT addition
+    order-independent (a double Σ2^(−reg) would round differently
+    depending on aggregation order and diverge between engines/re-runs)
+    — then one double division by the literal α·m²·2^maxrank. The
+    small-range (linear-counting) branch needs ln(m/V), which has only m
+    possible arguments, so it broadcast-joins a literal (V → m·ln(m/V))
+    lookup computed once in Python — both engines see the same 53-bit
+    doubles instead of trusting their libm to round identically.
+
+    Standard error ≈ 1.04/√m (6.5% at index_chars=2). Registers absent
+    from the sketch are empty (rank 0): they contribute 2^maxrank to the
+    sum and count toward V."""
+    m = 16**index_chars
+    maxr = 4 * rank_chars + 1
+    alpha = 0.7213 / (1 + 1.079 / m)  # valid for m >= 128
+    num = alpha * m * m * float(2**maxr)
+    spark = sketch.sparkSession
+    agg = sketch.groupBy(*keys).agg(
+        F.sum(F.expr(f"shiftleft(1L, {maxr} - reg)")).cast("long").alias("_sp"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    zeros = (F.lit(m).cast("long") - F.col("_n")).alias("_zeros")
+    raw = F.lit(num) / (
+        F.col("_sp") + F.col("_zeros") * F.lit(2**maxr).cast("long")
+    ).cast("double")
+    lc_rows = [(v, float(m) * math.log(m / v)) for v in range(1, m + 1)]
+    lc = spark.createDataFrame(lc_rows, "_zeros long, _lc double")
+    est = F.when(
+        (F.col("_raw") <= F.lit(2.5 * m)) & (F.col("_zeros") > 0), F.col("_lc")
+    ).otherwise(F.col("_raw"))
+    return (
+        agg.select(*keys, "_sp", "_n", zeros)
+        .withColumn("_raw", raw)
+        .join(F.broadcast(lc), "_zeros", "left")
+        .select(
+            *keys,
+            est.alias(est_col),
+            F.col("_n").alias("registers_hit"),
+        )
     )

@@ -4279,3 +4279,92 @@ def q135_price_quantile_sketch(spark: SparkSession, sf_dir: str):
     return histogram_quantiles(
         sk, _Q135_EDGES, {"p50_est": 0.5, "p95_est": 0.95}, keys=("priority",)
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — distinct users per event type via deterministic HyperLogLog
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+from ..operators.sketch import hll_estimate, hll_registers  # noqa: E402
+
+_Q136_IDX = 2  # 16^2 = 256 registers, stderr ~= 1.04/sqrt(m) = 6.5%
+_Q136_RANK = 12  # 48-bit rank suffix
+
+
+def _q136_oracle() -> str:
+    m = 16**_Q136_IDX
+    maxr = 4 * _Q136_RANK + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(2**maxr)
+    # the SAME Python doubles the Spark plan embeds (repr round-trips
+    # exactly), so both engines interpolate/correct with identical bits
+    lc_rows = ", ".join(
+        f"({v}, CAST('{float(m) * math.log(m / v)!r}' AS DOUBLE))"
+        for v in range(1, m + 1)
+    )
+    return f"""
+WITH p AS (
+  SELECT event_type,
+         substr(_h, 1, {_Q136_IDX}) AS idx,
+         substr(_h, {_Q136_IDX + 1}, {_Q136_RANK}) AS _s,
+         trim(LEADING '0' FROM substr(_h, {_Q136_IDX + 1}, {_Q136_RANK})) AS _t
+  FROM (SELECT event_type,
+               md5('hll:' || CAST(user_id AS VARCHAR)) AS _h
+        FROM events)
+), sk AS (
+  SELECT event_type, idx,
+         MAX(CASE WHEN _t = '' THEN {maxr}
+              ELSE (length(_s) - length(_t)) * 4
+                   + CASE WHEN substr(_t, 1, 1) = '1' THEN 3
+                          WHEN substr(_t, 1, 1) IN ('2', '3') THEN 2
+                          WHEN substr(_t, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                          ELSE 0 END + 1 END) AS reg
+  FROM p GROUP BY event_type, idx
+), est AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST({m} - COUNT(*) AS BIGINT) AS zeros,
+         CAST('{num!r}' AS DOUBLE)
+           / CAST(CAST(SUM(1::BIGINT << ({maxr} - reg)) AS BIGINT)
+                  + ({m} - COUNT(*)) * (1::BIGINT << {maxr}) AS DOUBLE) AS raw
+  FROM sk GROUP BY event_type
+), lcv(zeros, lc) AS (VALUES {lc_rows})
+SELECT e.event_type,
+  CASE WHEN e.raw <= CAST('{2.5 * m!r}' AS DOUBLE) AND e.zeros > 0
+       THEN l.lc ELSE e.raw END AS users_hll,
+  e.n AS registers_hit
+FROM est e LEFT JOIN lcv l ON l.zeros = e.zeros
+"""
+
+
+@register(
+    "q136_distinct_users_hll",
+    tags=("A3", "sketch", "approx"),
+    oracle=_q136_oracle(),
+)
+def q136_distinct_users_hll(spark: SparkSession, sf_dir: str):
+    """Distinct users per event type from a deterministic HyperLogLog
+    register file (operators/sketch.py) instead of COUNT(DISTINCT): the
+    exact form shuffles every distinct (event_type, user_id) pair — at
+    100 TB that is the whole key universe crossing the wire — while the
+    register file partial-aggregates map-side to <= 256 rows per type,
+    so ONE shuffle moves a few KB per group for a 6.5% stderr estimate.
+    Unlike approx_count_distinct's opaque binary state, the registers
+    are a plain DataFrame: files over arbitrary batch slicings merge by
+    max (`merge_hll_sketches`) into exactly the full-history file, and
+    plans/incremental.py maintains one incrementally (idx as key, reg as
+    max measure) — all-time uniques without re-reading history. Ranks
+    come from md5 hex strings and the harmonic sum is an exact BIGINT,
+    so the estimate is bit-identical across engines, partitionings, and
+    re-runs — the DuckDB oracle reproduces it exactly."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = hll_registers(
+        ev, "user_id", keys=("event_type",),
+        index_chars=_Q136_IDX, rank_chars=_Q136_RANK,
+    )
+    return hll_estimate(
+        sk, keys=("event_type",),
+        index_chars=_Q136_IDX, rank_chars=_Q136_RANK, est_col="users_hll",
+    )

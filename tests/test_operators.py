@@ -703,3 +703,74 @@ def test_histogram_sketch_incremental_rollup(spark, tmp_path):
         for r in histogram_sketch(full, "v", edges).collect()
     }
     assert maintained == expected
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+        merge_hll_sketches,
+    )
+
+    # two groups with known cardinalities (deterministic keys, with dup rows)
+    rows = [("a", i % 3000) for i in range(9000)] + [
+        ("b", 10_000 + (i % 400)) for i in range(1200)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long")
+    sk = hll_registers(df, "k", keys=("g",))
+    # register file is bounded by groups x m regardless of row count
+    assert sk.count() <= 2 * 256
+    est = {r.g: r.distinct_est for r in hll_estimate(sk, keys=("g",)).collect()}
+    for g, exact in (("a", 3000), ("b", 400)):
+        assert abs(est[g] - exact) / exact < 0.15, (g, est[g], exact)
+
+    # duplicate-insensitive: re-delivering a batch changes nothing
+    resent = merge_hll_sketches(sk, hll_registers(df.limit(500), "k", keys=("g",)))
+    assert {tuple(r) for r in resent.collect()} == {tuple(r) for r in sk.collect()}
+
+    # mergeability: file(A) uplus file(B) == file(A union B), exactly
+    a = df.filter(F.col("k") % 2 == 0)
+    b = df.filter(F.col("k") % 2 == 1)
+    merged = merge_hll_sketches(
+        hll_registers(a, "k", keys=("g",)), hll_registers(b, "k", keys=("g",))
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in sk.collect()}
+
+
+def test_hll_incremental_rollup(spark, tmp_path):
+    """Registers maintain incrementally through plans.incremental: `idx`
+    rides as a rollup key, `reg` as a MAX measure — two daily batches
+    folded into the store equal the full-history register file."""
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        hll_registers,
+    )
+    from logistics_data_pipeline_project_spark.plans.incremental import (
+        incremental_rollup,
+        read_rollup,
+    )
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+
+    def batch(day: int, lo: int, n: int):
+        rows = [(day, lo + i) for i in range(n)]
+        return spark.createDataFrame(rows, "day int, user long")
+
+    full = batch(1, 0, 700).unionByName(batch(2, 500, 700))  # overlapping users
+    for day_df in (batch(1, 0, 700), batch(2, 500, 700)):
+        regs = hll_registers(day_df, "user", keys=("day",)).withColumn(
+            "day_cursor", F.col("day")
+        )
+        incremental_rollup(
+            store,
+            "hll_rollup",
+            regs,
+            keys=["idx"],
+            measures={"reg": ("reg", "max")},
+            cursor_col="day_cursor",
+        )
+    maintained = {
+        (r.idx, r.reg) for r in read_rollup(store, "hll_rollup").collect()
+    }
+    expected = {(r.idx, r.reg) for r in hll_registers(full, "user").collect()}
+    assert maintained == expected
