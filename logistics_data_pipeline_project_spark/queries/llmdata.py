@@ -24,7 +24,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
     word_shingles,
 )
-from ..operators.mixing import source_mix_sample
+from ..operators.mixing import source_mix_sample, ticket_sample_k
 from ..operators.similarity import (
     block_nn_pairs_pandas,
     cosine_topk,
@@ -2466,4 +2466,91 @@ def q127_prefix_filter_near_dup(spark: SparkSession, sf_dir: str):
         n=3,
         threshold_num=1,
         threshold_den=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — fixed-size eval holdout: exactly k docs per source by hash order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q137_eval_holdout_sample",
+    tags=("mix", "sample"),
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         md5('t:1:' || CAST(doc_id AS VARCHAR)) AS ticket
+  FROM documents
+), r AS (
+  SELECT source, doc_id, ticket,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY ticket DESC, doc_id) AS rn
+  FROM t
+)
+SELECT source, doc_id, CAST(1 AS INTEGER) AS n_tickets, ticket
+FROM r WHERE rn <= 3
+""",
+)
+def q137_eval_holdout_sample(spark: SparkSession, sf_dir: str):
+    """Fixed-size eval holdout: EXACTLY 3 docs per source, selected by
+    salted-hash order (`operators/mixing.ticket_sample_k`, weight=1).
+    Unlike rate-based sampling (q45), the cut is exact-k per stratum and
+    stable: the same docs are held out on every engine, partitioning,
+    and backfill — the property an eval set must have, since a holdout
+    that drifts when history is reprocessed contaminates training. One
+    map-side hash + one per-stratum window; no RNG, no state."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    return ticket_sample_k(docs, "doc_id", k=3, strata=("source",))
+
+
+# ---------------------------------------------------------------------------
+# q138 — length-weighted corpus sample (integer-ticket A-ES reservoir)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q138_length_weighted_sample",
+    tags=("mix", "sample"),
+    oracle="""
+WITH w AS (
+  SELECT lang, doc_id, CAST(1 + least(7, n_chars // 256) AS INTEGER) AS n_tickets
+  FROM documents
+), t AS (
+  SELECT lang, doc_id, n_tickets,
+         MAX(md5('t:' || CAST(i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))) AS ticket
+  FROM w, range(1, 9) r(i)
+  WHERE r.i <= n_tickets
+  GROUP BY lang, doc_id, n_tickets
+), r AS (
+  SELECT lang, doc_id, n_tickets, ticket,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY ticket DESC, doc_id) AS rn
+  FROM t
+)
+SELECT lang, doc_id, n_tickets, ticket
+FROM r WHERE rn <= 10
+""",
+)
+def q138_length_weighted_sample(spark: SparkSession, sf_dir: str):
+    """Length-weighted reservoir sample: 10 docs per language, inclusion
+    probability proportional to a capped length tier (1 + min(7,
+    n_chars/256) tickets — long docs carry more training signal but the
+    cap stops a single megadoc from monopolizing the draw). Exact
+    Efraimidis–Spirakis via integer tickets (`ticket_sample_k`): max of
+    w salted md5s ≡ u^(1/w) in distribution, so the whole sampler is
+    hex-string comparisons — deterministic across engines/partitionings
+    (libm-free), which is why this approximate-looking operator still
+    hash-matches its DuckDB oracle exactly. Ticket explosion is map-side
+    and collapses to one row per doc in partial agg; the shuffle carries
+    docs, not tickets."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        (F.lit(1) + F.least(F.lit(7), F.expr("n_chars DIV 256")))
+        .cast("int")
+        .alias("wt"),
+    )
+    return ticket_sample_k(
+        docs, "doc_id", k=10, strata=("lang",), weight_col="wt"
     )

@@ -774,3 +774,42 @@ def test_hll_incremental_rollup(spark, tmp_path):
     }
     expected = {(r.idx, r.reg) for r in hll_registers(full, "user").collect()}
     assert maintained == expected
+
+
+def test_ticket_sample_exact_k_and_stability(spark):
+    from logistics_data_pipeline_project_spark.operators.mixing import (
+        ticket_sample_k,
+    )
+
+    rows = [(f"s{i % 7}", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "source string, doc long")
+    out = ticket_sample_k(df, "doc", k=5, strata=("source",))
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {f"s{i}": 5 for i in range(7)}
+    # partitioning-invariant: same sample under a different layout
+    again = ticket_sample_k(df.repartition(13, "doc"), "doc", k=5, strata=("source",))
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+    # k larger than the stratum degrades to "keep all"
+    small = spark.createDataFrame([("a", 1), ("a", 2)], "source string, doc long")
+    assert ticket_sample_k(small, "doc", k=10, strata=("source",)).count() == 2
+
+
+def test_ticket_sample_weight_proportional(spark):
+    """Integer-ticket A-ES: max of w tickets ~ u^(1/w), so top-1
+    inclusion is w-proportional. 400 strata of 10 keys where key 0
+    holds 8 of 17 tickets -> expected pick rate 8/17 = 0.47; uniform
+    would give 0.10."""
+    from logistics_data_pipeline_project_spark.operators.mixing import (
+        ticket_sample_k,
+    )
+
+    rows = [
+        (s, s * 100 + j, 8 if j == 0 else 1)
+        for s in range(400)
+        for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, "stratum int, doc long, wt int")
+    top1 = ticket_sample_k(df, "doc", k=1, strata=("stratum",), weight_col="wt")
+    heavy = top1.filter(F.col("doc") % 100 == 0).count()
+    rate = heavy / 400
+    assert 0.37 < rate < 0.57, rate
