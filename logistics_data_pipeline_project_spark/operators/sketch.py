@@ -392,3 +392,149 @@ def hll_estimate(
             F.col("_n").alias("registers_hit"),
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    keys: Sequence[str] = (),
+    salt: str = "kmv",
+    prefilter_hex: str | None = None,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) sketch: per group the k
+    LEXICOGRAPHICALLY SMALLEST distinct md5 hashes of the key, one row
+    per hash with its rank ``rk`` (Bar-Yossef et al. 2002; the
+    DataSketches theta family). Distinct-count estimate: the k-th
+    smallest of n uniform hashes sits near k/n, so n̂ = (k−1)/u_k
+    (`kmv_estimate`). What KMV buys over `hll_registers`: the sketch IS
+    a uniform sample of the distinct-key universe, so sketches of two
+    SETS support union/intersection/Jaccard estimates
+    (`kmv_set_estimates`) — "how many users do checkout and refund
+    share?" — which register-max state cannot answer.
+
+    Everything is hash-order string comparison; the only arithmetic is
+    one exact division by a 52-bit integer — no libm, so results are
+    bit-identical across engines/partitionings (see ticket_sample_k's
+    docstring for why that is load-bearing). Merging = union distinct +
+    re-rank (`merge_kmv_sketches`): associative, commutative,
+    duplicate-insensitive.
+
+    Scale: the grouped distinct is the one shuffle (map-side partial
+    dedup first). At 100 TB add ``prefilter_hex``: hashes are uniform,
+    so a literal prefix threshold c·k/n_lower drops ~everything map-side
+    BEFORE the shuffle while keeping the k minima with overwhelming
+    probability (c ≥ 8); equivalence to the unfiltered sketch under a
+    generous threshold is asserted in tests. The threshold presumes
+    every group holds ≥ n_lower distinct keys — a group smaller than
+    that keeps only its below-threshold hashes (its estimate degrades
+    toward the threshold-capped exact count), so size n_lower from the
+    SMALLEST group you care about, not the average."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    d = df.select(*keys, h.alias("h"))
+    if prefilter_hex is not None:
+        d = d.filter(F.col("h") < F.lit(prefilter_hex))
+    win = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("h")
+    return (
+        d.groupBy(*keys, "h")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def merge_kmv_sketches(k: int, *sketches: DataFrame) -> DataFrame:
+    """Union KMV sketches (same salt/k) into one: distinct hashes,
+    re-ranked, bottom-k — exactly the sketch of the concatenated input,
+    under any batch slicing or re-delivery."""
+    out = sketches[0].select([c for c in sketches[0].columns if c != "rk"])
+    for s in sketches[1:]:
+        out = out.unionByName(s.select(out.columns))
+    keys = [c for c in out.columns if c != "h"]
+    win = Window.partitionBy(*[F.col(c) for c in keys]).orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _hex13_unit(h: Column) -> Column:
+    """Map a hex hash to u ∈ (0,1): first 13 hex chars as a 52-bit
+    integer over 2^52 — conv() agrees between Spark and DuckDB, the
+    integer is exact in a double, and /2^52 is a power-of-two scale, so
+    u is the same 53-bit double everywhere."""
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(
+        float(2**52)
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int, keys: Sequence[str] = (), est_col: str = "distinct_est"
+) -> DataFrame:
+    """Distinct-count estimate from a `kmv_sketch`: n̂ = (k−1)/u_k with
+    u_k the k-th smallest hash as a unit fraction (unbiased for uniform
+    hashes, RSE ≈ 1/√(k−2)). A group with fewer than k distinct hashes
+    IS the distinct set — return the exact count."""
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("_hk"),
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / _hex13_unit(F.col("_hk"))
+    )
+    return agg.select(*keys, est.alias(est_col))
+
+
+def kmv_set_estimates(
+    pairs: DataFrame,
+    sketch: DataFrame,
+    set_col: str,
+    k: int,
+    left_col: str = "set_a",
+    right_col: str = "set_b",
+) -> DataFrame:
+    """Union/intersection/Jaccard estimates for each (set_a, set_b) row
+    of ``pairs`` from ONE per-set `kmv_sketch` keyed by ``set_col``:
+    X = bottom-k of A ∪ B hashes; ĵ = |X ∩ A ∩ B| / |X| (the bottom-k
+    hashes are a uniform sample of the union universe); n̂∪ from X's
+    k-th value; n̂∩ = ĵ·n̂∪ (Beyer et al., SIGMOD 2007). The sketch
+    subtree is referenced ONCE: the tiny pair list broadcasts onto it
+    with an OR-of-equalities condition (each sketch row fans out to the
+    pairs that mention its set), so the fact stream is consumed once, by
+    `kmv_sketch`, and the expensive subtree is not replicated per
+    side."""
+    s = sketch.select(F.col(set_col).alias("__t"), "h")
+    u = (
+        s.join(
+            F.broadcast(pairs),
+            (F.col("__t") == F.col(left_col))
+            | (F.col("__t") == F.col(right_col)),
+        )
+        .groupBy(left_col, right_col, "h")
+        .agg(
+            F.max((F.col("__t") == F.col(left_col)).cast("int")).alias("in_a"),
+            F.max((F.col("__t") == F.col(right_col)).cast("int")).alias("in_b"),
+        )
+    )
+    win = Window.partitionBy(left_col, right_col).orderBy("h")
+    x = u.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") <= k)
+    agg = x.groupBy(left_col, right_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("_hk"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("_both"),
+    )
+    est_union = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / _hex13_unit(F.col("_hk"))
+    )
+    jacc = F.col("_both").cast("double") / F.col("_n").cast("double")
+    return agg.select(
+        left_col,
+        right_col,
+        est_union.alias("union_est"),
+        (jacc * est_union).alias("inter_est"),
+        jacc.alias("jaccard_est"),
+    )

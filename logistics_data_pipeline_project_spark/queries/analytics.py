@@ -4368,3 +4368,99 @@ def q136_distinct_users_hll(spark: SparkSession, sf_dir: str):
         sk, keys=("event_type",),
         index_chars=_Q136_IDX, rank_chars=_Q136_RANK, est_col="users_hll",
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — event-type audience overlap via KMV theta-sketch set algebra
+# ---------------------------------------------------------------------------
+
+from ..operators.sketch import kmv_set_estimates, kmv_sketch  # noqa: E402
+
+_Q139_K = 64
+
+
+def _q139_oracle() -> str:
+    k = _Q139_K
+    est_union = (
+        f"CASE WHEN n < {k} THEN CAST(n AS DOUBLE) "
+        f"ELSE CAST('{float(k - 1)!r}' AS DOUBLE) / "
+        "(CAST(CAST(concat('0x', substr(hk, 1, 13)) AS BIGINT) AS DOUBLE) "
+        f"/ CAST('{float(2**52)!r}' AS DOUBLE)) END"
+    )
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         md5('kmv:' || CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), sk AS (
+  SELECT event_type, h
+  FROM (SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM d)
+  WHERE rk <= {k}
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), pairs AS (
+  SELECT a.event_type AS set_a, b.event_type AS set_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+), u AS (
+  SELECT p.set_a, p.set_b, s.h,
+         MAX(CASE WHEN s.event_type = p.set_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.event_type = p.set_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.event_type IN (p.set_a, p.set_b)
+  GROUP BY p.set_a, p.set_b, s.h
+), x AS (
+  SELECT set_a, set_b, h, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY set_a, set_b ORDER BY h) AS rk
+  FROM u
+), agg AS (
+  SELECT set_a, set_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(CASE WHEN rk = {k} THEN h END) AS hk,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS nboth
+  FROM x WHERE rk <= {k}
+  GROUP BY set_a, set_b
+)
+SELECT set_a, set_b,
+  {est_union} AS union_est,
+  (CAST(nboth AS DOUBLE) / CAST(n AS DOUBLE)) * ({est_union}) AS inter_est,
+  CAST(nboth AS DOUBLE) / CAST(n AS DOUBLE) AS jaccard_est
+FROM agg
+"""
+
+
+@register(
+    "q139_audience_overlap_kmv",
+    tags=("A3", "sketch", "approx", "setops"),
+    oracle=_q139_oracle(),
+)
+def q139_audience_overlap_kmv(spark: SparkSession, sf_dir: str):
+    """Pairwise audience overlap between event types — estimated union,
+    intersection, and Jaccard of their distinct-user sets — from ONE
+    KMV theta sketch (operators/sketch.py) instead of a self-join of
+    distinct pairs: the exact form is |types|² shuffles of the whole
+    (type, user) universe, while the sketch reads the fact stream once,
+    keeps the bottom-64 user hashes per type (a uniform sample of each
+    audience), and answers every pair from broadcast-sized state —
+    set-operation cardinalities are exactly what register-based HLL
+    (q136) cannot provide. All comparisons are hash-string order and
+    the only arithmetic is one division by an exact 52-bit fraction, so
+    the estimates are bit-identical across engines and the DuckDB
+    oracle reproduces them exactly; RSE ≈ 1/√(k−2) ≈ 13% at k=64."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch(ev, "user_id", k=_Q139_K, keys=("event_type",))
+    # the pair universe comes from the SKETCH (O(types·k) rows), not a
+    # second scan of the fact stream — one fact read total
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("set_a"),
+            F.col("b.event_type").alias("set_b"),
+        )
+    )
+    return kmv_set_estimates(pairs, sk, "event_type", k=_Q139_K)

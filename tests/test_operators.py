@@ -813,3 +813,54 @@ def test_ticket_sample_weight_proportional(spark):
     heavy = top1.filter(F.col("doc") % 100 == 0).count()
     rate = heavy / 400
     assert 0.37 < rate < 0.57, rate
+
+
+def test_kmv_estimate_merge_and_prefilter(spark):
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+        merge_kmv_sketches,
+    )
+
+    rows = [("a", i % 5000) for i in range(15000)] + [
+        ("b", i % 60) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long")
+    sk = kmv_sketch(df, "k", k=128, keys=("g",))
+    est = {r.g: r.distinct_est for r in kmv_estimate(sk, 128, keys=("g",)).collect()}
+    assert abs(est["a"] - 5000) / 5000 < 0.30, est["a"]  # RSE ~ 9% at k=128
+    assert est["b"] == 60.0  # below k -> exact
+
+    # merge over an arbitrary slicing == sketch of the union, exactly
+    merged = merge_kmv_sketches(
+        128,
+        kmv_sketch(df.filter(F.col("k") % 2 == 0), "k", k=128, keys=("g",)),
+        kmv_sketch(df.filter(F.col("k") % 2 == 1), "k", k=128, keys=("g",)),
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in sk.collect()}
+
+    # generous map-side prefilter keeps the sketch identical for groups
+    # meeting the n_lower assumption: k-th of 5000 uniform hashes sits
+    # near 128/5000 = 0.026 << 0x4 = 0.25 (group "b" with 60 < k distinct
+    # keys is exactly the case the n_lower caveat in the docstring covers)
+    big = df.filter(F.col("g") == "a")
+    pre = kmv_sketch(big, "k", k=128, keys=("g",), prefilter_hex="4")
+    full = kmv_sketch(big, "k", k=128, keys=("g",))
+    assert {tuple(r) for r in pre.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_kmv_set_estimates_accuracy(spark):
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    # A = 0..3999, B = 2000..5999: union 6000, inter 2000, jaccard 1/3
+    rows = [("A", i) for i in range(4000)] + [("B", 2000 + i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "s string, k long")
+    sk = kmv_sketch(df, "k", k=256, keys=("s",))
+    pairs = spark.createDataFrame([("A", "B")], "set_a string, set_b string")
+    r = kmv_set_estimates(pairs, sk, "s", k=256).collect()[0]
+    assert abs(r.union_est - 6000) / 6000 < 0.25, r.union_est
+    assert abs(r.jaccard_est - 1 / 3) < 0.12, r.jaccard_est
+    assert abs(r.inter_est - 2000) / 2000 < 0.40, r.inter_est
