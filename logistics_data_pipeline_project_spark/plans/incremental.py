@@ -131,3 +131,66 @@ def rollup_distinct_estimate(df: DataFrame, sketch_cols: list[str]) -> DataFrame
     for c in sketch_cols:
         out = out.withColumn(c, F.hll_sketch_estimate(F.col(c)))
     return out
+
+
+def incremental_join_rollup(
+    store: TableStore,
+    name: str,
+    builder,
+    a_prev: DataFrame | None,
+    delta_a: DataFrame | None,
+    b_full: DataFrame,
+    delta_b: DataFrame | None,
+    keys: list[str],
+    measures: dict[str, str],
+) -> DataFrame:
+    """Maintain a JOIN-aggregate rollup R = builder(A, B) under
+    insert-only deltas — the delta-join form of incremental view
+    maintenance (Blakeley et al., SIGMOD 1986), so a fact⋈fact gold
+    mart refreshes by touching the DELTAS, never the joined history:
+
+        A_new ⋈ B_new = A_prev ⋈ B_prev  ∪  ΔA ⋈ B_new  ∪  A_prev ⋈ ΔB
+
+    (ΔA⋈ΔB pairs are counted exactly once because ΔA joins B_NEW, which
+    already contains ΔB). ``builder(a_df, b_df)`` must produce ``keys``
+    plus measure partials that are decomposable over the joined PAIR
+    multiset — join + groupBy + sum/count/min/max aggregates are; ratios
+    and averages must stay as partials and derive at read time, exactly
+    as in `incremental_rollup`. Each refresh costs O(ΔA⋈B + A⋈ΔB +
+    |groups|): with daily deltas against a date-partitioned fact both
+    delta joins prune to slivers, and a small ΔA broadcasts — at 100 TB
+    this is the difference between re-joining two years of facts and
+    joining one day against an indexed table.
+
+    Pass the deltas from `TableStore.changes` (the row-level change feed)
+    or any append stream; ``a_prev`` may be None when ``delta_a`` is the
+    entire A (first load). Re-folding the SAME delta twice double-counts
+    — feed each committed change exactly once (the changes() feed between
+    pinned snapshot versions gives exactly that).
+
+    ``measures`` maps measure column → kind (``sum | count | min |
+    max``); insert-only growth is what makes min/max mergeable here.
+    Results are committed as one atomic TableStore snapshot and the
+    updated rollup is returned."""
+    for col, kind in measures.items():
+        if kind not in ("sum", "count", "min", "max"):
+            raise ValueError(f"measure {col!r}: kind must be sum|count|min|max")
+    parts: list[DataFrame] = []
+    if delta_a is not None:
+        parts.append(builder(delta_a, b_full))
+    if delta_b is not None:
+        if a_prev is None:
+            raise ValueError("delta_b requires a_prev (A before this batch)")
+        parts.append(builder(a_prev, delta_b))
+    if not parts:
+        return store.read(name)
+    update = parts[0]
+    for p in parts[1:]:
+        update = update.unionByName(p)
+    if store.exists(name):
+        update = update.unionByName(store.read(name))
+    merged = update.groupBy(*keys).agg(
+        *[_MERGE[kind](F.col(col)).alias(col) for col, kind in measures.items()]
+    )
+    store.overwrite(name, merged.localCheckpoint(eager=True))
+    return store.read(name)

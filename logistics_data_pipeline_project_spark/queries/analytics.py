@@ -4448,9 +4448,14 @@ def q139_audience_overlap_kmv(spark: SparkSession, sf_dir: str):
     the estimates are bit-identical across engines and the DuckDB
     oracle reproduces them exactly; RSE ≈ 1/√(k−2) ≈ 13% at k=64."""
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = kmv_sketch(ev, "user_id", k=_Q139_K, keys=("event_type",))
-    # the pair universe comes from the SKETCH (O(types·k) rows), not a
-    # second scan of the fact stream — one fact read total
+    # materialize the broadcast-sized sketch ONCE (localCheckpoint cuts
+    # the lineage, same discipline as plans/incremental.py): the pair
+    # universe and both tag sides reference it without re-deriving it
+    # from the fact stream, so events is scanned exactly once — the
+    # plan-level contract tests/test_catalog_plans.py pins
+    sk = kmv_sketch(
+        ev, "user_id", k=_Q139_K, keys=("event_type",)
+    ).localCheckpoint(eager=True)
     types = sk.select("event_type").distinct()
     pairs = (
         types.alias("a")

@@ -159,3 +159,33 @@ def test_q117_collapses_before_global_window(spark, sf_dir):
     # plan tree: the Window's child subtree contains the aggregate
     win_at = phys.index("Window")
     assert "HashAggregate" in phys[win_at:], "aggregate must feed the window"
+
+
+def test_q136_sketch_collapses_map_side(spark, sf_dir):
+    """The HLL register build must be a partial/final hash aggregate
+    (map-side collapse to <=256 rows per group BEFORE the shuffle) with
+    no window over the fact stream, and the scan must prune to the two
+    referenced columns."""
+    plan = _explain(REGISTRY["q136_distinct_users_hll"].fn(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan, "register build must not sort the fact stream"
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines and "user_id" in schema_lines[0]
+    for unused in ("props", "value", "event_id"):
+        assert unused not in schema_lines[0], schema_lines[0]
+
+
+def test_q139_single_fact_scan(spark, sf_dir):
+    """The KMV pair algebra must consume ONE scan of the fact stream:
+    the sketch is materialized once (localCheckpoint) and the pair
+    universe + both tag sides reference the materialized rows, so the
+    downstream plan contains NO parquet scan of events at all — without
+    the materialization the sketch subtree (scan + dedup shuffle +
+    window) is replicated three times, the exact shape the sketch exists
+    to avoid."""
+    phys = _physical(REGISTRY["q139_audience_overlap_kmv"].fn(spark, sf_dir))
+    scans = [
+        l for l in phys.splitlines() if "Scan parquet" in l and "events" in l
+    ]
+    assert not scans, f"expected no re-scan of events, got {len(scans)}"
+    assert "ExistingRDD" in phys or "LocalTableScan" in phys

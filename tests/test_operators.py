@@ -864,3 +864,52 @@ def test_kmv_set_estimates_accuracy(spark):
     assert abs(r.union_est - 6000) / 6000 < 0.25, r.union_est
     assert abs(r.jaccard_est - 1 / 3) < 0.12, r.jaccard_est
     assert abs(r.inter_est - 2000) / 2000 < 0.40, r.inter_est
+
+
+def test_incremental_join_rollup_matches_full_rebuild(spark, tmp_path):
+    """Delta-join IVM: folding (dA, dB) batches equals rebuilding the
+    join-aggregate from the full history — including the dA x dB pairs
+    that must be counted exactly once."""
+    from logistics_data_pipeline_project_spark.plans.incremental import (
+        incremental_join_rollup,
+    )
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+
+    def builder(a, b):
+        return (
+            a.join(b, "okey")
+            .groupBy("priority")
+            .agg(
+                F.sum(F.col("amount").cast("decimal(27,2)")).alias("rev"),
+                F.count(F.lit(1)).alias("n_lines"),
+                F.max("amount").alias("max_amount"),
+            )
+        )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    a1 = spark.createDataFrame(
+        [(1, "HIGH"), (2, "LOW")], "okey long, priority string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "okey long, amount double"
+    )
+    a2 = spark.createDataFrame([(3, "HIGH")], "okey long, priority string")
+    # batch 2 adds lines for BOTH old order 2 (pairs with a_prev) and new
+    # order 3 (pairs with delta_a through b_full)
+    b2 = spark.createDataFrame(
+        [(2, 2.0), (3, 20.0)], "okey long, amount double"
+    )
+    measures = {"rev": "sum", "n_lines": "count", "max_amount": "max"}
+
+    incremental_join_rollup(
+        store, "rev_by_priority", builder,
+        a_prev=None, delta_a=a1, b_full=b1, delta_b=None,
+        keys=["priority"], measures=measures,
+    )
+    got = incremental_join_rollup(
+        store, "rev_by_priority", builder,
+        a_prev=a1, delta_a=a2, b_full=b1.unionByName(b2), delta_b=b2,
+        keys=["priority"], measures=measures,
+    )
+    expect = builder(a1.unionByName(a2), b1.unionByName(b2))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expect.collect()}

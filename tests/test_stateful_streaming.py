@@ -207,3 +207,60 @@ def test_dedup_within_watermark_evicts_state(spark, tmp_path):
         ("B", "2024-01-01 10:00:00"),
         ("Z", "2024-01-01 12:00:00"),
     ]
+
+
+def test_stream_hll_distinct_matches_batch_sketch(spark, tmp_path):
+    """Streaming register maintenance == batch sketch of the full
+    history, and the estimate tracks the true distinct count."""
+    import json
+    import os
+
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+    from logistics_data_pipeline_project_spark.streaming.sketch import (
+        stream_hll_distinct,
+    )
+
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    schema = "user_id long, event_type string"
+
+    def drain():
+        stream = spark.readStream.format("json").schema(schema).load(landing)
+        q = stream_hll_distinct(
+            stream, store, "uniq_users", "user_id",
+            keys=("event_type",), checkpoint_dir=chk,
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    def write_batch(name, lo, n):
+        with open(os.path.join(landing, name), "w") as f:
+            for i in range(lo, lo + n):
+                f.write(json.dumps({"user_id": i, "event_type": "view"}) + "\n")
+
+    write_batch("b1.json", 0, 400)
+    drain()
+    write_batch("b2.json", 300, 400)  # overlaps b1: true distinct = 700
+    drain()
+
+    maintained = {(r.event_type, r.idx, r.reg) for r in store.read("uniq_users").collect()}
+    full = spark.createDataFrame(
+        [(i, "view") for i in range(700)], schema
+    )
+    expected = {
+        (r.event_type, r.idx, r.reg)
+        for r in hll_registers(full, "user_id", keys=("event_type",)).collect()
+    }
+    assert maintained == expected
+
+    est = hll_estimate(store.read("uniq_users"), keys=("event_type",)).collect()[0]
+    assert abs(est.distinct_est - 700) / 700 < 0.15, est.distinct_est
