@@ -143,6 +143,7 @@ def histogram_sketch(
     value_col: str,
     edges: Sequence[float],
     keys: Sequence[str] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Mergeable quantile-histogram sketch: one row per (keys…, bin) with
     ``cnt`` = rows whose value falls in the bin. ``bin`` = number of
@@ -163,18 +164,30 @@ def histogram_sketch(
     higher-order `F.aggregate` fold over a literal edge array would be
     equivalent, but a lambda capturing the outer value column mis-binds
     when Catalyst later infers join-key filters from the aliased
-    result; plain expression trees have no such hazard.)"""
+    result; plain expression trees have no such hazard.)
+
+    ``weight_col`` switches the bin measure from row counts to exact-
+    DECIMAL weight sums (order-independent, per the engine determinism
+    policy), turning the quantile walk into a WEIGHTED quantile — e.g.
+    "the price below which half the revenue sits" — with the same
+    O(bins) state and merge algebra."""
     bin_ = F.lit(0)
     for b in edges:
         bin_ = bin_ + F.when(
             F.col(value_col) >= F.lit(float(b)), F.lit(1)
         ).otherwise(F.lit(0))
     bin_ = bin_.cast("int")
-    return (
-        df.select(*keys, bin_.alias("bin"))
-        .groupBy(*keys, "bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    if weight_col is None:
+        measure = F.count(F.lit(1)).cast("long").alias("cnt")
+        cols = [*keys, bin_.alias("bin")]
+    else:
+        measure = (
+            F.sum(F.col(weight_col).cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .alias("cnt")
+        )
+        cols = [*keys, bin_.alias("bin"), F.col(weight_col)]
+    return df.select(*cols).groupBy(*keys, "bin").agg(measure)
 
 
 def merge_histogram_sketches(*sketches: DataFrame) -> DataFrame:
@@ -186,7 +199,10 @@ def merge_histogram_sketches(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         out = out.unionByName(s)
     group = [c for c in out.columns if c != "cnt"]
-    return out.groupBy(*group).agg(F.sum("cnt").cast("long").alias("cnt"))
+    # preserve the measure dtype: long for count sketches, the exact
+    # decimal for weighted ones (Spark widens decimal sums otherwise)
+    dtype = dict(out.dtypes)["cnt"]
+    return out.groupBy(*group).agg(F.sum("cnt").cast(dtype).alias("cnt"))
 
 
 def histogram_edge_bounds(

@@ -4469,3 +4469,79 @@ def q139_audience_overlap_kmv(spark: SparkSession, sf_dir: str):
         )
     )
     return kmv_set_estimates(pairs, sk, "event_type", k=_Q139_K)
+
+
+# ---------------------------------------------------------------------------
+# q140 — quantity-weighted price quantiles from the histogram sketch
+# ---------------------------------------------------------------------------
+
+_Q140_EDGES = geometric_edges(1024.0, 131072.0, bins_per_octave=4)
+
+
+def _q140_oracle(edges: list[float]) -> str:
+    arr = ", ".join(f"CAST('{e!r}' AS DOUBLE)" for e in edges)
+    m = len(edges)
+    rows = []
+    for k in range(m + 1):
+        lo = 0.0 if k == 0 else edges[k - 1]
+        hi = edges[k] if k < m else edges[m - 1] * 2.0
+        rows.append(f"({k}, CAST('{lo!r}' AS DOUBLE), CAST('{hi!r}' AS DOUBLE))")
+
+    def est(q: str) -> str:
+        r = f"CAST(total AS DOUBLE) * CAST('{q}' AS DOUBLE)"
+        return (
+            f"MAX(CASE WHEN CAST(cum - cnt AS DOUBLE) < {r} AND {r} <= CAST(cum AS DOUBLE) THEN "
+            f"lo + (hi - lo) * (({r} - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) "
+            "END)"
+        )
+
+    return f"""
+WITH binned AS (
+  SELECT l_returnflag AS flag,
+         CAST(len(list_filter([{arr}], b -> l_extendedprice >= b)) AS INTEGER) AS bin,
+         CAST(l_quantity AS DECIMAL(27,2)) AS w
+  FROM lineitem
+), sk AS (
+  SELECT flag, bin, CAST(SUM(w) AS DECIMAL(27,2)) AS cnt
+  FROM binned GROUP BY flag, bin
+), cum AS (
+  SELECT flag, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY flag ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY flag) AS total
+  FROM sk
+), edges(bin, lo, hi) AS (VALUES {", ".join(rows)})
+SELECT flag,
+  {est("0.5")} AS p50_w,
+  {est("0.9")} AS p90_w
+FROM cum JOIN edges USING (bin)
+GROUP BY flag
+"""
+
+
+@register(
+    "q140_weighted_price_quantiles",
+    tags=("A5", "sketch", "approx"),
+    oracle=_q140_oracle(_Q140_EDGES),
+)
+def q140_weighted_price_quantiles(spark: SparkSession, sf_dir: str):
+    """Quantity-WEIGHTED price quantiles per return flag — "the price
+    below which half the units sold sit" — from the same mergeable
+    geometric-histogram sketch as q135, with `weight_col` switching the
+    bin measure from row counts to exact-DECIMAL weight sums
+    (order-independent partials, so the weighted sketch keeps the full
+    determinism contract: merge across batches, incremental maintenance
+    with `cnt` as a sum measure, bit-identical estimates). The exact
+    form of this metric is a per-group sort carrying the weight column;
+    the sketch answers it from O(groups × bins) counters and ONE
+    partial-aggregated shuffle — and weighted medians are exactly what
+    approx_percentile cannot do."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_extendedprice", "l_quantity"
+    )
+    sk = histogram_sketch(
+        li, "l_extendedprice", _Q140_EDGES, keys=("flag",), weight_col="l_quantity"
+    )
+    return histogram_quantiles(
+        sk, _Q140_EDGES, {"p50_w": 0.5, "p90_w": 0.9}, keys=("flag",)
+    )

@@ -913,3 +913,40 @@ def test_incremental_join_rollup_matches_full_rebuild(spark, tmp_path):
     )
     expect = builder(a1.unionByName(a2), b1.unionByName(b2))
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expect.collect()}
+
+
+def test_histogram_sketch_weighted_quantiles(spark):
+    """Weighted sketch: quantile walk over DECIMAL weight sums tracks
+    the exact weighted percentile, and weighted sketches merge exactly
+    (dtype preserved through the merge)."""
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        geometric_edges,
+        histogram_quantiles,
+        histogram_sketch,
+        merge_histogram_sketches,
+    )
+
+    rows = [("g", float(1 + (i * i) % 500), float(1 + i % 9)) for i in range(1, 900)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    edges = geometric_edges(1.0, 512.0, bins_per_octave=4)
+    sk = histogram_sketch(df, "v", edges, keys=("g",), weight_col="w")
+    assert dict(sk.dtypes)["cnt"] == "decimal(27,2)"
+    got = histogram_quantiles(sk, edges, {"p50": 0.5}, keys=("g",)).collect()[0].p50
+
+    # exact weighted median: smallest v whose cumulative weight >= half
+    total = sum(w for _, v, w in rows)
+    acc = 0.0
+    for _, v, w in sorted(rows, key=lambda r: r[1]):
+        acc += w
+        if acc >= total / 2:
+            exact = v
+            break
+    rel = 2**0.25 - 1
+    assert abs(got - exact) <= rel * exact + 1.0, (got, exact)
+
+    merged = merge_histogram_sketches(
+        histogram_sketch(df.filter("v < 100"), "v", edges, keys=("g",), weight_col="w"),
+        histogram_sketch(df.filter("v >= 100"), "v", edges, keys=("g",), weight_col="w"),
+    )
+    assert dict(merged.dtypes)["cnt"] == "decimal(27,2)"
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in sk.collect()}
