@@ -4545,3 +4545,87 @@ def q140_weighted_price_quantiles(spark: SparkSession, sf_dir: str):
     return histogram_quantiles(
         sk, _Q140_EDGES, {"p50_w": 0.5, "p90_w": 0.9}, keys=("flag",)
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — weekly uniques from daily HLL register files (hierarchical rollup)
+# ---------------------------------------------------------------------------
+
+
+def _q141_oracle() -> str:
+    m = 16**_Q136_IDX
+    maxr = 4 * _Q136_RANK + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(2**maxr)
+    lc_rows = ", ".join(
+        f"({v}, CAST('{float(m) * math.log(m / v)!r}' AS DOUBLE))"
+        for v in range(1, m + 1)
+    )
+    # the oracle computes the WEEK-level sketch directly from the facts;
+    # the Spark side merges DAILY register files upward — identical
+    # output is the register-merge associativity proof
+    return f"""
+WITH p AS (
+  SELECT week,
+         substr(_h, 1, {_Q136_IDX}) AS idx,
+         substr(_h, {_Q136_IDX + 1}, {_Q136_RANK}) AS _s,
+         trim(LEADING '0' FROM substr(_h, {_Q136_IDX + 1}, {_Q136_RANK})) AS _t
+  FROM (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               md5('hll:' || CAST(user_id AS VARCHAR)) AS _h
+        FROM events)
+), sk AS (
+  SELECT week, idx,
+         MAX(CASE WHEN _t = '' THEN {maxr}
+              ELSE (length(_s) - length(_t)) * 4
+                   + CASE WHEN substr(_t, 1, 1) = '1' THEN 3
+                          WHEN substr(_t, 1, 1) IN ('2', '3') THEN 2
+                          WHEN substr(_t, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                          ELSE 0 END + 1 END) AS reg
+  FROM p GROUP BY week, idx
+), est AS (
+  SELECT week,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST({m} - COUNT(*) AS BIGINT) AS zeros,
+         CAST('{num!r}' AS DOUBLE)
+           / CAST(CAST(SUM(1::BIGINT << ({maxr} - reg)) AS BIGINT)
+                  + ({m} - COUNT(*)) * (1::BIGINT << {maxr}) AS DOUBLE) AS raw
+  FROM sk GROUP BY week
+), lcv(zeros, lc) AS (VALUES {lc_rows})
+SELECT e.week,
+  CASE WHEN e.raw <= CAST('{2.5 * m!r}' AS DOUBLE) AND e.zeros > 0
+       THEN l.lc ELSE e.raw END AS users_hll,
+  e.n AS registers_hit
+FROM est e LEFT JOIN lcv l ON l.zeros = e.zeros
+"""
+
+
+@register(
+    "q141_weekly_uniques_rollup",
+    tags=("A3", "sketch", "approx", "rollup"),
+    oracle=_q141_oracle(),
+)
+def q141_weekly_uniques_rollup(spark: SparkSession, sf_dir: str):
+    """Weekly distinct users answered from DAILY HLL register files
+    merged upward (groupBy(week, idx).max(reg)) — the hierarchical-
+    rollup property that makes sketch state reusable across grains: a
+    warehouse keeps one tiny file per day (plans/incremental.py or
+    streaming/sketch.py maintains it), and weekly/monthly/all-time
+    uniques come from merging those files, never from re-reading facts.
+    The oracle computes the week-level sketch DIRECTLY from the raw
+    events; hash-equality with the Spark side is therefore a bit-level
+    proof of register-merge associativity (merge of day files ==
+    sketch of the week), not just a numeric approximation check."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "user_id",
+    )
+    daily = hll_registers(
+        ev, "user_id", keys=("week", "day"),
+        index_chars=_Q136_IDX, rank_chars=_Q136_RANK,
+    )
+    weekly = daily.groupBy("week", "idx").agg(F.max("reg").alias("reg"))
+    return hll_estimate(
+        weekly, keys=("week",),
+        index_chars=_Q136_IDX, rank_chars=_Q136_RANK, est_col="users_hll",
+    )
