@@ -950,3 +950,57 @@ def test_histogram_sketch_weighted_quantiles(spark):
     )
     assert dict(merged.dtypes)["cnt"] == "decimal(27,2)"
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in sk.collect()}
+
+
+def test_cms_and_bloom_incremental_rollup(spark, tmp_path):
+    """The remaining two sketch families also maintain incrementally:
+    CMS counters fold as SUM measures, Bloom bits as a growing distinct
+    row-set (dedup via max over a constant) — both equal the full-history
+    sketch after two daily batches."""
+    from logistics_data_pipeline_project_spark.operators.sketch import (
+        bloom_bits,
+        cms_counters,
+    )
+    from logistics_data_pipeline_project_spark.plans.incremental import (
+        incremental_rollup,
+        read_rollup,
+    )
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+
+    def batch(day: int, lo: int, n: int):
+        return spark.createDataFrame(
+            [(day, lo + (i % 40)) for i in range(n)], "day int, k long"
+        )
+
+    full = batch(1, 0, 200).unionByName(batch(2, 25, 150))
+    for day_df in (batch(1, 0, 200), batch(2, 25, 150)):
+        day = day_df.first().day
+        cms = cms_counters(day_df, "k").withColumn("cur", F.lit(day))
+        incremental_rollup(
+            store, "cms", cms,
+            keys=["hash_row", "bucket"],
+            measures={"counter": ("counter", "sum")},
+            cursor_col="cur",
+        )
+        bits = bloom_bits(day_df, "k").withColumn("one", F.lit(1)).withColumn(
+            "cur", F.lit(day)
+        )
+        incremental_rollup(
+            store, "bloom", bits,
+            keys=["hash_row", "bucket"],
+            measures={"one": ("one", "max")},
+            cursor_col="cur",
+        )
+    got_cms = {
+        (r.hash_row, r.bucket, r.counter)
+        for r in read_rollup(store, "cms").collect()
+    }
+    want_cms = {tuple(r) for r in cms_counters(full, "k").collect()}
+    assert got_cms == want_cms
+    got_bloom = {
+        (r.hash_row, r.bucket) for r in read_rollup(store, "bloom").collect()
+    }
+    want_bloom = {tuple(r) for r in bloom_bits(full, "k").collect()}
+    assert got_bloom == want_bloom
