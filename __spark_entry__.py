@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (supplier return performance — the reference's
     seller_rto_performance gold view) on /root/testdata/sf0.001."""
     tune_session(spark)
-    return REGISTRY["q02_supplier_return_performance"].fn(spark, "/root/testdata/sf0.001")
+    return REGISTRY["q002_supplier_return_performance"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

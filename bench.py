@@ -41,11 +41,11 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for wq in (
-            "q01_pricing_summary",
-            "q37_near_dup_clusters",  # also warms q22's shingle pipeline
-            "q36_embedding_near_dup",
-            "q41_ivf_kmeans_assign",
-            "q24_near_dup_simhash",  # row-local fold lambdas: one-time codegen
+            "q001_pricing_summary",
+            "q037_near_dup_clusters",  # also warms q22's shingle pipeline
+            "q036_embedding_near_dup",
+            "q041_ivf_kmeans_assign",
+            "q024_near_dup_simhash",  # row-local fold lambdas: one-time codegen
         ):
             if wq in REGISTRY:
                 REGISTRY[wq].fn(spark, warm_dir).write.format("noop").mode(

@@ -84,8 +84,11 @@ def ticket_sample_k(
 ) -> DataFrame:
     """Exact-k deterministic sample per stratum: (strata…, key, n_tickets,
     ticket) for the k keys with the LARGEST ticket hash — uniform when
-    ``weight_col`` is None, weight-proportional when it names a positive
-    INTEGER column.
+    ``weight_col`` is None, weight-proportional when it names an INTEGER
+    column. Keys whose weight is NULL or < 1 are EXCLUDED (enforced by a
+    filter, not just documented): weight <= 0 means zero selection
+    probability, and letting them reach the ticket explosion would grant
+    them spurious tickets (see inline comment).
 
     This is Efraimidis–Spirakis weighted reservoir sampling (A-ES, IPL
     2006) with the float math removed: A-ES keeps the top-k by priority
@@ -123,7 +126,13 @@ def ticket_sample_k(
         )
     )
     per_key = (
-        df.select(
+        # A weight <= 0 means zero selection probability and a NULL weight
+        # is unknowable, so both are excluded BEFORE the ticket explosion:
+        # sequence(1, w) with w <= 0 would otherwise produce a DESCENDING
+        # sequence ([1,0], [1,0,-1], ...) that silently grants |w|+2
+        # tickets — inverting the intended weighting.
+        df.filter(w_int >= 1)
+        .select(
             *strata,
             key_col,
             w_int.alias("n_tickets"),

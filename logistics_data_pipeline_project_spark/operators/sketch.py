@@ -208,15 +208,19 @@ def merge_histogram_sketches(*sketches: DataFrame) -> DataFrame:
 def histogram_edge_bounds(
     spark: SparkSession, edges: Sequence[float]
 ) -> DataFrame:
-    """Tiny (bin → lo, hi) lookup for a given edge list: bin 0 spans
-    [0, edges[0]); interior bin k spans [edges[k−1], edges[k]); the
-    overflow bin spans [last, 2·last). Broadcast-joined onto the sketch
-    by `histogram_quantiles`."""
+    """Tiny (bin → lo, hi) lookup for a given edge list: interior bin k
+    spans [edges[k−1], edges[k]). The two UNBOUNDED bins carry NULL on
+    their open side — bin 0 is (−∞, edges[0]) so lo is NULL, the overflow
+    bin is [last, ∞) so hi is NULL — because any synthetic bound there
+    (e.g. 2·last) would be arbitrarily wrong for heavy-tailed data; a
+    quantile whose rank lands in an unbounded bin interpolates to NULL
+    instead of a fabricated number. Broadcast-joined onto the sketch by
+    `histogram_quantiles`."""
     rows = []
     m = len(edges)
     for k in range(m + 1):
-        lo = 0.0 if k == 0 else float(edges[k - 1])
-        hi = float(edges[k]) if k < m else float(edges[m - 1]) * 2.0
+        lo = None if k == 0 else float(edges[k - 1])
+        hi = float(edges[k]) if k < m else None
         rows.append((k, lo, hi))
     return spark.createDataFrame(rows, "bin int, lo double, hi double")
 
@@ -235,7 +239,13 @@ def histogram_quantiles(
 
     ``qs`` maps output column name → quantile in (0, 1]. All arithmetic
     is plain double in a fixed expression shape so an oracle that mirrors
-    it (see q135) reproduces the estimate bit-for-bit."""
+    it (see q135) reproduces the estimate bit-for-bit.
+
+    A quantile whose rank lands in bin 0 or the overflow bin returns
+    NULL — those bins are unbounded, so no honest interpolation exists
+    (`histogram_edge_bounds` gives them NULL open sides, which propagates
+    through the interpolation). Choose ``edges`` to cover the data range
+    wherever a non-NULL estimate is required."""
     spark = sketch.sparkSession
     w_cum = (
         Window.partitionBy(*[F.col(k) for k in keys])

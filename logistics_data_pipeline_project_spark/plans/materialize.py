@@ -29,6 +29,7 @@ are migrated into ``v_000001`` on the next write.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -37,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_LATEST"
 _VPREFIX = "v_"
+_META = "_META.json"
 
 
 class TableStore:
@@ -143,8 +145,16 @@ class TableStore:
         """Read the current snapshot, or time-travel to ``version``."""
         return self.spark.read.parquet(self._resolve(name, version))
 
-    def overwrite(self, name: str, df: DataFrame) -> None:
-        """Commit ``df`` as a new snapshot version (atomic pointer swap)."""
+    def overwrite(
+        self, name: str, df: DataFrame, meta: dict | None = None
+    ) -> None:
+        """Commit ``df`` as a new snapshot version (atomic pointer swap).
+
+        ``meta`` (a small JSON-able dict, e.g. a stream's last applied
+        batch id) is written INTO the version directory before the pointer
+        swap, so it commits atomically with the data — readers can never
+        see a snapshot without its metadata or vice versa. Spark ignores
+        ``_``-prefixed files, so the parquet scan is unaffected."""
         if self._has_legacy_files(name):
             self._migrate_legacy(name)
         os.makedirs(self._table_dir(name), exist_ok=True)
@@ -154,8 +164,19 @@ class TableStore:
         # so Spark can write it in place; a crash leaves an uncommitted
         # orphan dir that the next write's numbering skips and GC removes
         df.write.mode("overwrite").parquet(self._vdir(name, nxt))
+        if meta is not None:
+            with open(os.path.join(self._vdir(name, nxt), _META), "w") as f:
+                json.dump(meta, f)
         self._commit_pointer(name, nxt)
         self._gc(name)
+
+    def meta(self, name: str, version: int | None = None) -> dict:
+        """The snapshot's committed metadata dict ({} if none was given)."""
+        p = os.path.join(self._resolve(name, version), _META)
+        if os.path.isfile(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
 
     def append(self, name: str, df: DataFrame) -> None:
         """Commit a new snapshot = current files (hardlinked, zero copy)

@@ -26,7 +26,7 @@ from .registry import register
 
 
 @register(
-    "q48_source_lang_rollup",
+    "q048_source_lang_rollup",
     tags=("A1", "A2"),
     oracle="""
 SELECT source, lang,
@@ -38,7 +38,7 @@ FROM documents
 GROUP BY ROLLUP (source, lang)
 """,
 )
-def q48_source_lang_rollup(spark: SparkSession, sf_dir: str):
+def q048_source_lang_rollup(spark: SparkSession, sf_dir: str):
     """Hierarchical corpus accounting: per (source, lang), per source, and
     grand total in ONE pass — `rollup()` compiles to a single Expand +
     hash aggregate, so the three levels cost one shuffle instead of three
@@ -66,7 +66,7 @@ def q48_source_lang_rollup(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q49_doc_length_percentiles",
+    "q049_doc_length_percentiles",
     tags=("A1", "A2", "W1"),
     oracle="""
 WITH ranked AS (
@@ -86,7 +86,7 @@ FROM ranked
 GROUP BY source
 """,
 )
-def q49_doc_length_percentiles(spark: SparkSession, sf_dir: str):
+def q049_doc_length_percentiles(spark: SparkSession, sf_dir: str):
     """Exact nearest-rank percentiles (median/p90/p99) of document length
     per source — the length-distribution profile every pretraining corpus
     audit starts with. Implemented as rank-selection over a single sort
@@ -120,7 +120,7 @@ def q49_doc_length_percentiles(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q50_user_event_gaps",
+    "q050_user_event_gaps",
     tags=("W1", "A1", "A2"),
     oracle="""
 WITH g AS (
@@ -141,7 +141,7 @@ FROM g
 GROUP BY user_id
 """,
 )
-def q50_user_event_gaps(spark: SparkSession, sf_dir: str):
+def q050_user_event_gaps(spark: SparkSession, sf_dir: str):
     """Per-user event-stream cadence: lag() inter-arrival gaps (exact
     integer microseconds) and lead() transition analysis (how often the
     next event repeats the current type). lag/lead are absent from the
@@ -175,7 +175,7 @@ def q50_user_event_gaps(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q51_daily_revenue_ma7",
+    "q051_daily_revenue_ma7",
     tags=("W1", "A1", "A5"),
     oracle="""
 WITH daily AS (
@@ -193,7 +193,7 @@ FROM daily
 WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """,
 )
-def q51_daily_revenue_ma7(spark: SparkSession, sf_dir: str):
+def q051_daily_revenue_ma7(spark: SparkSession, sf_dir: str):
     """7-day trailing revenue statistics: pre-aggregate orders to one row
     per day (shrinks the window input from O(orders) to O(days) BEFORE
     any sort), then a ROWS 6-PRECEDING frame for the moving average/max —
@@ -226,7 +226,7 @@ def q51_daily_revenue_ma7(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q52_customer_year_overlap",
+    "q052_customer_year_overlap",
     tags=("J1", "A4", "P6"),
     oracle="""
 WITH y95 AS (
@@ -249,7 +249,7 @@ SELECT COALESCE(y95.o_custkey, y96.o_custkey) AS custkey,
 FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
 """,
 )
-def q52_customer_year_overlap(spark: SparkSession, sf_dir: str):
+def q052_customer_year_overlap(spark: SparkSession, sf_dir: str):
     """Customer retention via FULL OUTER join of two per-year aggregates —
     the join type the reference only has implicitly inside MERGE (SURVEY
     §2.4 'not present'; our merge_upsert is built on exactly this
@@ -290,7 +290,7 @@ def q52_customer_year_overlap(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q53_orders_with_returns",
+    "q053_orders_with_returns",
     tags=("J6", "A1", "A4"),
     oracle="""
 SELECT o_orderpriority,
@@ -304,7 +304,7 @@ WHERE EXISTS (
 GROUP BY o_orderpriority
 """,
 )
-def q53_orders_with_returns(spark: SparkSession, sf_dir: str):
+def q053_orders_with_returns(spark: SparkSession, sf_dir: str):
     """EXISTS-style LEFT SEMI join (the reference only has the anti
     variant, SURVEY §2.4): orders having >=1 returned lineitem, profiled
     by priority. The semi join deduplicates the probe side inside the
@@ -332,7 +332,7 @@ def q53_orders_with_returns(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q56_supplier_line_coverage",
+    "q056_supplier_line_coverage",
     tags=("J1", "J3", "A2", "P7"),
     oracle="""
 WITH li AS (
@@ -349,7 +349,7 @@ SELECT s.s_suppkey, s.s_nationkey,
 FROM li RIGHT JOIN supplier s ON li.l_suppkey = s.s_suppkey
 """,
 )
-def q56_supplier_line_coverage(spark: SparkSession, sf_dir: str):
+def q056_supplier_line_coverage(spark: SparkSession, sf_dir: str):
     """Supplier activity coverage via a genuine RIGHT OUTER join (a join
     type the reference never issues, SURVEY §2.4): the shipped-lines
     aggregate on the left, the supplier dim preserved on the right, so
@@ -384,7 +384,7 @@ def q56_supplier_line_coverage(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q57_source_lang_grid",
+    "q057_source_lang_grid",
     tags=("J1", "J3", "A1", "P7"),
     oracle="""
 WITH s AS (SELECT DISTINCT source FROM documents),
@@ -402,7 +402,7 @@ FROM s CROSS JOIN l
 LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
 """,
 )
-def q57_source_lang_grid(spark: SparkSession, sf_dir: str):
+def q057_source_lang_grid(spark: SparkSession, sf_dir: str):
     """Dense-grid completion: CROSS JOIN of the distinct source and lang
     domains (the only cross join in the reference is the lateral flatten,
     SURVEY §2.4) scaffolds every combination, then a left join zero-fills
@@ -442,7 +442,7 @@ def q57_source_lang_grid(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q58_small_quantity_revenue",
+    "q058_small_quantity_revenue",
     tags=("J1", "A1", "A2", "P10"),
     oracle="""
 WITH thr AS (
@@ -460,7 +460,7 @@ WHERE l.l_quantity < thr.q_thr
 GROUP BY p.p_brand
 """,
 )
-def q58_small_quantity_revenue(spark: SparkSession, sf_dir: str):
+def q058_small_quantity_revenue(spark: SparkSession, sf_dir: str):
     """Per-group correlated threshold (the TPC-H Q17 shape): lines whose
     quantity is below 20% of their part's average — the reference only
     has UNcorrelated scalar subqueries (SURVEY §2.3 P10); the correlated
@@ -496,7 +496,7 @@ def q58_small_quantity_revenue(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q59_customer_cohort_setops",
+    "q059_customer_cohort_setops",
     tags=("A1", "A3", "W4"),
     oracle="""
 WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
@@ -511,7 +511,7 @@ UNION ALL
 SELECT 'either_year', COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)
 """,
 )
-def q59_customer_cohort_setops(spark: SparkSession, sf_dir: str):
+def q059_customer_cohort_setops(spark: SparkSession, sf_dir: str):
     """Cohort accounting through the relational set operators —
     INTERSECT, EXCEPT, and distinct UNION (none appear in the reference,
     which reaches for joins every time): year-over-year retained /
@@ -547,7 +547,7 @@ def q59_customer_cohort_setops(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q64_order_value_deciles",
+    "q064_order_value_deciles",
     tags=("W1", "A1"),
     oracle="""
 WITH r AS (
@@ -571,7 +571,7 @@ FROM r
 GROUP BY o_orderpriority, decile
 """,
 )
-def q64_order_value_deciles(spark: SparkSession, sf_dir: str):
+def q064_order_value_deciles(spark: SparkSession, sf_dir: str):
     """The ranking-function family the reference never touches beyond
     ROW_NUMBER (SURVEY §2.6): NTILE decile assignment, PERCENT_RANK,
     CUME_DIST, and FIRST_VALUE, all over one window (one shuffle on
@@ -606,7 +606,7 @@ def q64_order_value_deciles(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q65_revenue_range_window",
+    "q065_revenue_range_window",
     tags=("W1", "A1", "A5"),
     oracle="""
 WITH daily AS (
@@ -624,7 +624,7 @@ FROM daily
 WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """,
 )
-def q65_revenue_range_window(spark: SparkSession, sf_dir: str):
+def q065_revenue_range_window(spark: SparkSession, sf_dir: str):
     """RANGE-frame trailing 7-day revenue: unlike q51's ROWS frame (6
     physical predecessor rows — wrong on a calendar with holes), a RANGE
     frame bounds the window by the *value* of the day axis, so missing
@@ -660,7 +660,7 @@ def q65_revenue_range_window(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q66_part_attrs_unpivot",
+    "q033_part_attrs_unpivot",
     tags=("A1", "P8"),
     oracle="""
 WITH long_form AS (
@@ -677,7 +677,7 @@ FROM long_form
 GROUP BY p_brand, attr
 """,
 )
-def q66_part_attrs_unpivot(spark: SparkSession, sf_dir: str):
+def q033_part_attrs_unpivot(spark: SparkSession, sf_dir: str):
     """Wide→long reshape via UNPIVOT (the inverse of q09's pivot; absent
     from the reference): part's numeric attributes melt into (attr, val)
     rows — Spark's ``unpivot`` produces them in one map-side Expand, no
@@ -709,7 +709,7 @@ def q66_part_attrs_unpivot(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q60_purchase_asof_view",
+    "q060_purchase_asof_view",
     tags=("J4", "W1"),
     oracle="""
 WITH p AS (
@@ -723,7 +723,7 @@ SELECT p.event_id, p.user_id, v.view_event_id,
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.vts
 """,
 )
-def q60_purchase_asof_view(spark: SparkSession, sf_dir: str):
+def q060_purchase_asof_view(spark: SparkSession, sf_dir: str):
     """AS-OF join (operators/temporal.py): every purchase event matched
     to the same user's most recent prior view — the point-in-time join
     Spark has no built-in for (and the reference lacks entirely, SURVEY
@@ -763,7 +763,7 @@ _SESS_GAP_US = 1800 * 1_000_000
 
 
 @register(
-    "q61_session_interval_events",
+    "q061_session_interval_events",
     tags=("J4", "W1", "A1"),
     oracle=f"""
 WITH t AS (
@@ -792,7 +792,7 @@ GROUP BY sess.user_id, sess.sess_id, sess.n_events,
   epoch_us(sess.end_ts) - epoch_us(sess.start_ts)
 """,
 )
-def q61_session_interval_events(spark: SparkSession, sf_dir: str):
+def q061_session_interval_events(spark: SparkSession, sf_dir: str):
     """Interval (range) join via binning (operators/temporal.py): events
     are joined back to the session windows derived from them (q20's
     30-minute-gap sessions). Spark would plan the raw BETWEEN predicate
@@ -843,7 +843,7 @@ def q61_session_interval_events(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q72_qty_price_correlation",
+    "q072_qty_price_correlation",
     tags=("A1", "A2", "A5"),
     oracle="""
 WITH s AS (
@@ -865,7 +865,7 @@ SELECT l_returnflag, n AS n_lines,
 FROM s
 """,
 )
-def q72_qty_price_correlation(spark: SparkSession, sf_dir: str):
+def q072_qty_price_correlation(spark: SparkSession, sf_dir: str):
     """Pearson correlation + sample covariance per return flag, computed
     from DECIMAL moment sums (n, Σx, Σy, Σxy, Σx², Σy²) with the closed
     formula applied in DOUBLE at the very end.
@@ -908,7 +908,7 @@ def q72_qty_price_correlation(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q74_event_funnel",
+    "q074_event_funnel",
     tags=("A1", "A4", "W1"),
     oracle="""
 WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -944,7 +944,7 @@ LEFT JOIN tb USING (user_id)
 LEFT JOIN tc USING (user_id)
 """,
 )
-def q74_event_funnel(spark: SparkSession, sf_dir: str):
+def q074_event_funnel(spark: SparkSession, sf_dir: str):
     """Ordered-step funnel (view → click within 24h → purchase within 24h),
     earliest-completion semantics — the MATCH_RECOGNIZE/funnel-analysis
     shape, expressed as three chained conditional window minimums instead
@@ -1012,7 +1012,7 @@ def q74_event_funnel(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q75_order_status_journeys",
+    "q075_order_status_journeys",
     tags=("A1", "A2", "W1"),
     oracle="""
 WITH j AS (
@@ -1029,7 +1029,7 @@ SELECT journey,
 FROM j GROUP BY journey
 """,
 )
-def q75_order_status_journeys(spark: SparkSession, sf_dir: str):
+def q075_order_status_journeys(spark: SparkSession, sf_dir: str):
     """Ordered aggregation (SQL string_agg ... ORDER BY): each customer's
     chronological order-status string becomes a "journey" signature, then
     journeys are grouped — the sequence-mining shape behind churn/ops
@@ -1069,7 +1069,7 @@ def q75_order_status_journeys(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q77_order_value_histogram",
+    "q077_order_value_histogram",
     tags=("A1", "A4"),
     oracle="""
 WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
@@ -1082,7 +1082,7 @@ FROM orders, b
 GROUP BY o_orderpriority, bin
 """,
 )
-def q77_order_value_histogram(spark: SparkSession, sf_dir: str):
+def q077_order_value_histogram(spark: SparkSession, sf_dir: str):
     """Equi-width 10-bin histogram of order value per priority class —
     the distribution profile behind any data-drift / data-quality
     dashboard, as a first-class binning operator.
@@ -1116,7 +1116,7 @@ def q77_order_value_histogram(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q78_priority_status_cube",
+    "q078_priority_status_cube",
     tags=("A1", "A2", "A4"),
     oracle="""
 SELECT o_orderpriority, o_orderstatus,
@@ -1128,7 +1128,7 @@ FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """,
 )
-def q78_priority_status_cube(spark: SparkSession, sf_dir: str):
+def q078_priority_status_cube(spark: SparkSession, sf_dir: str):
     """Full CUBE over (priority, status): all four aggregation levels —
     detail, each single-dimension margin, and the grand total — in ONE
     Expand + partial/final hash aggregate (a single shuffle), where four
@@ -1162,7 +1162,7 @@ def q78_priority_status_cube(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q79_nation_revenue_share",
+    "q079_nation_revenue_share",
     tags=("A1", "A5", "W1", "J1"),
     oracle="""
 WITH rev AS (
@@ -1184,7 +1184,7 @@ SELECT region, nation,
 FROM rev
 """,
 )
-def q79_nation_revenue_share(spark: SparkSession, sf_dir: str):
+def q079_nation_revenue_share(spark: SparkSession, sf_dir: str):
     """Ratio-to-report: each nation's revenue as a share of its region and
     of the world — the percent-of-total window (Oracle RATIO_TO_REPORT)
     every BI layer needs.
@@ -1225,7 +1225,7 @@ def q79_nation_revenue_share(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q80_order_count_distribution",
+    "q080_order_count_distribution",
     tags=("J3", "J4", "A1", "A3"),
     oracle="""
 WITH co AS (
@@ -1239,7 +1239,7 @@ SELECT c_count, COUNT(*) AS custdist
 FROM co GROUP BY c_count
 """,
 )
-def q80_order_count_distribution(spark: SparkSession, sf_dir: str):
+def q080_order_count_distribution(spark: SparkSession, sf_dir: str):
     """Frequency-of-frequencies (TPC-H Q13): how many customers placed k
     non-urgent orders, including k=0 — the distribution report behind
     engagement/retention dashboards, and the classic case where the
@@ -1267,7 +1267,7 @@ def q80_order_count_distribution(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q81_activity_streaks",
+    "q081_activity_streaks",
     tags=("W1", "A1", "A3"),
     oracle="""
 WITH days AS (
@@ -1293,7 +1293,7 @@ SELECT max_streak,
 FROM longest GROUP BY max_streak
 """,
 )
-def q81_activity_streaks(spark: SparkSession, sf_dir: str):
+def q081_activity_streaks(spark: SparkSession, sf_dir: str):
     """Gaps-and-islands: the longest run of CONSECUTIVE active days per
     user, reported as a streak-length distribution — the retention-streak
     metric, via the classic day_number − row_number() island anchor (two
@@ -1332,7 +1332,7 @@ def q81_activity_streaks(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q82_rolling_active_users",
+    "q082_rolling_active_users",
     tags=("W1", "A3", "J7"),
     oracle="""
 WITH days AS (
@@ -1345,7 +1345,7 @@ FROM dom JOIN days ON days.d BETWEEN dom.d - 6 AND dom.d
 GROUP BY dom.d
 """,
 )
-def q82_rolling_active_users(spark: SparkSession, sf_dir: str):
+def q082_rolling_active_users(spark: SparkSession, sf_dir: str):
     """Rolling 7-day distinct active users per day — the DAU/WAU family.
     SQL window frames cannot express COUNT(DISTINCT) over a sliding
     RANGE, and the oracle's domain⋈days range join re-scans 7× rows per
@@ -1381,7 +1381,7 @@ def q82_rolling_active_users(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q84_order_cohort_retention",
+    "q084_order_cohort_retention",
     tags=("A1", "A3", "W1", "J1"),
     oracle="""
 WITH first AS (
@@ -1404,7 +1404,7 @@ FROM act JOIN size_ ON act.cohort = size_.cohort
 GROUP BY act.cohort, act.month_n
 """,
 )
-def q84_order_cohort_retention(spark: SparkSession, sf_dir: str):
+def q084_order_cohort_retention(spark: SparkSession, sf_dir: str):
     """Cohort retention triangle: customers grouped by first-order month,
     tracked by distinct activity in each subsequent month — the classic
     retention matrix every growth dashboard draws.
@@ -1460,7 +1460,7 @@ def q84_order_cohort_retention(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q85_activity_bitmap",
+    "q085_activity_bitmap",
     tags=("A2", "A3", "W1"),
     oracle="""
 WITH bm AS (
@@ -1470,13 +1470,13 @@ WITH bm AS (
   WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-02-01'
   GROUP BY user_id
 )
-SELECT bit_count(days_mask) AS active_days,
+SELECT CAST(bit_count(days_mask) AS BIGINT) AS active_days,
   COUNT(*) AS users,
   CAST(MIN(days_mask) AS BIGINT) AS min_mask
 FROM bm GROUP BY bit_count(days_mask)
 """,
 )
-def q85_activity_bitmap(spark: SparkSession, sf_dir: str):
+def q085_activity_bitmap(spark: SparkSession, sf_dir: str):
     """Bitmap-index distinct counting: each user's active days in a
     32-day window fold into ONE 64-bit mask via bit_or, and popcount
     (bit_count) reads the distinct-day count straight out of the mask.
@@ -1502,7 +1502,9 @@ def q85_activity_bitmap(spark: SparkSession, sf_dir: str):
         .groupBy("user_id")
         .agg(F.bit_or("b").alias("days_mask"))
     )
-    return bm.groupBy(F.bit_count("days_mask").alias("active_days")).agg(
+    return bm.groupBy(
+        F.bit_count("days_mask").cast("long").alias("active_days")
+    ).agg(
         F.count(F.lit(1)).alias("users"),
         F.min("days_mask").cast("long").alias("min_mask"),
     )
@@ -1514,7 +1516,7 @@ def q85_activity_bitmap(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q88_weighted_median_doclen",
+    "q088_weighted_median_doclen",
     tags=("W1", "A2"),
     oracle="""
 WITH w AS (
@@ -1536,7 +1538,7 @@ SELECT source,
 FROM c GROUP BY source
 """,
 )
-def q88_weighted_median_doclen(spark: SparkSession, sf_dir: str):
+def q088_weighted_median_doclen(spark: SparkSession, sf_dir: str):
     """Token-weighted median document length per source: the document
     length at which half the source's TOKEN MASS sits in shorter docs —
     the right centering statistic when downstream cost follows tokens,
@@ -1582,7 +1584,7 @@ def q88_weighted_median_doclen(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q90_priority_grouping_sets",
+    "q090_priority_grouping_sets",
     tags=("A1", "A2", "grouping"),
     oracle="""
 SELECT o_orderpriority, o_orderstatus,
@@ -1595,7 +1597,7 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                         (o_orderpriority), (o_orderstatus))
 """,
 )
-def q90_priority_grouping_sets(spark: SparkSession, sf_dir: str):
+def q090_priority_grouping_sets(spark: SparkSession, sf_dir: str):
     """Arbitrary GROUPING SETS — the level combination ((a,b),(a),(b)) that
     neither ROLLUP (q48) nor CUBE (q78) can express (no grand total, both
     one-column margins). One Expand (3 replicas per input row) feeding one
@@ -1628,7 +1630,7 @@ def q90_priority_grouping_sets(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q91_sole_late_supplier",
+    "q091_sole_late_supplier",
     tags=("J6", "J8", "A3", "P6"),
     oracle="""
 WITH li AS (
@@ -1649,7 +1651,7 @@ WHERE n_supp >= 2 AND n_late = 1
 GROUP BY s.s_name
 """,
 )
-def q91_sole_late_supplier(spark: SparkSession, sf_dir: str):
+def q091_sole_late_supplier(spark: SparkSession, sf_dir: str):
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
     multi-supplier order (late = shipped >60 days after order date).
 
@@ -1710,7 +1712,7 @@ def q91_sole_late_supplier(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q92_dormant_rich_customers",
+    "q092_dormant_rich_customers",
     tags=("J6", "P10", "A2"),
     oracle="""
 WITH thr AS (
@@ -1730,7 +1732,7 @@ WHERE c.c_acctbal > thr.avg_bal
 GROUP BY c.c_nationkey
 """,
 )
-def q92_dormant_rich_customers(spark: SparkSession, sf_dir: str):
+def q092_dormant_rich_customers(spark: SparkSession, sf_dir: str):
     """TPC-H Q22 shape: above-average-balance customers with NO recent
     orders, rolled up per nation. The positive-balance average is a scalar
     subquery — computed as an exact DECIMAL sum divided once in DOUBLE so
@@ -1770,7 +1772,7 @@ def q92_dormant_rich_customers(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q93_top_revenue_supplier",
+    "q093_top_revenue_supplier",
     tags=("P10", "A2", "J1"),
     oracle="""
 WITH revenue AS (
@@ -1785,7 +1787,7 @@ FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """,
 )
-def q93_top_revenue_supplier(spark: SparkSession, sf_dir: str):
+def q093_top_revenue_supplier(spark: SparkSession, sf_dir: str):
     """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
     revenue. Revenue stays DECIMAL end-to-end so the `= MAX(...)` equality
     is exact — with DOUBLE sums the argmax could differ between engines
@@ -1827,7 +1829,7 @@ def q93_top_revenue_supplier(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q94_important_part_value",
+    "q094_important_part_value",
     tags=("P10", "A2"),
     oracle="""
 WITH pv AS (
@@ -1840,7 +1842,7 @@ FROM pv
 WHERE value * 10000 > (SELECT SUM(value) FROM pv)
 """,
 )
-def q94_important_part_value(spark: SparkSession, sf_dir: str):
+def q094_important_part_value(spark: SparkSession, sf_dir: str):
     """TPC-H Q11 shape: parts whose traded value exceeds 1/10000 of the
     global total. The share test is `value * 10000 > total` in DECIMAL —
     no division, no doubles, so the cut is bit-exact on both engines and
@@ -1867,7 +1869,7 @@ def q94_important_part_value(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q97_segment_priority_mode",
+    "q097_segment_priority_mode",
     tags=("A1", "W1"),
     oracle="""
 WITH cnt AS (
@@ -1884,7 +1886,7 @@ SELECT c_mktsegment, o_orderpriority AS modal_priority, orders
 FROM r WHERE rn = 1
 """,
 )
-def q97_segment_priority_mode(spark: SparkSession, sf_dir: str):
+def q097_segment_priority_mode(spark: SparkSession, sf_dir: str):
     """Per-segment modal order priority — the MODE aggregate, which Spark's
     built-in `mode()` implements with engine-specific tie behavior; this
     formulation makes the tie deterministic (highest count, then
@@ -1920,7 +1922,7 @@ def q97_segment_priority_mode(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q98_integrity_orphan_audit",
+    "q098_integrity_orphan_audit",
     tags=("J6", "DQ"),
     oracle="""
 SELECT 'lineitem_without_order' AS check_name,
@@ -1940,7 +1942,7 @@ SELECT 'order_dup_pk',
     (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
 """,
 )
-def q98_integrity_orphan_audit(spark: SparkSession, sf_dir: str):
+def q098_integrity_orphan_audit(spark: SparkSession, sf_dir: str):
     """The reference's dbt `relationships` / `not_null` / `unique` schema
     tests (dbt/dbt-project/models/schema.yml:40-47,77-82) expressed as one
     audit query: orphan counts via LEFT ANTI joins, null-key counts via a
@@ -1995,7 +1997,7 @@ def q98_integrity_orphan_audit(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q96_nation_pair_volume",
+    "q096_nation_pair_volume",
     tags=("J2", "A1", "A2"),
     oracle="""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -2014,7 +2016,7 @@ WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
 GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
 """,
 )
-def q96_nation_pair_volume(spark: SparkSession, sf_dir: str):
+def q096_nation_pair_volume(spark: SparkSession, sf_dir: str):
     """TPC-H Q7 shape: yearly trade volume between two nations, with the
     nation attributed through TWO different lineages (supplier side and
     customer side) — the double-dim-lookup join pattern. All four dims
@@ -2069,7 +2071,7 @@ def q96_nation_pair_volume(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q99_nation_market_share",
+    "q099_nation_market_share",
     tags=("J2", "A4", "A5"),
     oracle="""
 WITH vol AS (
@@ -2095,7 +2097,7 @@ SELECT order_year,
 FROM vol
 """,
 )
-def q99_nation_market_share(spark: SparkSession, sf_dir: str):
+def q099_nation_market_share(spark: SparkSession, sf_dir: str):
     """TPC-H Q8 shape: one supplier-nation's share of a region's yearly
     revenue. Numerator and denominator are computed in the SAME hash
     aggregate as a conditional DECIMAL sum — one pass, one shuffle, no
@@ -3398,8 +3400,8 @@ def q120_promo_revenue_share(spark: SparkSession, sf_dir: str):
     tags=("J1", "A4", "P6"),
     oracle="""
 SELECT l.l_returnflag,
-  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
   COUNT(*) AS late_lines
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
@@ -4208,9 +4210,11 @@ def _q135_oracle(edges: list[float]) -> str:
     m = len(edges)
     rows = []
     for k in range(m + 1):
-        lo = 0.0 if k == 0 else edges[k - 1]
-        hi = edges[k] if k < m else edges[m - 1] * 2.0
-        rows.append(f"({k}, CAST('{lo!r}' AS DOUBLE), CAST('{hi!r}' AS DOUBLE))")
+        # unbounded bins carry NULL on their open side (mirrors
+        # histogram_edge_bounds): a rank landing there estimates NULL
+        lo = "CAST(NULL AS DOUBLE)" if k == 0 else f"CAST('{edges[k - 1]!r}' AS DOUBLE)"
+        hi = f"CAST('{edges[k]!r}' AS DOUBLE)" if k < m else "CAST(NULL AS DOUBLE)"
+        rows.append(f"({k}, {lo}, {hi})")
 
     def est(q: str) -> str:
         r = f"CAST(total AS DOUBLE) * CAST('{q}' AS DOUBLE)"
@@ -4483,9 +4487,11 @@ def _q140_oracle(edges: list[float]) -> str:
     m = len(edges)
     rows = []
     for k in range(m + 1):
-        lo = 0.0 if k == 0 else edges[k - 1]
-        hi = edges[k] if k < m else edges[m - 1] * 2.0
-        rows.append(f"({k}, CAST('{lo!r}' AS DOUBLE), CAST('{hi!r}' AS DOUBLE))")
+        # unbounded bins carry NULL on their open side (mirrors
+        # histogram_edge_bounds): a rank landing there estimates NULL
+        lo = "CAST(NULL AS DOUBLE)" if k == 0 else f"CAST('{edges[k - 1]!r}' AS DOUBLE)"
+        hi = f"CAST('{edges[k]!r}' AS DOUBLE)" if k < m else "CAST(NULL AS DOUBLE)"
+        rows.append(f"({k}, {lo}, {hi})")
 
     def est(q: str) -> str:
         r = f"CAST(total AS DOUBLE) * CAST('{q}' AS DOUBLE)"

@@ -52,7 +52,7 @@ from .registry import register
 
 
 @register(
-    "q21_dedup_exact",
+    "q021_dedup_exact",
     tags=("dedup", "A1", "W3"),
     oracle="""
 SELECT md5(text) AS text_hash,
@@ -62,7 +62,7 @@ FROM documents
 GROUP BY md5(text)
 """,
 )
-def q21_dedup_exact(spark: SparkSession, sf_dir: str):
+def q021_dedup_exact(spark: SparkSession, sf_dir: str):
     """Exact content dedup: one shuffle keyed on md5(text) — uniform key
     space, no skew, linear scale-out. Keeper = min(doc_id)."""
     return exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
@@ -78,7 +78,7 @@ _JACCARD_MAX_DF = 50
 
 
 @register(
-    "q22_near_dup_jaccard",
+    "q022_near_dup_jaccard",
     tags=("dedup", "J7", "J8", "A1"),
     oracle=f"""
 WITH toks AS (
@@ -108,7 +108,7 @@ JOIN sizes sb ON sb.doc_id = id2
 WHERE CAST(inter_size AS DOUBLE) / (sa.n_sh + sb.n_sh - inter_size) >= {_JACCARD_THRESHOLD}
 """,
 )
-def q22_near_dup_jaccard(spark: SparkSession, sf_dir: str):
+def q022_near_dup_jaccard(spark: SparkSession, sf_dir: str):
     """Exact word-3-gram Jaccard pairs over discriminative shingles
     (doc-frequency cap bounds the self-join fan-out — see
     operators.dedup). This is the verification stage LSH candidates feed
@@ -128,8 +128,8 @@ def q22_near_dup_jaccard(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("q23_near_dup_minhash_lsh", tags=("dedup", "U1"))
-def q23_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str):
+@register("q023_near_dup_minhash_lsh", tags=("dedup", "U1"))
+def q023_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str):
     """MinHash+LSH candidate pairs (seeded, deterministic). Rows-only
     check: xxhash64/minhash math is not reproducible in ANSI SQL; its
     recall against exact Jaccard (q22) is asserted in tests."""
@@ -143,8 +143,8 @@ def q23_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("q24_near_dup_simhash", tags=("dedup",))
-def q24_near_dup_simhash(spark: SparkSession, sf_dir: str):
+@register("q024_near_dup_simhash", tags=("dedup",))
+def q024_near_dup_simhash(spark: SparkSession, sf_dir: str):
     """60-bit SimHash banded near-dup pairs (xxhash64 is JVM-side and
     deterministic but engine-specific → rows-only check)."""
     return simhash_near_pairs(
@@ -160,7 +160,7 @@ _ANN_K = 10
 
 
 @register(
-    "q25_ann_cosine_topk",
+    "q025_ann_cosine_topk",
     tags=("similarity", "J8", "W1"),
     oracle=f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -183,7 +183,7 @@ FROM (
 WHERE rnk <= {_ANN_K}
 """,
 )
-def q25_ann_cosine_topk(spark: SparkSession, sf_dir: str):
+def q025_ann_cosine_topk(spark: SparkSession, sf_dir: str):
     """Exact ANN baseline: broadcast 5 query vectors, score all candidates
     with a JVM-side fold, per-query top-10. Ranking uses the rounded score
     + cand_id tiebreak so ordering is engine-stable."""
@@ -204,7 +204,7 @@ def q25_ann_cosine_topk(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q26_embedding_label_stats",
+    "q026_embedding_label_stats",
     tags=("similarity", "A1", "A2"),
     oracle="""
 WITH n AS (
@@ -218,7 +218,7 @@ SELECT label, COUNT(*) AS n_vectors,
 FROM n GROUP BY label
 """,
 )
-def q26_embedding_label_stats(spark: SparkSession, sf_dir: str):
+def q026_embedding_label_stats(spark: SparkSession, sf_dir: str):
     """Per-label embedding norm stats. Per-row norms are quantized to
     DECIMAL(18,6) before the exact sum so the rollup is order-independent
     (same policy as money aggregates)."""
@@ -245,7 +245,7 @@ def q26_embedding_label_stats(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q27_token_stats",
+    "q027_token_stats",
     tags=("text", "A1", "A2"),
     oracle="""
 SELECT source,
@@ -258,7 +258,7 @@ FROM documents
 GROUP BY source
 """,
 )
-def q27_token_stats(spark: SparkSession, sf_dir: str):
+def q027_token_stats(spark: SparkSession, sf_dir: str):
     """Whitespace token counting per source — the cheap length/token
     profile every corpus pipeline starts with."""
     d = load(spark, sf_dir, "documents")
@@ -280,7 +280,7 @@ def q27_token_stats(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q28_doc_quality",
+    "q028_doc_quality",
     tags=("text", "P6"),
     oracle=f"""
 WITH t AS (
@@ -297,7 +297,7 @@ SELECT doc_id, n_tokens, uniq_ratio, stop_ratio,
 FROM m
 """,
 )
-def q28_doc_quality(spark: SparkSession, sf_dir: str):
+def q028_doc_quality(spark: SparkSession, sf_dir: str):
     """Per-doc quality heuristics (lexical diversity + stopword ratio).
     Pure Column expressions — whole-stage codegen, no shuffle at all."""
     d = load(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
@@ -305,7 +305,7 @@ def q28_doc_quality(spark: SparkSession, sf_dir: str):
     stop = stopword_ratio("__toks")
     return d.select(
         "doc_id",
-        F.size(F.col("__toks")).alias("n_tokens"),
+        F.size(F.col("__toks")).cast("long").alias("n_tokens"),
         uniq.alias("uniq_ratio"),
         stop.alias("stop_ratio"),
         quality_score(uniq, stop).alias("quality"),
@@ -318,7 +318,7 @@ def q28_doc_quality(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q29_lang_id_confusion",
+    "q029_lang_id_confusion",
     tags=("text", "A1", "P6"),
     oracle="""
 WITH t AS (
@@ -343,7 +343,7 @@ WITH t AS (
 SELECT lang, pred_lang, COUNT(*) AS docs FROM p GROUP BY lang, pred_lang
 """,
 )
-def q29_lang_id_confusion(spark: SparkSession, sf_dir: str):
+def q029_lang_id_confusion(spark: SparkSession, sf_dir: str):
     """Marker-word language-ID heuristic, reported as a confusion matrix
     against the labeled lang column. (The synthetic corpus is
     English-vocabulary for all langs, so the heuristic converges on 'en' —
@@ -362,7 +362,7 @@ def q29_lang_id_confusion(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q30_doc_fingerprint",
+    "q030_doc_fingerprint",
     tags=("text", "dedup"),
     oracle="""
 WITH t AS (
@@ -376,7 +376,7 @@ SELECT doc_id,
 FROM t
 """,
 )
-def q30_doc_fingerprint(spark: SparkSession, sf_dir: str):
+def q030_doc_fingerprint(spark: SparkSession, sf_dir: str):
     """Winnowing-style min-window-hash fingerprint (md5 is identical
     across engines → oracle-checkable, unlike xxhash-based simhash)."""
     d = load(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
@@ -391,7 +391,7 @@ def q30_doc_fingerprint(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q31_payload_metadata",
+    "q031_payload_metadata",
     tags=("multimodal", "P2"),
     oracle="""
 SELECT doc_id,
@@ -403,7 +403,7 @@ SELECT doc_id,
 FROM documents
 """,
 )
-def q31_payload_metadata(spark: SparkSession, sf_dir: str):
+def q031_payload_metadata(spark: SparkSession, sf_dir: str):
     """Opaque-binary metadata layer: byte length + sha256 digest + typed
     media_type — computed JVM-side on a binary payload column (text bytes
     stand in for real media; the decode stage is operators.multimodal's
@@ -426,8 +426,8 @@ def q31_payload_metadata(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("q32_ann_lsh_bucketed", tags=("similarity", "U1"))
-def q32_ann_lsh_bucketed(spark: SparkSession, sf_dir: str):
+@register("q032_ann_lsh_bucketed", tags=("similarity", "U1"))
+def q032_ann_lsh_bucketed(spark: SparkSession, sf_dir: str):
     """Approximate-NN scale path for q25: seeded random-hyperplane
     (SimHash) signatures, banded bucketing, and exact cosine only within
     matching buckets — O(n·bands) hashing plus bucket-local joins instead
@@ -444,8 +444,8 @@ def q32_ann_lsh_bucketed(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("q33_approx_event_profile", tags=("A2", "A3"))
-def q33_approx_event_profile(spark: SparkSession, sf_dir: str):
+@register("q066_approx_event_profile", tags=("A2", "A3"))
+def q066_approx_event_profile(spark: SparkSession, sf_dir: str):
     """Sketch-based per-type event profile: HLL++ distinct users
     (approx_count_distinct, rsd=1%) and KLL-style value quantiles
     (percentile_approx). These are the 100 TB substitutes for q08/q12's
@@ -469,7 +469,7 @@ _BPE_RE_SQL = BPE_ISH_RE.replace("'", "''")
 
 
 @register(
-    "q39_bpe_token_profile",
+    "q039_bpe_token_profile",
     tags=("text", "A1", "A5"),
     oracle=f"""
 WITH t AS (
@@ -488,7 +488,7 @@ SELECT source,
 FROM t GROUP BY source
 """,
 )
-def q39_bpe_token_profile(spark: SparkSession, sf_dir: str):
+def q039_bpe_token_profile(spark: SparkSession, sf_dir: str):
     """LLM corpus token accounting with a BPE-style pre-tokenizer
     (GPT-2-ish regex, restricted to the Java/RE2-portable subset) next to
     the whitespace count: total/alpha/numeric token volumes and the
@@ -518,7 +518,7 @@ def q39_bpe_token_profile(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q37_near_dup_clusters",
+    "q037_near_dup_clusters",
     tags=("dedup", "J8", "A1"),
     oracle=f"""
 WITH RECURSIVE toks AS (
@@ -558,7 +558,7 @@ SELECT l.doc_id, l.cluster_id, cs.cluster_size
 FROM lab l JOIN cs USING (cluster_id)
 """,
 )
-def q37_near_dup_clusters(spark: SparkSession, sf_dir: str):
+def q037_near_dup_clusters(spark: SparkSession, sf_dir: str):
     """Near-dup *cluster* resolution: q22's exact Jaccard pairs are only
     edges; dedup needs the transitive groups (A~B, B~C ⇒ one cluster with
     one keeper). Components come from iterative min-label propagation
@@ -598,7 +598,7 @@ _SAMPLE_HI = "1a"
 
 
 @register(
-    "q38_hash_split_profile",
+    "q038_hash_split_profile",
     tags=("P6", "A1", "A4"),
     oracle=f"""
 WITH h AS (
@@ -623,7 +623,7 @@ SELECT source, split,
 FROM s GROUP BY source, split
 """,
 )
-def q38_hash_split_profile(spark: SparkSession, sf_dir: str):
+def q038_hash_split_profile(spark: SparkSession, sf_dir: str):
     """Deterministic train/val/test assignment + stratified sample
     accounting: split and sample membership hang off salted md5 hex
     prefixes of the doc id — no RNG, no state, identical on every engine
@@ -663,7 +663,7 @@ _VOCAB_K = 20
 
 
 @register(
-    "q40_top_tokens",
+    "q040_top_tokens",
     tags=("text", "A1", "W1", "O3"),
     oracle=f"""
 WITH tok AS (
@@ -678,7 +678,7 @@ WITH tok AS (
 SELECT source, tok, n, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= {_VOCAB_K}
 """,
 )
-def q40_top_tokens(spark: SparkSession, sf_dir: str):
+def q040_top_tokens(spark: SparkSession, sf_dir: str):
     """Vocabulary building: per-source token frequency table cut to the
     top-k — the first step of any tokenizer/frequency analysis over a
     corpus. Two shuffles: (source, tok) count with map-side partials, then
@@ -761,7 +761,7 @@ def _kmeans_ctes(k: int, n_iter: int, dim: int) -> str:
 
 
 @register(
-    "q41_ivf_kmeans_assign",
+    "q041_ivf_kmeans_assign",
     tags=("similarity", "A1", "J2"),
     oracle=f"""
 WITH {_kmeans_ctes(_IVF_K, _IVF_ITER, _IVF_DIM)},
@@ -773,7 +773,7 @@ SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
 FROM a{_IVF_ITER + 1} a JOIN sizes s USING (cell)
 """,
 )
-def q41_ivf_kmeans_assign(spark: SparkSession, sf_dir: str):
+def q041_ivf_kmeans_assign(spark: SparkSession, sf_dir: str):
     """IVF index build: deterministic Lloyd k-means (k=8, 2 fixed update
     rounds, init = vectors of the 8 smallest ids) assigns every embedding
     to a coarse-quantizer cell. A genuinely iterative algorithm expressed
@@ -799,7 +799,7 @@ def q41_ivf_kmeans_assign(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q42_ann_ivf_topk",
+    "q042_ann_ivf_topk",
     tags=("similarity", "J1", "W1", "O3"),
     oracle=f"""
 WITH {_kmeans_ctes(_IVF_K, _IVF_ITER, _IVF_DIM)},
@@ -846,7 +846,7 @@ FROM (
 WHERE rnk <= {_IVF_TOPK}
 """,
 )
-def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str):
+def q042_ann_ivf_topk(spark: SparkSession, sf_dir: str):
     """ANN search through the IVF index: each query probes its nprobe=2
     nearest coarse cells and scores exact cosine only against those
     cells' members — q25's brute force restricted to deterministic
@@ -875,7 +875,7 @@ _NEAR_DUP_COS = 0.35
 
 
 @register(
-    "q36_embedding_near_dup",
+    "q036_embedding_near_dup",
     tags=("dedup", "similarity", "J8", "W1"),
     oracle=f"""
 WITH unit AS (
@@ -899,7 +899,7 @@ SELECT vec_id, nn_id, label, cosine,
 FROM r WHERE rn = 1
 """
 )
-def q36_embedding_near_dup(spark: SparkSession, sf_dir: str):
+def q036_embedding_near_dup(spark: SparkSession, sf_dir: str):
     """Embedding-cosine near-dup detection: each vector's nearest
     neighbor within its label block, flagged when cosine crosses the
     near-dup threshold. Label blocking makes the pair space Σ|block|²
@@ -969,7 +969,7 @@ def _rep_oracle_cte(n: int, p: str) -> str:
 
 
 @register(
-    "q43_ngram_repetition",
+    "q043_ngram_repetition",
     tags=("text", "A1", "W1"),
     oracle=f"""
 WITH t AS (
@@ -982,7 +982,7 @@ SELECT b.doc_id,
 FROM bi b JOIN tri tr ON b.doc_id = tr.doc_id AND b.rn = 1 AND tr.rn = 1
 """,
 )
-def q43_ngram_repetition(spark: SparkSession, sf_dir: str):
+def q043_ngram_repetition(spark: SparkSession, sf_dir: str):
     """Repetitious-document filter signals à la Gopher/MassiveText: the
     dominant word bigram and trigram per document with the character
     fraction each covers. The canonical pre-training quality rule that
@@ -1018,7 +1018,7 @@ _DECON_EVAL_MAX_ID = 20
 
 
 @register(
-    "q44_decontamination",
+    "q044_decontamination",
     tags=("dedup", "J1", "J6", "A3"),
     oracle=f"""
 WITH toks AS (
@@ -1036,7 +1036,7 @@ FROM tr JOIN ev USING (gram)
 GROUP BY tr.doc_id
 """,
 )
-def q44_decontamination(spark: SparkSession, sf_dir: str):
+def q044_decontamination(spark: SparkSession, sf_dir: str):
     """GPT-3-style decontamination: train docs (doc_id >= 20) sharing any
     word 4-gram with the stand-in eval set (doc_id < 20). The eval gram
     set broadcasts — the corpus side is probed map-side with no shuffle;
@@ -1064,7 +1064,7 @@ def _mix_case(value_of, default) -> str:
 
 
 @register(
-    "q45_source_mix_sample",
+    "q045_source_mix_sample",
     tags=("P6", "J7", "A4"),
     oracle=f"""
 WITH h AS (
@@ -1082,7 +1082,7 @@ FROM n, LATERAL (SELECT unnest(generate_series(1, n.n_copies)) AS epoch) e
 WHERE n.n_copies > 0
 """,
 )
-def q45_source_mix_sample(spark: SparkSession, sf_dir: str):
+def q045_source_mix_sample(spark: SparkSession, sf_dir: str):
     """Source-weighted corpus assembly (The Pile / LLaMA mix weights):
     src0 ×2.5, src1 ×2.0, src2 ×1.25, src3 ×0.5, src4 ×0.1, rest ×1.
     Upsampling emits explicit epoch copies; every keep/copy decision is a
@@ -1103,7 +1103,7 @@ _BUDGET_SALT = "budget-v1"
 
 
 @register(
-    "q46_token_budget_cut",
+    "q046_token_budget_cut",
     tags=("A1", "W1", "P6"),
     oracle=f"""
 WITH t AS (
@@ -1125,7 +1125,7 @@ SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
 FROM c
 """,
 )
-def q46_token_budget_cut(spark: SparkSession, sf_dir: str):
+def q046_token_budget_cut(spark: SparkSession, sf_dir: str):
     """Token-budget curation: each source contributes documents, in
     salted-md5 order (an unbiased, RNG-free, backfill-stable shuffle of
     the source), until its running token total exceeds the budget. The
@@ -1158,7 +1158,7 @@ _PACK_SALT = "pack-v1"
 
 
 @register(
-    "q47_sequence_packing",
+    "q047_sequence_packing",
     tags=("A1", "W1"),
     oracle=f"""
 WITH t AS (
@@ -1190,7 +1190,7 @@ FROM spans
 GROUP BY source
 """,
 )
-def q47_sequence_packing(spark: SparkSession, sf_dir: str):
+def q047_sequence_packing(spark: SparkSession, sf_dir: str):
     """Sequence packing for LM pretraining (GPT-style concat-and-chunk):
     per source, documents are concatenated in salted-md5 order and the
     token stream is split into fixed {ctx}-token context windows. Reports
@@ -1240,7 +1240,7 @@ _CDC_PREFIX = "2"  # boundary iff md5 hex starts below this => P = 2/16
 
 
 @register(
-    "q54_content_defined_chunks",
+    "q054_content_defined_chunks",
     tags=("J7", "W1", "A1"),
     oracle=f"""
 WITH toks AS (
@@ -1269,7 +1269,7 @@ FROM per_doc d LEFT JOIN bnd b ON b.doc_id = d.doc_id
 GROUP BY d.doc_id, n_grams, n_boundaries
 """,
 )
-def q54_content_defined_chunks(spark: SparkSession, sf_dir: str):
+def q054_content_defined_chunks(spark: SparkSession, sf_dir: str):
     """Content-defined chunking (rolling-hash splitting, the FastCDC /
     rsync family): a boundary falls wherever the hash of the local
     {w}-token window drops below a fixed prefix — so chunk edges are a
@@ -1341,7 +1341,7 @@ _KW_TOPK = 3
 
 
 @register(
-    "q55_doc_keywords",
+    "q055_doc_keywords",
     tags=("J7", "A1", "A3", "W1"),
     oracle=f"""
 WITH tf AS (
@@ -1365,7 +1365,7 @@ FROM (
 WHERE rnk <= {_KW_TOPK}
 """,
 )
-def q55_doc_keywords(spark: SparkSession, sf_dir: str):
+def q055_doc_keywords(spark: SparkSession, sf_dir: str):
     """Per-document keyword extraction by tf-idf-style relevance with
     INTEGER-exact scoring: score = tf * N * 1000 DIV df — the log() of
     textbook idf is monotone in N/df, so the ranking is identical while
@@ -1406,7 +1406,7 @@ _PASSAGE_W = 8
 
 
 @register(
-    "q62_repeated_passages",
+    "q062_repeated_passages",
     tags=("dedup", "J7", "A1", "A3"),
     oracle=f"""
 WITH toks AS (
@@ -1427,7 +1427,7 @@ GROUP BY gram_hash
 HAVING COUNT(DISTINCT doc_id) >= 2
 """,
 )
-def q62_repeated_passages(spark: SparkSession, sf_dir: str):
+def q062_repeated_passages(spark: SparkSession, sf_dir: str):
     """Passage-level dedup: every {w}-token sliding window is hashed and
     windows shared by >= 2 distinct documents surface with their spread —
     the passage-granular twin of document dedup (q21/q22): boilerplate
@@ -1465,7 +1465,7 @@ def q62_repeated_passages(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q63_salted_event_rollup",
+    "q063_salted_event_rollup",
     tags=("A1", "A2", "scale"),
     oracle="""
 SELECT event_type,
@@ -1478,7 +1478,7 @@ FROM events
 GROUP BY event_type
 """,
 )
-def q63_salted_event_rollup(spark: SparkSession, sf_dir: str):
+def q063_salted_event_rollup(spark: SparkSession, sf_dir: str):
     """Pathological-skew aggregation: event_type has only 5 values, so a
     plain groupBy lands the whole table on 5 reducers. The salted
     two-phase operator (operators/scale.py::salted_aggregate) spreads
@@ -1526,7 +1526,7 @@ def q63_salted_event_rollup(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q67_filter_rule_funnel",
+    "q067_filter_rule_funnel",
     tags=("text", "P6", "A4"),
     oracle=f"""
 WITH t AS (
@@ -1550,7 +1550,7 @@ SELECT source, verdict,
 FROM r GROUP BY source, verdict
 """,
 )
-def q67_filter_rule_funnel(spark: SparkSession, sf_dir: str):
+def q067_filter_rule_funnel(spark: SparkSession, sf_dir: str):
     """C4/Gopher-style document filter expressed as a rule FUNNEL: each
     doc is attributed to the FIRST rule it fails (fixed rule order —
     length bounds, stopword presence, lexical diversity; Raffel et al.
@@ -1588,7 +1588,7 @@ def q67_filter_rule_funnel(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q68_token_set_dedup",
+    "q068_token_set_dedup",
     tags=("dedup", "A3"),
     oracle="""
 WITH s AS (
@@ -1606,7 +1606,7 @@ SELECT source,
 FROM s GROUP BY source
 """,
 )
-def q68_token_set_dedup(spark: SparkSession, sf_dir: str):
+def q068_token_set_dedup(spark: SparkSession, sf_dir: str):
     """Bag-of-words SET-signature dedup: two docs collide when they use
     the same vocabulary regardless of word order or repetition — the
     cheap order-insensitive near-dup blocker that sits between exact
@@ -1642,7 +1642,7 @@ def q68_token_set_dedup(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q69_embedding_quantization",
+    "q069_embedding_quantization",
     tags=("similarity", "A1", "A2"),
     oracle="""
 WITH v AS (
@@ -1674,7 +1674,7 @@ SELECT label,
 FROM q GROUP BY label
 """,
 )
-def q69_embedding_quantization(spark: SparkSession, sf_dir: str):
+def q069_embedding_quantization(spark: SparkSession, sf_dir: str):
     """Symmetric int8 scalar quantization profile — the compression step
     a 100 TB embedding store applies before ANN serving (4x smaller than
     float32, SIMD-friendly int dot products). Per vector: scale =
@@ -1728,7 +1728,7 @@ _REDACT_PAT = r"\b(customer|value|key)\b"
 
 
 @register(
-    "q70_term_redaction",
+    "q070_term_redaction",
     tags=("text", "P5", "A4"),
     oracle=f"""
 WITH r AS (
@@ -1746,7 +1746,7 @@ SELECT source,
 FROM r GROUP BY source
 """,
 )
-def q70_term_redaction(spark: SparkSession, sf_dir: str):
+def q070_term_redaction(spark: SparkSession, sf_dir: str):
     """PII-style scrub pass: a word-boundary regex replaces every hit of a
     sensitive-term list with a fixed mask token and the per-source report
     shows document coverage, replacement counts, and size drift — the audit
@@ -1784,7 +1784,7 @@ def q70_term_redaction(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q71_doc_length_outliers",
+    "q071_doc_length_outliers",
     tags=("quality", "A1", "A2"),
     oracle="""
 WITH d AS (SELECT source, n_chars FROM documents),
@@ -1808,7 +1808,7 @@ FROM dev JOIN mad USING (source)
 GROUP BY dev.source
 """,
 )
-def q71_doc_length_outliers(spark: SparkSession, sf_dir: str):
+def q071_doc_length_outliers(spark: SparkSession, sf_dir: str):
     """Robust per-source outlier screen: median + median-absolute-deviation
     of document length, flagging docs beyond 3·MAD — the length filter a
     curation pipeline uses where mean/stddev would be dragged by the very
@@ -1859,7 +1859,7 @@ def q71_doc_length_outliers(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q73_part_name_editdist",
+    "q073_part_name_editdist",
     tags=("dedup", "J8", "A4"),
     oracle="""
 WITH p AS (
@@ -1882,7 +1882,7 @@ SELECT p_brand, noun,
 FROM pairs GROUP BY p_brand, noun
 """,
 )
-def q73_part_name_editdist(spark: SparkSession, sf_dir: str):
+def q073_part_name_editdist(spark: SparkSession, sf_dir: str):
     """Edit-distance near-dup with entity-resolution blocking: candidate
     pairs are generated only inside (brand, head-noun) blocks, then scored
     with exact levenshtein — the classic record-linkage shape (block →
@@ -1915,7 +1915,7 @@ def q73_part_name_editdist(spark: SparkSession, sf_dir: str):
     return pairs.groupBy("p_brand", "noun").agg(
         F.count(F.lit(1)).alias("candidate_pairs"),
         close.alias("close_pairs"),
-        F.min("dist").alias("min_dist"),
+        F.min("dist").cast("long").alias("min_dist"),
         F.round(F.lit(100.0) * close / F.count(F.lit(1)), 2)
         .cast("double")
         .alias("close_pct"),
@@ -1930,7 +1930,7 @@ _OVERLAP_N = 5
 
 
 @register(
-    "q76_source_overlap_matrix",
+    "q076_source_overlap_matrix",
     tags=("dedup", "A3", "J8"),
     oracle=f"""
 WITH toks AS (
@@ -1957,7 +1957,7 @@ JOIN sizes sa ON sa.source = src1
 JOIN sizes sb ON sb.source = src2
 """,
 )
-def q76_source_overlap_matrix(spark: SparkSession, sf_dir: str):
+def q076_source_overlap_matrix(spark: SparkSession, sf_dir: str):
     """Corpus-leakage matrix: for every pair of sources, how many distinct
     word-5-grams they share and the Jaccard of their shingle sets — the
     report that catches one crawl mirroring another before both are
@@ -2014,7 +2014,7 @@ _PREFIX_K = 3
 
 
 @register(
-    "q86_boilerplate_prefixes",
+    "q086_boilerplate_prefixes",
     tags=("text", "dedup", "A1"),
     oracle=f"""
 WITH p AS (
@@ -2036,7 +2036,7 @@ SELECT source,
 FROM t GROUP BY source
 """,
 )
-def q86_boilerplate_prefixes(spark: SparkSession, sf_dir: str):
+def q086_boilerplate_prefixes(spark: SparkSession, sf_dir: str):
     """Boilerplate/template detection: documents opening with the same
     first-k tokens inside one source are template instances (site
     headers, license preambles, scraper artifacts) — the C4-style cleanup
@@ -2072,7 +2072,7 @@ def q86_boilerplate_prefixes(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q87_canonical_selection",
+    "q087_canonical_selection",
     tags=("dedup", "A1", "A4"),
     oracle="""
 WITH ranked AS (
@@ -2095,7 +2095,7 @@ FROM ranked r JOIN canon c USING (sig)
 GROUP BY r.source
 """,
 )
-def q87_canonical_selection(spark: SparkSession, sf_dir: str):
+def q087_canonical_selection(spark: SparkSession, sf_dir: str):
     """Keep-best dedup: exact-duplicate groups (md5 of text) keep ONE
     canonical replica chosen by an explicit preference order (here:
     English first, then lowest doc_id) — the selection step that turns a
@@ -2137,7 +2137,7 @@ def q87_canonical_selection(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q95_source_mix_hhi",
+    "q095_source_mix_hhi",
     tags=("mixing", "A1", "A2"),
     oracle="""
 WITH st AS (
@@ -2163,7 +2163,7 @@ SELECT lang,
 FROM sh GROUP BY lang
 """,
 )
-def q95_source_mix_hhi(spark: SparkSession, sf_dir: str):
+def q095_source_mix_hhi(spark: SparkSession, sf_dir: str):
     """Source-mix concentration per language: Herfindahl–Hirschman index
     over token shares — the pretraining-mix health check that catches one
     crawl dominating a language (HHI → 1e12 ppm² means a single source).

@@ -34,7 +34,7 @@ from .registry import register
 
 
 @register(
-    "q01_pricing_summary",
+    "q001_pricing_summary",
     tags=("A1", "A2", "A5", "P6"),
     oracle="""
 SELECT l_returnflag, l_linestatus,
@@ -51,7 +51,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
 )
-def q01_pricing_summary(spark: SparkSession, sf_dir: str):
+def q001_pricing_summary(spark: SparkSession, sf_dir: str):
     """Pricing summary: filtered scan → multi-key hash agg with derived
     measures. Catalyst pushes the shipdate filter into the parquet scan and
     runs partial+final hash aggregation (no custom combiner needed)."""
@@ -82,7 +82,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q02_supplier_return_performance",
+    "q002_supplier_return_performance",
     tags=("J1", "A1", "A4", "A5", "O1"),
     oracle="""
 SELECT s.s_suppkey, s.s_name,
@@ -95,7 +95,7 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_suppkey, s.s_name
 """,
 )
-def q02_supplier_return_performance(spark: SparkSession, sf_dir: str):
+def q002_supplier_return_performance(spark: SparkSession, sf_dir: str):
     """Flagship (entry-point) query: the reference's seller_rto_performance
     gold view (dags/logistics-gold-metrics-sql.py:43-55) — fact⋈dim join,
     conditional aggregation, ratio metric, rounding.
@@ -124,7 +124,7 @@ def q02_supplier_return_performance(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q03_top_customers_by_revenue",
+    "q003_top_customers_by_revenue",
     tags=("J1", "A3", "O1", "O3"),
     oracle="""
 SELECT c.c_custkey, c.c_name,
@@ -137,7 +137,7 @@ ORDER BY revenue DESC, c.c_custkey
 LIMIT 10
 """,
 )
-def q03_top_customers_by_revenue(spark: SparkSession, sf_dir: str):
+def q003_top_customers_by_revenue(spark: SparkSession, sf_dir: str):
     """Top-k customers (cf. email_utils.py:29-31 top-5 stores): join →
     distinct agg → global sort limited to k. Spark executes
     TakeOrderedAndProject (per-partition top-k + driver merge), never a full
@@ -164,7 +164,7 @@ def q03_top_customers_by_revenue(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q04_regional_revenue",
+    "q004_regional_revenue",
     tags=("J2", "J1", "A1", "A2"),
     oracle="""
 SELECT r.r_name, n.n_name,
@@ -178,7 +178,7 @@ JOIN region r   ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, n.n_name
 """,
 )
-def q04_regional_revenue(spark: SparkSession, sf_dir: str):
+def q004_regional_revenue(spark: SparkSession, sf_dir: str):
     """5-table join chain. lineitem⋈orders is the only genuine shuffle
     (both facts, co-keyed on orderkey — at scale, bucket both by orderkey
     to eliminate it); customer/nation/region are broadcast so the chain
@@ -219,7 +219,7 @@ def q04_regional_revenue(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q05_brand_recent_shipments",
+    "q005_brand_recent_shipments",
     tags=("J4", "J3", "A3", "P7"),
     oracle="""
 SELECT p.p_brand,
@@ -232,7 +232,7 @@ LEFT JOIN lineitem l
 GROUP BY p.p_brand
 """,
 )
-def q05_brand_recent_shipments(spark: SparkSession, sf_dir: str):
+def q005_brand_recent_shipments(spark: SparkSession, sf_dir: str):
     """Left join whose range predicate must live in the ON clause to
     preserve unmatched left rows — the inventory-vs-recent-orders pattern
     (dags/logistics-gold-metrics-sql.py:103-105). The range condition stays
@@ -262,7 +262,7 @@ def q05_brand_recent_shipments(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q06_customers_without_orders",
+    "q006_customers_without_orders",
     tags=("J6", "A1", "A2"),
     oracle="""
 SELECT c.c_mktsegment,
@@ -273,7 +273,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c.c_mktsegment
 """,
 )
-def q06_customers_without_orders(spark: SparkSession, sf_dir: str):
+def q006_customers_without_orders(spark: SparkSession, sf_dir: str):
     """Exclusion via left-anti join — the reference writes it as LEFT JOIN
     … IS NULL (dbt/.../customer_experience_summary.sql:27-30); left_anti is
     the idiomatic (and cheaper: no null-padding, early short-circuit)
@@ -297,7 +297,7 @@ def q06_customers_without_orders(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q07_latest_event_per_user",
+    "q007_latest_event_per_user",
     tags=("W1", "W2"),
     oracle="""
 SELECT user_id, event_id, event_type, value, ts
@@ -305,7 +305,7 @@ FROM events
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 """,
 )
-def q07_latest_event_per_user(spark: SparkSession, sf_dir: str):
+def q007_latest_event_per_user(spark: SparkSession, sf_dir: str):
     """ROW_NUMBER latest-wins dedup with deterministic tiebreaker
     (event_id) — Spark has no QUALIFY, so it desugars to window + filter
     (SURVEY §4 item 3). One shuffle on the partition key."""
@@ -324,11 +324,11 @@ def q07_latest_event_per_user(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q08_distinct_order_profiles",
+    "q008_distinct_order_profiles",
     tags=("W4",),
     oracle="SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
 )
-def q08_distinct_order_profiles(spark: SparkSession, sf_dir: str):
+def q008_distinct_order_profiles(spark: SparkSession, sf_dir: str):
     """SELECT DISTINCT over a projection — partial-aggregate dedup
     map-side, so the shuffle carries only distinct pairs."""
     return load(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
@@ -343,7 +343,7 @@ _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
 @register(
-    "q09_daily_event_pivot",
+    "q009_daily_event_pivot",
     tags=("A8", "A4"),
     oracle="""
 SELECT CAST(ts AS DATE) AS event_date,
@@ -356,7 +356,7 @@ FROM events
 GROUP BY CAST(ts AS DATE)
 """,
 )
-def q09_daily_event_pivot(spark: SparkSession, sf_dir: str):
+def q009_daily_event_pivot(spark: SparkSession, sf_dir: str):
     """Pivot with an explicit value list (required at scale: without it
     Spark runs an extra distinct-values job). Null cells → 0 to match the
     oracle's COUNT(CASE) semantics."""
@@ -382,7 +382,7 @@ def q09_daily_event_pivot(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q10_priority_tokens",
+    "q010_priority_tokens",
     tags=("J7", "U2", "A1"),
     oracle="""
 SELECT token, COUNT(*) AS cnt
@@ -390,7 +390,7 @@ FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS token FROM orders)
 GROUP BY token
 """,
 )
-def q10_priority_tokens(spark: SparkSession, sf_dir: str):
+def q010_priority_tokens(spark: SparkSession, sf_dir: str):
     """String→rows table function: explode(split()) is the Spark native of
     Snowflake's TABLE(SPLIT_TO_TABLE(...)) / LATERAL FLATTEN. Explode is
     pipelined inside whole-stage codegen — no shuffle until the count."""
@@ -409,7 +409,7 @@ def q10_priority_tokens(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q11_customer_segments",
+    "q011_customer_segments",
     tags=("A6", "P6", "A1"),
     oracle="""
 WITH spend AS (
@@ -433,7 +433,7 @@ SELECT segment,
 FROM seg GROUP BY segment
 """,
 )
-def q11_customer_segments(spark: SparkSession, sf_dir: str):
+def q011_customer_segments(spark: SparkSession, sf_dir: str):
     """Two-level aggregation with CASE-over-aggregates between them (the
     customer-segmentation pattern). Totals stay DECIMAL through both agg
     levels so the rollup is exact regardless of partitioning."""
@@ -466,7 +466,7 @@ def q11_customer_segments(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q12_above_average_orders",
+    "q012_above_average_orders",
     tags=("P10", "A7", "A1"),
     oracle="""
 SELECT o_orderpriority,
@@ -480,7 +480,7 @@ WHERE o_totalprice > (
 GROUP BY o_orderpriority
 """,
 )
-def q12_above_average_orders(spark: SparkSession, sf_dir: str):
+def q012_above_average_orders(spark: SparkSession, sf_dir: str):
     """Scalar-subquery predicate. DataFrame side mirrors the reference's
     control-table pattern: compute the scalar (exact decimal avg → double),
     collect to the driver, apply as a literal filter — the filter then
@@ -506,7 +506,7 @@ def q12_above_average_orders(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q13_event_props_kpi",
+    "q013_event_props_kpi",
     tags=("P2", "P3", "A2", "A4"),
     oracle="""
 SELECT event_type,
@@ -519,7 +519,7 @@ FROM events
 GROUP BY event_type
 """,
 )
-def q13_event_props_kpi(spark: SparkSession, sf_dir: str):
+def q013_event_props_kpi(spark: SparkSession, sf_dir: str):
     """Schema-on-read JSON path access over a string column (the VARIANT
     pattern) with TRY_CAST lenient typing. get_json_object is JVM-side —
     no Python in the hot path."""
@@ -540,7 +540,7 @@ def q13_event_props_kpi(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q14_lineitem_quality_router",
+    "q014_lineitem_quality_router",
     tags=("P9", "P6", "A1"),
     oracle="""
 SELECT COALESCE(
@@ -555,7 +555,7 @@ FROM lineitem
 GROUP BY 1
 """,
 )
-def q14_lineitem_quality_router(spark: SparkSession, sf_dir: str):
+def q014_lineitem_quality_router(spark: SparkSession, sf_dir: str):
     """Row router: first-violated-rule-wins reason derivation, then both
     branches aggregated. Uses the engine's validity_router rule chain; the
     reason expression evaluates once per row inside codegen."""
@@ -584,7 +584,7 @@ def q14_lineitem_quality_router(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q15_above_avg_partsupp_lines",
+    "q015_above_avg_partsupp_lines",
     tags=("J5", "J8", "A4", "A5"),
     oracle="""
 WITH ps AS (
@@ -601,7 +601,7 @@ JOIN ps ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
 GROUP BY l.l_returnflag
 """,
 )
-def q15_above_avg_partsupp_lines(spark: SparkSession, sf_dir: str):
+def q015_above_avg_partsupp_lines(spark: SparkSession, sf_dir: str):
     """Composite-key (2-col) self-derived join, collapsed to a window:
     the oracle's aggregate-then-join-back-to-self is the textbook case
     where a window aggregate over the join key computes the same thing
@@ -632,7 +632,7 @@ def q15_above_avg_partsupp_lines(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q16_customer_balance_merge",
+    "q016_customer_balance_merge",
     tags=("M1", "M2", "K1"),
     oracle="""
 WITH src AS (
@@ -660,7 +660,7 @@ FROM src2 s
 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = s.c_custkey)
 """,
 )
-def q16_customer_balance_merge(spark: SparkSession, sf_dir: str):
+def q016_customer_balance_merge(spark: SparkSession, sf_dir: str):
     """MERGE INTO semantics via the engine's merge_upsert operator
     (full-outer join + precedence projection — SURVEY §4 custom-work item
     1). Matched customers get balance bumped by 10% of spend; unmatched
@@ -709,7 +709,7 @@ def q16_customer_balance_merge(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q17_customer_scd2",
+    "q017_customer_scd2",
     tags=("M6", "K1"),
     oracle="""
 WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
@@ -732,7 +732,7 @@ SELECT c_custkey, c_mktsegment, c_acctbal,
 FROM upd
 """,
 )
-def q17_customer_scd2(spark: SparkSession, sf_dir: str):
+def q017_customer_scd2(spark: SparkSession, sf_dir: str):
     """SCD2 timestamp-strategy snapshot via the engine's scd2_apply: close
     changed current rows at the effective timestamp, append new versions.
     Update batch = every 10th customer moves segment + balance."""
@@ -765,7 +765,7 @@ def q17_customer_scd2(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q18_incremental_event_load",
+    "q018_incremental_event_load",
     tags=("M4", "A7", "S8"),
     oracle="""
 SELECT event_type,
@@ -778,7 +778,7 @@ WHERE ts > (SELECT MAX(ts) FROM events WHERE ts < TIMESTAMP '2024-01-20')
 GROUP BY event_type
 """,
 )
-def q18_incremental_event_load(spark: SparkSession, sf_dir: str):
+def q018_incremental_event_load(spark: SparkSession, sf_dir: str):
     """High-watermark incremental pattern: watermark = MAX(ts) of the
     already-loaded target (simulated as pre-cutoff events), source filtered
     to ts > watermark.
@@ -811,7 +811,7 @@ def q18_incremental_event_load(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q19_hourly_event_windows",
+    "q019_hourly_event_windows",
     tags=("streaming", "A1", "A2"),
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start,
@@ -823,7 +823,7 @@ FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """,
 )
-def q19_hourly_event_windows(spark: SparkSession, sf_dir: str):
+def q019_hourly_event_windows(spark: SparkSession, sf_dir: str):
     """Tumbling 1-hour windows via F.window — the exact groupBy that
     becomes a watermarked streaming agg under readStream (see
     streaming.landing for the streaming twin of this query)."""
@@ -851,7 +851,7 @@ def q19_hourly_event_windows(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q20_user_sessions",
+    "q020_user_sessions",
     tags=("streaming", "W1", "A1"),
     oracle="""
 WITH t AS (
@@ -873,7 +873,7 @@ SELECT user_id,
 FROM s GROUP BY user_id
 """,
 )
-def q20_user_sessions(spark: SparkSession, sf_dir: str):
+def q020_user_sessions(spark: SparkSession, sf_dir: str):
     """Session assignment with a 30-minute inactivity gap: lag + cumulative
     sum of session-start flags — one shuffle on user_id shared by both
     window functions (same partitioning). Microsecond integer arithmetic on
@@ -904,7 +904,7 @@ def q20_user_sessions(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q34_order_month_profile",
+    "q089_order_month_profile",
     tags=("A1", "A2", "P6"),
     oracle="""
 SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
@@ -917,7 +917,7 @@ FROM orders
 GROUP BY strftime(o_orderdate, '%Y-%m')
 """,
 )
-def q34_order_month_profile(spark: SparkSession, sf_dir: str):
+def q089_order_month_profile(spark: SparkSession, sf_dir: str):
     """Date/time scalar surface: TO_CHAR-style month bucketing
     (date_format), YEAR extraction, CURRENT_DATE-anchored INTERVAL
     arithmetic (pinned to the dataset's max order date so results are
@@ -946,7 +946,7 @@ def q34_order_month_profile(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q35_part_brand_text_stats",
+    "q035_part_brand_text_stats",
     tags=("A1", "A2", "P5"),
     oracle="""
 SELECT replace(p_brand, '#', '') AS brand_norm,
@@ -959,7 +959,7 @@ FROM part
 GROUP BY replace(p_brand, '#', ''), substring(p_type, 1, 6)
 """,
 )
-def q35_part_brand_text_stats(spark: SparkSession, sf_dir: str):
+def q035_part_brand_text_stats(spark: SparkSession, sf_dir: str):
     """String scalar surface: REPLACE normalization, SUBSTRING prefixing,
     LIKE pattern predicates, TRIM+LENGTH, case folding — all JVM-side
     column expressions inside one hash aggregate."""
@@ -982,7 +982,7 @@ def q35_part_brand_text_stats(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q83_props_variant_kpi",
+    "q083_props_variant_kpi",
     tags=("P2", "P3", "A1"),
     oracle="""
 SELECT event_type,
@@ -994,7 +994,7 @@ FROM events
 GROUP BY event_type
 """,
 )
-def q83_props_variant_kpi(spark: SparkSession, sf_dir: str):
+def q083_props_variant_kpi(spark: SparkSession, sf_dir: str):
     """Open-schema JSON access through Spark 4's VARIANT type — the
     engine-native equivalent of the reference's Snowflake `VARIANT`
     columns and `value:path::TYPE` casts (SURVEY §1.1-§1.2,
@@ -1028,7 +1028,7 @@ def q83_props_variant_kpi(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q89_calendar_coverage",
+    "q034_calendar_coverage",
     tags=("S10", "J3", "A4"),
     oracle="""
 WITH cal AS (
@@ -1049,7 +1049,7 @@ SELECT cal.d AS cal_date,
 FROM cal LEFT JOIN ev ON cal.d = ev.d
 """,
 )
-def q89_calendar_coverage(spark: SparkSession, sf_dir: str):
+def q034_calendar_coverage(spark: SparkSession, sf_dir: str):
     """Generated calendar dimension (the reference's EDW dim_date,
     dags/snowflake-EDW-ETL-dag.py:321-339) joined to daily event rollups:
     `sequence()` + explode generates the date spine engine-side — no
@@ -1083,7 +1083,7 @@ def q89_calendar_coverage(spark: SparkSession, sf_dir: str):
         .join(ev, cal.cal_date == ev.d, "left")
         .select(
             "cal_date",
-            dow.alias("dow"),
+            dow.cast("long").alias("dow"),
             dow.isin(0, 6).alias("is_weekend"),
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
             F.coalesce(F.col("users"), F.lit(0)).cast("long").alias("active_users"),

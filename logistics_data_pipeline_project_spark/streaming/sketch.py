@@ -4,13 +4,16 @@ current over an unbounded stream through ``foreachBatch``.
 
 Why this shape: streaming COUNT(DISTINCT) in complete output mode keeps
 O(distinct keys) state in the state store forever; a register file is a
-few KB per group, FOREVER, and because register merge is idempotent
-(max) the sink tolerates micro-batch replays after a crash — the
-sketch of "batch applied twice" equals the sketch of "batch applied
-once", so exactly-once delivery is not load-bearing here, only the
-checkpoint's at-least-once. The maintained sketch is IDENTICAL to the
-batch sketch of the full history (merge associativity), which is what
-the tests assert.
+few KB per group, FOREVER. foreachBatch is only at-least-once, so the
+fold records the last applied micro-batch id INSIDE each committed
+snapshot (TableStore.overwrite(meta=...) — same atomic pointer swap as
+the data) and skips any replayed batch whose id is <= the recorded one.
+That makes the fold exactly-once for ALL mergeable sketches, including
+the non-idempotent sum-based ones (CMS counters, geometric histograms)
+that a bare replay would double-count; for idempotent merges (HLL max,
+Bloom OR, KMV bottom-k) the skip is merely an optimization. The
+maintained sketch is IDENTICAL to the batch sketch of the full history
+(merge associativity), which is what the tests assert.
 
 The same ``build``/``merge`` pair works in batch backfills
 (plans/incremental.py) and here — one sketch definition, three
@@ -39,18 +42,38 @@ def stream_sketch_rollup(
     """Maintain ``store[table]`` = merge-fold of ``build`` over every
     micro-batch. ``build`` turns a batch into a sketch DataFrame;
     ``merge`` folds two sketches into one (must be associative +
-    commutative; idempotent merges additionally make replayed batches
-    harmless). Each micro-batch commits one atomic TableStore snapshot,
-    so readers never observe a half-applied batch and a bad batch is one
-    ``rollback`` away."""
+    commutative — NOT necessarily idempotent: replayed micro-batches
+    are detected via the batch id committed with each snapshot and
+    skipped, so sum-based merges like CMS never double-count). Each
+    micro-batch commits one atomic TableStore snapshot, so readers never
+    observe a half-applied batch and a bad batch is one ``rollback``
+    away."""
+    if not checkpoint_dir:
+        raise ValueError(
+            "checkpoint_dir is required: the exactly-once fold relies on "
+            "the stream's checkpointed batch ids surviving restarts"
+        )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sk = build(batch_df)
         if store.exists(table):
+            m = store.meta(table)
+            # batch ids are only comparable within ONE checkpoint lineage;
+            # a fresh checkpoint restarts ids at 0 and must never be skipped
+            if (
+                m.get("checkpoint_dir") == checkpoint_dir
+                and m.get("last_batch_id") is not None
+                and batch_id <= int(m["last_batch_id"])
+            ):
+                return  # replayed batch — already folded into the snapshot
             sk = merge(store.read(table), sk)
         # localCheckpoint cuts lineage to the store's previous snapshot
         # files before the atomic swap (same discipline as upsert.py)
-        store.overwrite(table, sk.localCheckpoint(eager=True))
+        store.overwrite(
+            table,
+            sk.localCheckpoint(eager=True),
+            meta={"last_batch_id": batch_id, "checkpoint_dir": checkpoint_dir},
+        )
 
     writer = (
         source_stream.writeStream.foreachBatch(_apply)
@@ -67,8 +90,8 @@ def stream_hll_distinct(
     store: TableStore,
     table: str,
     key_col: str,
+    checkpoint_dir: str,
     keys: Sequence[str] = (),
-    checkpoint_dir: str = "",
     available_now: bool = True,
     index_chars: int = 2,
     rank_chars: int = 12,

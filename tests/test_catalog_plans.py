@@ -17,13 +17,13 @@ def _explain(df) -> str:
 
 
 def test_q02_broadcasts_supplier_dim(spark, sf_dir):
-    plan = _explain(REGISTRY["q02_supplier_return_performance"].fn(spark, sf_dir))
+    plan = _explain(REGISTRY["q002_supplier_return_performance"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, "fact⋈dim must be a broadcast join"
     assert "SortMergeJoin" not in plan
 
 
 def test_q18_pushes_watermark_into_scan(spark, sf_dir):
-    plan = _explain(REGISTRY["q18_incremental_event_load"].fn(spark, sf_dir))
+    plan = _explain(REGISTRY["q018_incremental_event_load"].fn(spark, sf_dir))
     pushed = [
         line for line in plan.splitlines() if "PushedFilters" in line
     ]
@@ -37,7 +37,7 @@ def test_q18_pushes_watermark_into_scan(spark, sf_dir):
 
 
 def test_q21_scan_prunes_to_referenced_columns(spark, sf_dir):
-    plan = _explain(REGISTRY["q21_dedup_exact"].fn(spark, sf_dir))
+    plan = _explain(REGISTRY["q021_dedup_exact"].fn(spark, sf_dir))
     schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert schema_lines
     line = schema_lines[0]
@@ -48,7 +48,7 @@ def test_q21_scan_prunes_to_referenced_columns(spark, sf_dir):
 
 
 def test_q53_semi_join_pushes_returnflag(spark, sf_dir):
-    plan = _explain(REGISTRY["q53_orders_with_returns"].fn(spark, sf_dir))
+    plan = _explain(REGISTRY["q053_orders_with_returns"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "EqualTo(l_returnflag,R)" in plan, "filter must reach the lineitem scan"
 
@@ -60,7 +60,7 @@ def _physical(df) -> str:
 
 
 def test_q74_funnel_runs_on_one_hash_exchange(spark, sf_dir):
-    plan = _physical(REGISTRY["q74_event_funnel"].fn(spark, sf_dir))
+    plan = _physical(REGISTRY["q074_event_funnel"].fn(spark, sf_dir))
     # three chained conditional window mins + the per-user collapse all
     # hash on user_id -> one shuffle of the event stream (the final global
     # agg is a SinglePartition collapse of one row per reducer)
@@ -68,14 +68,14 @@ def test_q74_funnel_runs_on_one_hash_exchange(spark, sf_dir):
 
 
 def test_q50_window_and_agg_share_one_exchange(spark, sf_dir):
-    plan = _physical(REGISTRY["q50_user_event_gaps"].fn(spark, sf_dir))
+    plan = _physical(REGISTRY["q050_user_event_gaps"].fn(spark, sf_dir))
     # lag/lead window and the final groupBy hash on the same key → exactly
     # one shuffle in the whole plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_q58_threshold_and_probe_share_partitioning(spark, sf_dir):
-    plan = _physical(REGISTRY["q58_small_quantity_revenue"].fn(spark, sf_dir))
+    plan = _physical(REGISTRY["q058_small_quantity_revenue"].fn(spark, sf_dir))
     # part dim joins broadcast; only the l_partkey agg/join and the final
     # p_brand agg shuffle
     assert "BroadcastHashJoin" in plan
@@ -83,14 +83,14 @@ def test_q58_threshold_and_probe_share_partitioning(spark, sf_dir):
 
 
 def test_q60_asof_is_single_shuffle(spark, sf_dir):
-    plan = _physical(REGISTRY["q60_purchase_asof_view"].fn(spark, sf_dir))
+    plan = _physical(REGISTRY["q060_purchase_asof_view"].fn(spark, sf_dir))
     # the union+window as-of formulation must not introduce a join at all
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_q61_interval_join_is_hash_not_nested_loop(spark, sf_dir):
-    plan = _explain(REGISTRY["q61_session_interval_events"].fn(spark, sf_dir))
+    plan = _explain(REGISTRY["q061_session_interval_events"].fn(spark, sf_dir))
     # binning turns the BETWEEN range join into an equi hash/sort-merge
     # join — a nested-loop plan would be O(points × intervals)
     assert "BroadcastNestedLoopJoin" not in plan, plan
@@ -101,7 +101,7 @@ def test_q91_no_expand_for_multi_distinct(spark, sf_dir):
     """The cascaded-aggregate rewrite must keep the Expand operator (2×
     row replication Spark plans for multiple COUNT(DISTINCT)s) out of the
     plan, and the order-supplier join must stay broadcast-free of sorts."""
-    df = REGISTRY["q91_sole_late_supplier"].fn(spark, sf_dir)
+    df = REGISTRY["q091_sole_late_supplier"].fn(spark, sf_dir)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in phys, "multi-distinct should be cascaded aggs, not Expand"
 
@@ -109,14 +109,14 @@ def test_q91_no_expand_for_multi_distinct(spark, sf_dir):
 def test_q96_single_real_shuffle_join(spark, sf_dir):
     """Q7 shape: all four dims broadcast; the only non-broadcast join is
     lineitem⋈orders."""
-    df = REGISTRY["q96_nation_pair_volume"].fn(spark, sf_dir)
+    df = REGISTRY["q096_nation_pair_volume"].fn(spark, sf_dir)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert phys.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in phys or phys.count("SortMergeJoin") <= 1
 
 
 def test_q96_pushes_shipdate_range_into_scan(spark, sf_dir):
-    plan = _explain(REGISTRY["q96_nation_pair_volume"].fn(spark, sf_dir))
+    plan = _explain(REGISTRY["q096_nation_pair_volume"].fn(spark, sf_dir))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("l_shipdate" in l and "GreaterThanOrEqual" in l for l in pushed), pushed
 

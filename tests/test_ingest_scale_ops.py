@@ -90,9 +90,9 @@ def test_runner_on_failure_hook_fires(spark, tmp_path):
 def test_q32_lsh_ann_recall_vs_exact(spark, sf_dir):
     exact = {
         (r["query_id"], r["cand_id"])
-        for r in REGISTRY["q25_ann_cosine_topk"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q025_ann_cosine_topk"].fn(spark, sf_dir).collect()
     }
-    approx = REGISTRY["q32_ann_lsh_bucketed"].fn(spark, sf_dir).collect()
+    approx = REGISTRY["q032_ann_lsh_bucketed"].fn(spark, sf_dir).collect()
     cand = {(r[0], r[1]) for r in approx}
     # bucketed search must recover a meaningful share of the true top-10
     recall = len(exact & cand) / len(exact)
@@ -102,7 +102,7 @@ def test_q32_lsh_ann_recall_vs_exact(spark, sf_dir):
 def test_q33_sketches_bound_error(spark, sf_dir):
     prof = {
         r["event_type"]: r
-        for r in REGISTRY["q33_approx_event_profile"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q066_approx_event_profile"].fn(spark, sf_dir).collect()
     }
     ev = load(spark, sf_dir, "events")
     exact = {
@@ -137,7 +137,7 @@ def test_block_cosine_pandas_agrees_with_jvm_exact(spark, sf_dir):
     }
     exact = {
         r["vec_id"]: (r["nn_id"], r["cosine"])
-        for r in REGISTRY["q36_embedding_near_dup"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q036_embedding_near_dup"].fn(spark, sf_dir).collect()
     }
     assert set(fast) == set(exact)
     for vid, (nn, cos) in exact.items():

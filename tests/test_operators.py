@@ -493,9 +493,9 @@ def test_native_session_window_matches_gap_sessionization(spark, sf_dir):
             F.sum("n_events").cast("long").alias("n_events"),
         )
     )
-    q20 = REGISTRY["q20_user_sessions"].fn(spark, sf_dir)
-    q20_cols = set(q20.columns)
-    assert {"user_id", "n_sessions"} <= q20_cols, q20_cols
+    q20 = REGISTRY["q020_user_sessions"].fn(spark, sf_dir)
+    q020_cols = set(q20.columns)
+    assert {"user_id", "n_sessions"} <= q020_cols, q020_cols
     got = {r["user_id"]: r["n_sessions"] for r in native.collect()}
     want = {r["user_id"]: r["n_sessions"] for r in q20.collect()}
     assert got == want
