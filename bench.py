@@ -6,6 +6,14 @@ and prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully executed through Spark's noop sink (all partitions
 materialized — no collect-to-driver bias, no result-size bias).
+
+Every run also persists its full payload to bench_history/<label>.json
+(label = $SPARK_GRAFT_BENCH_LABEL, default "latest") — the driver's
+BENCH_r{N}.json only retains the tail of the stdout line, so the history
+file is what makes cross-round per-query regression analysis possible.
+``--compare <file>`` (or a bare label resolved in bench_history/) embeds
+per-query deltas vs that baseline into the output JSON and lists
+regressions >20% and >0.2s on stderr.
 """
 
 from __future__ import annotations
@@ -68,19 +76,53 @@ def main() -> None:
             print(f"# pass{_pass} {name}: {dt:.3f}s", file=sys.stderr)
     total = sum(timings.values())
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-                "passes": 2,
-            }
+    payload = {
+        "metric": "catalog_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "passes": 2,
+    }
+
+    hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history")
+    if "--compare" in sys.argv:
+        base_arg = sys.argv[sys.argv.index("--compare") + 1]
+        base_path = (
+            base_arg
+            if os.path.isfile(base_arg)
+            else os.path.join(hist_dir, f"{base_arg}.json")
         )
-    )
+        with open(base_path) as f:
+            base = json.load(f)
+        regressions, speedups = {}, {}
+        for name, t in timings.items():
+            b = base.get("queries", {}).get(name)
+            if b is None:
+                continue
+            if t > b * 1.2 and t - b > 0.2:
+                regressions[name] = {"base": b, "now": t}
+            elif b > t * 1.2 and b - t > 0.2:
+                speedups[name] = {"base": b, "now": t}
+        payload["compare"] = {
+            "baseline": os.path.basename(base_path),
+            "baseline_total": base.get("value"),
+            "regressions": regressions,
+            "speedups": speedups,
+        }
+        for name, d in sorted(regressions.items()):
+            print(
+                f"# REGRESSION {name}: {d['base']:.3f}s -> {d['now']:.3f}s",
+                file=sys.stderr,
+            )
+
+    os.makedirs(hist_dir, exist_ok=True)
+    label = os.environ.get("SPARK_GRAFT_BENCH_LABEL", "latest")
+    with open(os.path.join(hist_dir, f"{label}.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -153,19 +153,23 @@ def minhash_lsh_pairs(
     """MinHash+LSH candidate pairs — the 100 TB-scale near-dup path,
     entirely as DataFrame expressions (JVM-side, whole-stage-codegen):
 
-    1. signatures: ``num_hash_tables`` seeded xxhash64 min-aggregates over
-       each doc's shingles — one groupBy(doc), fixed-width state.
+    1. signatures: ``num_hash_tables`` seeded md5 min-aggregates over
+       each doc's shingles — one row-local fold per doc, fixed-width
+       state. Components are 32-char md5 hex strings; lexicographic min
+       over fixed-width hex ≡ numeric min of the 128-bit values, and md5
+       exists in every engine, so the signatures are cross-engine
+       deterministic (same policy as the sketch operators).
     2. banding: the signature splits into ``n_bands`` bands; each band's
-       hashes collapse to one 64-bit bucket key.
+       hashes collapse to one md5 bucket key.
     3. candidates: equi-self-join on (band, bucket) — shuffle keyed on the
        bucket value, linear in candidate pairs, never the n² cross product.
     4. estimate: jaccard_distance = 1 − (matching signature components /
        num_hash_tables); pairs above ``max_distance`` are dropped.
 
-    Returns (id1, id2, jaccard_distance) with id1 < id2. Seeded and
-    deterministic, but engine-specific hashing → the driver records a
-    rows-only check; exact `shingle_jaccard_pairs` is the differential
-    reference for recall (tests/test_operators.py).
+    Returns (id1, id2, jaccard_distance) with id1 < id2. Seeded,
+    deterministic, AND oracle-checkable: q023's DuckDB oracle replays the
+    identical md5 pipeline; exact `shingle_jaccard_pairs` remains the
+    differential reference for recall (tests/test_operators.py).
 
     Tuning: P(candidate | jaccard=j) = 1−(1−j^(k/b))^b for k hashes in b
     bands — the default (k=8, b=4) catches ≥99% of pairs with j ≥ 0.5 while
@@ -177,7 +181,7 @@ def minhash_lsh_pairs(
     hcols = [f"__h{i}" for i in range(num_hash_tables)]
 
     # Signatures are a PER-DOCUMENT reduction: the shingle set folds
-    # row-locally (array_min over seeded xxhash64) instead of exploding
+    # row-locally (array_min over seeded md5) instead of exploding
     # into a (doc, shingle) stream and shuffling it back by doc — zero
     # exchanges for the signature stage, bit-identical to the explode →
     # groupBy(id) min-aggregate form (asserted before adopting). The
@@ -193,7 +197,9 @@ def minhash_lsh_pairs(
     sig = toks.withColumn("__sh", F.expr(shingle_expr)).select(
         F.col(id_col),
         *[
-            F.expr(f"array_min(transform(__sh, s -> xxhash64(s, {seed + i})))").alias(h)
+            F.expr(
+                f"array_min(transform(__sh, s -> md5(concat('{seed + i}:', s))))"
+            ).alias(h)
             for i, h in enumerate(hcols)
         ],
     )
@@ -205,8 +211,14 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(hcols[b * per_band + j]) for j in range(per_band)]
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(hcols[b * per_band + j])
+                                    for j in range(per_band)
+                                ],
+                            )
                         ).alias("sig"),
                     )
                     for b in range(n_bands)
@@ -388,11 +400,18 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     inside the scan stage (measured ~2.5× faster than the equivalent
     explode → groupBy(id) 60-sum hash aggregate at sf0.1, and the
     fingerprints are bit-identical). At 100 TB that difference is an
-    entire shuffle of the token stream that never happens."""
+    entire shuffle of the token stream that never happens.
+
+    Token hash = the top 60 bits of md5 (15 hex chars via conv), NOT
+    xxhash64: md5 exists in every engine, so the fingerprints are
+    cross-engine deterministic and the whole simhash family is
+    differential-testable against a DuckDB oracle (the same
+    determinism policy as the sketch operators)."""
     bits = _SIMHASH_BITS
     expr = f"""
     aggregate(
-      transform(split(lower({text_col}), ' '), t -> xxhash64(t)),
+      transform(split(lower({text_col}), ' '),
+                t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
       struct(CAST(0 AS BIGINT) AS n, array_repeat(CAST(0 AS BIGINT), {bits}) AS s),
       (acc, h) -> struct(
         acc.n + 1 AS n,

@@ -12,19 +12,24 @@ answers with bounded parallelism:
    as the engine's window queries). Partition boundaries come from
    Spark's reservoir sampling; WHERE they land affects only balance,
    never results — ranks/prefix scans are exact for any range split.
-2. a per-partition scan (local sort / local window) — parallel across
-   the P ranges,
-3. per-partition summaries (count / sum / max — O(P) rows) collected to
-   the driver, turned into prefix OFFSETS, and broadcast-joined back.
-   The collect is bounded by the partition count, never the data
-   (same justification as dedup.py's gated union-find).
+2. a per-partition local scan (window partitioned by range id) —
+   parallel across the P ranges,
+3. per-range summaries (count / sum / max), reduced map-side to O(P)
+   rows, prefix-scanned (a window over the P-row summary frame — the
+   only single-partition sort here, bounded by the partition count, not
+   the data), and BROADCAST-joined back as offsets.
+
+Everything happens in ONE query plan — no driver collect, no extra jobs,
+and Catalyst's ReusedExchange feeds both the summary branch and the scan
+branch from a single range shuffle.
 
 global rank = local position + rows in all earlier ranges; running sum =
 local running sum + sum of earlier ranges; prefix max = max(local prefix
 max, max of earlier ranges). NTILE is pure integer arithmetic on the
-global rank (the exact SQL NTILE bucket formula), so results match a
-single-partition NTILE bit-for-bit — these are drop-in de-globalizations,
-certified by the unchanged DuckDB oracles of q110/q117/q126.
+global rank (the exact SQL NTILE bucket formula) with the total count
+riding along as a column, so results match a single-partition NTILE
+bit-for-bit — these are drop-in de-globalizations, certified by the
+unchanged DuckDB oracles of q110/q117/q126.
 """
 
 from __future__ import annotations
@@ -49,41 +54,45 @@ def _ranged(df: DataFrame, order_by: Sequence[Column], num_partitions: int | Non
     return d.withColumn(_PID, F.spark_partition_id())
 
 
-def _offsets(parts: DataFrame, spark, combine) -> tuple[list, object]:
-    """Collect the O(P) per-range summaries and fold them into per-range
-    prefix offsets (rows = [(pid, offset)]) plus the grand total."""
-    rows = sorted((r[0], r[1]) for r in parts.collect())
-    out, acc = [], None
-    for pid, v in rows:
-        out.append((pid, acc))
-        acc = v if acc is None else combine(acc, v)
-    return out, acc
+def _offset_frame(d: DataFrame, agg: Column, kind: str, want_total: bool):
+    """(pid, __off[, __tot]) — per-range summaries prefix-scanned into
+    offsets (``kind``: fold earlier ranges by 'sum' or 'max'; __off is
+    NULL for the first range). The windows run over the O(P)-row summary
+    frame only — the lone single-partition sort, bounded by partition
+    count, never data."""
+    parts = d.groupBy(_PID).agg(agg.alias("__s"))
+    w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fold = {"sum": F.sum, "max": F.max}[kind]
+    cols = [F.col(_PID), fold("__s").over(w_prev).alias("__off")]
+    if want_total:
+        cols.append(F.sum("__s").over(w_all).alias("__tot"))
+    return parts.select(*cols)
 
 
 def with_global_rank(
     df: DataFrame,
     order_by: Sequence[Column],
     out: str = "rank",
+    total_out: str | None = None,
     num_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
+) -> DataFrame:
     """Add the exact 1-based global row number under ``order_by`` (which
     must be a TOTAL order — carry a unique tiebreaker) without a global
-    sort. Returns (df + out column, total row count) — the count falls
-    out of the offset pass for free, so NTILE needs no extra job."""
-    spark = df.sparkSession
+    sort. ``total_out`` optionally adds the total row count as a column
+    (it falls out of the offset scan for free — NTILE needs it)."""
     d = _ranged(df, order_by, num_partitions)
-    counts = d.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
-    offs, total = _offsets(counts, spark, lambda a, b: a + b)
-    off_df = spark.createDataFrame(
-        [(p, o if o is not None else 0) for p, o in offs],
-        f"{_PID} int, __off long",
-    )
+    offs = _offset_frame(d, F.count(F.lit(1)), "sum", want_total=bool(total_out))
     w = Window.partitionBy(_PID).orderBy(*order_by)
-    return (
-        d.join(F.broadcast(off_df), _PID)
-        .withColumn(out, (F.col("__off") + F.row_number().over(w)).cast("long"))
-        .drop(_PID, "__off")
-    ), int(total or 0)
+    out_df = d.join(F.broadcast(offs), _PID).withColumn(
+        out,
+        (F.coalesce(F.col("__off"), F.lit(0)) + F.row_number().over(w)).cast("long"),
+    )
+    if total_out:
+        out_df = out_df.withColumn(total_out, F.col("__tot").cast("long"))
+    return out_df.drop(_PID, "__off", "__tot")
 
 
 def exact_ntile(
@@ -95,23 +104,25 @@ def exact_ntile(
 ) -> DataFrame:
     """Exact NTILE(n) over a total order, no single-partition sort: the
     SQL NTILE bucket of global rank rk over n rows is pure integer math
-    (first n%b buckets hold ⌈n/b⌉ rows), so the bucket comes straight off
-    `with_global_rank` — bit-identical to Window NTILE, at range-partition
-    parallelism."""
-    ranked, n = with_global_rank(df, order_by, out="__rk", num_partitions=num_partitions)
-    q, r = divmod(n, n_buckets)
-    rk = F.col("__rk")
+    (the first n mod b buckets hold ⌈n/b⌉ rows), so the bucket comes
+    straight off `with_global_rank` with the total count as a column —
+    bit-identical to Window NTILE, at range-partition parallelism."""
+    ranked = with_global_rank(
+        df, order_by, out="__rk", total_out="__n", num_partitions=num_partitions
+    )
+    rk, n = F.col("__rk"), F.col("__n")
+    b = F.lit(n_buckets)
+    r = n % b
+    q = F.floor(n / b).cast("long")
     big_span = r * (q + 1)  # rows living in the ⌈n/b⌉-sized buckets
     bucket = F.when(
-        rk <= F.lit(big_span), (rk - 1) / F.lit(q + 1)
+        rk <= big_span, F.floor((rk - 1) / (q + 1))
     ).otherwise(
-        # q == 0 makes this branch unreachable (big_span == n); max(q,1)
-        # keeps the expression total under ANSI division semantics
-        F.lit(r) + (rk - F.lit(big_span) - 1) / F.lit(max(q, 1))
+        # q == 0 makes this branch unreachable (big_span == n);
+        # greatest(q, 1) keeps the expression total under ANSI division
+        r + F.floor((rk - big_span - 1) / F.greatest(q, F.lit(1)))
     )
-    return ranked.withColumn(
-        out, (F.floor(bucket) + F.lit(1)).cast("int")
-    ).drop("__rk")
+    return ranked.withColumn(out, (bucket + 1).cast("int")).drop("__rk", "__n")
 
 
 def with_running_sum(
@@ -125,16 +136,10 @@ def with_running_sum(
     """Exact inclusive running sum of ``value_col`` under ``order_by``
     plus the grand total — the cumulative-share scan (ABC/Pareto, Gini)
     — without a global sort. Sums stay in the column's own type (pass
-    DECIMAL for exact money); per-range subtotals collect as O(P) Python
-    values (exact Decimal) and come back as literal offsets."""
-    spark = df.sparkSession
-    d = _ranged(df, order_by, num_partitions)
-    sums = d.groupBy(_PID).agg(F.sum(value_col).alias("__s"))
-    offs, grand = _offsets(sums, spark, lambda a, b: a + b)
+    DECIMAL for exact money; Spark's sum-widening is cast back)."""
     dtype = dict(df.dtypes)[value_col]
-    off_df = spark.createDataFrame(offs, f"{_PID} int, __off string").select(
-        _PID, F.col("__off").cast(dtype).alias("__off")
-    )
+    d = _ranged(df, order_by, num_partitions)
+    offs = _offset_frame(d, F.sum(value_col), "sum", want_total=True)
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_by)
@@ -142,10 +147,10 @@ def with_running_sum(
     )
     local = F.sum(value_col).over(w)
     return (
-        d.join(F.broadcast(off_df), _PID)
+        d.join(F.broadcast(offs), _PID)
         .withColumn(cum, F.coalesce(F.col("__off") + local, local).cast(dtype))
-        .withColumn(total, F.lit(str(grand)).cast(dtype))
-        .drop(_PID, "__off")
+        .withColumn(total, F.col("__tot").cast(dtype))
+        .drop(_PID, "__off", "__tot")
     )
 
 
@@ -160,15 +165,8 @@ def with_prefix_max(
     ``order_by`` (NULL for the global first row) — the dominance scan a
     2-D skyline needs — without a global sort: local prev-max within each
     range, folded with the broadcast max of all earlier ranges."""
-    spark = df.sparkSession
     d = _ranged(df, order_by, num_partitions)
-    maxs = d.groupBy(_PID).agg(F.max(value_col).alias("__m"))
-    offs, _ = _offsets(maxs, spark, max)
-    dtype = dict(df.dtypes)[value_col]
-    off_df = spark.createDataFrame(
-        [(p, None if o is None else str(o)) for p, o in offs],
-        f"{_PID} int, __off string",
-    ).select(_PID, F.col("__off").cast(dtype).alias("__off"))
+    offs = _offset_frame(d, F.max(value_col), "max", want_total=False)
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_by)
@@ -176,7 +174,7 @@ def with_prefix_max(
     )
     local = F.max(value_col).over(w)
     return (
-        d.join(F.broadcast(off_df), _PID)
+        d.join(F.broadcast(offs), _PID)
         .withColumn(out, F.greatest(F.col("__off"), local))
         .drop(_PID, "__off")
     )

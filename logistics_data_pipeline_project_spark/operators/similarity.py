@@ -76,6 +76,18 @@ def cosine_topk(
     )
 
 
+def plane_coef(seed: int, p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1):
+    a keyed md5 digest mapped to a double. Module-level so the DuckDB
+    replay oracle (q032) embeds the IDENTICAL literals the Spark plan
+    does — repr round-trips doubles exactly."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
+    return struct.unpack("<q", h[:8])[0] / float(1 << 63)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     id_col: str,
@@ -111,9 +123,6 @@ def lsh_topk(
     """
     if n_planes % n_bands:
         raise ValueError("n_planes must be divisible by n_bands")
-    import hashlib
-    import struct
-
     first = embeddings.select(vec_col).first()
     if first is None:
         return embeddings.sparkSession.createDataFrame(
@@ -121,12 +130,9 @@ def lsh_topk(
         )
     dim = len(first[0])
 
-    def coef(p: int, d: int) -> float:
-        h = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
-        return struct.unpack("<q", h[:8])[0] / float(1 << 63)
-
     plane_lits = [
-        F.array(*[F.lit(coef(p, d)) for d in range(dim)]) for p in range(n_planes)
+        F.array(*[F.lit(plane_coef(seed, p, d)) for d in range(dim)])
+        for p in range(n_planes)
     ]
 
     def dot_with(plane):

@@ -2752,30 +2752,32 @@ def q110_customer_rfm_segments(spark: SparkSession, sf_dir: str):
     customer-mart classification the reference's segment CASE chains
     (dags/snowflake-EDW-ETL-dag.py:353-367) approximate by hand. The
     fact stream collapses to one row per customer first (map-side
-    combined; monetary in exact DECIMAL), THEN three NTILE(4) windows
-    score the O(customers) aggregate — each with the customer key as
-    tiebreaker, because NTILE's bucket boundaries on ties are otherwise
-    engine-dependent. The global-order windows are fine at this altitude
-    (they sort customers, not orders; for billions of customers swap in
-    approx-percentile cut points). Banding is a pure CASE chain."""
+    combined; monetary in exact DECIMAL), THEN three exact NTILE(4)
+    scores over the O(customers) aggregate — each with the customer key
+    as tiebreaker, because NTILE's bucket boundaries on ties are
+    otherwise engine-dependent. The scores come from
+    `operators.ranking.exact_ntile` (range-partitioned rank + integer
+    bucket math), NOT a bare Window.orderBy — bit-identical to the
+    oracle's NTILE but with no single-partition sort, so the scoring
+    stays parallel at billions of customers. Banding is a pure CASE
+    chain."""
+    from ..operators.ranking import exact_ntile
+
     o = load(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice", 18, 2)).alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_score"),
+    scored = exact_ntile(
+        rfm, [F.desc("last_order"), F.asc("o_custkey")], 4, "r_score"
     )
+    scored = exact_ntile(
+        scored, [F.desc("frequency"), F.asc("o_custkey")], 4, "f_score"
+    )
+    scored = exact_ntile(
+        scored, [F.desc("monetary"), F.asc("o_custkey")], 4, "m_score"
+    ).select("o_custkey", "r_score", "f_score", "m_score")
     labeled = scored.withColumn(
         "segment",
         F.when(
@@ -3146,28 +3148,23 @@ def q117_part_abc_classes(spark: SparkSession, sf_dir: str):
     """ABC / Pareto classification: parts banded by cumulative revenue
     share (A = first 80% of revenue, B = to 95%, C = tail) — the
     inventory-prioritization classic. The fact stream collapses to
-    O(parts) with map-side combine before the one revenue-ordered
-    cumulative window (partkey tiebreak makes the running sum total-
-    ordered), and every band cut is division-free DECIMAL
-    (`cum·100 ≤ total·80`), so class membership is bit-stable across
-    engines and plans. At extreme part cardinality the global-order
-    window swaps for pre-computed percentile cut points."""
+    O(parts) with map-side combine; the revenue-ordered cumulative sum
+    (partkey tiebreak makes it total-ordered) comes from
+    `operators.ranking.with_running_sum` — range-partitioned local scans
+    + broadcast DECIMAL offsets, NOT a single-partition window — so the
+    Pareto scan stays parallel at any part cardinality. Every band cut
+    is division-free DECIMAL (`cum·100 ≤ total·80`), so class membership
+    is bit-stable across engines and plans."""
+    from ..operators.ranking import with_running_sum
+
     li = load(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice", 18, 2) * (1 - dec("l_discount", 4, 2))).alias(
             "revenue"
         )
     )
-    cum_w = (
-        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tot_w = Window.partitionBy()
-    c = pv.select(
-        "l_partkey",
-        "revenue",
-        F.sum("revenue").over(cum_w).alias("cum"),
-        F.sum("revenue").over(tot_w).alias("total"),
+    c = with_running_sum(
+        pv, [F.desc("revenue"), F.asc("l_partkey")], "revenue"
     )
     k = c.withColumn(
         "abc_class",
@@ -3709,13 +3706,15 @@ def q126_part_price_size_skyline(spark: SparkSession, sf_dir: str):
     distinct (price, size) points, sort by (price asc, size desc), and a
     point survives iff its size beats the running max over all
     predecessors — every potential dominator precedes it in that order,
-    so ONE window pass replaces the quadratic self-join, certified
+    so ONE prefix-max scan replaces the quadratic self-join, certified
     equivalent by the differential gate. Points collapse before the
-    window (O(distinct pairs), not O(parts)); the frontier itself is
-    tiny. The single-key sort is the only non-partitioned step — at
-    extreme domain cardinality, grid-partition pre-pruning (each cell
-    keeps its local frontier, a union'd second pass finishes) restores
-    full parallelism with the same semantics."""
+    scan (O(distinct pairs), not O(parts)); the frontier itself is
+    tiny. The scan is `operators.ranking.with_prefix_max` — per-range
+    local prev-max folded with the broadcast max of earlier ranges, NOT
+    a single-partition window — so the dominance pass stays parallel at
+    any domain cardinality with identical semantics."""
+    from ..operators.ranking import with_prefix_max
+
     p = load(spark, sf_dir, "part")
     pts = p.groupBy(
         F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
@@ -3723,12 +3722,8 @@ def q126_part_price_size_skyline(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_parts"),
         F.min("p_partkey").alias("min_partkey"),
     )
-    w = (
-        Window.orderBy(F.asc("price"), F.desc("psize"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     return (
-        pts.withColumn("prev_max", F.max("psize").over(w))
+        with_prefix_max(pts, [F.asc("price"), F.desc("psize")], "psize")
         .filter(F.col("prev_max").isNull() | (F.col("psize") > F.col("prev_max")))
         .select("price", "psize", "n_parts", "min_partkey")
     )

@@ -124,29 +124,118 @@ def q022_near_dup_jaccard(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# q23 — MinHash LSH near-dup candidates (scale path; rows-only)
+# q23 — MinHash LSH near-dup candidates (scale path)
 # ---------------------------------------------------------------------------
 
 
-@register("q023_near_dup_minhash_lsh", tags=("dedup", "U1"))
+def _q023_oracle(n: int, k: int, bands: int, seed: int, max_dist: float) -> str:
+    """DuckDB replay of minhash_lsh_pairs: same md5 signature math
+    (operators/dedup.py:143) — lexicographic min over seeded md5 hex is
+    engine-agnostic, which is the whole point of the md5 re-key."""
+    per = k // bands
+    sig_cols = ",\n    ".join(
+        f"list_min([md5('{seed + i}:' || x) FOR x IN s]) AS h{i}" for i in range(k)
+    )
+    hlist = ", ".join(f"h{i}" for i in range(k))
+    pipe = " || '|' || "
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {hlist}, {b} AS band, "
+        f"md5({pipe.join(f'h{b * per + j}' for j in range(per))}) AS sig FROM sig"
+        for b in range(bands)
+    )
+    m_flags = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), f AS (
+  SELECT doc_id, t FROM toks WHERE len(t) >= {n}
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(t[i+1:i+{n}], ' ') FOR i IN range(len(t)-{n - 1})]) AS s
+  FROM f
+), sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM sh
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+    CAST(ROUND(1.0 - ({m_flags}) / {float(k)!r}, 4) AS DOUBLE) AS jaccard_distance
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, jaccard_distance FROM cand
+WHERE jaccard_distance <= {max_dist!r}
+"""
+
+
+@register(
+    "q023_near_dup_minhash_lsh",
+    tags=("dedup", "U1"),
+    oracle=_q023_oracle(n=3, k=8, bands=4, seed=42, max_dist=0.95),
+)
 def q023_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str):
-    """MinHash+LSH candidate pairs (seeded, deterministic). Rows-only
-    check: xxhash64/minhash math is not reproducible in ANSI SQL; its
-    recall against exact Jaccard (q22) is asserted in tests."""
+    """MinHash+LSH candidate pairs (seeded, deterministic, md5-keyed →
+    the DuckDB oracle replays the identical signature/banding math, so
+    the LSH scale path gets a full hash-equality row, not just rows-only;
+    recall vs exact Jaccard (q22) stays asserted in tests). The estimate
+    1 − matches/8 moves in exact 0.125 steps, so the ROUND(…, 4) can
+    never sit on a decimal half boundary — engine-safe."""
     return minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), "text", "doc_id", n=3, max_distance=0.95
     )
 
 
 # ---------------------------------------------------------------------------
-# q24 — SimHash near-dup candidates (rows-only)
+# q24 — SimHash near-dup candidates
 # ---------------------------------------------------------------------------
 
 
-@register("q024_near_dup_simhash", tags=("dedup",))
+def _q024_oracle(bits: int, bands: int, max_hamming: int) -> str:
+    """DuckDB replay of simhash + banded pairs (operators/dedup.py:377):
+    token hash = top 60 bits of md5 (same conv/hex-cast value on both
+    engines), bit-majority fold, band equality, Hamming verify."""
+    bw = bits // bands
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), hs AS (
+  SELECT doc_id, len(t) AS n,
+    [('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT FOR tok IN t] AS h
+  FROM toks
+), sh AS (
+  SELECT doc_id,
+    coalesce(list_sum([CASE WHEN 2 * list_sum([CAST((x >> b) & 1 AS BIGINT) FOR x IN h]) > n
+                       THEN (1::BIGINT << b) ELSE 0::BIGINT END FOR b IN range({bits})]),
+             0::BIGINT) AS simhash
+  FROM hs
+), bands AS (
+  SELECT doc_id, simhash, b.band,
+    (simhash >> (b.band * {bw})) & {(1 << bw) - 1} AS val
+  FROM sh, (SELECT unnest(range({bands})) AS band) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+@register(
+    "q024_near_dup_simhash",
+    tags=("dedup",),
+    oracle=_q024_oracle(bits=60, bands=4, max_hamming=16),
+)
 def q024_near_dup_simhash(spark: SparkSession, sf_dir: str):
-    """60-bit SimHash banded near-dup pairs (xxhash64 is JVM-side and
-    deterministic but engine-specific → rows-only check)."""
+    """60-bit SimHash banded near-dup pairs. md5-keyed fingerprints make
+    the whole pipeline cross-engine deterministic — the oracle replays
+    signature, banding, and Hamming verify, upgrading the simhash family
+    from rows-only to a full hash-equality row."""
     return simhash_near_pairs(
         load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=16
     )
@@ -426,14 +515,86 @@ def q031_payload_metadata(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("q032_ann_lsh_bucketed", tags=("similarity", "U1"))
+def _q032_oracle(
+    dim: int, n_planes: int, n_bands: int, seed: int, k: int, query_ids: list
+) -> str:
+    """DuckDB replay of lsh_topk (operators/similarity.py): hyperplane
+    coefficients are the SAME Python doubles the Spark plan embeds
+    (plane_coef; repr round-trips exactly), and every dot product is an
+    explicit left-associative chain — the exact fold order of Spark's
+    `aggregate`, so even the sign bit of a near-zero projection agrees
+    bit-for-bit. The exact-cosine verify reuses q025's oracle idiom."""
+    from ..operators.similarity import plane_coef
+
+    per = n_planes // n_bands
+
+    def dot_chain(p: int) -> str:
+        return " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * CAST('{plane_coef(seed, p, d)!r}' AS DOUBLE)"
+            for d in range(dim)
+        )
+
+    bit_cols = ",\n    ".join(
+        f"CASE WHEN {dot_chain(p)} > 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(n_planes)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT vec_id, embedding, {b} AS band, {v} AS sig FROM sig".format(
+            b=b,
+            v=" + ".join(f"b{b * per + j} * {2 ** j}" for j in range(per)),
+        )
+        for b in range(n_bands)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+    {bit_cols}
+  FROM embeddings
+), bands AS (
+  {band_rows}
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, band, sig FROM bands
+  WHERE vec_id IN ({ids})
+), cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS cand_id, q.qv, c.embedding AS cv
+  FROM q JOIN bands c ON q.band = c.band AND q.sig = c.sig
+  WHERE c.vec_id <> q.query_id
+), p AS (
+  SELECT query_id, cand_id,
+    list_sum(list_transform(generate_series(1, {dim}), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qn,
+    sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))) AS cn
+  FROM cand
+), scored AS (
+  SELECT query_id, cand_id, CAST(ROUND(dot / (qn * cn), 4) AS DOUBLE) AS cosine
+  FROM p
+)
+SELECT query_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {k}
+"""
+
+
+@register(
+    "q032_ann_lsh_bucketed",
+    tags=("similarity", "U1"),
+    oracle=_q032_oracle(
+        dim=64, n_planes=12, n_bands=6, seed=7, k=10, query_ids=[0, 1, 2, 3, 4]
+    ),
+)
 def q032_ann_lsh_bucketed(spark: SparkSession, sf_dir: str):
     """Approximate-NN scale path for q25: seeded random-hyperplane
     (SimHash) signatures, banded bucketing, and exact cosine only within
     matching buckets — O(n·bands) hashing plus bucket-local joins instead
     of the n×q cross product, all JVM-side DataFrame expressions.
-    Rows-only by design (approximate operator; q25 is its exact
-    oracle-checked counterpart and tests/ verify recall against it)."""
+    Approximate vs. the true top-k (recall bounded in tests against
+    q25's exact operator) but fully DETERMINISTIC, so the DuckDB oracle
+    replays signatures, bucketing, and verify hash-exactly. Testdata
+    embeddings are 64-dim at every SF (the oracle embeds that dim)."""
     emb = load(spark, sf_dir, "embeddings")
     out = lsh_topk(emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10)
     return out

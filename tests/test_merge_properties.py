@@ -103,6 +103,29 @@ class TestMergeProperties:
 
     @given(batch1=rows, batch2=rows)
     @prop
+    def test_disjoint_batches_commute(self, spark, batch1, batch2):
+        """Snowflake MERGE applies disjoint-key batches in either order
+        with the same result; a join-rewrite can silently break that
+        (e.g. if un-matched target rows leak or dup). Keys are forced
+        disjoint by parity-splitting the generated keys."""
+        b1 = [(k, v, ts) for k, v, ts in batch1 if k % 2 == 0]
+        b2 = [(k, v, ts) for k, v, ts in batch2 if k % 2 == 1]
+        order = [F.desc("ts"), F.desc("v")]
+        tgt = _df(spark, [])
+        s1 = dedup_latest(_df(spark, b1), ["k"], order)
+        s2 = dedup_latest(_df(spark, b2), ["k"], order)
+        ab = merge_upsert(
+            merge_upsert(tgt, s1, ["k"], update_set=SET_V(), strict=True),
+            s2, ["k"], update_set=SET_V(), strict=True,
+        )
+        ba = merge_upsert(
+            merge_upsert(tgt, s2, ["k"], update_set=SET_V(), strict=True),
+            s1, ["k"], update_set=SET_V(), strict=True,
+        )
+        assert {tuple(r) for r in ab.collect()} == {tuple(r) for r in ba.collect()}
+
+    @given(batch1=rows, batch2=rows)
+    @prop
     def test_incremental_equals_full_rebuild(self, spark, batch1, batch2):
         order = [F.desc("ts"), F.desc("v")]
         empty = _df(spark, [])
@@ -185,6 +208,28 @@ class TestScd2Properties:
                 want[k] = v
         got = {r["k"]: r["v"] for r in rows_ if r["is_current"]}
         assert got == want
+
+    @given(updates=upd_rows)
+    @prop
+    def test_scd2_rerun_idempotent(self, spark, updates):
+        """Re-running the same snapshot (a replayed batch / backfill
+        rerun) must be a no-op: no rows close, no rows open — the
+        dbt-snapshot guarantee a naive join-rewrite breaks by re-opening
+        unchanged keys. Applies even at a LATER effective timestamp."""
+        latest = {}
+        for k, v in updates:
+            latest[k] = v
+        upd = spark.createDataFrame(
+            [(k, v) for k, v in latest.items()], "k int, v string"
+        )
+        hist = spark.createDataFrame([], HIST_SCHEMA)
+        t1 = dt.datetime(2024, 1, 1)
+        t2 = dt.datetime(2024, 2, 1)
+        once = scd2_apply(hist, upd, "k", ["v"], F.lit(t1).cast("timestamp"))
+        again = scd2_apply(once, upd, "k", ["v"], F.lit(t2).cast("timestamp"))
+        assert {tuple(r) for r in once.collect()} == {
+            tuple(r) for r in again.collect()
+        }
 
 
 @pytest.mark.usefixtures("spark")

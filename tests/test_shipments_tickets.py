@@ -125,9 +125,33 @@ def test_ticket_flow_classification(spark, tmp_path):
 
 
 def test_model_classifies_training_set():
+    """Golden test: the TF-IDF → logistic-regression pipeline (the
+    reference's model class, dags/4_logistics_ticket_classifier_full_dag
+    .py:32-52) reproduces the 10-example training labels exactly."""
     m = default_model()
     texts, labels = zip(*TRAINING_DATA)
     assert m.predict(list(texts)) == list(labels)
+
+
+def test_lr_and_centroid_models_agree_on_probes():
+    """Differential check between the LR model and the dependency-free
+    centroid fallback on unambiguous held-out probes — plus determinism
+    of the fitted LR weights across independent fits (no RNG anywhere)."""
+    from logistics_data_pipeline_project_spark.operators.ml_text import (
+        centroid_model,
+        default_model as fit_lr,
+    )
+
+    probes = [
+        "cancel my subscription order now",
+        "refund did not arrive after payment",
+        "parcel is late again",
+    ]
+    want = ["Order Cancellation", "Payment Issue", "Delivery Issue"]
+    lr, cen = fit_lr(), centroid_model()
+    assert lr.predict(probes) == want
+    assert cen.predict(probes) == want
+    assert fit_lr().W == lr.W and fit_lr().b == lr.b
 
 
 def test_report_sink(spark):

@@ -264,3 +264,80 @@ def test_stream_hll_distinct_matches_batch_sketch(spark, tmp_path):
 
     est = hll_estimate(store.read("uniq_users"), keys=("event_type",)).collect()[0]
     assert abs(est.distinct_est - 700) / 700 < 0.15, est.distinct_est
+
+
+def test_stream_cms_exactly_once_under_replay(spark, tmp_path):
+    """foreachBatch is at-least-once; for a SUM-based sketch (CMS) a
+    replayed micro-batch would silently double-count. The fold records
+    the last applied batch id atomically with each snapshot and skips
+    replays — simulated here the way a real crash produces one: delete
+    the checkpoint's commit marker so Structured Streaming re-runs the
+    already-applied batch on restart."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.operators.sketch import cms_counters
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+    from logistics_data_pipeline_project_spark.streaming.sketch import (
+        stream_sketch_rollup,
+    )
+
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    schema = "user_id long"
+
+    def merge(a, b):
+        return (
+            a.unionByName(b)
+            .groupBy("hash_row", "bucket")
+            .agg(F.sum("counter").cast("long").alias("counter"))
+        )
+
+    def drain():
+        stream = spark.readStream.format("json").schema(schema).load(landing)
+        q = stream_sketch_rollup(
+            stream, store, "cms",
+            build=lambda b: cms_counters(b, "user_id"),
+            merge=merge,
+            checkpoint_dir=chk,
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    def counters():
+        return {
+            (r["hash_row"], r["bucket"]): r["counter"]
+            for r in store.read("cms").collect()
+        }
+
+    with open(os.path.join(landing, "b1.json"), "w") as f:
+        for i in range(100):
+            f.write(json.dumps({"user_id": i}) + "\n")
+    drain()
+    c1 = counters()
+    assert sum(c1.values()) == 300  # 100 keys × depth 3
+
+    # crash window: the micro-batch committed to the store, but the
+    # streaming checkpoint lost its commit marker → restart REPLAYS it
+    commit0 = os.path.join(chk, "commits", "0")
+    assert os.path.isfile(commit0)
+    os.remove(commit0)
+    crc0 = os.path.join(chk, "commits", ".0.crc")  # local-FS checksum twin
+    if os.path.isfile(crc0):
+        os.remove(crc0)
+    drain()
+    assert counters() == c1, "replayed batch double-counted the CMS"
+
+    # normal progress still folds new batches
+    with open(os.path.join(landing, "b2.json"), "w") as f:
+        for i in range(50):
+            f.write(json.dumps({"user_id": i}) + "\n")
+    drain()
+    assert sum(counters().values()) == 450
