@@ -32,6 +32,37 @@ from logistics_data_pipeline_project_spark.session import get_spark  # noqa: E40
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Resolve --compare BEFORE the (long) benchmark: a malformed flag or a
+    # missing baseline must fail in milliseconds, not after minutes of
+    # measurement whose payload would then be lost unwritten.
+    hist_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history"
+    )
+    base = None
+    if "--compare" in sys.argv:
+        idx = sys.argv.index("--compare")
+        if idx + 1 >= len(sys.argv):
+            print("usage: bench.py [--compare <file-or-label>]", file=sys.stderr)
+            sys.exit(2)
+        base_arg = sys.argv[idx + 1]
+        base_path = (
+            base_arg
+            if os.path.isfile(base_arg)
+            else os.path.join(hist_dir, f"{base_arg}.json")
+        )
+        try:
+            with open(base_path) as f:
+                base = json.load(f)
+        except (OSError, ValueError) as e:
+            print(
+                f"bench.py: --compare baseline unreadable"
+                f" ({base_path}): {e}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        base["__path__"] = base_path
+
     spark = get_spark(app_name="ldp-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -86,16 +117,15 @@ def main() -> None:
         "passes": 2,
     }
 
-    hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_history")
-    if "--compare" in sys.argv:
-        base_arg = sys.argv[sys.argv.index("--compare") + 1]
-        base_path = (
-            base_arg
-            if os.path.isfile(base_arg)
-            else os.path.join(hist_dir, f"{base_arg}.json")
-        )
-        with open(base_path) as f:
-            base = json.load(f)
+    # Persist the measurement FIRST — the compare annotation below must
+    # never be able to lose a just-measured payload.
+    os.makedirs(hist_dir, exist_ok=True)
+    label = os.environ.get("SPARK_GRAFT_BENCH_LABEL", "latest")
+    hist_path = os.path.join(hist_dir, f"{label}.json")
+    with open(hist_path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+    if base is not None:
         regressions, speedups = {}, {}
         for name, t in timings.items():
             b = base.get("queries", {}).get(name)
@@ -106,7 +136,7 @@ def main() -> None:
             elif b > t * 1.2 and b - t > 0.2:
                 speedups[name] = {"base": b, "now": t}
         payload["compare"] = {
-            "baseline": os.path.basename(base_path),
+            "baseline": os.path.basename(base["__path__"]),
             "baseline_total": base.get("value"),
             "regressions": regressions,
             "speedups": speedups,
@@ -116,11 +146,9 @@ def main() -> None:
                 f"# REGRESSION {name}: {d['base']:.3f}s -> {d['now']:.3f}s",
                 file=sys.stderr,
             )
-
-    os.makedirs(hist_dir, exist_ok=True)
-    label = os.environ.get("SPARK_GRAFT_BENCH_LABEL", "latest")
-    with open(os.path.join(hist_dir, f"{label}.json"), "w") as f:
-        json.dump(payload, f, indent=1)
+        # re-persist with the compare annotation included
+        with open(hist_path, "w") as f:
+            json.dump(payload, f, indent=1)
 
     print(json.dumps(payload))
     spark.stop()

@@ -74,16 +74,32 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
         return int(w), int(h)
     if len(payload) >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
-        while i + 9 < len(payload):
+        while i + 1 < len(payload):
             if payload[i] != 0xFF:
+                return None
+            # any run of 0xFF bytes before a marker id is legal fill
+            while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 1 >= len(payload):
                 return None
             marker = payload[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue
+            if marker in (0xD9, 0xDA):
+                # EOI, or SOS: raw entropy-coded data follows (no length
+                # framing) — a well-formed JPEG puts SOF before SOS, so
+                # reaching either without one means no dimensions here
+                return None
+            if i + 4 > len(payload):
+                return None
             seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if seglen < 2:
+                return None
             # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC) hold dimensions
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(payload):
+                    return None
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return int(w), int(h)
             i += 2 + seglen

@@ -19,9 +19,24 @@ answers with bounded parallelism:
    only single-partition sort here, bounded by the partition count, not
    the data), and BROADCAST-joined back as offsets.
 
-Everything happens in ONE query plan — no driver collect, no extra jobs,
-and Catalyst's ReusedExchange feeds both the summary branch and the scan
-branch from a single range shuffle.
+The range partitioning is MATERIALIZED exactly once
+(``localCheckpoint``) and both the summary branch and the scan branch
+read the checkpointed partitions. This is load-bearing for correctness,
+not a cache hint: Spark's range-boundary reservoir sampling is seeded by
+``rdd.id``, so two physically separate ``repartitionByRange`` exchanges
+over the same child can sample DIFFERENT boundaries — and column pruning
+makes the two branches' exchange subtrees differ, defeating
+ReusedExchange (AQE happens to coalesce them today, but AQE-off must not
+change answers). Divergent boundaries would tag the same row with
+different range ids in the two branches, corrupting every offset. After
+the checkpoint, ``spark_partition_id`` is frozen into the data and every
+branch sees one consistent partitioning, under any optimizer setting.
+Cost context at scale: a shuffle already spills its full input to
+executor-local disk, so one local checkpoint of the shuffled result is
+the same IO class — not an extra pass over source data. (On executor
+loss a localCheckpoint fails the job loudly instead of silently
+recomputing a partition under re-sampled boundaries — the failure mode
+we want.)
 
 global rank = local position + rows in all earlier ranges; running sum =
 local running sum + sum of earlier ranges; prefix max = max(local prefix
@@ -43,15 +58,20 @@ _PID = "__rk_pid"
 
 
 def _ranged(df: DataFrame, order_by: Sequence[Column], num_partitions: int | None):
-    """Range-partition ``df`` by the (total) sort order and tag each row
-    with its range id. Range i < range j ⇒ every key in i sorts before
-    every key in j, so per-range local scans compose into the global scan
-    with additive offsets."""
+    """Range-partition ``df`` by the (total) sort order, tag each row
+    with its range id, and MATERIALIZE the result so every consumer
+    branch sees the same boundaries (see module docstring). Range i <
+    range j ⇒ every key in i sorts before every key in j, so per-range
+    local scans compose into the global scan with additive offsets."""
     if num_partitions:
         d = df.repartitionByRange(num_partitions, *order_by)
     else:
         d = df.repartitionByRange(*order_by)  # spark.sql.shuffle.partitions
-    return d.withColumn(_PID, F.spark_partition_id())
+    # lazy: materialized by whichever branch runs first (the broadcast
+    # offset job), then reused by the row-level scan branch
+    return d.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
 
 
 def _offset_frame(d: DataFrame, agg: Column, kind: str, want_total: bool):

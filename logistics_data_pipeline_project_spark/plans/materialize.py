@@ -178,7 +178,9 @@ class TableStore:
                 return json.load(f)
         return {}
 
-    def append(self, name: str, df: DataFrame) -> None:
+    def append(
+        self, name: str, df: DataFrame, meta: dict | None = None
+    ) -> None:
         """Commit a new snapshot = current files (hardlinked, zero copy)
         + ``df``'s part files.
 
@@ -187,18 +189,28 @@ class TableStore:
         rewrite — existing rows get NULLs for new columns, incoming rows
         get NULLs for columns they lack — so the committed snapshot always
         has ONE coherent schema (readers never need mergeSchema). The
-        zero-copy hardlink path is taken only on an exact schema match."""
+        zero-copy hardlink path is taken only on an exact schema match.
+
+        ``meta`` replaces the snapshot metadata; when omitted, the prior
+        version's ``_META.json`` is carried forward unchanged — an append
+        must never silently erase a stream's replay guard (last applied
+        batch id), or a crash-replayed micro-batch would be re-folded into
+        non-idempotent sketch state."""
         if self._has_legacy_files(name):
             self._migrate_legacy(name)
         cur = self.current_version(name)
         if cur is None:
-            self.overwrite(name, df)
+            self.overwrite(name, df, meta=meta)
             return
+        if meta is None:
+            meta = self.meta(name) or None
         current = self.read(name)
         if current.schema != df.schema:
             evolved = current.unionByName(df, allowMissingColumns=True)
             # localCheckpoint cuts lineage to the snapshot being replaced
-            self.overwrite(name, evolved.localCheckpoint(eager=True))
+            self.overwrite(
+                name, evolved.localCheckpoint(eager=True), meta=meta
+            )
             return
         vs = self.versions(name)
         nxt = vs[-1] + 1
@@ -208,6 +220,9 @@ class TableStore:
             if f.endswith(".parquet"):
                 os.link(os.path.join(src, f), os.path.join(dst, f))
         df.write.mode("append").parquet(dst)
+        if meta is not None:
+            with open(os.path.join(dst, _META), "w") as f:
+                json.dump(meta, f)
         self._commit_pointer(name, nxt)
         self._gc(name)
 
@@ -233,9 +248,11 @@ class TableStore:
             if f.endswith(".parquet")
         )
         n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-        # localCheckpoint cuts lineage to the snapshot being replaced
+        # localCheckpoint cuts lineage to the snapshot being replaced;
+        # the prior snapshot's metadata (e.g. stream replay guard) must
+        # survive a compaction unchanged
         df = self.read(name).coalesce(n_files).localCheckpoint(eager=True)
-        self.overwrite(name, df)
+        self.overwrite(name, df, meta=self.meta(name) or None)
         new = self._vdir(name, self.current_version(name))
         return sum(1 for f in os.listdir(new) if f.endswith(".parquet"))
 

@@ -77,6 +77,29 @@ def test_image_header_parsers():
     assert parse_image_header(b"") is None
 
 
+def test_jpeg_marker_walk_edge_cases():
+    # 0xFF fill bytes before a marker are legal padding (JPEG B.1.1.2) —
+    # the walk must skip them, not treat 0xFF as a length-bearing marker
+    soi = b"\xff\xd8"
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 99, 77, 1) + b"\x01\x11\x00"
+    padded = soi + app0 + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    assert parse_image_header(padded) == (77, 99)
+    # reaching SOS without a SOF must stop (entropy-coded data has no
+    # length framing), not read a bogus length and walk into garbage
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    truncated = soi + app0 + sos + b"\x12\x34\x56"
+    assert parse_image_header(truncated) is None
+    # EOI right after SOI: valid marker stream, no dimensions
+    assert parse_image_header(soi + b"\xff\xd9") is None
+    # zero/undersized segment length must not loop forever or crash
+    assert parse_image_header(soi + b"\xff\xe0" + struct.pack(">H", 0)) is None
+
+
 def test_wav_duration_parser():
     assert parse_wav_duration_ms(_wav(2.5)) == 2500
     assert parse_wav_duration_ms(b"RIFFxxxx????") is None

@@ -89,10 +89,50 @@ def test_no_single_partition_sort_over_data_in_plan(spark):
         # be the per-range aggregate, never a scan/shuffle of the data
         assert "HashAggregate" in lines[i + 1], plan
     # the full-data window is partitioned by the range id, and the data
-    # reaches it through a range exchange + broadcast-joined offsets
-    assert "rangepartitioning" in plan
+    # reaches it through broadcast-joined offsets
     assert "BroadcastHashJoin" in plan
     data_windows = [
         ln for ln in lines if "row_number()" in ln and "windowspecdefinition" in ln
     ]
     assert data_windows and all("__rk_pid" in ln for ln in data_windows), plan
+    # the range partitioning is materialized ONCE (localCheckpoint) and
+    # both branches scan the checkpointed RDD — a rangepartitioning
+    # exchange visible in the plan would mean the boundary sampling can
+    # run per-branch and diverge (seeded by rdd.id), silently corrupting
+    # ranks when nothing coalesces the branches (e.g. AQE off)
+    assert "rangepartitioning" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_exact_under_aqe_off(spark):
+    """Range-boundary sampling is seeded by rdd.id, so two separate
+    range exchanges can sample different boundaries; before the
+    localCheckpoint fix these primitives were only exact when AQE
+    happened to coalesce the branches. They must be exact under ANY
+    optimizer setting."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _df(spark, 500)
+        order = [F.desc("v"), F.asc("id")]
+        got = with_global_rank(df, order, out="rk", num_partitions=13)
+        assert sorted(r["rk"] for r in got.collect()) == list(range(1, 501))
+        want = df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+        assert sorted(got.collect()) == sorted(want.collect())
+
+        got_nt = exact_ntile(df, order, 4, "t", num_partitions=13)
+        want_nt = df.withColumn("t", F.ntile(4).over(Window.orderBy(*order)))
+        assert sorted(got_nt.collect()) == sorted(want_nt.collect())
+
+        got_cs = with_running_sum(df, order, "amt", num_partitions=13)
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        want_cs = df.withColumn(
+            "cum", F.sum("amt").over(w).cast("decimal(18,2)")
+        ).withColumn(
+            "total",
+            F.sum("amt").over(Window.partitionBy()).cast("decimal(18,2)"),
+        )
+        assert sorted(got_cs.collect()) == sorted(want_cs.collect())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

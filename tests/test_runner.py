@@ -176,6 +176,33 @@ def test_table_store_versioning_time_travel_and_rollback(spark, tmp_path):
     assert [r["v"] for r in store.read("t", version=1).collect()] == ["a"]
 
 
+def test_table_store_append_compact_preserve_meta(spark, tmp_path):
+    """append/compact must carry _META.json forward: the metadata holds
+    stream replay guards (last applied batch id) whose silent loss would
+    let a crash-replayed micro-batch double-fold non-idempotent sketch
+    state."""
+    store = TableStore(spark, str(tmp_path / "wh"), retain_versions=4)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    store.overwrite("t", df, meta={"last_batch_id": 7})
+    # hardlink-path append (schema match) keeps prior meta
+    store.append("t", spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert store.meta("t") == {"last_batch_id": 7}
+    # schema-drift append (unionByName rewrite) keeps prior meta
+    store.append("t", spark.createDataFrame([(3, "c", 1.5)], "id long, v string, w double"))
+    assert store.meta("t") == {"last_batch_id": 7}
+    # explicit meta on append replaces it
+    store.append(
+        "t",
+        spark.createDataFrame([(4, "d", 2.5)], "id long, v string, w double"),
+        meta={"last_batch_id": 8},
+    )
+    assert store.meta("t") == {"last_batch_id": 8}
+    # compaction rewrites files but not metadata
+    store.compact("t")
+    assert store.meta("t") == {"last_batch_id": 8}
+    assert store.read("t").count() == 4
+
+
 def test_table_store_retention_gc(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "wh"), retain_versions=2)
     for i in range(4):
