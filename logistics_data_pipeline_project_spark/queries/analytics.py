@@ -4630,3 +4630,55 @@ def q141_weekly_uniques_rollup(spark: SparkSession, sf_dir: str):
         weekly, keys=("week",),
         index_chars=_Q136_IDX, rank_chars=_Q136_RANK, est_col="users_hll",
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — salted two-phase aggregation over a pathologically skewed key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q145_event_type_salted_profile",
+    tags=("skew", "A1", "A2"),
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q145_event_type_salted_profile(spark: SparkSession, sf_dir: str):
+    """Per-event-type profile computed through
+    `operators.scale.salted_aggregate` — the two-phase (keys, salt) →
+    keys rewrite for group-bys whose key cardinality is far below the
+    cluster's parallelism (5 event types vs 1000 executors: a plain
+    groupBy funnels 100 TB through 5 reducers; the salted phase-1
+    spreads each type over n_salts reducers and phase-2 merges
+    n_salts·5 partial rows). Every aggregate is decomposable
+    (count/min/max + an integer floor-sum, exact under any merge
+    order), so the driver's oracle — a PLAIN group-by — certifies the
+    rewrite is result-identical, not just plausible."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor("value").cast("long").alias("fv"),
+    )
+    from ..operators.scale import salted_aggregate
+
+    prof = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum("fv").alias("sum_floor_value"),
+        ],
+        n_salts=16,
+    )
+    return prof.orderBy("event_type")

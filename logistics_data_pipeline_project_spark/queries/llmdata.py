@@ -2715,3 +2715,228 @@ def q138_length_weighted_sample(spark: SparkSession, sf_dir: str):
     return ticket_sample_k(
         docs, "doc_id", k=10, strata=("lang",), weight_col="wt"
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — PII detection/redaction audit
+# ---------------------------------------------------------------------------
+
+def _q142_oracle() -> str:
+    """DuckDB replay of operators/pii.py over the same deterministically
+    synthesized contact messages (the driver tables carry no natural free
+    text with PII, so the query derives one message per customer from key
+    arithmetic — identical construction on both engines)."""
+    from ..operators.pii import PII_PATTERNS
+
+    count_cols = ",\n    ".join(
+        f"len(regexp_extract_all(msg, '{p}')) AS n_{k.lower()}"
+        for k, p in PII_PATTERNS.items()
+    )
+    redacted = "msg"
+    for k, p in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{p}', '<{k}>', 'g')"
+    any_expr = " + ".join(
+        f"CASE WHEN n_{k.lower()} > 0 THEN 1 ELSE 0 END" for k in PII_PATTERNS
+    )
+    sum_cols = ",\n  ".join(
+        f"CAST(SUM(n_{k.lower()}) AS BIGINT) AS n_{k.lower()}"
+        for k in PII_PATTERNS
+    )
+    return f"""
+WITH m AS (
+  SELECT c_mktsegment,
+    'reach ' || c_name || ' at +91-' ||
+    lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') || '-' ||
+    lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0') || ' or ' ||
+    lower(replace(c_name, '#', '')) || '@mail.example.com; last login 10.' ||
+    CAST(c_custkey % 250 AS VARCHAR) || '.' ||
+    CAST(c_nationkey AS VARCHAR) || '.' ||
+    CAST(c_custkey % 97 AS VARCHAR) ||
+    CASE WHEN c_custkey % 3 = 0
+         THEN ' acct ' || lpad(CAST(c_custkey * 7919 AS VARCHAR), 12, '0')
+         ELSE '' END AS msg
+  FROM customer
+), c AS (
+  SELECT c_mktsegment,
+    {count_cols},
+    len(msg) - len({redacted}) AS delta
+  FROM m
+)
+SELECT c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  {sum_cols},
+  CAST(SUM(CASE WHEN ({any_expr}) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rows_with_pii,
+  CAST(SUM(delta) AS BIGINT) AS chars_delta
+FROM c
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("q142_pii_redaction_audit", tags=("pii", "A1", "A4"), oracle=_q142_oracle())
+def q142_pii_redaction_audit(spark: SparkSession, sf_dir: str):
+    """Corpus PII audit (operators/pii.py): detect + redact emails,
+    phones, IPv4s, and long id-number runs, reporting per-segment match
+    totals and the signed character delta of redaction.
+
+    The driver's synthetic tables carry no natural PII-bearing free
+    text, so the query first synthesizes one contact message per
+    customer from pure key arithmetic — the identical construction runs
+    in the DuckDB oracle, making the detection/redaction math (not the
+    fixture) the thing under differential test. Every pattern uses only
+    Java-regex/RE2-shared, linear-time-safe features (no lookaround or
+    backreferences), which is also the 100 TB posture: regex matching
+    over a crawled corpus must not backtrack super-linearly on
+    adversarial text. One scan, integer-only aggregates, one map-side-
+    combined shuffle on the 5-row segment key."""
+    from ..operators.pii import pii_audit
+
+    cust = load(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    msg = F.concat(
+        F.lit("reach "),
+        F.col("c_name"),
+        F.lit(" at +91-"),
+        F.lpad((key % 100000).cast("string"), 5, "0"),
+        F.lit("-"),
+        F.lpad((key % 10000000).cast("string"), 7, "0"),
+        F.lit(" or "),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", "")),
+        F.lit("@mail.example.com; last login 10."),
+        (key % 250).cast("string"),
+        F.lit("."),
+        F.col("c_nationkey").cast("string"),
+        F.lit("."),
+        (key % 97).cast("string"),
+        F.when(
+            key % 3 == 0,
+            F.concat(
+                F.lit(" acct "), F.lpad((key * 7919).cast("string"), 12, "0")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    msgs = cust.select(F.col("c_mktsegment"), msg.alias("msg"))
+    return pii_audit(msgs, "msg", ["c_mktsegment"]).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q143 — char-trigram corpus-model rarity (quality-filter scorer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q143_char_trigram_rarity",
+    tags=("quality", "lm", "A1", "J1"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text FROM documents WHERE len(text) >= 3
+), tok AS (
+  SELECT doc_id, substr(text, i, 3) AS tri
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, len(text) - 2)) AS i
+        FROM t)
+), tri_model AS (
+  SELECT tri, COUNT(*) AS c3 FROM tok GROUP BY tri
+), pre_model AS (
+  SELECT substr(tri, 1, 2) AS pre, COUNT(*) AS c2
+  FROM tok GROUP BY substr(tri, 1, 2)
+), j AS (
+  SELECT tok.doc_id, tm.c3, pm.c2
+  FROM tok
+  JOIN tri_model tm USING (tri)
+  JOIN pre_model pm ON substr(tok.tri, 1, 2) = pm.pre
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(c2) AS BIGINT) AS sum_prefix,
+  CAST(SUM(c3) AS BIGINT) AS sum_gram,
+  CAST(SUM(c2) AS DOUBLE) / CAST(SUM(c3) AS DOUBLE) AS rarity
+FROM j
+GROUP BY doc_id
+""",
+)
+def q143_char_trigram_rarity(spark: SparkSession, sf_dir: str):
+    """CCNet-style quality scoring: every document scored against the
+    corpus's own char-trigram model (operators/lm.py). The reported
+    ``rarity`` is the integer-exact branching proxy — ratio of two
+    integer sums, one IEEE division per doc — chosen over -log-mean
+    perplexity so the score is bit-identical across engines and
+    partitionings (libm-free). Model cardinality is bounded by
+    charset^3 regardless of corpus size, so both model sides broadcast
+    and the only document-keyed shuffle is the final map-side-combined
+    per-doc sum."""
+    from ..operators.lm import char_ngram_rarity
+
+    return char_ngram_rarity(
+        load(spark, sf_dir, "documents"), "text", "doc_id", n=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144 — context-window packing (sequence packing for training batches)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "q144_context_window_packing",
+    tags=("pack", "mix", "A1", "W1"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         SUM(toks) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM d
+)
+SELECT CAST((cum - toks) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+  MIN(doc_id) AS first_doc,
+  MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+""",
+)
+def q144_context_window_packing(spark: SparkSession, sf_dir: str):
+    """Sequence packing: concatenate the corpus in doc_id order and cut
+    it into {budget}-token context windows — each document is attributed
+    to the bin where it STARTS (``floor(prefix_tokens / budget)``), the
+    exact bookkeeping of concat-and-chunk training pipelines. The prefix
+    sum comes from `operators.ranking.with_running_sum` (range-
+    partitioned scan + broadcast offsets, single materialized range
+    exchange — no single-partition sort), so the packing plan holds at
+    billions of documents; everything else is integer arithmetic and one
+    map-side-combined groupBy on the bin id."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    from ..operators.ranking import with_running_sum
+
+    c = with_running_sum(docs, [F.asc("doc_id")], "toks", cum="cum", total="__tot")
+    return (
+        c.select(
+            F.expr(f"(cum - toks) DIV {_PACK_BUDGET}").alias("bin_id"),
+            "doc_id",
+            "toks",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+q144_context_window_packing.__doc__ = q144_context_window_packing.__doc__.format(
+    budget=_PACK_BUDGET
+)
