@@ -27,6 +27,7 @@ __all__ = [
     "language_scores",
     "language_id",
     "min_window_fingerprint",
+    "chunk_documents",
     "STOPWORDS_EN",
     "LANG_MARKERS",
 ]
@@ -182,4 +183,69 @@ def min_window_fingerprint(text_col: str, toks_col: str = "__toks", n: int = 5) 
     )
     return F.when(F.size(F.col(toks_col)) >= n, F.array_min(sh_hashes)).otherwise(
         F.md5(F.col(text_col))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — the context-preparation step of
+    RAG / long-document training pipelines: cut each document into
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens -
+    overlap`` (so consecutive chunks share ``overlap`` tokens and no
+    token is lost; the final chunk may be short).
+
+    Whitespace tokens; chunk i (0-based) covers token positions
+    ``i*stride+1 .. i*stride+chunk_tokens``, generated for every start
+    position ≤ the document's token count. Output: ``(id_col, chunk_id,
+    start_tok, chunk_len, chunk_text)``.
+
+    Entirely ``sequence``/``slice``/``array_join`` codegen — the token
+    array is built once per row and every chunk is a slice of it, so the
+    fan-out is map-side (no shuffle at all) and chunk rows stream
+    straight into whatever sink or embedding stage follows. ``fan_out``
+    widens the stage first: chunking multiplies work per row, while scan
+    parallelism follows bytes."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = fan_out(df).select(
+        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    )
+    n = F.size("__toks")
+    return (
+        t.withColumn("__n", n)
+        .select(
+            id_col,
+            "__toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("__n") - F.lit(1)) / F.lit(stride)).cast(
+                        "int"
+                    ),
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride + 1).alias("start_tok"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size("__toks") - F.col("chunk_id") * stride,
+            ).alias("chunk_len"),
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.col("chunk_id") * stride + 1,
+                    F.lit(chunk_tokens),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
     )

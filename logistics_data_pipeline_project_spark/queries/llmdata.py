@@ -36,6 +36,7 @@ from ..operators.text import (
     BPE_ISH_RE,
     STOPWORDS_EN,
     bpe_ish_tokens,
+    chunk_documents,
     language_id,
     min_window_fingerprint,
     quality_score,
@@ -2940,3 +2941,52 @@ def q144_context_window_packing(spark: SparkSession, sf_dir: str):
 q144_context_window_packing.__doc__ = q144_context_window_packing.__doc__.format(
     budget=_PACK_BUDGET
 )
+
+
+# ---------------------------------------------------------------------------
+# q146 — sliding-window document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 48
+_CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "q146_document_chunking",
+    tags=("pack", "J7", "P1"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(FLOOR((len(toks) - 1) / {_CHUNK_STRIDE}) AS INTEGER))) AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+  CAST(chunk_id AS INTEGER) AS chunk_id,
+  CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS INTEGER) AS start_tok,
+  CAST(least({_CHUNK_TOKENS}, len(toks) - chunk_id * {_CHUNK_STRIDE}) AS INTEGER)
+    AS chunk_len,
+  array_to_string(
+    toks[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}],
+    ' ') AS chunk_text
+FROM c
+""",
+)
+def q146_document_chunking(spark: SparkSession, sf_dir: str):
+    """RAG/long-context preparation: every document cut into
+    48-token sliding windows with 16-token overlap
+    (`operators.text.chunk_documents`). The whole operator is
+    sequence/slice/array_join codegen with zero shuffles — the token
+    array is built once per row and each chunk is a slice — so chunk
+    rows stream map-side into the next stage (embedding, dedup) at any
+    corpus size; `fan_out` first widens the byte-small scan because
+    chunking multiplies work per row."""
+    return chunk_documents(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    )

@@ -100,3 +100,70 @@ def test_char_ngram_rarity_orders_common_vs_rare(spark):
     # fully-OOV prefixes ⇒ every conditional is 1 ⇒ rarity exactly 1
     solo = spark.createDataFrame([(1, "qqq")], "id long, t string")
     assert char_ngram_rarity(solo, "t", "id").first()["rarity"] == 1.0
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from logistics_data_pipeline_project_spark.operators.text import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "solo")], "id long, t string")
+    out = chunk_documents(df, "t", "id", chunk_tokens=16, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: stride 12, starts 1,13,...,97 → ceil(100/12)=9 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert len(c1) == 9
+    assert [r["start_tok"] for r in c1] == [1 + 12 * i for i in range(9)]
+    # consecutive chunks overlap by exactly 4 tokens
+    for a, b in zip(c1, c1[1:]):
+        at = a["chunk_text"].split(" ")
+        bt = b["chunk_text"].split(" ")
+        assert at[-4:] == bt[:4]
+    # dropping each chunk's leading overlap reconstructs the original
+    rebuilt = c1[0]["chunk_text"].split(" ")
+    for b in c1[1:]:
+        rebuilt += b["chunk_text"].split(" ")[4:]
+    assert " ".join(rebuilt) == text
+    # short docs produce one (possibly short) chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_len"] == 2
+    assert by_doc[3][0]["chunk_text"] == "solo"
+
+
+def test_redact_pii_idempotent_property(spark):
+    """Redaction must be a fixpoint: the <TYPE> tokens and surviving text
+    must never re-match any pattern (hypothesis over adversarial
+    fragments that straddle pattern boundaries)."""
+    from hypothesis import given, settings, strategies as st
+
+    frag = st.sampled_from(
+        [
+            "a@b.io",
+            "x@y.example.com",
+            "+91-12345-6789012",
+            "12-345-6789",
+            "10.0.0.1",
+            "999.999.999.999",
+            "123456789",
+            "12345678",
+            "@",
+            ".",
+            "-",
+            " ",
+            "word",
+            "<EMAIL>",
+            "9",
+        ]
+    )
+    texts = st.lists(frag, min_size=0, max_size=6).map("".join)
+
+    @settings(max_examples=30, deadline=None)
+    @given(texts)
+    def check(s):
+        once = _redact_one(spark, s)
+        twice = _redact_one(spark, once)
+        assert once == twice
+
+    check()
