@@ -28,6 +28,8 @@ __all__ = [
     "block_cosine_topk_pandas",
     "block_nn_pairs_pandas",
     "kmeans_cells",
+    "pq_kmeans",
+    "pq_topk",
     "ivf_topk",
 ]
 
@@ -548,4 +550,246 @@ def block_nn_pairs_pandas(
             score_block,
             schema=f"id long, nn_id long, block {block_type}, cosine_raw double",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def _sub_dist_structs(cents_lit, sv_col: str = "sv", s_col: str = "s"):
+    """(d, code) structs for one subvector row against ITS subspace's
+    codebook (selected from the all-subspace literal by ``s_col``).
+    Distances are strict left-to-right folds — the same IEEE sequence as
+    the oracle's ``list_sum(list_transform(...))``."""
+    cs = F.element_at(cents_lit, F.col(s_col) + 1)
+    return F.transform(
+        cs,
+        lambda c, j: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(sv_col), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            j.alias("code"),
+        ),
+    )
+
+
+def _cents_literal(cents: list[list[list[float]]]):
+    """Literal array CENT[s][code][dim] re-embedding collected centroids
+    (Python float round-trip is exact IEEE754)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cvec])
+                    for cvec in sub_cents
+                ]
+            )
+            for sub_cents in cents
+        ]
+    )
+
+
+def pq_kmeans(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ksub: int = 8,
+    n_iter: int = 2,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantizer training: split every vector into ``m``
+    subvectors and run deterministic Lloyd k-means (``ksub`` centroids,
+    ``kmeans_cells``'s exact determinism contract: init = subvectors of
+    the k smallest ids, argmin ties to the lower code, sorted-fold mean
+    updates, fixed ``n_iter`` rounds) in EVERY subspace — as ONE
+    dataflow, not m sequential jobs: the exploded (id, s, subvector)
+    stream carries all subspaces, each round is one zero-shuffle argmin
+    projection (codebooks ride as a literal, selected per row by s) plus
+    one groupBy(s, code) shuffle, and the collected state per round is
+    m·ksub·(dim/m) = ksub·dim doubles — identical to single k-means.
+
+    Returns ``(assigned, codebooks)``: assigned = (id, s, sv, code,
+    sq_err) under the final codebooks; codebooks[s][code] = centroid.
+    """
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        empty = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.lit(0).alias("s"),
+            F.array().cast("array<double>").alias("sv"),
+            F.lit(0).alias("code"),
+            F.lit(0.0).alias("sq_err"),
+        )
+        return empty, []
+    dim = dim_row["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    dbl = fan_out(embeddings).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    subs = dbl.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice(
+                        F.col("v"), s * dsub + F.lit(1), F.lit(dsub)
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("e"),
+    ).select("id", "e.s", "e.sv")
+    # one materialization feeds every round's job (see kmeans_cells)
+    subs = subs.localCheckpoint(eager=True)
+    init = dbl.orderBy("id").limit(ksub).collect()
+    cents = [
+        [list(r["v"][s * dsub : (s + 1) * dsub]) for r in init]
+        for s in range(m)
+    ]
+
+    def assign(c):
+        best = F.array_min(_sub_dist_structs(_cents_literal(c)))
+        return subs.select(
+            "id", "s", "sv",
+            best["code"].alias("code"),
+            best["d"].alias("sq_err"),
+        )
+
+    assigned = None
+    for it in range(n_iter + 1):
+        assigned = assign(cents)
+        if it == n_iter:
+            break
+        upd = (
+            assigned.groupBy("s", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("id", "sv"))).alias("ms"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "s",
+                "code",
+                F.transform(
+                    F.aggregate(
+                        F.col("ms"),
+                        F.array_repeat(F.lit(0.0), dsub),
+                        lambda acc, mm: F.zip_with(
+                            acc, mm["sv"], lambda a, b: a + b
+                        ),
+                    ),
+                    lambda x: x / F.col("n"),
+                ).alias("cvec"),
+            )
+            .collect()
+        )
+        # empty codes keep their previous centroid (same as kmeans_cells:
+        # only observed cells appear in upd)
+        for r in upd:
+            cents[r["s"]][r["code"]] = list(r["cvec"])
+    return assigned, cents
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    n_iter: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Compressed-domain ANN via product quantization with asymmetric
+    distance computation (ADC): every candidate vector is stored as m
+    small codes (here m·log2(ksub) bits — a 32-128× compression of the
+    embedding column at realistic settings), and each query scans ALL
+    candidates in the compressed domain by table lookup — approx sq-L2 =
+    sum over subspaces of d(q_sub, codebook[s][code_s]).
+
+    Where IVF (``ivf_topk``) prunes WHICH candidates are scored, PQ
+    shrinks WHAT is scored — at 100 TB the scan touches n·m one-byte
+    codes instead of n·dim floats, turning a memory-bandwidth-bound scan
+    into one that fits orders of magnitude more candidates per node (and
+    the two compose: IVF-PQ scores PQ codes within probed cells only).
+
+    Dataflow: the per-query distance tables (q·m·ksub doubles) are
+    computed with the SAME fold expressions as training, collected, and
+    re-embedded as a broadcast literal; scoring is then a map-side fold
+    over each candidate's code array — no shuffle until the per-query
+    top-k window. Every step is deterministic (fixed fold orders, ties
+    to the lower code/cand id), so the whole approximate pipeline is
+    oracle-checkable bit-exactly, like IVF and unlike LSH.
+
+    Returns (query_id, cand_id, adc_sq_dist, rnk), rnk ≤ k per query,
+    ranked by rounded ADC distance asc with cand_id tiebreak.
+    """
+    assigned, cents = pq_kmeans(
+        embeddings, id_col, vec_col, m=m, ksub=ksub, n_iter=n_iter
+    )
+    codes = (
+        assigned.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"))
+        .select(
+            "id", F.transform(F.col("sc"), lambda x: x["code"]).alias("codes")
+        )
+    )
+    # per-query ADC lookup tables from the same fold exprs as training
+    qsubs = assigned.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), "s", "sv"
+    )
+    dt_rows = (
+        qsubs.select(
+            "query_id",
+            "s",
+            F.explode(_sub_dist_structs(_cents_literal(cents))).alias("dc"),
+        )
+        .select("query_id", "s", "dc.code", "dc.d")
+        .collect()
+    )
+    dtabs: dict = {}
+    for r in dt_rows:
+        dtabs.setdefault(r["query_id"], [[0.0] * ksub for _ in range(m)])[
+            r["s"]
+        ][r["code"]] = r["d"]
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, dtabs[qid]) for qid in sorted(dtabs)],
+        "query_id long, dtab array<array<double>>",
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qdf))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("cand_id"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(m)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        F.element_at(F.col("dtab"), s),
+                        F.element_at(F.col("codes"), s) + 1,
+                    ),
+                ),
+                round_to,
+            ).cast("double").alias("adc_sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_sq_dist"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "adc_sq_dist", "rnk")
     )

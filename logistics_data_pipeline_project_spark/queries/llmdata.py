@@ -2990,3 +2990,170 @@ def q146_document_chunking(spark: SparkSession, sf_dir: str):
         chunk_tokens=_CHUNK_TOKENS,
         overlap=_CHUNK_OVERLAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# q147/q148 — product quantization: codebook training + compressed ANN
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_KSUB = 8
+_PQ_ITER = 2
+_PQ_DIM = 64
+_PQ_TOPK = 10
+
+
+def _pq_ctes(m: int, ksub: int, n_iter: int, dim: int) -> str:
+    """DuckDB CTE chain replaying operators.similarity.pq_kmeans exactly:
+    the kmeans_cells determinism contract per SUBSPACE — cent0[s] =
+    subvectors of the ksub smallest ids, argmin ties to the lower code,
+    sorted-fold mean updates, fixed rounds — with codes that observe no
+    member carrying their previous centroid forward (positional code
+    stability, which the Spark side also guarantees)."""
+    dsub = dim // m
+    parts = [
+        f"""subs AS (
+  SELECT e.vec_id, s.s,
+    list_transform(e.embedding[s.s * {dsub} + 1 : (s.s + 1) * {dsub}],
+                   x -> CAST(x AS DOUBLE)) AS sv
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS s) s
+)""",
+        f"""cent0 AS (
+  SELECT s.s,
+    ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY e.vec_id) - 1 AS code,
+    list_transform(e.embedding[s.s * {dsub} + 1 : (s.s + 1) * {dsub}],
+                   x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ksub}) e
+  CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS s) s
+)""",
+    ]
+    for it in range(1, n_iter + 2):
+        parts.append(
+            f"""d{it} AS (
+  SELECT t.vec_id, t.s, c.code,
+    list_sum(list_transform(generate_series(1, {dsub}),
+      i -> (t.sv[i] - c.cvec[i]) * (t.sv[i] - c.cvec[i]))) AS dist
+  FROM subs t JOIN cent{it - 1} c ON c.s = t.s
+)"""
+        )
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, s, code, dist FROM (
+    SELECT vec_id, s, code, dist,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+    FROM d{it}) WHERE rn = 1
+)"""
+        )
+        if it <= n_iter:
+            parts.append(
+                f"""x{it} AS (
+  SELECT a.s, a.code, i.i AS i,
+    list_sum(list(t.sv[i.i] ORDER BY t.vec_id)) AS sv,
+    COUNT(*) AS n
+  FROM a{it} a JOIN subs t ON t.vec_id = a.vec_id AND t.s = a.s
+  CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS i) i
+  GROUP BY a.s, a.code, i.i
+)"""
+            )
+            parts.append(
+                f"""cent{it} AS (
+  SELECT s, code, list(sv / n ORDER BY i) AS cvec
+  FROM x{it} GROUP BY s, code
+  UNION ALL
+  SELECT p.s, p.code, p.cvec FROM cent{it - 1} p
+  WHERE NOT EXISTS (SELECT 1 FROM x{it} x
+                    WHERE x.s = p.s AND x.code = p.code)
+)"""
+            )
+    return ",\n".join(parts)
+
+
+@register(
+    "q147_pq_codes",
+    tags=("similarity", "A1", "J2"),
+    oracle=f"""
+WITH {_pq_ctes(_PQ_M, _PQ_KSUB, _PQ_ITER, _PQ_DIM)}
+SELECT vec_id, CAST(s AS INTEGER) AS s, CAST(code AS INTEGER) AS code,
+  CAST(ROUND(dist, 4) AS DOUBLE) AS sq_err
+FROM a{_PQ_ITER + 1}
+""",
+)
+def q147_pq_codes(spark: SparkSession, sf_dir: str):
+    """Product-quantizer encoding: every embedding compressed to m=4
+    codes (one per 16-dim subspace, 8-centroid codebooks → 12 bits per
+    64-float vector). All m subspace k-means run as ONE dataflow — the
+    exploded (id, s, subvector) stream carries every subspace, each
+    round is a zero-shuffle argmin projection plus one groupBy(s, code)
+    shuffle — so training a product quantizer costs the same job
+    structure as ONE k-means (q41), not m of them. Deterministic end to
+    end (fixed init/fold orders, ties to the lower code), hence this
+    oracle replays it bit-exactly in SQL; sq_err is the per-subspace
+    quantization error the recall tests budget against."""
+    from ..operators.similarity import pq_kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = pq_kmeans(
+        emb, "vec_id", "embedding", m=_PQ_M, ksub=_PQ_KSUB, n_iter=_PQ_ITER
+    )
+    return assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("s").cast("int").alias("s"),
+        F.col("code").cast("int").alias("code"),
+        F.round("sq_err", 4).cast("double").alias("sq_err"),
+    )
+
+
+@register(
+    "q148_ann_pq_topk",
+    tags=("similarity", "J1", "W1", "O3"),
+    oracle=f"""
+WITH {_pq_ctes(_PQ_M, _PQ_KSUB, _PQ_ITER, _PQ_DIM)},
+dtab AS (
+  SELECT q.vec_id AS query_id, c.s, c.code,
+    list_sum(list_transform(generate_series(1, {_PQ_DIM // _PQ_M}),
+      i -> (q.sv[i] - c.cvec[i]) * (q.sv[i] - c.cvec[i]))) AS d
+  FROM (SELECT vec_id, s, sv FROM subs WHERE vec_id < 5) q
+  JOIN cent{_PQ_ITER} c ON c.s = q.s
+),
+scored AS (
+  SELECT t.query_id, a.vec_id AS cand_id,
+    CAST(ROUND(list_sum(list(t.d ORDER BY t.s)), 4) AS DOUBLE) AS adc_sq_dist
+  FROM a{_PQ_ITER + 1} a
+  JOIN dtab t ON t.s = a.s AND t.code = a.code
+  WHERE a.vec_id <> t.query_id
+  GROUP BY t.query_id, a.vec_id
+)
+SELECT query_id, cand_id, adc_sq_dist, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT query_id, cand_id, adc_sq_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_sq_dist, cand_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_PQ_TOPK}
+""",
+)
+def q148_ann_pq_topk(spark: SparkSession, sf_dir: str):
+    """Compressed-domain ANN: asymmetric distance computation over the
+    PQ codes (q147). Each query builds an m×ksub lookup table with the
+    SAME fold expressions as training, the tables broadcast as a
+    literal, and every candidate is scored by a map-side fold over its
+    m codes — the scan reads n·m small codes instead of n·dim floats
+    (the 100 TB memory-bandwidth answer; compose with IVF cells for
+    pruning too). Where IVF prunes WHICH candidates are scored, PQ
+    shrinks WHAT is scored. Deterministic like IVF (and unlike LSH), so
+    the whole approximate pipeline is oracle-checked bit-exactly."""
+    from ..operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        query_ids=[0, 1, 2, 3, 4],
+        k=_PQ_TOPK,
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
+        n_iter=_PQ_ITER,
+    )

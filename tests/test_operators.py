@@ -7,7 +7,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row, Window, functions as F
 
 from logistics_data_pipeline_project_spark.operators.dedup import (
     exact_dedup,
@@ -1004,3 +1004,66 @@ def test_cms_and_bloom_incremental_rollup(spark, tmp_path):
     }
     want_bloom = {tuple(r) for r in bloom_bits(full, "k").collect()}
     assert got_bloom == want_bloom
+
+
+def test_pq_codes_structure(spark, sf_dir):
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.operators.similarity import pq_kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, cents = pq_kmeans(emb, "vec_id", "embedding", m=4, ksub=8, n_iter=1)
+    n = emb.count()
+    assert assigned.count() == n * 4  # one code per (vector, subspace)
+    assert len(cents) == 4 and all(len(cb) == 8 for cb in cents)
+    assert all(len(c) == 16 for cb in cents for c in cb)  # 64/4 dims
+    codes = {r["code"] for r in assigned.select("code").distinct().collect()}
+    assert codes <= set(range(8))
+
+
+def test_pq_adc_shortlist_recall_vs_exact(spark, sf_dir):
+    """PQ's contract is the shortlist: ADC over 12-bit codes on
+    near-random embeddings (PQ's worst case — no cluster structure)
+    cannot nail top-10 outright, but a 20%-of-corpus ADC shortlist must
+    recover ≥80% of the exact-L2 top-10 for cheap exact re-ranking —
+    the standard PQ-then-rerank deployment. Direct top-10 agreement
+    must still beat chance (~2%) by a wide margin."""
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = dbl.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = q.crossJoin(
+        dbl.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    ).filter("cand_id != query_id")
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in pairs.withColumn("d", d2)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 10")
+        .collect()
+    }
+    short = {
+        (r.query_id, r.cand_id)
+        for r in pq_topk(
+            emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=100
+        ).collect()
+    }
+    assert len(exact & short) / len(exact) >= 0.8
+    direct = {
+        (r.query_id, r.cand_id)
+        for r in pq_topk(
+            emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10
+        ).collect()
+    }
+    assert len(exact & direct) / len(exact) >= 0.1
