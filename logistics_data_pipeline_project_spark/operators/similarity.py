@@ -30,6 +30,7 @@ __all__ = [
     "kmeans_cells",
     "pq_kmeans",
     "pq_topk",
+    "pq_encode",
     "ivf_topk",
 ]
 
@@ -792,4 +793,48 @@ def pq_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "adc_sq_dist", "rnk")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Encode vectors against FROZEN codebooks — the incremental-ingest
+    path: codebooks are trained once (``pq_kmeans``) on a representative
+    sample, then every new batch is encoded with a zero-shuffle map-side
+    projection (codebooks ride as a literal; no training jobs, no
+    collects). Encoding a batch incrementally is bit-identical to
+    re-encoding the full corpus under the same codebooks, so the code
+    column can be maintained append-only forever.
+
+    Returns (id, s, sv, code, sq_err) — the same shape ``pq_kmeans``
+    assigns, byte-compatible with ``pq_topk``'s scoring."""
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("empty codebooks")
+    dsub = len(codebooks[0][0])
+    dbl = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    subs = dbl.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice(
+                        F.col("v"), s * dsub + F.lit(1), F.lit(dsub)
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("e"),
+    ).select("id", "e.s", "e.sv")
+    best = F.array_min(_sub_dist_structs(_cents_literal(codebooks)))
+    return subs.select(
+        "id", "s", "sv", best["code"].alias("code"), best["d"].alias("sq_err")
     )

