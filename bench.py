@@ -85,6 +85,7 @@ def main() -> None:
             "q036_embedding_near_dup",
             "q041_ivf_kmeans_assign",
             "q024_near_dup_simhash",  # row-local fold lambdas: one-time codegen
+            "q149_ann_ivfpq_topk",  # deepest plan: coarse+product kmeans + ADC
         ):
             if wq in REGISTRY:
                 REGISTRY[wq].fn(spark, warm_dir).write.format("noop").mode(

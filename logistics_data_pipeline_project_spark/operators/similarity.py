@@ -31,6 +31,7 @@ __all__ = [
     "pq_kmeans",
     "pq_topk",
     "pq_encode",
+    "ivf_pq_topk",
     "ivf_topk",
 ]
 
@@ -837,4 +838,158 @@ def pq_encode(
     best = F.array_min(_sub_dist_structs(_cents_literal(codebooks)))
     return subs.select(
         "id", "s", "sv", best["code"].alias("code"), best["d"].alias("sq_err")
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    k: int = 10,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the composition the two halves were built for — IVF's
+    coarse quantizer prunes WHICH candidates are scored (nprobe of
+    n_cells cells), PQ shrinks WHAT is scored (m codes per candidate,
+    trained on the RESIDUAL v − coarse_centroid[cell], the classic
+    IVFADC layout: residuals concentrate around 0, so the same code
+    budget buys far finer quantization than coding raw vectors).
+
+    Scan cost per query: (nprobe/n_cells)·n candidates × m code lookups
+    — the 100 TB shape of every production ANN index (FAISS IVF-PQ).
+    Scoring uses per-(query, probed-cell) ADC tables (the query's
+    RESIDUAL against that cell differs per cell), q·nprobe·m·ksub
+    doubles, broadcast after being computed with the SAME fold
+    expressions as training — so the whole composite (coarse k-means →
+    residuals → product k-means → probe → ADC) is deterministic and
+    oracle-replayable bit-exactly, like its two halves.
+
+    Returns (query_id, cand_id, adc_sq_dist, rnk), rnk ≤ k per query,
+    ranked by rounded residual-ADC distance asc, cand_id tiebreak.
+    """
+    coarse, ccents = kmeans_cells(
+        embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter
+    )
+    if not ccents:
+        return coarse.select(
+            F.col("id").alias("query_id"),
+            F.col("id").alias("cand_id"),
+            F.lit(0.0).alias("adc_sq_dist"),
+            F.lit(0).cast("int").alias("rnk"),
+        ).limit(0)
+    # cell ids may be non-contiguous if a cell emptied — look up by key,
+    # not position
+    cmap = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c, _ in ccents]),
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ccents]
+        ),
+    )
+    res = coarse.select(
+        "id",
+        F.zip_with(
+            "v", F.element_at(cmap, F.col("cell")), lambda a, b: a - b
+        ).alias("v"),
+        "cell",
+    )
+    pq_assigned, pcents = pq_kmeans(res, "id", "v", m=m, ksub=ksub, n_iter=n_iter)
+    codes = (
+        pq_assigned.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"))
+        .select(
+            "id", F.transform(F.col("sc"), lambda x: x["code"]).alias("codes")
+        )
+    )
+    cand = codes.join(res.select("id", "cell"), "id")
+
+    # probe: nprobe nearest coarse cells per query (same rule as ivf_topk)
+    probe = (
+        coarse.filter(F.col("id").isin(query_ids))
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(
+                F.slice(F.array_sort(_cell_dist_structs(ccents)), 1, nprobe)
+            ).alias("pc"),
+        )
+        .select("query_id", "qv", F.col("pc.cell").alias("cell"))
+    )
+    # per-(query, cell) residual ADC tables from the SAME fold exprs as
+    # training; q·nprobe·m·ksub doubles — collected and re-broadcast
+    dsub = len(pcents[0][0]) if pcents else 0
+    qres = probe.select(
+        "query_id",
+        "cell",
+        F.zip_with(
+            "qv", F.element_at(cmap, F.col("cell")), lambda a, b: a - b
+        ).alias("qr"),
+    )
+    qsubs = qres.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice(
+                        F.col("qr"), s * dsub + F.lit(1), F.lit(dsub)
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("e"),
+    ).select("query_id", "cell", "e.s", "e.sv")
+    dt_rows = (
+        qsubs.select(
+            "query_id",
+            "cell",
+            "s",
+            F.explode(_sub_dist_structs(_cents_literal(pcents))).alias("dc"),
+        )
+        .select("query_id", "cell", "s", "dc.code", "dc.d")
+        .collect()
+    )
+    dtabs: dict = {}
+    for r in dt_rows:
+        dtabs.setdefault(
+            (r["query_id"], r["cell"]), [[0.0] * ksub for _ in range(m)]
+        )[r["s"]][r["code"]] = r["d"]
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, cell, dtabs[(qid, cell)]) for qid, cell in sorted(dtabs)],
+        "query_id long, cell int, dtab array<array<double>>",
+    )
+    scored = (
+        cand.join(F.broadcast(qdf), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("cand_id"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(m)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        F.element_at(F.col("dtab"), s),
+                        F.element_at(F.col("codes"), s) + 1,
+                    ),
+                ),
+                round_to,
+            ).cast("double").alias("adc_sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_sq_dist"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "adc_sq_dist", "rnk")
     )

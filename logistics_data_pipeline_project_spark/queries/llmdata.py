@@ -3003,66 +3003,78 @@ _PQ_DIM = 64
 _PQ_TOPK = 10
 
 
-def _pq_ctes(m: int, ksub: int, n_iter: int, dim: int) -> str:
+def _pq_ctes(
+    m: int,
+    ksub: int,
+    n_iter: int,
+    dim: int,
+    src: str = "embeddings",
+    vec: str = "embedding",
+    pfx: str = "",
+) -> str:
     """DuckDB CTE chain replaying operators.similarity.pq_kmeans exactly:
     the kmeans_cells determinism contract per SUBSPACE — cent0[s] =
     subvectors of the ksub smallest ids, argmin ties to the lower code,
     sorted-fold mean updates, fixed rounds — with codes that observe no
     member carrying their previous centroid forward (positional code
-    stability, which the Spark side also guarantees)."""
+    stability, which the Spark side also guarantees).
+
+    ``src``/``vec`` point the chain at any (vec_id, vector) relation
+    (e.g. the residual CTE of an IVF-PQ composition) and ``pfx``
+    namespaces every CTE so two chains can coexist in one query."""
     dsub = dim // m
     parts = [
-        f"""subs AS (
+        f"""{pfx}subs AS (
   SELECT e.vec_id, s.s,
-    list_transform(e.embedding[s.s * {dsub} + 1 : (s.s + 1) * {dsub}],
+    list_transform(e.{vec}[s.s * {dsub} + 1 : (s.s + 1) * {dsub}],
                    x -> CAST(x AS DOUBLE)) AS sv
-  FROM embeddings e
+  FROM {src} e
   CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS s) s
 )""",
-        f"""cent0 AS (
+        f"""{pfx}cent0 AS (
   SELECT s.s,
     ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY e.vec_id) - 1 AS code,
-    list_transform(e.embedding[s.s * {dsub} + 1 : (s.s + 1) * {dsub}],
+    list_transform(e.{vec}[s.s * {dsub} + 1 : (s.s + 1) * {dsub}],
                    x -> CAST(x AS DOUBLE)) AS cvec
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ksub}) e
+  FROM (SELECT vec_id, {vec} FROM {src} ORDER BY vec_id LIMIT {ksub}) e
   CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS s) s
 )""",
     ]
     for it in range(1, n_iter + 2):
         parts.append(
-            f"""d{it} AS (
+            f"""{pfx}d{it} AS (
   SELECT t.vec_id, t.s, c.code,
     list_sum(list_transform(generate_series(1, {dsub}),
       i -> (t.sv[i] - c.cvec[i]) * (t.sv[i] - c.cvec[i]))) AS dist
-  FROM subs t JOIN cent{it - 1} c ON c.s = t.s
+  FROM {pfx}subs t JOIN {pfx}cent{it - 1} c ON c.s = t.s
 )"""
         )
         parts.append(
-            f"""a{it} AS (
+            f"""{pfx}a{it} AS (
   SELECT vec_id, s, code, dist FROM (
     SELECT vec_id, s, code, dist,
       ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
-    FROM d{it}) WHERE rn = 1
+    FROM {pfx}d{it}) WHERE rn = 1
 )"""
         )
         if it <= n_iter:
             parts.append(
-                f"""x{it} AS (
+                f"""{pfx}x{it} AS (
   SELECT a.s, a.code, i.i AS i,
     list_sum(list(t.sv[i.i] ORDER BY t.vec_id)) AS sv,
     COUNT(*) AS n
-  FROM a{it} a JOIN subs t ON t.vec_id = a.vec_id AND t.s = a.s
+  FROM {pfx}a{it} a JOIN {pfx}subs t ON t.vec_id = a.vec_id AND t.s = a.s
   CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS i) i
   GROUP BY a.s, a.code, i.i
 )"""
             )
             parts.append(
-                f"""cent{it} AS (
+                f"""{pfx}cent{it} AS (
   SELECT s, code, list(sv / n ORDER BY i) AS cvec
-  FROM x{it} GROUP BY s, code
+  FROM {pfx}x{it} GROUP BY s, code
   UNION ALL
-  SELECT p.s, p.code, p.cvec FROM cent{it - 1} p
-  WHERE NOT EXISTS (SELECT 1 FROM x{it} x
+  SELECT p.s, p.code, p.cvec FROM {pfx}cent{it - 1} p
+  WHERE NOT EXISTS (SELECT 1 FROM {pfx}x{it} x
                     WHERE x.s = p.s AND x.code = p.code)
 )"""
             )
@@ -3156,4 +3168,105 @@ def q148_ann_pq_topk(spark: SparkSession, sf_dir: str):
         m=_PQ_M,
         ksub=_PQ_KSUB,
         n_iter=_PQ_ITER,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149 — IVF-PQ: coarse pruning + residual compressed scoring (IVFADC)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+
+
+@register(
+    "q149_ann_ivfpq_topk",
+    tags=("similarity", "J1", "W1", "O3"),
+    oracle=f"""
+WITH {_kmeans_ctes(_IVF_K, _IVF_ITER, _PQ_DIM)},
+res AS (
+  SELECT a.vec_id,
+    list_transform(generate_series(1, {_PQ_DIM}),
+      i -> CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) AS v,
+    a.cell
+  FROM a{_IVF_ITER + 1} a
+  JOIN embeddings e USING (vec_id)
+  JOIN cent{_IVF_ITER} c ON c.cell = a.cell
+),
+{_pq_ctes(_PQ_M, _PQ_KSUB, _PQ_ITER, _PQ_DIM, src="res", vec="v", pfx="pq_")},
+pd AS (
+  SELECT q.query_id, c.cell,
+    list_sum(list_transform(generate_series(1, {_PQ_DIM}),
+      i -> (q.qv[i] - c.cvec[i]) * (q.qv[i] - c.cvec[i]))) AS dist
+  FROM (SELECT vec_id AS query_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < 5) q
+  CROSS JOIN cent{_IVF_ITER} c
+),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+    FROM pd) WHERE rn <= {_IVFPQ_NPROBE}
+),
+qres AS (
+  SELECT p.query_id, p.cell,
+    list_transform(generate_series(1, {_PQ_DIM}),
+      i -> CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) AS qr
+  FROM probe p
+  JOIN embeddings e ON e.vec_id = p.query_id
+  JOIN cent{_IVF_ITER} c ON c.cell = p.cell
+),
+dtab AS (
+  SELECT q.query_id, q.cell, pc.s, pc.code,
+    list_sum(list_transform(generate_series(1, {_PQ_DIM // _PQ_M}),
+      i -> (q.qr[pc.s * {_PQ_DIM // _PQ_M} + i] - pc.cvec[i])
+         * (q.qr[pc.s * {_PQ_DIM // _PQ_M} + i] - pc.cvec[i]))) AS d
+  FROM qres q
+  CROSS JOIN pq_cent{_PQ_ITER} pc
+),
+scored AS (
+  SELECT t.query_id, r.vec_id AS cand_id,
+    CAST(ROUND(list_sum(list(t.d ORDER BY t.s)), 4) AS DOUBLE) AS adc_sq_dist
+  FROM pq_a{_PQ_ITER + 1} pa
+  JOIN res r ON r.vec_id = pa.vec_id
+  JOIN dtab t ON t.cell = r.cell AND t.s = pa.s AND t.code = pa.code
+  WHERE r.vec_id <> t.query_id
+  GROUP BY t.query_id, r.vec_id
+)
+SELECT query_id, cand_id, adc_sq_dist, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT query_id, cand_id, adc_sq_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_sq_dist, cand_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_PQ_TOPK}
+""",
+)
+def q149_ann_ivfpq_topk(spark: SparkSession, sf_dir: str):
+    """IVFADC — the production ANN layout (FAISS IVF-PQ): the coarse
+    quantizer prunes WHICH candidates are scored (nprobe=2 of 8 cells),
+    PQ codes trained on the RESIDUAL v − coarse_centroid shrink WHAT is
+    scored to m=4 one-byte codes per candidate (residuals concentrate
+    around 0, so the code budget quantizes far finer than on raw
+    vectors). Per-query scan cost: (nprobe/n_cells)·n candidates × m
+    lookups against per-(query, cell) residual ADC tables. The whole
+    composite — coarse k-means → residuals → product k-means → probe →
+    ADC — is deterministic, so even this two-level approximate index is
+    oracle-replayed bit-exactly (the two CTE chains compose, the PQ one
+    namespaced and re-pointed at the residual relation)."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        query_ids=[0, 1, 2, 3, 4],
+        k=_PQ_TOPK,
+        n_cells=_IVF_K,
+        n_iter=_IVF_ITER,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
     )

@@ -189,3 +189,32 @@ def test_q139_single_fact_scan(spark, sf_dir):
     ]
     assert not scans, f"expected no re-scan of events, got {len(scans)}"
     assert "ExistingRDD" in phys or "LocalTableScan" in phys
+
+
+def test_q143_models_broadcast_no_smj(spark, sf_dir):
+    """The trigram and prefix models are charset^n-bounded — scoring must
+    be map-side broadcast joins, never a sort-merge of the token stream."""
+    plan = _explain(REGISTRY["q143_char_trigram_rarity"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q146_chunking_has_no_keyed_shuffle(spark, sf_dir):
+    """Chunking is slice arithmetic over each row's own token array: the
+    only allowed exchange is fan_out's deliberate ROUND-ROBIN widening of
+    a byte-small scan (absent at real scale) — never a keyed shuffle."""
+    plan = _explain(REGISTRY["q146_document_chunking"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q148_pq_scoring_is_map_side(spark, sf_dir):
+    """ADC scoring folds each candidate's code array against a broadcast
+    literal table: between the code aggregation and the per-query top-k
+    window there must be exactly the window's own exchange — scoring
+    adds none (BroadcastNestedLoopJoin carries the tiny query table)."""
+    df = REGISTRY["q148_ann_pq_topk"].fn(spark, sf_dir)
+    plan = _explain(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan

@@ -1101,3 +1101,53 @@ def test_pq_encode_incremental_equals_full(spark, sf_dir):
     # zero-shuffle: encoding is a pure map-side projection
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ivf_pq_residual_coding_recall(spark, sf_dir):
+    """IVFADC: residual-coded PQ inside probed cells. Residuals
+    concentrate around the coarse centroid, so direct top-10 agreement
+    with exact L2 must beat RAW-vector PQ's (~0.2 here) — and a
+    k=50 shortlist (10% of corpus, inside the probed 2/8 cells) must
+    recover most of the exact top-10 for the rerank pattern."""
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = dbl.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = q.crossJoin(
+        dbl.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    ).filter("cand_id != query_id")
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cand_id"))
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in pairs.withColumn("d", d2)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 10")
+        .collect()
+    }
+    direct = {
+        (r.query_id, r.cand_id)
+        for r in ivf_pq_topk(
+            emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10
+        ).collect()
+    }
+    assert len(exact & direct) / len(exact) >= 0.25
+    short = {
+        (r.query_id, r.cand_id)
+        for r in ivf_pq_topk(
+            emb, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=50
+        ).collect()
+    }
+    assert len(exact & short) / len(exact) >= 0.7
