@@ -3270,3 +3270,94 @@ def q149_ann_ivfpq_topk(spark: SparkSession, sf_dir: str):
         m=_PQ_M,
         ksub=_PQ_KSUB,
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — distributed BPE tokenizer training (merge-rule learning)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_ctes(rounds: int) -> str:
+    """DuckDB CTE chain replaying operators.bpe.bpe_learn: the word-
+    frequency table, then per round a weighted adjacent-pair argmax
+    (ties (left, right) lexicographic) and a list_reduce merge fold —
+    the same strict left-to-right fold as the Spark F.aggregate (first
+    element seeds both)."""
+    parts = [
+        """w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS w,
+    array_to_string(list_transform(generate_series(1, length(word)),
+                                   i -> substr(word, i, 1)), ' ') AS sym
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT s[i] AS lft, s[i + 1] AS rgt, SUM(w) AS c FROM (
+    SELECT s, w, unnest(generate_series(1, len(s) - 1)) AS i
+    FROM (SELECT string_split(sym, ' ') AS s, w FROM w{r - 1})
+  ) GROUP BY s[i], s[i + 1]
+)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+  SELECT lft, rgt, lft || rgt AS merged, c
+  FROM p{r} ORDER BY c DESC, lft, rgt LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""w{r} AS (
+  SELECT word, w,
+    list_reduce(string_split(t.sym, ' '), (acc, x) ->
+      CASE WHEN x = m.rgt AND (acc = m.lft OR ends_with(acc, ' ' || m.lft))
+           THEN substr(acc, 1, length(acc) - length(m.lft)) || m.merged
+           ELSE acc || ' ' || x END) AS sym
+  FROM w{r - 1} t, m{r} m
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rnd, lft, rgt, merged, c FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return ",\n".join(parts) + f", merges AS (\n{sel}\n)"
+
+
+@register(
+    "q150_bpe_merge_rules",
+    tags=("text", "tokenizer", "A1", "O3"),
+    oracle=f"""
+WITH {_bpe_ctes(_BPE_ROUNDS)}
+SELECT CAST(rnd AS INTEGER) AS rnd, lft AS left_sym, rgt AS right_sym,
+  merged, CAST(c AS BIGINT) AS pair_weight
+FROM merges
+""",
+)
+def q150_bpe_merge_rules(spark: SparkSession, sf_dir: str):
+    """Distributed BPE tokenizer training (operators/bpe.py): learn 8
+    merge rules from the corpus the way real trainers do — collapse the
+    corpus to the word-frequency table FIRST (the only corpus-sized
+    shuffle, map-side combined; 100 TB of text becomes O(vocab)
+    weighted rows), then each round is a tiny weighted pair-count
+    aggregate plus a one-row argmax collect, with the merge applied as
+    a strict left-to-right symbol fold. Integer weights and
+    lexicographic tie-breaks end to end, so the whole iterative
+    learning process — argmax per round included — is replayed
+    bit-exactly by the unrolled SQL chain (list_reduce ≡ F.aggregate:
+    both fold in element order from the first-element seed)."""
+    from ..operators.bpe import bpe_learn
+
+    docs = load(spark, sf_dir, "documents")
+    merges, _ = bpe_learn(docs, "text", rounds=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        [
+            (m["rnd"], m["left"], m["right"], m["merged"], m["pair_weight"])
+            for m in merges
+        ],
+        "rnd int, left_sym string, right_sym string, merged string,"
+        " pair_weight bigint",
+    )

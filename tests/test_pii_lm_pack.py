@@ -167,3 +167,38 @@ def test_redact_pii_idempotent_property(spark):
         assert once == twice
 
     check()
+
+
+def test_bpe_merge_fold_edge_cases(spark):
+    from logistics_data_pipeline_project_spark.operators.bpe import _apply_merge
+
+    def run(sym, left, right):
+        df = spark.createDataFrame([(sym,)], "sym string")
+        return df.select(_apply_merge(F.col("sym"), left, right).alias("o")).first()["o"]
+
+    assert run("l o w", "l", "o") == "lo w"
+    # overlapping run merges non-overlapping left-to-right: a a a -> aa a
+    assert run("a a a", "a", "a") == "aa a"
+    assert run("a a a a", "a", "a") == "aa aa"
+    # the freshly merged symbol must not chain-merge in the same round
+    assert run("a b b", "a", "b") == "ab b"
+    # multi-char symbols and the word-boundary (whole-acc) case
+    assert run("ab c", "ab", "c") == "abc"
+    assert run("x ab c y", "ab", "c") == "x abc y"
+    # no match -> unchanged
+    assert run("q r s", "a", "b") == "q r s"
+
+
+def test_bpe_learn_classic_example(spark):
+    from logistics_data_pipeline_project_spark.operators.bpe import bpe_learn
+
+    df = spark.createDataFrame(
+        [("low lower lowest low low newer newest new",),
+         ("wider wide new newer low",)],
+        "t string",
+    )
+    merges, words = bpe_learn(df, "t", rounds=4)
+    assert [m["merged"] for m in merges] == ["lo", "low", "ew", "new"]
+    assert merges[0]["pair_weight"] == 6  # 'l o' in low(3-weighted forms)+...
+    sym = {r["word"]: r["sym"] for r in words.collect()}
+    assert sym["low"] == "low" and sym["newest"] == "new e s t"
