@@ -28,6 +28,7 @@ __all__ = [
     "language_id",
     "min_window_fingerprint",
     "chunk_documents",
+    "normalize_text",
     "STOPWORDS_EN",
     "LANG_MARKERS",
 ]
@@ -249,3 +250,18 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text form for dedup/fingerprinting: lowercase, control
+    characters stripped, whitespace runs collapsed to single spaces,
+    ends trimmed. Dedup pipelines hash the NORMALIZED form — otherwise
+    trivial case/whitespace variants defeat exact dedup and inflate
+    near-dup candidate sets. Pure codegen regexp chain; patterns are
+    Java-regex/RE2-shared (no lookaround), linear-time on adversarial
+    input like the PII patterns."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)

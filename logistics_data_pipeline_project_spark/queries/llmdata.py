@@ -3361,3 +3361,79 @@ def q150_bpe_merge_rules(spark: SparkSession, sf_dir: str):
         "rnd int, left_sym string, right_sym string, merged string,"
         " pair_weight bigint",
     )
+
+
+@register(
+    "q151_bpe_tokenized_vocab",
+    tags=("text", "tokenizer", "A1"),
+    oracle=f"""
+WITH {_bpe_ctes(_BPE_ROUNDS)}
+SELECT word, w AS word_count, sym AS segmentation,
+  CAST(len(string_split(sym, ' ')) AS INTEGER) AS n_tokens
+FROM w{_BPE_ROUNDS}
+""",
+)
+def q151_bpe_tokenized_vocab(spark: SparkSession, sf_dir: str):
+    """The tokenizer the learned rules (q150) induce: every corpus word
+    with its BPE segmentation and token count after all 8 merges — the
+    vocabulary file a trainer would ship. Tokenizing is applying the
+    frozen merge sequence in learning order, exactly what downstream
+    encode stages do to new text; per-word token counts here are the
+    fertility statistics (tokens/word) tokenizer evaluation reports.
+    Same scale shape as q150: one corpus-sized word-count shuffle, then
+    O(vocab) work."""
+    from ..operators.bpe import bpe_learn
+
+    docs = load(spark, sf_dir, "documents")
+    _, words = bpe_learn(docs, "text", rounds=_BPE_ROUNDS)
+    return words.select(
+        "word",
+        F.col("w").alias("word_count"),
+        F.col("sym").alias("segmentation"),
+        F.size(F.split("sym", " ")).cast("int").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152 — normalization-aware exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q152_normalized_dedup",
+    tags=("dedup", "text", "A1", "A3"),
+    oracle="""
+WITH n AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(lower(text),
+      '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT md5(norm) AS norm_hash,
+  MIN(doc_id) AS keeper_doc_id,
+  CAST(COUNT(*) AS BIGINT) AS dup_count,
+  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw_forms
+FROM n
+GROUP BY md5(norm)
+""",
+)
+def q152_normalized_dedup(spark: SparkSession, sf_dir: str):
+    """Exact dedup over the NORMALIZED text form
+    (`operators.text.normalize_text`: lowercase, control-strip,
+    whitespace-collapse, trim) — the production dedup key: raw-byte
+    hashing lets trivial case/whitespace variants through, inflating
+    both the corpus and every near-dup stage downstream. `n_raw_forms`
+    counts how many distinct raw texts each canonical form absorbed
+    (the normalization win). Same scale shape as q021: one shuffle on
+    the 32-byte hash, text never shuffles — the distinct-count runs on
+    the hash key's group, map-side partials first."""
+    from ..operators.text import normalize_text
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", normalize_text("text").alias("norm")
+    )
+    return d.groupBy(F.md5("norm").alias("norm_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+        F.countDistinct("text").alias("n_raw_forms"),
+    )

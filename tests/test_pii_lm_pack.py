@@ -202,3 +202,22 @@ def test_bpe_learn_classic_example(spark):
     assert merges[0]["pair_weight"] == 6  # 'l o' in low(3-weighted forms)+...
     sym = {r["word"]: r["sym"] for r in words.collect()}
     assert sym["low"] == "low" and sym["newest"] == "new e s t"
+
+
+def test_normalize_text_merges_trivial_variants(spark):
+    from logistics_data_pipeline_project_spark.operators.text import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "Hello  World"),
+        (2, "hello world"),
+        (3, " hello\tworld "),      # tab is a control char -> space
+        (4, "hello\x00world"),      # NUL -> space
+        (5, "different text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = df.select("id", normalize_text("t").alias("n"))
+    forms = {r["id"]: r["n"] for r in out.collect()}
+    assert forms[1] == forms[2] == forms[3] == forms[4] == "hello world"
+    assert forms[5] == "different text"
