@@ -595,6 +595,52 @@ def _cents_literal(cents: list[list[list[float]]]):
     )
 
 
+def _assign_subs_pandas(subs: DataFrame, cents: list[list[list[float]]]) -> DataFrame:
+    """Arrow-batched numpy twin of the per-subspace ``_sub_dist_structs``
+    projection (the PQ analogue of ``_assign_cells_pandas``): rows are
+    grouped by their subspace inside each batch, distances summed with
+    ``np.add.accumulate`` — the exact left-to-right order of the JVM fold
+    and DuckDB's ``list_sum`` — and first-minimum ``argmin`` reproduces
+    the ties-to-lower-code rule (codebook rows sit at their code index).
+    Bit-identical to the expression path (asserted in tests); vectorized
+    instead of m·ksub interpreted fold expressions per row."""
+    import numpy as np
+    import pandas as pd
+
+    C = [np.array(cb, dtype=np.float64) for cb in cents]
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_code = np.empty(len(pdf), dtype=np.int32)
+            out_d = np.empty(len(pdf), dtype=np.float64)
+            svals = pdf["s"].to_numpy()
+            for s in np.unique(svals):
+                idx = np.nonzero(svals == s)[0]
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["sv"].iloc[idx]]
+                )
+                diff2 = (x[:, None, :] - C[s][None, :, :]) ** 2
+                d = np.add.accumulate(diff2, axis=2)[:, :, -1]
+                j = d.argmin(axis=1)
+                out_code[idx] = j
+                out_d[idx] = d[np.arange(len(idx)), j]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "s": pdf["s"],
+                    "sv": pdf["sv"],
+                    "code": out_code,
+                    "sq_err": out_d,
+                }
+            )
+
+    return subs.mapInPandas(
+        part, schema="id long, s int, sv array<double>, code int, sq_err double"
+    )
+
+
 def pq_kmeans(
     embeddings: DataFrame,
     id_col: str,
@@ -602,6 +648,7 @@ def pq_kmeans(
     m: int = 4,
     ksub: int = 8,
     n_iter: int = 2,
+    assign_impl: str = "pandas",
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Product-quantizer training: split every vector into ``m``
     subvectors and run deterministic Lloyd k-means (``ksub`` centroids,
@@ -658,6 +705,8 @@ def pq_kmeans(
     ]
 
     def assign(c):
+        if assign_impl == "pandas":
+            return _assign_subs_pandas(subs, c)
         best = F.array_min(_sub_dist_structs(_cents_literal(c)))
         return subs.select(
             "id", "s", "sv",

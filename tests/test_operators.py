@@ -1151,3 +1151,19 @@ def test_ivf_pq_residual_coding_recall(spark, sf_dir):
         ).collect()
     }
     assert len(exact & short) / len(exact) >= 0.7
+
+
+def test_pq_assign_impls_bit_equal(spark, sf_dir):
+    """The vectorized Arrow assignment (np.add.accumulate — sequential
+    per-dim sums) must reproduce the JVM fold path bit-for-bit, same
+    contract as kmeans_cells' two implementations."""
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.operators.similarity import pq_kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    a_pd, c_pd = pq_kmeans(emb, "vec_id", "embedding", n_iter=1, assign_impl="pandas")
+    a_ex, c_ex = pq_kmeans(emb, "vec_id", "embedding", n_iter=1, assign_impl="expr")
+    assert c_pd == c_ex
+    rp = {(r["id"], r["s"]): (r["code"], r["sq_err"]) for r in a_pd.collect()}
+    re_ = {(r["id"], r["s"]): (r["code"], r["sq_err"]) for r in a_ex.collect()}
+    assert rp == re_
