@@ -218,3 +218,39 @@ def test_q148_pq_scoring_is_map_side(spark, sf_dir):
     plan = _explain(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_catalog_wide_no_antipatterns(spark, sf_dir):
+    """Sweep EVERY catalog query's physical plan for the two plan shapes
+    this engine bans at 100 TB: row-at-a-time Python evaluation
+    (BatchEvalPython — all Python crossings must be Arrow-batched) and
+    unintended cartesian products. BroadcastNestedLoopJoin is allowed
+    only where a tiny broadcast side rides a non-equi or cross pattern
+    by design (ANN query tables, grid dims); CartesianProduct (both
+    sides unbroadcast) is never acceptable."""
+    allowed_bnlj = {
+        # tiny broadcast sides by design (query sets, scalar thresholds,
+        # sketch state, dim grids) — each rides a cross/non-equi pattern
+        # whose broadcast side is O(1)..O(k) rows:
+        "q025_ann_cosine_topk",      # broadcast query-vector set
+        "q057_source_lang_grid",     # tiny dim-grid cross
+        "q092_dormant_rich_customers",  # broadcast scalar threshold
+        "q094_important_part_value",    # broadcast scalar threshold
+        "q122_cms_heavy_hitters",    # broadcast sketch/threshold row
+        "q130_event_type_lift",      # broadcast pair supports
+        "q139_audience_overlap_kmv", # broadcast KMV sketch pairs
+        "q148_ann_pq_topk",          # broadcast per-query ADC tables
+    }
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        plan = _explain(spec.fn(spark, sf_dir))
+        bad = []
+        if "BatchEvalPython" in plan:
+            bad.append("row-at-a-time Python (BatchEvalPython)")
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            bad.append("unexpected BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
