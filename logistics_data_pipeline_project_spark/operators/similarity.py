@@ -32,6 +32,7 @@ __all__ = [
     "pq_topk",
     "pq_encode",
     "ivf_pq_topk",
+    "semantic_dedup",
     "ivf_topk",
 ]
 
@@ -1041,4 +1042,57 @@ def ivf_pq_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", "adc_sq_dist", "rnk")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the deterministic k-means coarse quantizer,
+    then compare pairs ONLY within each cell and drop the higher-id
+    member of every pair whose cosine exceeds ``threshold`` (keeper =
+    smallest qualifying lower id, deterministic).
+
+    The cell-locality is the scale story: candidate generation falls
+    from O(n²) to Σ|cell|² with cells shrinkable via n_cells (√n rule),
+    the same bucketed-candidates posture as the engine's MinHash/SimHash
+    text dedup — but in embedding space, catching semantic duplicates
+    that share no n-grams. Every stage (k-means, fold cosines, rounded
+    threshold, min-keeper window) is deterministic, so unlike the
+    original paper's GPU pipeline this one is oracle-replayable.
+
+    Returns (dropped_id, keeper_id, cosine, cell)."""
+    assigned, _ = kmeans_cells(
+        embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter
+    )
+    a = assigned.select(
+        "cell", F.col("id").alias("id1"), F.col("v").alias("v1")
+    )
+    b = assigned.select(
+        "cell", F.col("id").alias("id2"), F.col("v").alias("v2")
+    )
+    pairs = a.join(b, "cell").filter(F.col("id1") < F.col("id2"))
+    cos = F.round(
+        _dot("v1", "v2") / (_norm("v1") * _norm("v2")), round_to
+    ).cast("double")
+    cand = pairs.withColumn("cosine", cos).filter(
+        F.col("cosine") >= threshold
+    )
+    w = Window.partitionBy("id2").orderBy(F.asc("id1"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id2").alias("dropped_id"),
+            F.col("id1").alias("keeper_id"),
+            "cosine",
+            F.col("cell").cast("int").alias("cell"),
+        )
     )

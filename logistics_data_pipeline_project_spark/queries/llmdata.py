@@ -3437,3 +3437,65 @@ def q152_normalized_dedup(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("dup_count"),
         F.countDistinct("text").alias("n_raw_forms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — semantic deduplication (SemDeDup: cluster-then-compare)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_T = 0.35
+
+
+@register(
+    "q153_semantic_dedup",
+    tags=("dedup", "similarity", "J8", "W1"),
+    oracle=f"""
+WITH {_kmeans_ctes(_IVF_K, _IVF_ITER, _PQ_DIM)},
+pr AS (
+  SELECT x.cell, x.vec_id AS id1, y.vec_id AS id2
+  FROM a{_IVF_ITER + 1} x
+  JOIN a{_IVF_ITER + 1} y ON x.cell = y.cell AND x.vec_id < y.vec_id
+),
+sc AS (
+  SELECT pr.cell, pr.id1, pr.id2,
+    CAST(ROUND(
+      list_sum(list_transform(generate_series(1, {_PQ_DIM}),
+        i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, {_PQ_DIM}),
+           i -> CAST(e1.embedding[i] AS DOUBLE) * CAST(e1.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(generate_series(1, {_PQ_DIM}),
+           i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))))
+    , 4) AS DOUBLE) AS cosine
+  FROM pr
+  JOIN embeddings e1 ON e1.vec_id = pr.id1
+  JOIN embeddings e2 ON e2.vec_id = pr.id2
+)
+SELECT id2 AS dropped_id, id1 AS keeper_id, cosine, CAST(cell AS INTEGER) AS cell
+FROM (
+  SELECT cell, id1, id2, cosine,
+    ROW_NUMBER() OVER (PARTITION BY id2 ORDER BY id1) AS rn
+  FROM sc WHERE cosine >= {_SEMDEDUP_T}
+) WHERE rn = 1
+""",
+)
+def q153_semantic_dedup(spark: SparkSession, sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) Spark-first: k-means cells bucket
+    the embedding space, pairwise cosine runs ONLY within cells, and the
+    higher id of every ≥0.35 pair drops to its smallest qualifying
+    keeper. Candidate generation falls from O(n²) to Σ|cell|² — the
+    embedding-space analogue of the LSH-banded text dedup family, for
+    semantic duplicates that share no n-grams. Fully deterministic
+    (k-means contract + fold cosines + rounded threshold + min-keeper),
+    hence oracle-replayed bit-exactly, unlike the paper's GPU
+    pipeline."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_SEMDEDUP_T,
+        n_cells=_IVF_K,
+        n_iter=_IVF_ITER,
+    )
