@@ -61,6 +61,13 @@ def main() -> None:
                 file=sys.stderr,
             )
             sys.exit(2)
+        if not isinstance(base, dict):
+            print(
+                f"bench.py: --compare baseline is not a bench payload"
+                f" object ({base_path})",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         base["__path__"] = base_path
 
     spark = get_spark(app_name="ldp-spark-bench")

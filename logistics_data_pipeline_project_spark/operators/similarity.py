@@ -642,6 +642,114 @@ def _assign_subs_pandas(subs: DataFrame, cents: list[list[list[float]]]) -> Data
     )
 
 
+def _split_subvectors(df, vec_col: str, m: int, dsub: int, keep_cols):
+    """One row per (input row, subspace): keep_cols + (s, sv) where sv is
+    the s-th dsub-wide slice of ``vec_col``. The single subvector-split
+    definition shared by training, frozen-codebook encoding, and the
+    IVF-PQ query-residual path — keeping the slicing arithmetic in one
+    place so the three call sites cannot drift."""
+    return df.select(
+        *keep_cols,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice(
+                        F.col(vec_col), s * dsub + F.lit(1), F.lit(dsub)
+                    ).alias("sv"),
+                ),
+            )
+        ).alias("e"),
+    ).select(*keep_cols, "e.s", "e.sv")
+
+
+def _codes_array(assigned: DataFrame) -> DataFrame:
+    """(id, codes): the per-vector code array in subspace order."""
+    return (
+        assigned.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"))
+        .select(
+            "id", F.transform(F.col("sc"), lambda x: x["code"]).alias("codes")
+        )
+    )
+
+
+def _dtab_qdf(spark, qsubs, cents, m, ksub, key_cols, key_schema):
+    """Per-key ADC lookup tables: distances of each key's subvectors to
+    every codebook entry, computed with the SAME fold expressions as
+    training, collected (keys·m·ksub doubles — tiny) and re-embedded as
+    a broadcastable DataFrame ``(key_cols..., dtab[m][ksub])``. The
+    Python float round-trip is exact IEEE754."""
+    dt_rows = (
+        qsubs.select(
+            *key_cols,
+            "s",
+            F.explode(_sub_dist_structs(_cents_literal(cents))).alias("dc"),
+        )
+        .select(*key_cols, "s", "dc.code", "dc.d")
+        .collect()
+    )
+    dtabs: dict = {}
+    for r in dt_rows:
+        key = tuple(r[c] for c in key_cols)
+        dtabs.setdefault(key, [[0.0] * ksub for _ in range(m)])[r["s"]][
+            r["code"]
+        ] = r["d"]
+    rows = [(*key, dtabs[key]) for key in sorted(dtabs)]
+    return spark.createDataFrame(
+        rows, key_schema + ", dtab array<array<double>>"
+    )
+
+
+def _adc_topk(cand_codes, qdf, m, k, round_to, join_on=None):
+    """Shared ADC scoring tail: broadcast the lookup tables against the
+    candidate code arrays (cross for whole-corpus PQ, keyed on the cell
+    for IVF-PQ), fold the m lookups left-to-right, rank per query by
+    rounded distance with the cand id as tiebreaker."""
+    joined = (
+        cand_codes.join(F.broadcast(qdf), join_on)
+        if join_on
+        else cand_codes.crossJoin(F.broadcast(qdf))
+    )
+    scored = (
+        joined.filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("cand_id"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.lit(m)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        F.element_at(F.col("dtab"), s),
+                        F.element_at(F.col("codes"), s) + 1,
+                    ),
+                ),
+                round_to,
+            ).cast("double").alias("adc_sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_sq_dist"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "adc_sq_dist", "rnk")
+    )
+
+
+def _empty_topk(df: DataFrame, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(id_col).cast("long").alias("cand_id"),
+        F.lit(0.0).alias("adc_sq_dist"),
+        F.lit(0).cast("int").alias("rnk"),
+    ).limit(0)
+
+
 def pq_kmeans(
     embeddings: DataFrame,
     id_col: str,
@@ -683,20 +791,7 @@ def pq_kmeans(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    subs = dbl.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.cast("int").alias("s"),
-                    F.slice(
-                        F.col("v"), s * dsub + F.lit(1), F.lit(dsub)
-                    ).alias("sv"),
-                ),
-            )
-        ).alias("e"),
-    ).select("id", "e.s", "e.sv")
+    subs = _split_subvectors(dbl, "v", m, dsub, ["id"])
     # one materialization feeds every round's job (see kmeans_cells)
     subs = subs.localCheckpoint(eager=True)
     init = dbl.orderBy("id").limit(ksub).collect()
@@ -787,64 +882,26 @@ def pq_topk(
     assigned, cents = pq_kmeans(
         embeddings, id_col, vec_col, m=m, ksub=ksub, n_iter=n_iter
     )
-    codes = (
-        assigned.groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"))
-        .select(
-            "id", F.transform(F.col("sc"), lambda x: x["code"]).alias("codes")
-        )
-    )
+    if not cents:
+        return _empty_topk(embeddings, id_col)
+    # the assignment feeds the code aggregation, the lookup-table collect,
+    # and the final scoring action — materialize it once
+    assigned = assigned.localCheckpoint(eager=False)
+    codes = _codes_array(assigned)
     # per-query ADC lookup tables from the same fold exprs as training
     qsubs = assigned.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), "s", "sv"
     )
-    dt_rows = (
-        qsubs.select(
-            "query_id",
-            "s",
-            F.explode(_sub_dist_structs(_cents_literal(cents))).alias("dc"),
-        )
-        .select("query_id", "s", "dc.code", "dc.d")
-        .collect()
+    qdf = _dtab_qdf(
+        embeddings.sparkSession,
+        qsubs,
+        cents,
+        m,
+        ksub,
+        ["query_id"],
+        "query_id long",
     )
-    dtabs: dict = {}
-    for r in dt_rows:
-        dtabs.setdefault(r["query_id"], [[0.0] * ksub for _ in range(m)])[
-            r["s"]
-        ][r["code"]] = r["d"]
-    spark = embeddings.sparkSession
-    qdf = spark.createDataFrame(
-        [(qid, dtabs[qid]) for qid in sorted(dtabs)],
-        "query_id long, dtab array<array<double>>",
-    )
-    scored = (
-        codes.crossJoin(F.broadcast(qdf))
-        .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("cand_id"),
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(1), F.lit(m)),
-                    F.lit(0.0),
-                    lambda acc, s: acc
-                    + F.element_at(
-                        F.element_at(F.col("dtab"), s),
-                        F.element_at(F.col("codes"), s) + 1,
-                    ),
-                ),
-                round_to,
-            ).cast("double").alias("adc_sq_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_sq_dist"), F.asc("cand_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "adc_sq_dist", "rnk")
-    )
+    return _adc_topk(codes, qdf, m, k, round_to)
 
 
 def pq_encode(
@@ -867,24 +924,22 @@ def pq_encode(
     if m == 0:
         raise ValueError("empty codebooks")
     dsub = len(codebooks[0][0])
+    if any(len(c) != dsub for cb in codebooks for c in cb):
+        raise ValueError("ragged codebooks: all centroids must share dsub")
+    # a batch whose vector width drifted from the codebooks' dim would
+    # otherwise be encoded from a silent prefix of its dims — schema
+    # drift must fail loudly, not corrupt the append-only code column
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is not None and dim_row["d"] != m * dsub:
+        raise ValueError(
+            f"vector dim {dim_row['d']} does not match codebooks "
+            f"(m={m} x dsub={dsub} = {m * dsub})"
+        )
     dbl = embeddings.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    subs = dbl.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.cast("int").alias("s"),
-                    F.slice(
-                        F.col("v"), s * dsub + F.lit(1), F.lit(dsub)
-                    ).alias("sv"),
-                ),
-            )
-        ).alias("e"),
-    ).select("id", "e.s", "e.sv")
+    subs = _split_subvectors(dbl, "v", m, dsub, ["id"])
     best = F.array_min(_sub_dist_structs(_cents_literal(codebooks)))
     return subs.select(
         "id", "s", "sv", best["code"].alias("code"), best["d"].alias("sq_err")
@@ -948,14 +1003,14 @@ def ivf_pq_topk(
         ).alias("v"),
         "cell",
     )
+    # the residuals feed PQ training, the candidate-cell join, and the
+    # query-residual probe — materialize once so the coarse assignment
+    # (an Arrow pass over the corpus) does not recompute per consumer
+    res = res.localCheckpoint(eager=False)
     pq_assigned, pcents = pq_kmeans(res, "id", "v", m=m, ksub=ksub, n_iter=n_iter)
-    codes = (
-        pq_assigned.groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"))
-        .select(
-            "id", F.transform(F.col("sc"), lambda x: x["code"]).alias("codes")
-        )
-    )
+    if not pcents:
+        return _empty_topk(embeddings, id_col)
+    codes = _codes_array(pq_assigned)
     cand = codes.join(res.select("id", "cell"), "id")
 
     # probe: nprobe nearest coarse cells per query (same rule as ivf_topk)
@@ -972,7 +1027,7 @@ def ivf_pq_topk(
     )
     # per-(query, cell) residual ADC tables from the SAME fold exprs as
     # training; q·nprobe·m·ksub doubles — collected and re-broadcast
-    dsub = len(pcents[0][0]) if pcents else 0
+    dsub = len(pcents[0][0])
     qres = probe.select(
         "query_id",
         "cell",
@@ -980,69 +1035,17 @@ def ivf_pq_topk(
             "qv", F.element_at(cmap, F.col("cell")), lambda a, b: a - b
         ).alias("qr"),
     )
-    qsubs = qres.select(
-        "query_id",
-        "cell",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.cast("int").alias("s"),
-                    F.slice(
-                        F.col("qr"), s * dsub + F.lit(1), F.lit(dsub)
-                    ).alias("sv"),
-                ),
-            )
-        ).alias("e"),
-    ).select("query_id", "cell", "e.s", "e.sv")
-    dt_rows = (
-        qsubs.select(
-            "query_id",
-            "cell",
-            "s",
-            F.explode(_sub_dist_structs(_cents_literal(pcents))).alias("dc"),
-        )
-        .select("query_id", "cell", "s", "dc.code", "dc.d")
-        .collect()
+    qsubs = _split_subvectors(qres, "qr", m, dsub, ["query_id", "cell"])
+    qdf = _dtab_qdf(
+        embeddings.sparkSession,
+        qsubs,
+        pcents,
+        m,
+        ksub,
+        ["query_id", "cell"],
+        "query_id long, cell int",
     )
-    dtabs: dict = {}
-    for r in dt_rows:
-        dtabs.setdefault(
-            (r["query_id"], r["cell"]), [[0.0] * ksub for _ in range(m)]
-        )[r["s"]][r["code"]] = r["d"]
-    spark = embeddings.sparkSession
-    qdf = spark.createDataFrame(
-        [(qid, cell, dtabs[(qid, cell)]) for qid, cell in sorted(dtabs)],
-        "query_id long, cell int, dtab array<array<double>>",
-    )
-    scored = (
-        cand.join(F.broadcast(qdf), "cell")
-        .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("cand_id"),
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(1), F.lit(m)),
-                    F.lit(0.0),
-                    lambda acc, s: acc
-                    + F.element_at(
-                        F.element_at(F.col("dtab"), s),
-                        F.element_at(F.col("codes"), s) + 1,
-                    ),
-                ),
-                round_to,
-            ).cast("double").alias("adc_sq_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_sq_dist"), F.asc("cand_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "cand_id", "adc_sq_dist", "rnk")
-    )
+    return _adc_topk(cand, qdf, m, k, round_to, join_on="cell")
 
 
 def semantic_dedup(

@@ -3311,13 +3311,21 @@ def _bpe_ctes(rounds: int) -> str:
 )"""
         )
         parts.append(
+            # LEFT JOIN ON TRUE (not a cross join): when a corpus
+            # exhausts its merges before the configured rounds, m{r} is
+            # EMPTY and a cross join would erase the vocabulary for this
+            # and every later round — Spark's bpe_learn breaks out of the
+            # loop and keeps the words table, so the oracle must pass it
+            # through unchanged instead
             f"""w{r} AS (
   SELECT word, w,
-    list_reduce(string_split(t.sym, ' '), (acc, x) ->
-      CASE WHEN x = m.rgt AND (acc = m.lft OR ends_with(acc, ' ' || m.lft))
-           THEN substr(acc, 1, length(acc) - length(m.lft)) || m.merged
-           ELSE acc || ' ' || x END) AS sym
-  FROM w{r - 1} t, m{r} m
+    CASE WHEN m.lft IS NULL THEN t.sym ELSE
+      list_reduce(string_split(t.sym, ' '), (acc, x) ->
+        CASE WHEN x = m.rgt AND (acc = m.lft OR ends_with(acc, ' ' || m.lft))
+             THEN substr(acc, 1, length(acc) - length(m.lft)) || m.merged
+             ELSE acc || ' ' || x END)
+    END AS sym
+  FROM w{r - 1} t LEFT JOIN m{r} m ON TRUE
 )"""
         )
     sel = "\nUNION ALL\n".join(

@@ -1167,3 +1167,28 @@ def test_pq_assign_impls_bit_equal(spark, sf_dir):
     rp = {(r["id"], r["s"]): (r["code"], r["sq_err"]) for r in a_pd.collect()}
     re_ = {(r["id"], r["s"]): (r["code"], r["sq_err"]) for r in a_ex.collect()}
     assert rp == re_
+
+
+def test_pq_edge_cases_guarded(spark):
+    """Review-hardened edges: empty input returns an empty result (not an
+    AnalysisException from a VOID literal), and a vector-width drift
+    against frozen codebooks fails loudly instead of encoding a silent
+    prefix of the dims."""
+    import pytest
+
+    from logistics_data_pipeline_project_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = pq_topk(empty, "vec_id", "embedding", query_ids=[0, 1], k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "cand_id", "adc_sq_dist", "rnk"]
+
+    cb = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]  # m=2, dsub=2
+    six = spark.createDataFrame(
+        [(1, [0.1] * 6)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="does not match codebooks"):
+        pq_encode(six, "vec_id", "embedding", cb)

@@ -221,3 +221,32 @@ def test_normalize_text_merges_trivial_variants(spark):
     forms = {r["id"]: r["n"] for r in out.collect()}
     assert forms[1] == forms[2] == forms[3] == forms[4] == "hello world"
     assert forms[5] == "different text"
+
+
+def test_bpe_merge_exhaustion_matches_oracle(spark):
+    """When the corpus runs out of pairs before the configured rounds,
+    Spark breaks out of the loop keeping the words table — the unrolled
+    SQL chain must pass the vocabulary through its empty-argmax rounds
+    rather than cross-joining it away (review finding)."""
+    import duckdb
+
+    from logistics_data_pipeline_project_spark.operators.bpe import bpe_learn
+    from logistics_data_pipeline_project_spark.queries.llmdata import _bpe_ctes
+
+    df = spark.createDataFrame([("ab ab cd",)], "text string")
+    merges, words = bpe_learn(df, "text", rounds=8)
+    assert [m["merged"] for m in merges] == ["ab", "cd"]
+    got = {(r["word"], r["w"], r["sym"]) for r in words.collect()}
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT 'ab ab cd' AS text")
+    want = set(
+        con.sql(
+            "WITH " + _bpe_ctes(8) + " SELECT word, w, sym FROM w8"
+        ).fetchall()
+    )
+    assert got == want == {("ab", 2, "ab"), ("cd", 1, "cd")}
+    m_sql = con.sql(
+        "WITH " + _bpe_ctes(8) + " SELECT rnd, merged FROM merges ORDER BY rnd"
+    ).fetchall()
+    assert [x[1] for x in m_sql] == ["ab", "cd"]
