@@ -3507,3 +3507,168 @@ def q153_semantic_dedup(spark: SparkSession, sf_dir: str):
         n_cells=_IVF_K,
         n_iter=_IVF_ITER,
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — DSIR-style importance resampling toward a target distribution
+# ---------------------------------------------------------------------------
+
+_DSIR_K = 40
+_DSIR_TGT_WORD = "spark"
+
+
+@register(
+    "q154_importance_resample",
+    tags=("mix", "sample", "lm", "A1"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, substr(text, i, 3) AS tri
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, len(text) - 2)) AS i
+        FROM documents WHERE len(text) >= 3)
+), all_model AS (
+  SELECT tri, COUNT(*) AS ca FROM tok GROUP BY tri
+), tgt_model AS (
+  SELECT t.tri, COUNT(*) AS ct
+  FROM tok t JOIN documents d USING (doc_id)
+  WHERE d.text LIKE '%{_DSIR_TGT_WORD}%'
+  GROUP BY t.tri
+), mass AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_all,
+         CAST((SELECT SUM(ct) FROM tgt_model) AS BIGINT) AS n_tgt
+  FROM all_model
+), per_doc AS (
+  SELECT tok.doc_id,
+    CAST(SUM(am.ca) AS BIGINT) AS sum_all,
+    CAST(SUM(COALESCE(tm.ct, 0)) AS BIGINT) AS sum_tgt
+  FROM tok
+  JOIN all_model am USING (tri)
+  LEFT JOIN tgt_model tm ON tm.tri = tok.tri
+  GROUP BY tok.doc_id
+), tiers AS (
+  SELECT p.doc_id,
+    CAST(1 + least(7, greatest(0,
+           (8 * p.sum_tgt * m.n_all) // (p.sum_all * m.n_tgt) - 4))
+         AS INTEGER) AS tier
+  FROM per_doc p CROSS JOIN mass m
+), t AS (
+  SELECT doc_id, tier,
+    MAX(md5('t:' || CAST(i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)))
+      AS ticket
+  FROM tiers, range(1, 9) r(i)
+  WHERE r.i <= tier
+  GROUP BY doc_id, tier
+), pick AS (
+  SELECT doc_id, tier, tier AS n_tickets, ticket,
+    ROW_NUMBER() OVER (ORDER BY ticket DESC, doc_id) AS rn
+  FROM t
+)
+SELECT p.doc_id,
+  CASE WHEN d.text LIKE '%{_DSIR_TGT_WORD}%' THEN 1 ELSE 0 END AS in_target,
+  p.tier, p.n_tickets, p.ticket
+FROM pick p JOIN documents d USING (doc_id)
+WHERE p.rn <= {_DSIR_K}
+""",
+)
+def q154_importance_resample(spark: SparkSession, sf_dir: str):
+    """DSIR-shaped importance resampling (Xie et al. 2023): weight every
+    document by how characteristic its char-trigrams are of a TARGET
+    distribution (here the docs mentioning '{tgt}') relative to the whole
+    corpus, then draw an exact-k weighted sample. The importance ratio
+    is the integer-exact form Σc_target/Σc_all normalized by the target
+    mass fraction, quantized to a 1..8 ticket tier — no logs, no
+    floats — and the draw is the engine's integer-ticket A-ES sampler
+    (q138's machinery), so the whole resampling pipeline is
+    deterministic and oracle-replayed exactly. Scale shape: trigram
+    models are charset³-bounded broadcasts; the ticket explosion is
+    map-side; one doc-keyed shuffle plus a survivors-only top-k.
+
+    Honesty note: the driver's synthetic corpus draws every document
+    from ONE shared vocabulary, so any target subset has a near-
+    identical trigram distribution and tiers stay near-neutral (the
+    sample is correctly near-uniform here). The differential gate
+    certifies the machinery; tests/test_pii_lm_pack.py demonstrates the
+    actual skew on a corpus whose target HAS a distinct distribution."""
+    from ..operators.mixing import ticket_sample_k
+
+    from ..operators.scale import fan_out
+
+    docs = load(spark, sf_dir, "documents")
+    t = fan_out(
+        docs.select("doc_id", F.col("text").alias("__t")).where(
+            F.length("__t") >= 3
+        )
+    )
+    tok = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(__t) - 2),"
+                " i -> substring(__t, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    # hierarchical rollup (same shape as operators/lm.py): the exploded
+    # token stream aggregates ONCE to per-doc gram counts — materialized
+    # so the three consumers below share one explosion pass — and every
+    # model derives from that
+    doc_grams = tok.groupBy("doc_id", "tri").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
+    all_model = doc_grams.groupBy("tri").agg(F.sum("cnt").alias("ca"))
+    tgt_ids = docs.filter(
+        F.col("text").like(f"%{_DSIR_TGT_WORD}%")
+    ).select("doc_id")
+    tgt_model = (
+        doc_grams.join(tgt_ids, "doc_id")
+        .groupBy("tri")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(all_model), "tri")
+        .join(F.broadcast(tgt_model), "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("ca")).alias("sum_all"),
+            F.sum(F.col("cnt") * F.coalesce("ct", F.lit(0))).alias("sum_tgt"),
+        )
+    )
+    mass = all_model.agg(F.sum("ca").alias("n_all")).crossJoin(
+        tgt_model.agg(F.sum("ct").alias("n_tgt"))
+    )
+    tiers = per_doc.crossJoin(F.broadcast(mass)).select(
+        "doc_id",
+        (
+            F.lit(1)
+            + F.least(
+                F.lit(7),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(
+                        "(8 * sum_tgt * n_all) DIV (sum_all * n_tgt) - 4"
+                    ),
+                ),
+            )
+        )
+        .cast("int")
+        .alias("tier"),
+    )
+    picked = ticket_sample_k(
+        tiers, "doc_id", k=_DSIR_K, strata=(), weight_col="tier"
+    )
+    flag = docs.select(
+        "doc_id",
+        F.col("text").like(f"%{_DSIR_TGT_WORD}%").cast("int").alias("in_target"),
+    )
+    # the sampler already carries the tier (it IS n_tickets) — re-joining
+    # `tiers` would re-derive the whole model pipeline a second time
+    return picked.withColumn(
+        "tier", F.col("n_tickets").cast("int")
+    ).join(flag, "doc_id").select(
+        "doc_id", "in_target", "tier", "n_tickets", "ticket"
+    )
+
+
+q154_importance_resample.__doc__ = q154_importance_resample.__doc__.format(
+    tgt=_DSIR_TGT_WORD
+)

@@ -250,3 +250,66 @@ def test_bpe_merge_exhaustion_matches_oracle(spark):
         "WITH " + _bpe_ctes(8) + " SELECT rnd, merged FROM merges ORDER BY rnd"
     ).fetchall()
     assert [x[1] for x in m_sql] == ["ab", "cd"]
+
+
+def test_importance_tiers_skew_on_real_signal(spark):
+    """q154's tier machinery on a corpus WITH distributional signal:
+    target docs written in a distinct alphabet must land in strictly
+    higher tiers than off-target docs (the driver corpus is signal-free
+    by construction, so the skew is demonstrated here)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "qxz wvk jqx zzq wkv") for i in range(10)]          # target-ish
+    rows += [(100 + i, "aaa bbb ccc ddd eee") for i in range(10)]   # off-target
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = docs.select("doc_id", F.col("text").alias("__t"))
+    tok = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(__t) - 2),"
+                " i -> substring(__t, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    all_model = tok.groupBy("tri").agg(F.count(F.lit(1)).alias("ca"))
+    tgt_model = (
+        tok.join(docs.filter("doc_id < 100").select("doc_id"), "doc_id")
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(all_model), "tri")
+        .join(F.broadcast(tgt_model), "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ca").alias("sum_all"),
+            F.sum(F.coalesce("ct", F.lit(0))).alias("sum_tgt"),
+        )
+    )
+    mass = all_model.agg(F.sum("ca").alias("n_all")).crossJoin(
+        tgt_model.agg(F.sum("ct").alias("n_tgt"))
+    )
+    tiers = {
+        r["doc_id"]: r["tier"]
+        for r in per_doc.crossJoin(F.broadcast(mass))
+        .select(
+            "doc_id",
+            (
+                F.lit(1)
+                + F.least(
+                    F.lit(7),
+                    F.greatest(
+                        F.lit(0),
+                        F.expr(
+                            "(8 * sum_tgt * n_all) DIV (sum_all * n_tgt) - 4"
+                        ),
+                    ),
+                )
+            ).alias("tier"),
+        )
+        .collect()
+    }
+    assert min(tiers[i] for i in range(10)) > max(tiers[100 + i] for i in range(10))
+    assert max(tiers[100 + i] for i in range(10)) == 1  # off-target floor
