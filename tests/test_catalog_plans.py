@@ -240,6 +240,7 @@ def test_catalog_wide_no_antipatterns(spark, sf_dir):
         "q130_event_type_lift",      # broadcast pair supports
         "q139_audience_overlap_kmv", # broadcast KMV sketch pairs
         "q148_ann_pq_topk",          # broadcast per-query ADC tables
+        "q154_importance_resample",  # broadcast 1-row corpus-mass scalars
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
