@@ -3672,3 +3672,297 @@ def q154_importance_resample(spark: SparkSession, sf_dir: str):
 q154_importance_resample.__doc__ = q154_importance_resample.__doc__.format(
     tgt=_DSIR_TGT_WORD
 )
+
+
+# ---------------------------------------------------------------------------
+# q155 — BM25 lexical retrieval (integer-exact scoring)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (1, "merge join order"),
+    (2, "customer filter row"),
+    (3, "spark query scan"),
+    (4, "window hash batch"),
+]
+_BM25_K = 10
+_RRF_DEPTH = 20
+
+
+def _bm25_ctes() -> str:
+    """DuckDB CTE chain replaying operators.retrieval.bm25_scores: the
+    token stream, corpus scalars (N docs / L tokens), per-doc lengths,
+    the literal query-term table, tf/df over query terms only, then the
+    integer BM25 score — ((2N-2df+1)*1000 // (2df+1)) * 22*tf*L //
+    (10*tf*L + 3*L + 9*dl*N), floored per term and summed.  Ends at
+    ``bm25 (query_id, doc_id, score_x1000)``."""
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, qtext in _BM25_QUERIES
+        for t in sorted(set(qtext.split()))
+    )
+    return f"""toks AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+  WHERE t <> ''
+), stats AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS l FROM toks
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), qt AS (
+  SELECT * FROM (VALUES {values}) AS v(query_id, token)
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks JOIN (SELECT DISTINCT token FROM qt) USING (token)
+  GROUP BY doc_id, token
+), dfx AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY token
+), bm25 AS (
+  SELECT qt.query_id, tf.doc_id,
+    CAST(SUM(
+      ((((2*s.n - 2*dfx.df + 1) * 1000) // (2*dfx.df + 1))
+        * (22 * tf.tf * s.l))
+      // (10 * tf.tf * s.l + 3 * s.l + 9 * dl.dl * s.n)
+    ) AS BIGINT) AS score_x1000
+  FROM tf JOIN dfx USING (token) JOIN qt USING (token)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+)"""
+
+
+@register(
+    "q155_bm25_topk",
+    tags=("retrieval", "text", "A1", "O3", "J1"),
+    oracle=f"""
+WITH {_bm25_ctes()}
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, score_x1000,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_x1000 DESC, doc_id) AS rnk
+  FROM bm25)
+WHERE rnk <= {_BM25_K}
+""",
+)
+def q155_bm25_topk(spark: SparkSession, sf_dir: str):
+    """BM25 top-{k} retrieval for a fixed query batch
+    (operators/retrieval.py): the workhorse of targeted
+    decontamination and seed-query data selection.  The whole score is
+    integer arithmetic — k1=6/5 and b=3/4 cleared of denominators, a
+    log-free rational Robertson idf — so ranking is bit-identical
+    across engines and partitionings.  Scale shape: the corpus-sized
+    token stream is semi-joined against the broadcast query-term table
+    BEFORE any shuffle (only term-matching rows move); doc lengths are
+    one map-side-combined aggregate; the final window partitions on
+    query_id (bounded by the query batch)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERIES, k=_BM25_K)
+
+
+q155_bm25_topk.__doc__ = q155_bm25_topk.__doc__.format(k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# q156 — distributed perceptron training (integer-exact trajectory)
+# ---------------------------------------------------------------------------
+
+_PCT_EPOCHS = 6
+_PCT_LEN_CUT = 56  # median corpus token count: splits labels ~50/50
+_PCT_X2_CTR = 25  # median distinct-token count: centers the 2nd feature
+
+
+def _perceptron_ctes(epochs: int) -> str:
+    """Unrolled DuckDB replay of operators.linear.perceptron_epochs:
+    the integer feature table, zero-weight seed, then per epoch one
+    aggregate joining the previous weights — mistake set is
+    y*(w.x) <= 0, update is the integer SUM of y*x over it."""
+    parts = [
+        f"""feat AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS x0,
+    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+         - {_PCT_LEN_CUT} AS BIGINT) AS x1,
+    CAST(len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                       t -> t <> ''))) - {_PCT_X2_CTR}
+         AS BIGINT) AS x2,
+    CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+              >= {_PCT_LEN_CUT}
+         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+  FROM documents
+)""",
+        """e0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS n_mistakes)""",
+    ]
+    for r in range(1, epochs + 1):
+        parts.append(
+            f"""e{r} AS (
+  SELECT
+    p.w0 + COALESCE(SUM(CASE WHEN f.y*(p.w0*f.x0 + p.w1*f.x1 + p.w2*f.x2) <= 0
+                              THEN f.y*f.x0 ELSE 0 END), 0) AS w0,
+    p.w1 + COALESCE(SUM(CASE WHEN f.y*(p.w0*f.x0 + p.w1*f.x1 + p.w2*f.x2) <= 0
+                              THEN f.y*f.x1 ELSE 0 END), 0) AS w1,
+    p.w2 + COALESCE(SUM(CASE WHEN f.y*(p.w0*f.x0 + p.w1*f.x1 + p.w2*f.x2) <= 0
+                              THEN f.y*f.x2 ELSE 0 END), 0) AS w2,
+    CAST(COUNT(CASE WHEN f.y*(p.w0*f.x0 + p.w1*f.x1 + p.w2*f.x2) <= 0
+                    THEN 1 END) AS BIGINT) AS n_mistakes
+  FROM feat f CROSS JOIN e{r - 1} p
+  GROUP BY p.w0, p.w1, p.w2
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS epoch, w0, w1, w2, n_mistakes FROM e{r}"
+        for r in range(1, epochs + 1)
+    )
+    return ",\n".join(parts) + f", traj AS (\n{sel}\n)"
+
+
+@register(
+    "q156_perceptron_quality",
+    tags=("ml", "A1", "A7"),
+    oracle=f"""
+WITH {_perceptron_ctes(_PCT_EPOCHS)}
+SELECT CAST(epoch AS INTEGER) AS epoch, w0, w1, w2, n_mistakes
+FROM traj
+""",
+)
+def q156_perceptron_quality(spark: SparkSession, sf_dir: str):
+    """Distributed quality-classifier training
+    (operators/linear.py): a full-batch perceptron over integer
+    per-document features (bias, median-centered token count,
+    median-centered distinct-token count — centering keeps full-batch
+    steps from overshooting, so the model actually converges: mistakes
+    drop from all-500 at the zero-weight first epoch to ~1 by epoch 2),
+    labels from the median-length quality rule.  Each of the {e}
+    epochs is ONE map-side-combined aggregate over the cached feature
+    projection; the update is an integer vector sum, so the whole
+    trajectory — weights and mistake counts per epoch — is bit-exactly
+    replayed by the unrolled SQL chain regardless of partitioning or
+    core count.  This is the scale-out formulation of the curation
+    quality model: a 100 TB corpus trains with epochs x one scan, no
+    driver-side data."""
+    from ..operators.linear import perceptron_epochs
+
+    d = load(spark, sf_dir, "documents")
+    nt = F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != ""))
+    nd = F.size(
+        F.array_distinct(F.filter(F.split(F.lower("text"), " "), lambda t: t != ""))
+    )
+    feats = d.select(
+        F.lit(1).alias("x0"),
+        (nt - _PCT_LEN_CUT).alias("x1"),
+        (nd - _PCT_X2_CTR).alias("x2"),
+        F.when(nt >= _PCT_LEN_CUT, 1).otherwise(-1).alias("y"),
+    )
+    return perceptron_epochs(feats, ["x0", "x1", "x2"], "y", _PCT_EPOCHS)
+
+
+q156_perceptron_quality.__doc__ = q156_perceptron_quality.__doc__.format(
+    e=_PCT_EPOCHS
+)
+
+
+# ---------------------------------------------------------------------------
+# q157 — hybrid retrieval: BM25 + coverage ranking fused with RRF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q157_hybrid_retrieval_rrf",
+    tags=("retrieval", "text", "A1", "O3", "W1"),
+    oracle=f"""
+WITH {_bm25_ctes()},
+bm25_rank AS (
+  SELECT query_id, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_x1000 DESC, doc_id) AS rnk
+  FROM bm25
+),
+cov AS (
+  SELECT qt.query_id, tf.doc_id,
+    CAST(COUNT(DISTINCT tf.token) AS BIGINT) AS n_terms, MIN(dl.dl) AS dl
+  FROM tf JOIN qt USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY qt.query_id, tf.doc_id
+),
+cov_rank AS (
+  SELECT query_id, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY n_terms DESC, dl ASC, doc_id) AS rnk
+  FROM cov
+),
+contrib AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rnk) AS contrib
+  FROM bm25_rank WHERE rnk <= {_RRF_DEPTH}
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // (60 + rnk) AS contrib
+  FROM cov_rank WHERE rnk <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf_x1e6,
+    CAST(COUNT(*) AS INTEGER) AS n_lists
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, rrf_x1e6, n_lists,
+       CAST(fused_rnk AS INTEGER) AS fused_rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_x1e6 DESC, doc_id) AS fused_rnk
+  FROM fused)
+WHERE fused_rnk <= {_BM25_K}
+""",
+)
+def q157_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str):
+    """Hybrid retrieval by reciprocal-rank fusion
+    (operators/retrieval.py rrf_fuse): the BM25 ranking (q155, depth
+    {d}) fused with an independent term-coverage ranking (distinct
+    query terms matched desc, doc length asc) via integer RRF —
+    sum of 1e6 div (60 + rank).  Rank fusion is how production
+    retrieval combines lexical and secondary signals without score
+    calibration; integer floors keep the fused ordering engine-exact.
+    Scale shape is q155's plus one more bounded window per ranking —
+    both rankings derive from the same query-term-filtered tf table,
+    computed once."""
+    from ..operators.retrieval import bm25_scores, rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, _BM25_QUERIES)
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.desc("score_x1000"), F.asc("doc_id")
+    )
+    bm_rank = (
+        scored.withColumn("rnk", F.row_number().over(w_bm).cast("int"))
+        .filter(F.col("rnk") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "rnk")
+    )
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    qterms = spark.createDataFrame(
+        sorted(
+            {(qid, t) for qid, qtext in _BM25_QUERIES for t in qtext.split()}
+        ),
+        "query_id int, token string",
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    cov = (
+        toks.join(F.broadcast(qterms), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("token").alias("n_terms"))
+        .join(dl, "doc_id")
+    )
+    w_cov = Window.partitionBy("query_id").orderBy(
+        F.desc("n_terms"), F.asc("dl"), F.asc("doc_id")
+    )
+    cov_rank = (
+        cov.withColumn("rnk", F.row_number().over(w_cov).cast("int"))
+        .filter(F.col("rnk") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "rnk")
+    )
+    return rrf_fuse([bm_rank, cov_rank], k=_BM25_K)
+
+
+q157_hybrid_retrieval_rrf.__doc__ = q157_hybrid_retrieval_rrf.__doc__.format(
+    d=_RRF_DEPTH
+)
