@@ -7,7 +7,16 @@ the reference applies to logistics facts, applied to a document corpus:
       → docs_filtered     (quality gates: length + repetition)
       → docs_deduped      (exact dedup on the normalized hash)
       → docs_packed       (context-window sequence packing)
+      → quality_model     (full-batch perceptron trained ON the corpus)
+      → docs_scored       (the trained weights applied back as a column)
       → curation_report   (per-source funnel: raw→clean→unique→tokens)
+
+The quality_model → docs_scored pair is the train-then-score loop every
+curation pipeline runs: the model is learned from the corpus itself
+(operators/linear.py: one integer-exact aggregate per epoch) and its
+final weights come back as a plain column expression — scoring is pure
+codegen, no Python in the hot path, and the learned margin rides along
+for threshold tuning downstream.
 
 Each stage materializes atomically through the TableStore, carries
 dbt-style data-quality checks gated BEFORE the write, and appends audit
@@ -24,9 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.dedup import exact_dedup
+from ..operators.linear import perceptron_epochs
 from ..operators.ranking import with_running_sum
 from ..operators.text import normalize_text, top_ngram_repetition
-from ..plans.quality import not_null, run_checks, unique
+from ..plans.quality import accepted_values, not_null, run_checks, unique
 from ..plans.runner import Model, ModelRunner
 
 #: quality gates (Gopher-style bounds, scaled to the toy corpus)
@@ -34,6 +44,11 @@ MIN_TOKENS = 3
 MAX_TOKENS = 100_000
 MAX_TOP_TOKEN_SHARE = 0.5  # most frequent token may cover ≤ half the doc
 PACK_BUDGET = 512
+#: quality-model hyperparameters: the label rule (docs at/above the cut
+#: are "long-form quality") and the feature centering that keeps
+#: full-batch steps from overshooting (see queries/llmdata.py q156)
+QUALITY_LEN_CUT = 5
+QUALITY_EPOCHS = 4
 
 
 def docs_normalized(docs: DataFrame) -> DataFrame:
@@ -87,6 +102,52 @@ def docs_packed(deduped: DataFrame) -> DataFrame:
         "source",
         "n_tokens",
         F.expr(f"(cum - n_tokens) DIV {PACK_BUDGET}").alias("bin_id"),
+    )
+
+
+def _quality_feats(deduped: DataFrame) -> DataFrame:
+    nd = F.size(F.array_distinct(F.split(F.col("norm"), " ")))
+    return deduped.select(
+        "doc_id",
+        F.lit(1).alias("x0"),
+        (F.col("n_tokens") - QUALITY_LEN_CUT).alias("x1"),
+        (nd - QUALITY_LEN_CUT).alias("x2"),
+        F.when(F.col("n_tokens") >= QUALITY_LEN_CUT, 1)
+        .otherwise(-1)
+        .alias("y"),
+    )
+
+
+def quality_model(deduped: DataFrame) -> DataFrame:
+    """Per-epoch perceptron trajectory trained on the deduped corpus —
+    the model table a curation run materializes next to its data, so
+    any later scoring run (or audit) can replay which weights were
+    live."""
+    return perceptron_epochs(
+        _quality_feats(deduped), ["x0", "x1", "x2"], "y", QUALITY_EPOCHS
+    )
+
+
+def docs_scored(deduped: DataFrame, model: DataFrame) -> DataFrame:
+    """Apply the final-epoch weights back to every document as a pure
+    column expression: integer margin + predicted label. The weight
+    fetch is an O(1) one-row collect from the tiny model table; scoring
+    itself is whole-stage codegen over the corpus — no Python per row."""
+    w = model.orderBy(F.desc("epoch")).first()
+    feats = _quality_feats(deduped)
+    margin = (
+        F.lit(int(w["w0"])) * F.col("x0")
+        + F.lit(int(w["w1"])) * F.col("x1")
+        + F.lit(int(w["w2"])) * F.col("x2")
+    ).cast("long")
+    scored = feats.select(
+        "doc_id",
+        margin.alias("quality_margin"),
+        F.when(margin > 0, 1).otherwise(-1).cast("int").alias("pred_quality"),
+        F.col("y").cast("int").alias("rule_label"),
+    )
+    return deduped.select("doc_id", "source", "lang", "n_tokens").join(
+        scored, "doc_id"
     )
 
 
@@ -159,6 +220,40 @@ def register_curation_models(runner: ModelRunner, raw_docs_fn) -> None:
             name="docs_packed",
             fn=lambda sp, ref: docs_packed(ref("docs_deduped")),
             deps=("docs_deduped",),
+        )
+    )
+    runner.register(
+        Model(
+            name="quality_model",
+            fn=lambda sp, ref: quality_model(ref("docs_deduped")),
+            deps=("docs_deduped",),
+            checks=lambda df: run_checks(
+                [
+                    (
+                        "not_null_weights",
+                        "quality_model",
+                        lambda: not_null(df, ["epoch", "w0", "w1", "w2"]),
+                    )
+                ]
+            ),
+        )
+    )
+    runner.register(
+        Model(
+            name="docs_scored",
+            fn=lambda sp, ref: docs_scored(
+                ref("docs_deduped"), ref("quality_model")
+            ),
+            deps=("docs_deduped", "quality_model"),
+            checks=lambda df: run_checks(
+                [
+                    (
+                        "valid_pred_quality",
+                        "docs_scored",
+                        lambda: accepted_values(df, "pred_quality", [1, -1]),
+                    )
+                ]
+            ),
         )
     )
     runner.register(

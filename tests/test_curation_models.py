@@ -60,6 +60,22 @@ def test_curation_dag_end_to_end(spark, tmp_path):
     assert all(r["bin_id"] == 0 for r in packed)  # tiny corpus: one bin
     assert PACK_BUDGET > sum(r["n_tokens"] for r in packed)
 
+    # train-then-score loop: the toy set is separable through the cut,
+    # so the full-batch perceptron converges by epoch 2 (all-mistakes
+    # first epoch from zero weights is the convention)
+    traj = sorted(
+        store.read("quality_model").collect(), key=lambda r: r["epoch"]
+    )
+    assert traj[0]["n_mistakes"] == 3
+    assert traj[-1]["n_mistakes"] == 0
+    scored = {r["doc_id"]: r for r in store.read("docs_scored").collect()}
+    assert set(scored) == {1, 3, 6}
+    assert all(
+        r["pred_quality"] == r["rule_label"] for r in scored.values()
+    ), "converged model must agree with the label rule on the train set"
+    assert scored[6]["pred_quality"] == 1  # the one long-form doc
+    assert scored[1]["pred_quality"] == -1
+
     report = {r["source"]: r for r in store.read("curation_report").collect()}
     assert report["web"]["n_raw"] == 3
     assert report["web"]["n_clean"] == 3
@@ -73,9 +89,10 @@ def test_curation_dag_end_to_end(spark, tmp_path):
     assert ok.filter(
         F.col("job_name").isin(
             "docs_normalized", "docs_filtered", "docs_deduped",
-            "docs_packed", "curation_report",
+            "docs_packed", "quality_model", "docs_scored",
+            "curation_report",
         )
-    ).count() == 5
+    ).count() == 7
 
 
 def test_curation_quality_gate_aborts_before_write(spark, tmp_path):
