@@ -3966,3 +3966,278 @@ def q157_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str):
 q157_hybrid_retrieval_rrf.__doc__ = q157_hybrid_retrieval_rrf.__doc__.format(
     d=_RRF_DEPTH
 )
+
+
+# ---------------------------------------------------------------------------
+# q158 — word-bigram LM surprise scoring (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q158_bigram_lm_surprise",
+    tags=("text", "lm", "A1", "J1"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)
+), docbig AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+  FROM big GROUP BY doc_id, w1, w2
+), corp AS (
+  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c FROM docbig GROUP BY w1, w2
+), pref AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS cp FROM corp GROUP BY w1
+)
+SELECT d.doc_id,
+  CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
+  CAST(SUM(d.m * ((p.cp * 1000) // c.c)) AS BIGINT) AS surprise_x1000,
+  CAST(SUM(d.m * ((p.cp * 1000) // c.c)) // SUM(d.m) AS BIGINT)
+    AS avg_surprise_x1000
+FROM docbig d JOIN corp c USING (w1, w2) JOIN pref p USING (w1)
+GROUP BY d.doc_id
+""",
+)
+def q158_bigram_lm_surprise(spark: SparkSession, sf_dir: str):
+    """Word-bigram language-model scoring: each document's summed and
+    per-bigram-averaged "surprise" under the corpus's own bigram model —
+    the word-level sibling of q143's char-trigram rarity, and the
+    integer-exact stand-in for n-gram perplexity quality filters
+    (CCNet-style): surprise(w1→w2) = (c(w1·)·1000) div c(w1,w2), the
+    scaled inverse conditional probability, floored per bigram so the
+    per-doc sums are engine- and partitioning-exact (a log-perplexity
+    would drift in the last ulp and is monotone-equivalent per bigram).
+    Scale shape: the corpus tokenizes once into per-doc bigram
+    multiplicities (map-side combined), the corpus bigram and prefix
+    tables aggregate FROM that (bounded by vocab², not corpus size),
+    and the scoring join is hash-keyed on the bigram — Zipf-small
+    tables that AQE broadcasts at catalog SF."""
+    d = load(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    big = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.size(t) - 1).alias("w1"),
+                    F.slice(t, 2, F.size(t) - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    docbig = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    corp = docbig.groupBy("w1", "w2").agg(F.sum("m").alias("c"))
+    pref = corp.groupBy("w1").agg(F.sum("c").alias("cp"))
+    return (
+        docbig.join(corp, ["w1", "w2"])
+        .join(pref, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.sum(F.expr("m * ((cp * 1000) div c)"))
+            .cast("long")
+            .alias("surprise_x1000"),
+            F.expr("sum(m * ((cp * 1000) div c)) div sum(m)")
+            .cast("long")
+            .alias("avg_surprise_x1000"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — collocation mining by integer PMI
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 40
+
+
+@register(
+    "q159_collocations_pmi",
+    tags=("text", "A1", "O3"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+    SELECT unnest(t) AS w FROM t) GROUP BY w
+), n AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tok FROM uni),
+big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)
+  GROUP BY t[i], t[i + 1]
+), pmi AS (
+  SELECT w1, w2, c,
+    (c * n.n_tok * 1000) // (u1.cu * u2.cu) AS pmi_x1000
+  FROM big JOIN uni u1 ON u1.w = big.w1 JOIN uni u2 ON u2.w = big.w2
+       CROSS JOIN n
+  WHERE c >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c AS pair_count, pmi_x1000, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY pmi_x1000 DESC, w1, w2) AS rnk
+  FROM pmi)
+WHERE rnk <= {_PMI_TOPK}
+""",
+)
+def q159_collocations_pmi(spark: SparkSession, sf_dir: str):
+    """Corpus collocation mining: the top-{k} adjacent token pairs by
+    pointwise mutual information — the phrase/term-of-art detector
+    feeding tokenizer vocab curation and boilerplate analysis.  PMI is
+    computed as the scaled rational inside the log, (c(a,b)·N·1000)
+    div (c(a)·c(b)), with the standard min-count support filter —
+    integer-exact ranking, no libm.  Scale shape: unigram and bigram
+    count tables (map-side combined, bounded by vocab), a hash join
+    between them, and a global top-{k} over the support-filtered pair
+    table — small enough after the >= {m} filter for a single ranking
+    window; at larger vocabs pre-cut with a count threshold first
+    (ranking.py notes)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    toks = d.select(F.explode(t).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    n_tok = uni.agg(F.sum("cu")).first()[0]
+    big = (
+        d.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.size(t) - 1).alias("w1"),
+                    F.slice(t, 2, F.size(t) - 1).alias("w2"),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _PMI_MIN_COUNT)
+    )
+    pmi = (
+        big.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cu", "cu1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            F.expr(f"(c * {n_tok} * 1000) div (cu1 * cu2)").alias("pmi_x1000"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_x1000"), F.asc("w1"), F.asc("w2"))
+    return (
+        pmi.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _PMI_TOPK)
+    )
+
+
+q159_collocations_pmi.__doc__ = q159_collocations_pmi.__doc__.format(
+    k=_PMI_TOPK, m=_PMI_MIN_COUNT
+)
+
+
+# ---------------------------------------------------------------------------
+# q160 — Matryoshka truncation recall audit
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16
+_MRL_K = 10
+
+
+@register(
+    "q160_matryoshka_recall",
+    tags=("similarity", "A1", "J8"),
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+p AS (
+  SELECT q.query_id, c.cand_id,
+    list_sum(list_transform(generate_series(1, len(qv)),
+      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qn,
+    sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))) AS cn,
+    list_sum(list_transform(generate_series(1, {_MRL_DIM}),
+      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) AS dot_t,
+    sqrt(list_sum(list_transform(generate_series(1, {_MRL_DIM}),
+      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS qn_t,
+    sqrt(list_sum(list_transform(generate_series(1, {_MRL_DIM}),
+      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))) AS cn_t
+  FROM q, c WHERE c.cand_id <> q.query_id
+), full_rank AS (
+  SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY CAST(ROUND(dot / (qn * cn), 4) AS DOUBLE) DESC, cand_id) AS rnk
+  FROM p
+), trunc_rank AS (
+  SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY CAST(ROUND(dot_t / (qn_t * cn_t), 4) AS DOUBLE) DESC, cand_id)
+    AS rnk
+  FROM p
+)
+SELECT f.query_id,
+  CAST(COUNT(t.cand_id) AS BIGINT) AS n_overlap,
+  CAST((COUNT(t.cand_id) * 1000) // {_MRL_K} AS BIGINT) AS recall_x1000
+FROM full_rank f LEFT JOIN trunc_rank t
+  ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+     AND t.rnk <= {_MRL_K}
+WHERE f.rnk <= {_MRL_K}
+GROUP BY f.query_id
+""",
+)
+def q160_matryoshka_recall(spark: SparkSession, sf_dir: str):
+    """Matryoshka-style truncation audit: recall@{k} of the
+    first-{d}-dims cosine ranking against the full-width ranking, per
+    query — the measurement that decides how far an embedding column
+    can be truncated for cheap pre-filtering before full-width rerank
+    (the two-stage ANN pattern).  Both rankings run through the same
+    exact cosine_topk operator (JVM-side fold, rounded-score ordering
+    with id tiebreak — q025's determinism contract), on the full and
+    the sliced vector respectively; the overlap join is per-query
+    top-{k} rows only.  Scale: two brute-force passes at audit time
+    over a sampled query set — the point is to calibrate {d} offline,
+    then serve with the truncated index."""
+    from ..operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_full = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c_full = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    full = cosine_topk(q_full, c_full, k=_MRL_K)
+    q_t = q_full.select(
+        "query_id", F.slice("qv", 1, _MRL_DIM).alias("qv")
+    )
+    c_t = c_full.select(
+        "cand_id", F.slice("cv", 1, _MRL_DIM).alias("cv")
+    )
+    trunc = cosine_topk(q_t, c_t, k=_MRL_K)
+    return (
+        full.select("query_id", "cand_id")
+        .join(
+            trunc.select("query_id", "cand_id", F.lit(1).alias("hit")),
+            ["query_id", "cand_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_overlap"),
+            F.expr(f"(count(hit) * 1000) div {_MRL_K}")
+            .cast("long")
+            .alias("recall_x1000"),
+        )
+    )
+
+
+q160_matryoshka_recall.__doc__ = q160_matryoshka_recall.__doc__.format(
+    k=_MRL_K, d=_MRL_DIM
+)

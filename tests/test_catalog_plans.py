@@ -241,6 +241,7 @@ def test_catalog_wide_no_antipatterns(spark, sf_dir):
         "q139_audience_overlap_kmv", # broadcast KMV sketch pairs
         "q148_ann_pq_topk",          # broadcast per-query ADC tables
         "q154_importance_resample",  # broadcast 1-row corpus-mass scalars
+        "q160_matryoshka_recall",    # broadcast query-vector set (2 passes)
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
