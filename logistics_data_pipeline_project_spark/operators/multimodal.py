@@ -12,13 +12,16 @@ Decode tiers (no image/audio libraries in this container):
   (dimensions/duration from a stable hash of the payload) so the
   Spark-side plumbing — schema, partitioning, UDF signature, batch
   shape — is real and tested regardless of codecs.
-- ``decode_stub=False``: REAL header-level decode for the formats whose
-  containers are parseable in pure Python — PNG / BMP / GIF / JPEG
-  dimensions and WAV duration (`parse_image_header` /
-  `parse_wav_duration_ms` below, golden-tested on real byte payloads).
-  Full pixel/sample decode (resize, frame extraction) still raises
-  NotImplementedError where Pillow/pyav calls would go — an honest
-  capability boundary, not a silent fake.
+- ``decode_stub=False``: REAL decode for the formats parseable in pure
+  Python. Header level: PNG / BMP / GIF / JPEG dimensions and WAV
+  duration (`parse_image_header` / `parse_wav_duration_ms`). Pixel /
+  sample level: full 8-bit non-interlaced PNG decode (zlib inflate +
+  scanline unfilter), nearest-neighbor resize, deterministic PNG
+  re-encode (`decode_png_pixels` / `nearest_resize` / `encode_png`),
+  and 16-bit PCM WAV sample stats (`parse_wav_pcm_stats`) — all
+  golden-tested on real byte payloads. JPEG/GIF pixel decode and video
+  frame extraction still raise NotImplementedError where Pillow/pyav
+  calls would go — an honest capability boundary, not a silent fake.
 """
 
 from __future__ import annotations
@@ -41,6 +44,11 @@ __all__ = [
     "decode_media",
     "parse_image_header",
     "parse_wav_duration_ms",
+    "parse_wav_pcm_stats",
+    "decode_png_pixels",
+    "encode_png",
+    "nearest_resize",
+    "png_probe",
     "sample_frames",
     "resize_images",
     "MEDIA_FEATURE_SCHEMA",
@@ -126,6 +134,171 @@ def parse_wav_duration_ms(payload: bytes) -> int | None:
     if not byte_rate or data_size is None:
         return None
     return int(data_size * 1000 // byte_rate)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pixel decode of an 8-bit non-interlaced PNG — pure stdlib
+    (zlib inflate + the five scanline filters). Returns (width, height,
+    channels, raw) where ``raw`` is row-major unfiltered samples,
+    ``width*height*channels`` bytes. Raises ValueError for non-PNG or
+    the PNG features that genuinely need a codec library (16-bit,
+    palette, interlace)."""
+    import struct
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    w, h = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}): needs Pillow"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    # walk chunks, concatenating IDAT
+    i, idat = 8, bytearray()
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += payload[i + 8 : i + 8 + size]
+        elif tag == b"IEND":
+            break
+        i += 12 + size  # size + tag + crc
+    stream = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(stream) != h * (stride + 1):
+        raise ValueError("PNG stream length mismatch")
+    raw = bytearray(h * stride)
+    prev_row_start = -1
+    for y in range(h):
+        f = stream[y * (stride + 1)]
+        row = stream[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        out_start = y * stride
+        for x in range(stride):
+            a = raw[out_start + x - ch] if x >= ch else 0
+            b = raw[prev_row_start + x] if prev_row_start >= 0 else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] + a
+            elif f == 2:
+                v = row[x] + b
+            elif f == 3:
+                v = row[x] + ((a + b) >> 1)
+            elif f == 4:
+                c = (
+                    raw[prev_row_start + x - ch]
+                    if (prev_row_start >= 0 and x >= ch)
+                    else 0
+                )
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[x] + pred
+            else:
+                raise ValueError(f"bad PNG filter byte {f}")
+            raw[out_start + x] = v & 0xFF
+        prev_row_start = out_start
+    return int(w), int(h), ch, bytes(raw)
+
+
+def encode_png(width: int, height: int, channels: int, raw: bytes) -> bytes:
+    """Encode row-major 8-bit samples as a standard non-interlaced PNG —
+    pure stdlib (filter 0 scanlines + zlib level 9, so the byte output
+    is deterministic for a given input). The inverse of
+    ``decode_png_pixels`` and the real re-encode leg of ``resize_images``."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    if channels not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(raw) != width * height * channels:
+        raise ValueError("raw buffer size does not match dimensions")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+    )
+    stride = width * channels
+    scanlines = b"".join(
+        b"\x00" + raw[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def nearest_resize(
+    raw: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    new_width: int,
+    new_height: int,
+) -> bytes:
+    """Nearest-neighbor resample of a row-major 8-bit sample buffer:
+    target pixel (x, y) reads source (x*w DIV nw, y*h DIV nh) — pure
+    integer index math, deterministic."""
+    out = bytearray(new_width * new_height * channels)
+    for y in range(new_height):
+        sy = (y * height) // new_height
+        src_row = sy * width * channels
+        dst_row = y * new_width * channels
+        for x in range(new_width):
+            sx = (x * width) // new_width
+            s = src_row + sx * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = raw[s : s + channels]
+    return bytes(out)
+
+
+def parse_wav_pcm_stats(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL sample decode of 16-bit PCM RIFF/WAVE: (n_frames, peak_abs,
+    rms) with rms = isqrt(sum(s^2) DIV n_samples) — integer-exact audio
+    energy stats, pure stdlib struct. None for non-WAV / non-16-bit-PCM
+    payloads (those genuinely need a codec library)."""
+    import math
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n_channels, bits, fmt_code, data = 12, None, None, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_code, n_channels = struct.unpack("<HH", body[0:4])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if data is None or fmt_code != 1 or bits != 16 or not n_channels:
+        return None
+    n_samples = len(data) // 2
+    samples = struct.unpack(f"<{n_samples}h", data[: n_samples * 2])
+    if not n_samples:
+        return 0, 0, 0
+    peak = max(abs(s) for s in samples)
+    rms = math.isqrt(sum(s * s for s in samples) // n_samples)
+    return n_samples // n_channels, int(peak), int(rms)
 
 
 def attach_payload_metadata(
@@ -238,6 +411,42 @@ def decode_media(
     return cols.mapInPandas(decode_batches, schema=MEDIA_FEATURE_SCHEMA)
 
 
+def png_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL PNG pixel probe via mapInPandas: (id, width, height,
+    channels, first_px) where first_px is the decoded value of the
+    top-left sample — the verification tap for decode->transform->encode
+    pipelines (a re-encoded payload must probe back to the pixels the
+    transform promised)."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, raw = decode_png_pixels(
+                    bytes(payload) if payload is not None else b""
+                )
+                out.append(
+                    {
+                        "id": int(_id),
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "first_px": raw[0] if raw else None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height", "channels", "first_px"]
+            )
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return cols.mapInPandas(
+        probe, schema="id long, width int, height int, channels int, first_px int"
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("id", LongType()),
@@ -312,31 +521,46 @@ def resize_images(
     """Resize image payloads via mapInPandas: (id, width, height,
     resized_payload) with the binary column preserved end-to-end.
 
-    The Pillow call is STUBBED: the fake "resize" emits a deterministic
-    digest-derived payload of bounded size so the binary-in/binary-out
-    plumbing (Arrow binary columns both directions) is exercised for real.
+    ``decode_stub=False`` is a REAL resize for 8-bit non-interlaced PNG
+    payloads: stdlib inflate -> unfilter -> nearest-neighbor resample ->
+    deterministic re-encode (``decode_png_pixels`` / ``nearest_resize``
+    / ``encode_png``). Other formats raise NotImplementedError — they
+    genuinely need Pillow. ``decode_stub=True`` keeps the deterministic
+    digest-derived fake so the binary-in/binary-out plumbing is
+    exercised even codec-free.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image resize requires Pillow; not in this environment"
-                )
             out = []
             for _id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else b""
-                fake = hashlib.sha256(
-                    payload + f"{width}x{height}".encode()
-                ).digest()
+                if decode_stub:
+                    resized = hashlib.sha256(
+                        payload + f"{width}x{height}".encode()
+                    ).digest()
+                else:
+                    try:
+                        w0, h0, ch, raw = decode_png_pixels(payload)
+                    except ValueError as e:
+                        raise NotImplementedError(
+                            f"image payload id={_id}: {e}; non-PNG resize "
+                            "requires Pillow (absent)"
+                        ) from e
+                    resized = encode_png(
+                        width,
+                        height,
+                        ch,
+                        nearest_resize(raw, w0, h0, ch, width, height),
+                    )
                 out.append(
                     {
                         "id": int(_id),
                         "width": width,
                         "height": height,
-                        "resized_payload": fake,
+                        "resized_payload": resized,
                     }
                 )
             yield pd.DataFrame(

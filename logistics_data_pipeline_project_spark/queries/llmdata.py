@@ -4241,3 +4241,94 @@ def q160_matryoshka_recall(spark: SparkSession, sf_dir: str):
 q160_matryoshka_recall.__doc__ = q160_matryoshka_recall.__doc__.format(
     k=_MRL_K, d=_MRL_DIM
 )
+
+
+# ---------------------------------------------------------------------------
+# q161 — real PNG decode→resize→re-encode audit (multimodal codec path)
+# ---------------------------------------------------------------------------
+
+_PNG_OUT_W = 4
+_PNG_OUT_H = 4
+
+
+@register(
+    "q161_png_resize_audit",
+    tags=("multimodal", "U1"),
+    oracle=f"""
+SELECT doc_id,
+  CAST(4 + doc_id % 5 AS INTEGER) AS src_w,
+  CAST(3 + doc_id % 4 AS INTEGER) AS src_h,
+  CAST({_PNG_OUT_W} AS INTEGER) AS out_w,
+  CAST({_PNG_OUT_H} AS INTEGER) AS out_h,
+  CAST(1 AS INTEGER) AS channels,
+  CAST(doc_id % 256 AS INTEGER) AS first_px
+FROM documents
+""",
+)
+def q161_png_resize_audit(spark: SparkSession, sf_dir: str):
+    """REAL image-codec pipeline over Arrow batches
+    (operators/multimodal.py): per document a genuine 8-bit grayscale
+    PNG is encoded (pixel (x,y) = (doc_id + 3x + 5y) mod 256), resized
+    {w}x{h} nearest-neighbor through the non-stub path — stdlib inflate
+    -> scanline unfilter -> resample -> deterministic re-encode — and
+    the resized payload is then RE-DECODED by png_probe, whose top-left
+    pixel must equal the source formula at (0,0): the oracle checks a
+    value that only survives if every codec stage is correct, not just
+    the plumbing.  All three stages are iterator-style mapInPandas
+    (payload bytes never row-trip through the driver); at scale the
+    payload column is the partition-size dominator, so the stages
+    inherit decode_media's batching notes."""
+    from ..operators.multimodal import png_probe, resize_images
+
+    def gen(batches):
+        from ..operators.multimodal import encode_png
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                raw = bytes(
+                    (doc_id + 3 * x + 5 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "src_w": w,
+                        "src_h": h,
+                        "payload": encode_png(w, h, 1, raw),
+                    }
+                )
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                out, columns=["doc_id", "src_w", "src_h", "payload"]
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    gen_df = docs.mapInPandas(
+        gen, schema="doc_id long, src_w int, src_h int, payload binary"
+    )
+    resized = resize_images(
+        gen_df,
+        "doc_id",
+        "payload",
+        width=_PNG_OUT_W,
+        height=_PNG_OUT_H,
+        decode_stub=False,
+    )
+    probe = png_probe(resized, "id", "resized_payload").select(
+        F.col("id").alias("doc_id"),
+        F.col("width").alias("out_w"),
+        F.col("height").alias("out_h"),
+        "channels",
+        "first_px",
+    )
+    return gen_df.select("doc_id", "src_w", "src_h").join(probe, "doc_id")
+
+
+q161_png_resize_audit.__doc__ = q161_png_resize_audit.__doc__.format(
+    w=_PNG_OUT_W, h=_PNG_OUT_H
+)
