@@ -4332,3 +4332,62 @@ def q161_png_resize_audit(spark: SparkSession, sf_dir: str):
 q161_png_resize_audit.__doc__ = q161_png_resize_audit.__doc__.format(
     w=_PNG_OUT_W, h=_PNG_OUT_H
 )
+
+
+# ---------------------------------------------------------------------------
+# q162 — corpus-wide BPE encode (apply the learned tokenizer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q162_bpe_encode_corpus",
+    tags=("text", "tokenizer", "A1", "J1"),
+    oracle=f"""
+WITH {{bpe}},
+dw AS (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT dw.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(len(string_split(v.sym, ' '))) AS BIGINT) AS n_bpe_tokens,
+  CAST((SUM(len(string_split(v.sym, ' '))) * 1000) // COUNT(*) AS BIGINT)
+    AS fertility_x1000
+FROM dw JOIN w{_BPE_ROUNDS} v ON v.word = dw.word
+GROUP BY dw.doc_id
+""".format(bpe=_bpe_ctes(_BPE_ROUNDS)),
+)
+def q162_bpe_encode_corpus(spark: SparkSession, sf_dir: str):
+    """ENCODE with the learned tokenizer: every corpus document run
+    through the frozen BPE merge rules (q150) — per-doc word count,
+    BPE token count, and fertility (tokens per word, x1000 integer) —
+    the statistic that prices a corpus in training tokens and the
+    validation that the tokenizer built on the vocabulary actually
+    applies back to the documents it came from.  Scale shape: the
+    vocabulary (with segmentations) is O(vocab) and BROADCASTS; the
+    corpus word stream joins it map-side and aggregates per doc —
+    one corpus-sized shuffle (the doc_id aggregate) beyond q150's own
+    word count; no per-row Python (segmentation lengths come from the
+    already-folded vocab table)."""
+    from ..operators.bpe import bpe_learn
+
+    docs = load(spark, sf_dir, "documents")
+    _, words = bpe_learn(docs, "text", rounds=_BPE_ROUNDS)
+    vocab = words.select(
+        "word", F.size(F.split("sym", " ")).cast("long").alias("n_toks")
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+            F.expr("(sum(n_toks) * 1000) div count(1)")
+            .cast("long")
+            .alias("fertility_x1000"),
+        )
+    )
