@@ -4391,3 +4391,153 @@ def q162_bpe_encode_corpus(spark: SparkSession, sf_dir: str):
             .alias("fertility_x1000"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — TextRank keyword centrality (integer-exact PageRank iterations)
+# ---------------------------------------------------------------------------
+
+_TR_ITER = 4
+_TR_MIN_COOC = 2
+_TR_TOPK = 30
+_TR_INIT = 1_000_000
+_TR_BASE = 150_000  # (1-d) * 1e6 with damping d = 0.85
+
+
+def _textrank_ctes(iters: int) -> str:
+    """DuckDB replay of the Spark TextRank loop: the undirected
+    co-occurrence graph (bigram support >= {m}, self-loops dropped),
+    per-node out-weight, then per iteration one contribution join —
+    contrib(u->v) = (s(u) * 850 * w) // (1000 * out_w(u)), floored per
+    edge exactly like the Spark expression, re-based at {b}."""
+    parts = [
+        f"""tr_t AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+), tr_dir AS (
+  SELECT t[i] AS u, t[i + 1] AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tr_t)
+  WHERE t[i] <> t[i + 1]
+  GROUP BY t[i], t[i + 1]
+), tr_edges AS (
+  SELECT u, v, CAST(SUM(c) AS BIGINT) AS w FROM (
+    SELECT u, v, c FROM tr_dir
+    UNION ALL
+    SELECT v AS u, u AS v, c FROM tr_dir
+  ) GROUP BY u, v
+  HAVING SUM(c) >= {_TR_MIN_COOC}
+), tr_out AS (
+  SELECT u, CAST(SUM(w) AS BIGINT) AS out_w FROM tr_edges GROUP BY u
+), tr_nodes AS (
+  SELECT DISTINCT u AS token FROM tr_edges
+), s0 AS (
+  SELECT token, CAST({_TR_INIT} AS BIGINT) AS score FROM tr_nodes
+)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""s{r} AS (
+  SELECT n.token,
+    CAST({_TR_BASE} + COALESCE(SUM(
+      (s.score * 850 * e.w) // (1000 * o.out_w)
+    ), 0) AS BIGINT) AS score
+  FROM tr_nodes n
+  LEFT JOIN tr_edges e ON e.v = n.token
+  LEFT JOIN s{r - 1} s ON s.token = e.u
+  LEFT JOIN tr_out o ON o.u = e.u
+  GROUP BY n.token
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "q163_textrank_keywords",
+    tags=("text", "graph", "A1", "O3"),
+    oracle=f"""
+WITH {_textrank_ctes(_TR_ITER)}
+SELECT token, score AS score_x1e6, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, token) AS rnk
+  FROM s{_TR_ITER})
+WHERE rnk <= {_TR_TOPK}
+""",
+)
+def q163_textrank_keywords(spark: SparkSession, sf_dir: str):
+    """TextRank corpus keywords: damped PageRank over the undirected
+    token co-occurrence graph (adjacent pairs, support >= {m}) — the
+    graph-centrality member of the text-analysis family, and the
+    engine's iterative-graph-algorithm template: each of the {it}
+    iterations is ONE contribution join keyed on the edge source plus
+    one destination-keyed aggregate, both hash-partitioned on tokens
+    (no driver-side graph, no single-partition step; the score table is
+    O(vocab)).  All arithmetic is integer — damping 0.85 as 850/1000
+    with per-edge floors — so every iteration, and therefore the final
+    ranking, replays bit-exactly in the unrolled SQL chain.  At 100 TB
+    the corpus-sized work is exactly the bigram count (map-side
+    combined, q158's shape); iterations touch only O(edges)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    dirpairs = (
+        d.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.size(t) - 1).alias("u"),
+                    F.slice(t, 2, F.size(t) - 1).alias("v"),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.u").alias("u"), F.col("b.v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = (
+        dirpairs.select("u", "v", "c")
+        .unionByName(
+            dirpairs.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "c"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("c").alias("w"))
+        .filter(F.col("w") >= _TR_MIN_COOC)
+    )
+    # O(edges) from here: materialize the graph once for the iterations
+    edges = edges.localCheckpoint(eager=False)
+    out_w = edges.groupBy("u").agg(F.sum("w").alias("out_w"))
+    nodes = edges.select(F.col("u").alias("token")).distinct()
+    scores = nodes.select("token", F.lit(_TR_INIT).cast("long").alias("score"))
+    for _ in range(_TR_ITER):
+        contrib = (
+            edges.join(scores.withColumnRenamed("token", "u"), "u")
+            .join(out_w, "u")
+            .select(
+                F.col("v").alias("token"),
+                F.expr("(score * 850 * w) div (1000 * out_w)").alias("ctb"),
+            )
+            .groupBy("token")
+            .agg(F.sum("ctb").alias("inflow"))
+        )
+        scores = nodes.join(contrib, "token", "left").select(
+            "token",
+            (F.lit(_TR_BASE) + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scores.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= _TR_TOPK)
+        .select(F.col("token"), F.col("score").alias("score_x1e6"), "rnk")
+    )
+
+
+q163_textrank_keywords.__doc__ = q163_textrank_keywords.__doc__.format(
+    m=_TR_MIN_COOC, it=_TR_ITER
+)
+_textrank_ctes.__doc__ = _textrank_ctes.__doc__.format(
+    m=_TR_MIN_COOC, b=_TR_BASE
+)

@@ -220,6 +220,16 @@ def test_q148_pq_scoring_is_map_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q155_bm25_scoring_is_all_broadcast(spark, sf_dir):
+    """BM25's scoring joins (query terms, df table, doc lengths) must
+    all ride broadcasts at catalog SF — the query-term pre-filter keeps
+    the tf side tiny, so nothing in the score pipeline may fall back to
+    a sort-merge of the token stream."""
+    plan = _explain(REGISTRY["q155_bm25_topk"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_catalog_wide_no_antipatterns(spark, sf_dir):
     """Sweep EVERY catalog query's physical plan for the two plan shapes
     this engine bans at 100 TB: row-at-a-time Python evaluation
