@@ -4541,3 +4541,94 @@ q163_textrank_keywords.__doc__ = q163_textrank_keywords.__doc__.format(
 _textrank_ctes.__doc__ = _textrank_ctes.__doc__.format(
     m=_TR_MIN_COOC, b=_TR_BASE
 )
+
+
+# ---------------------------------------------------------------------------
+# q164 — Bloom-sketch decontamination (the no-broadcast-of-grams path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q164_bloom_decontamination",
+    tags=("dedup", "sketch", "J6", "A4"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_DECON_N}
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_DECON_N - 1})) AS i
+        FROM toks)
+), ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id < {_DECON_EVAL_MAX_ID}),
+tr AS (SELECT doc_id, gram FROM sh WHERE doc_id >= {_DECON_EVAL_MAX_ID}),
+bits AS (
+  SELECT DISTINCT d.d, substr(md5(d.d || ':' || ev.gram), 1, 2) AS bucket
+  FROM ev, (SELECT unnest([1, 2, 3]) AS d) d
+),
+probe AS (
+  SELECT tr.doc_id,
+    (substr(md5('1:' || tr.gram), 1, 2) IN (SELECT bucket FROM bits WHERE d = 1)
+     AND substr(md5('2:' || tr.gram), 1, 2) IN (SELECT bucket FROM bits WHERE d = 2)
+     AND substr(md5('3:' || tr.gram), 1, 2) IN (SELECT bucket FROM bits WHERE d = 3)
+    ) AS bloom_pass,
+    tr.gram IN (SELECT gram FROM ev) AS is_member
+  FROM tr
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_probe_grams,
+  CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_suspect_grams,
+  CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_true_grams
+FROM probe
+GROUP BY doc_id
+HAVING SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) > 0
+""",
+)
+def q164_bloom_decontamination(spark: SparkSession, sf_dir: str):
+    """Decontamination via the Bloom sketch instead of a gram broadcast
+    (the q044 twin for when even the DISTINCT eval-gram set is too big
+    to broadcast): eval grams compress to a depth-3 x 256-bucket bit
+    list — a few KB regardless of eval size — and every train shingle
+    is probed MAP-SIDE against it; only suspects reach the per-doc
+    aggregate.  md5 bucketing keeps the filter deterministic, so the
+    oracle replays the identical bits, and the output audits the price
+    of the compression: n_suspect_grams (bloom hits, superset) vs
+    n_true_grams (actual overlaps; false-negative-free by
+    construction).  The production flow is exactly this cascade —
+    bloom-prune the corpus, then confirm survivors with the exact
+    join on the vanishing suspect fraction."""
+    from ..operators.sketch import bloom_bits, bloom_might_contain
+
+    d = load(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") < _DECON_EVAL_MAX_ID)
+    tr = d.filter(F.col("doc_id") >= _DECON_EVAL_MAX_ID)
+    ev_grams = (
+        word_shingles(ev, "text", "doc_id", _DECON_N)
+        .select("shingle")
+        .distinct()
+    )
+    bits = bloom_bits(ev_grams, "shingle")
+    tr_grams = word_shingles(tr, "text", "doc_id", _DECON_N).select(
+        "doc_id", "shingle"
+    )
+    probed = bloom_might_contain(tr_grams, bits, "shingle")
+    flagged = probed.join(
+        F.broadcast(ev_grams.withColumn("_is_mem", F.lit(True))),
+        "shingle",
+        "left",
+    ).withColumn("is_member", F.coalesce(F.col("_is_mem"), F.lit(False)))
+    one, zero = F.lit(1), F.lit(0)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(one).cast("long").alias("n_probe_grams"),
+            F.sum(F.when(F.col("bloom_pass"), one).otherwise(zero))
+            .cast("long")
+            .alias("n_suspect_grams"),
+            F.sum(F.when(F.col("is_member"), one).otherwise(zero))
+            .cast("long")
+            .alias("n_true_grams"),
+        )
+        .filter(F.col("n_suspect_grams") > 0)
+    )
