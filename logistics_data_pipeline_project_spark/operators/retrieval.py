@@ -55,7 +55,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_parts", "bm25_scores", "bm25_topk", "rrf_fuse"]
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -68,19 +68,26 @@ def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(F.col("token") != "")
 
 
-def bm25_scores(
+def bm25_parts(
     docs: DataFrame,
     queries: Sequence[tuple[int, str]],
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
-    """Integer-exact BM25: one row per (query_id, doc_id) with
-    ``score_x1000`` (BIGINT) summed over the query's distinct terms.
+    share: bool = False,
+) -> dict[str, DataFrame]:
+    """The shared intermediate tables of a BM25 run — ``dl`` (doc
+    lengths), ``qterms``, ``tf`` (per doc-term counts over query terms
+    only), ``df``, and ``scores``.
 
-    Only documents containing >= 1 query term appear (inner semantics —
-    a no-hit doc has score 0 and is never a retrieval result).
-    """
+    ``share=True`` materializes ``tf`` and ``dl`` once (lazy
+    localCheckpoint) for multi-ranking consumers: Spark does NOT reuse
+    logically-shared subtrees across branches (column pruning makes the
+    exchanges differ, so no ReusedExchange), and without the barrier a
+    hybrid query would pay one full corpus tokenization per ranking.
+    The checkpointed tables are the post-aggregation small ones —
+    O(docs) and O(matching doc-terms) — never the exploded token
+    stream."""
     spark: SparkSession = docs.sparkSession
     toks = _tokens(docs, id_col, text_col)
 
@@ -112,6 +119,9 @@ def bm25_scores(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if share:
+        dl = dl.localCheckpoint(eager=False)
+        tf = tf.localCheckpoint(eager=False)
     df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
 
     scored = (
@@ -129,9 +139,34 @@ def bm25_scores(
             ).alias("term_score_x1000"),
         )
     )
-    return scored.groupBy("query_id", "doc_id").agg(
+    scores = scored.groupBy("query_id", "doc_id").agg(
         F.sum("term_score_x1000").cast("long").alias("score_x1000")
     )
+    return {
+        "dl": dl,
+        "qterms": qterms,
+        "tf": tf,
+        "df": df_tbl,
+        "scores": scores,
+    }
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer-exact BM25: one row per (query_id, doc_id) with
+    ``score_x1000`` (BIGINT) summed over the query's distinct terms.
+
+    Only documents containing >= 1 query term appear (inner semantics —
+    a no-hit doc has score 0 and is never a retrieval result).
+    """
+    return bm25_parts(docs, queries, id_col=id_col, text_col=text_col)[
+        "scores"
+    ]
 
 
 def bm25_topk(

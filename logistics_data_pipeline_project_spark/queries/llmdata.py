@@ -3921,36 +3921,31 @@ def q157_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str):
     retrieval combines lexical and secondary signals without score
     calibration; integer floors keep the fused ordering engine-exact.
     Scale shape is q155's plus one more bounded window per ranking —
-    both rankings derive from the same query-term-filtered tf table,
-    computed once."""
-    from ..operators.retrieval import bm25_scores, rrf_fuse
+    both rankings derive from the SAME bm25_parts tables, checkpointed
+    once (share=True): Spark won't reuse logically-shared subtrees
+    across pruned branches, so without the barrier each ranking would
+    re-tokenize the corpus — with it, the coverage ranking adds zero
+    corpus passes, mirroring the oracle's shared CTEs."""
+    from ..operators.retrieval import bm25_parts, rrf_fuse
 
     docs = load(spark, sf_dir, "documents")
-    scored = bm25_scores(docs, _BM25_QUERIES)
+    parts = bm25_parts(docs, _BM25_QUERIES, share=True)
     w_bm = Window.partitionBy("query_id").orderBy(
         F.desc("score_x1000"), F.asc("doc_id")
     )
     bm_rank = (
-        scored.withColumn("rnk", F.row_number().over(w_bm).cast("int"))
+        parts["scores"]
+        .withColumn("rnk", F.row_number().over(w_bm).cast("int"))
         .filter(F.col("rnk") <= _RRF_DEPTH)
         .select("query_id", "doc_id", "rnk")
     )
 
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    qterms = spark.createDataFrame(
-        sorted(
-            {(qid, t) for qid, qtext in _BM25_QUERIES for t in qtext.split()}
-        ),
-        "query_id int, token string",
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     cov = (
-        toks.join(F.broadcast(qterms), "token")
+        parts["tf"]
+        .join(F.broadcast(parts["qterms"]), "token")
         .groupBy("query_id", "doc_id")
         .agg(F.countDistinct("token").alias("n_terms"))
-        .join(dl, "doc_id")
+        .join(parts["dl"], "doc_id")
     )
     w_cov = Window.partitionBy("query_id").orderBy(
         F.desc("n_terms"), F.asc("dl"), F.asc("doc_id")
