@@ -37,7 +37,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["perceptron_epochs"]
+__all__ = ["perceptron_epochs", "hashed_perceptron"]
 
 
 def perceptron_epochs(
@@ -89,3 +89,75 @@ def perceptron_epochs(
         + ", n_mistakes bigint"
     )
     return spark.createDataFrame(out, schema)
+
+
+def hashed_perceptron(
+    feats: DataFrame,
+    labels: DataFrame,
+    epochs: int,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    count_col: str = "c",
+    label_col: str = "y",
+) -> DataFrame:
+    """Full-batch perceptron over SPARSE hashed features (the hashing
+    trick: token -> md5 hex-prefix bucket upstream, so the model is a
+    fixed 256-weight vector regardless of vocabulary — FastText's
+    memory model).  ``feats`` is the sparse layout (id, bucket, count);
+    ``labels`` one (+1/-1) row per id.
+
+    Per epoch: margins come from ONE aggregate over the sparse rows
+    with the current weights riding as a literal map (codegen lookup,
+    no join build side), and the update is ONE mistake-filtered
+    aggregate per bucket — both map-side combined.  The per-epoch
+    driver collect is the O(buckets) weight vector, the same justified
+    scalar pattern as k-means centroids.  Integer counts and labels
+    make every epoch an associative integer sum — bit-exact under any
+    partitioning, replayable by an unrolled SQL chain.
+
+    Returns the FINAL model as (bucket, w) rows — every feature bucket
+    plus the ``__bias__`` row — a complete, exactly-checkable artifact.
+    """
+    spark = feats.sparkSession
+    f = feats.select(
+        F.col(id_col).alias("_id"),
+        F.col(bucket_col).alias("_b"),
+        F.col(count_col).cast("long").alias("_c"),
+    ).persist()
+    lab = labels.select(
+        F.col(id_col).alias("_id"), F.col(label_col).cast("long").alias("_y")
+    ).persist()
+    buckets = sorted(r["_b"] for r in f.select("_b").distinct().collect())
+    w: dict[str, int] = {b: 0 for b in buckets}
+    bias = 0
+    for _ in range(epochs):
+        entries: list = []
+        for b, v in w.items():
+            if v:
+                entries += [F.lit(b), F.lit(v)]
+        wmap = F.create_map(*entries) if entries else F.create_map()
+        margins = (
+            f.withColumn(
+                "_wc", F.coalesce(F.element_at(wmap, F.col("_b")), F.lit(0)) * F.col("_c")
+            )
+            .groupBy("_id")
+            .agg((F.sum("_wc") + F.lit(bias)).alias("_margin"))
+            .join(lab, "_id")
+            .withColumn("_mistake", (F.col("_y") * F.col("_margin")) <= 0)
+        )
+        mistakes = margins.filter("_mistake").select("_id", "_y")
+        upd = {
+            r["_b"]: r["_dw"]
+            for r in mistakes.join(f, "_id")
+            .groupBy("_b")
+            .agg(F.sum(F.col("_y") * F.col("_c")).alias("_dw"))
+            .collect()
+        }
+        row = mistakes.agg(F.coalesce(F.sum("_y"), F.lit(0)).alias("_db")).first()
+        for b, dw in upd.items():
+            w[b] = w[b] + dw
+        bias += row["_db"]
+    f.unpersist()
+    lab.unpersist()
+    rows = [(b, int(v)) for b, v in sorted(w.items())] + [("__bias__", int(bias))]
+    return spark.createDataFrame(rows, "bucket string, w bigint")

@@ -170,7 +170,12 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         elif tag == b"IEND":
             break
         i += 12 + size  # size + tag + crc
-    stream = zlib.decompress(bytes(idat))
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt/truncated IDAT must surface as the same capability
+        # error surface as any other undecodable payload
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     stride = w * ch
     if len(stream) != h * (stride + 1):
         raise ValueError("PNG stream length mismatch")

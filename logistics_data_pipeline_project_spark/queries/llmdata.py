@@ -4627,3 +4627,112 @@ def q164_bloom_decontamination(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("n_suspect_grams") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — hashing-trick sparse perceptron (FastText-style text classifier)
+# ---------------------------------------------------------------------------
+
+_HP_EPOCHS = 3
+
+
+def _hashed_perceptron_ctes(epochs: int) -> str:
+    """Unrolled DuckDB replay of operators.linear.hashed_perceptron:
+    sparse md5-bucket counts, median-length labels, zero-seeded
+    weights (+ ``__bias__`` row), then per epoch a margin aggregate
+    (weights joined back to the sparse rows) and a mistake-filtered
+    per-bucket integer update."""
+    parts = [
+        f"""hp_feat AS (
+  SELECT doc_id, substr(md5(w), 1, 2) AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) AS w
+        FROM documents)
+  GROUP BY doc_id, substr(md5(w), 1, 2)
+), hp_lab AS (
+  SELECT doc_id,
+    CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+              >= {_PCT_LEN_CUT}
+         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+  FROM documents
+), hp_e0 AS (
+  SELECT bucket, CAST(0 AS BIGINT) AS w
+  FROM (SELECT DISTINCT bucket FROM hp_feat)
+  UNION ALL SELECT '__bias__', CAST(0 AS BIGINT)
+)"""
+    ]
+    for r in range(1, epochs + 1):
+        parts.append(
+            f"""hp_m{r} AS (
+  SELECT l.doc_id, l.y,
+    (SELECT w FROM hp_e{r - 1} WHERE bucket = '__bias__')
+      + COALESCE(SUM(ew.w * f.c), 0) AS margin
+  FROM hp_lab l
+  JOIN hp_feat f ON f.doc_id = l.doc_id
+  LEFT JOIN hp_e{r - 1} ew ON ew.bucket = f.bucket
+  GROUP BY l.doc_id, l.y
+)"""
+        )
+        parts.append(
+            f"""hp_u{r} AS (
+  SELECT f.bucket, CAST(SUM(m.y * f.c) AS BIGINT) AS dw
+  FROM hp_m{r} m JOIN hp_feat f ON f.doc_id = m.doc_id
+  WHERE m.y * m.margin <= 0
+  GROUP BY f.bucket
+  UNION ALL
+  SELECT '__bias__' AS bucket, CAST(COALESCE(SUM(m.y), 0) AS BIGINT) AS dw
+  FROM hp_m{r} m WHERE m.y * m.margin <= 0
+)"""
+        )
+        parts.append(
+            f"""hp_e{r} AS (
+  SELECT p.bucket, CAST(p.w + COALESCE(u.dw, 0) AS BIGINT) AS w
+  FROM hp_e{r - 1} p LEFT JOIN hp_u{r} u USING (bucket)
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "q165_hashed_ngram_perceptron",
+    tags=("ml", "text", "A1", "J1"),
+    oracle=f"""
+WITH {_hashed_perceptron_ctes(_HP_EPOCHS)}
+SELECT bucket, w FROM hp_e{_HP_EPOCHS}
+""",
+)
+def q165_hashed_ngram_perceptron(spark: SparkSession, sf_dir: str):
+    """FastText-style sparse text classifier trained distributed
+    (operators/linear.py hashed_perceptron): tokens hash into 256
+    md5 buckets (the hashing trick — model size independent of
+    vocabulary), labels from the median-length quality rule, {e}
+    full-batch epochs.  Per epoch the weights ride the plan as a
+    literal map (codegen lookup per sparse row, no join build side);
+    margins and per-bucket updates are each ONE map-side-combined
+    aggregate over the sparse (doc, bucket, count) layout — the layout
+    a 100 TB corpus trains in, since the dense 256-vector never
+    materializes per document.  Output is the complete final model
+    (every feature bucket + __bias__), certified weight-by-weight
+    against the unrolled SQL replay."""
+    from ..operators.linear import hashed_perceptron
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    feat = (
+        d.select("doc_id", F.explode(toks).alias("wtok"))
+        .select(
+            "doc_id", F.substring(F.md5("wtok"), 1, 2).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lab = d.select(
+        "doc_id",
+        F.when(F.size(toks) >= _PCT_LEN_CUT, 1).otherwise(-1).alias("y"),
+    )
+    return hashed_perceptron(feat, lab, _HP_EPOCHS)
+
+
+q165_hashed_ngram_perceptron.__doc__ = (
+    q165_hashed_ngram_perceptron.__doc__.format(e=_HP_EPOCHS)
+)

@@ -278,3 +278,15 @@ def test_real_png_resize_end_to_end_spark(spark):
     assert list(got) == [
         raw[(2 * y) * w + 2 * x] for y in range(3) for x in range(3)
     ]
+
+
+def test_png_decoder_rejects_corrupt_idat():
+    import pytest as _pytest
+
+    good = bytearray(encode_png(3, 2, 1, bytes(6)))
+    # flip bytes inside the IDAT body: inflate must fail as ValueError
+    idat_at = bytes(good).index(b"IDAT") + 4
+    good[idat_at + 2] ^= 0xFF
+    good[idat_at + 3] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bytes(good))

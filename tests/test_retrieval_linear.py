@@ -118,3 +118,54 @@ def test_perceptron_partitioning_invariant(spark):
         feats.repartition(11), ["x0", "x1", "x2"], "y", 3
     ).collect()
     assert a == b
+
+
+def test_hashed_perceptron_learns_separable_sparse_set(spark):
+    from logistics_data_pipeline_project_spark.operators.linear import (
+        hashed_perceptron,
+    )
+
+    # class +1 docs are full of token 'aa', class -1 of token 'bb':
+    # after training, aa's bucket weight must be positive and bb's
+    # negative, and the final model must classify the train set
+    rows = []
+    for i in range(10):
+        rows += [(i, "aa", 3 + i % 2)]
+        rows += [(i + 10, "bb", 3 + i % 2)]
+    feats = spark.createDataFrame(rows, "doc_id long, bucket string, c int")
+    labels = spark.createDataFrame(
+        [(i, 1) for i in range(10)] + [(i + 10, -1) for i in range(10)],
+        "doc_id long, y int",
+    )
+    model = {
+        r["bucket"]: r["w"]
+        for r in hashed_perceptron(feats, labels, 4).collect()
+    }
+    assert model["aa"] > 0 > model["bb"]
+    for doc_id, b, c in rows:
+        y = 1 if doc_id < 10 else -1
+        assert y * (model["__bias__"] + model[b] * c) > 0
+
+
+def test_hashed_perceptron_partitioning_invariant(spark):
+    from logistics_data_pipeline_project_spark.operators.linear import (
+        hashed_perceptron,
+    )
+
+    rows = [
+        (i, f"b{(i * 7) % 5}", 1 + (i * 3) % 4) for i in range(60)
+    ]
+    feats = spark.createDataFrame(rows, "doc_id long, bucket string, c int")
+    labels = spark.createDataFrame(
+        [(i, 1 if i % 3 else -1) for i in range(60)], "doc_id long, y int"
+    )
+    a = sorted(map(tuple, hashed_perceptron(feats, labels, 3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            hashed_perceptron(
+                feats.repartition(17), labels.repartition(5), 3
+            ).collect(),
+        )
+    )
+    assert a == b
