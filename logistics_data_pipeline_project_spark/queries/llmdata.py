@@ -4736,3 +4736,80 @@ def q165_hashed_ngram_perceptron(spark: SparkSession, sf_dir: str):
 q165_hashed_ngram_perceptron.__doc__ = (
     q165_hashed_ngram_perceptron.__doc__.format(e=_HP_EPOCHS)
 )
+
+
+# ---------------------------------------------------------------------------
+# q166 — exponential smoothing of daily revenue (time-series fold)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q166_exp_smoothed_revenue",
+    tags=("timeseries", "A1", "A5"),
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), series AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(MAX(d) AS DATE) AS last_day,
+    list(cents ORDER BY d) AS xs,
+    CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+  FROM daily GROUP BY priority
+)
+SELECT priority, n_days, last_day,
+  CAST(list_reduce(xs, (acc, x) -> (3 * acc + x) // 4) AS BIGINT)
+    AS level_cents,
+  mean_cents
+FROM series
+""",
+)
+def q166_exp_smoothed_revenue(spark: SparkSession, sf_dir: str):
+    """Time-series smoothing as a distributed fold: per-priority daily
+    revenue run through exponential smoothing with alpha = 1/4 kept
+    INTEGER — s_t = (3*s_{t-1} + x_t) div 4 over cents, seeded by the
+    first day (list_reduce ≡ F.aggregate: both fold strictly
+    left-to-right from the first element, the q150 equivalence) — so
+    the recursive state that window functions cannot express becomes a
+    per-group array fold, bit-identical across engines.  All terms stay
+    positive, so truncating vs flooring division can never diverge.
+    Scale shape: the corpus-sized work is the daily aggregate
+    (map-side combined to O(groups x days)); each group then folds its
+    own O(days) array row-locally — no cross-row dependency ever
+    shuffles.  level_cents is the 1-step-ahead forecast."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    series = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("d").alias("last_day"),
+        F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("arr"),
+        F.expr("sum(cents) div count(1)").cast("long").alias("mean_cents"),
+    )
+    # the fold lambda needs integer `div`, which the Column DSL lacks —
+    # expressed as SQL text over the extracted cents array
+    series = series.withColumn(
+        "xs", F.transform(F.col("arr"), lambda s: s["cents"])
+    )
+    return series.select(
+        "priority",
+        "n_days",
+        "last_day",
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+            " (acc, x) -> (3 * acc + x) div 4)"
+        )
+        .cast("long")
+        .alias("level_cents"),
+        "mean_cents",
+    )
