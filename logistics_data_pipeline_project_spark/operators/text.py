@@ -265,3 +265,56 @@ def normalize_text(text: Column | str) -> Column:
     c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
     c = F.regexp_replace(c, " +", " ")
     return F.trim(c)
+
+
+def compression_ratio(
+    df, id_col: str, text_col: str, level: int = 6
+):
+    """Per-document zlib compression ratio via Arrow-batched
+    ``mapInPandas``: (id, n_bytes, n_compressed, ratio_x1000) with
+    ratio_x1000 = n_compressed * 1000 DIV n_bytes.
+
+    Compressibility is the classic entropy proxy of web-corpus quality
+    filters (boilerplate and repetition compress far below prose):
+    low-ratio docs are near-duplicative/templated, suspiciously high
+    ratios are noise/random bytes. DEFLATE at a fixed level is
+    deterministic for a given zlib build, so the scores are stable
+    across partitionings and reruns — but no SQL engine exposes zlib,
+    so the catalog query carries a rows-only driver check with its
+    aggregate structure pinned by unit tests instead (the engine's
+    documented exception class, like q066's approx sketches).
+
+    Python crossing is Arrow-batched and per-batch vectorized in the
+    only way compression can be (one C call per doc) — this is the
+    same honest boundary as the multimodal codecs, not a row-at-a-time
+    Python UDF in a hot relational path.
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            texts = pdf[text_col].tolist()
+            out = []
+            for i, t in zip(ids, texts):
+                raw = (t or "").encode("utf-8")
+                comp = len(zlib.compress(raw, level)) if raw else 0
+                out.append(
+                    {
+                        "id": int(i),
+                        "n_bytes": len(raw),
+                        "n_compressed": comp,
+                        "ratio_x1000": (comp * 1000) // len(raw) if raw else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["id", "n_bytes", "n_compressed", "ratio_x1000"]
+            )
+
+    cols = df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
+    return cols.mapInPandas(
+        score, schema="id long, n_bytes long, n_compressed long, ratio_x1000 long"
+    )

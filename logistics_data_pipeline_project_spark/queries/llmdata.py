@@ -4813,3 +4813,46 @@ def q166_exp_smoothed_revenue(spark: SparkSession, sf_dir: str):
         .alias("level_cents"),
         "mean_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — compression-ratio quality signal (rows-only: zlib has no SQL twin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q167_compression_quality",
+    tags=("text", "quality", "U1"),
+    oracle=None,  # DEFLATE is deterministic but no SQL engine exposes it;
+    # the per-source aggregate structure is pinned by unit tests instead
+)
+def q167_compression_quality(spark: SparkSession, sf_dir: str):
+    """Compressibility quality screen (operators/text.py
+    compression_ratio): per-source distribution of the zlib ratio — the
+    entropy proxy web-corpus filters use to catch templated/boilerplate
+    docs (ratios far below prose) and binary noise (ratios near 1000+).
+    Arrow-batched mapInPandas (one DEFLATE call per doc, the only way
+    compression can run), then a bounded per-source aggregate.
+    Deterministic for a fixed zlib build; rows-only on the driver by
+    necessity — the engine's documented exception class (q066's
+    approx sketches are its other member)."""
+    from ..operators.text import compression_ratio
+
+    d = load(spark, sf_dir, "documents")
+    scored = compression_ratio(d, "doc_id", "text")
+    src = d.select(F.col("doc_id").alias("id"), "source")
+    return (
+        scored.join(src, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("ratio_x1000").cast("long").alias("min_ratio_x1000"),
+            F.expr("sum(ratio_x1000) div count(1)")
+            .cast("long")
+            .alias("avg_ratio_x1000"),
+            F.max("ratio_x1000").cast("long").alias("max_ratio_x1000"),
+            F.sum(F.when(F.col("ratio_x1000") < 300, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_entropy"),
+        )
+    )

@@ -169,3 +169,34 @@ def test_hashed_perceptron_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_compression_ratio_semantics(spark):
+    from logistics_data_pipeline_project_spark.operators.text import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam " * 200),            # highly repetitive -> compresses hard
+        (2, "the quick brown fox jumps over the lazy dog and then naps"),
+        (3, ""),                        # empty guard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    import zlib
+
+    for i, t in rows:
+        raw = t.encode()
+        assert out[i]["n_bytes"] == len(raw)
+        if raw:
+            assert out[i]["n_compressed"] == len(zlib.compress(raw, 6))
+            assert out[i]["ratio_x1000"] == len(zlib.compress(raw, 6)) * 1000 // len(raw)
+    assert out[3]["ratio_x1000"] == 0 and out[3]["n_compressed"] == 0
+    # the repetitive doc must compress far harder than prose
+    assert out[1]["ratio_x1000"] < out[2]["ratio_x1000"] // 2
+    # determinism across partitionings
+    again = {
+        r["id"]: r["ratio_x1000"]
+        for r in compression_ratio(df.repartition(3), "doc_id", "text").collect()
+    }
+    assert again == {i: out[i]["ratio_x1000"] for i, _ in rows}
