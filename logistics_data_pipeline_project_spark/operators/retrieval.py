@@ -55,7 +55,14 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-__all__ = ["bm25_parts", "bm25_scores", "bm25_topk", "rrf_fuse"]
+__all__ = [
+    "bm25_parts",
+    "bm25_scores",
+    "bm25_topk",
+    "rrf_fuse",
+    "maintain_bm25_index",
+    "bm25_topk_from_index",
+]
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -99,18 +106,7 @@ def bm25_parts(
     )
 
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-
-    qterms = spark.createDataFrame(
-        sorted(
-            {
-                (qid, t)
-                for qid, qtext in queries
-                for t in qtext.lower().split()
-                if t
-            }
-        ),
-        "query_id int, token string",
-    )
+    qterms = _qterms(spark, queries)
 
     # Filter the token stream to query terms BEFORE any shuffle: the
     # broadcast semi-join keeps O(matching rows), never the corpus.
@@ -122,8 +118,41 @@ def bm25_parts(
     if share:
         dl = dl.localCheckpoint(eager=False)
         tf = tf.localCheckpoint(eager=False)
-    df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df_tbl, scores = _scores_from_tables(tf, dl, qterms, n_docs, n_tokens)
+    return {
+        "dl": dl,
+        "qterms": qterms,
+        "tf": tf,
+        "df": df_tbl,
+        "scores": scores,
+    }
 
+
+def _qterms(spark: SparkSession, queries: Sequence[tuple[int, str]]) -> DataFrame:
+    return spark.createDataFrame(
+        sorted(
+            {
+                (qid, t)
+                for qid, qtext in queries
+                for t in qtext.lower().split()
+                if t
+            }
+        ),
+        "query_id int, token string",
+    )
+
+
+def _scores_from_tables(
+    tf: DataFrame,
+    dl: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    n_tokens: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The scoring tail shared by the direct and the index-backed paths:
+    df from the (query-term-filtered) tf table, then the integer BM25
+    expression summed per (query, doc)."""
+    df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(df_tbl), "token")
         .join(F.broadcast(qterms), "token")
@@ -142,13 +171,7 @@ def bm25_parts(
     scores = scored.groupBy("query_id", "doc_id").agg(
         F.sum("term_score_x1000").cast("long").alias("score_x1000")
     )
-    return {
-        "dl": dl,
-        "qterms": qterms,
-        "tf": tf,
-        "df": df_tbl,
-        "scores": scores,
-    }
+    return df_tbl, scores
 
 
 def bm25_scores(
@@ -228,4 +251,78 @@ def rrf_fuse(
         fused.withColumn("fused_rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("fused_rnk") <= k)
         .select("query_id", "doc_id", "rrf_x1e6", "n_lists", "fused_rnk")
+    )
+
+
+def maintain_bm25_index(
+    store,
+    prefix: str,
+    docs_batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold an append-only document batch into the materialized BM25
+    index tables ``<prefix>_tf`` (doc, token, tf — the posting grain)
+    and ``<prefix>_dl`` (doc lengths), via ``plans.incremental``'s
+    watermarked rollups: each refresh tokenizes ONLY the new batch and
+    merges decomposable count partials into the stored snapshot — the
+    search-index build that never re-reads corpus history.  The doc id
+    is the ingestion cursor (append-only, monotone), riding inside the
+    rollup snapshot so index + watermark commit atomically.
+
+    Note the tf table holds ALL tokens (an index serves future queries,
+    unlike the per-query-filtered tf inside bm25_parts); in production
+    it is bucketed by token so a query batch prunes to its terms'
+    buckets (operators/scale.py::write_bucketed)."""
+    from ..plans.incremental import incremental_rollup
+
+    toks = _tokens(docs_batch, id_col, text_col)
+    incremental_rollup(
+        store,
+        f"{prefix}_tf",
+        toks,
+        keys=["doc_id", "token"],
+        measures={"tf": ("token", "count")},
+        cursor_col="doc_id",
+    )
+    incremental_rollup(
+        store,
+        f"{prefix}_dl",
+        toks,
+        keys=["doc_id"],
+        measures={"dl": ("token", "count")},
+        cursor_col="doc_id",
+    )
+
+
+def bm25_topk_from_index(
+    spark: SparkSession,
+    store,
+    prefix: str,
+    queries: Sequence[tuple[int, str]],
+    k: int,
+) -> DataFrame:
+    """Top-``k`` per query served FROM the maintained index tables —
+    identical results to ``bm25_topk`` over the full corpus (asserted
+    in tests), without touching any document text: the scoring joins
+    read O(matching postings) + O(docs) length rows."""
+    qterms = _qterms(spark, queries)
+    tf = (
+        store.read(f"{prefix}_tf")
+        .select("doc_id", "token", "tf")
+        .join(F.broadcast(qterms.select("token").distinct()), "token")
+    )
+    dl = store.read(f"{prefix}_dl").select("doc_id", "dl")
+    n_docs, n_tokens = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+    ).first()
+    _, scores = _scores_from_tables(tf, dl, qterms, n_docs, n_tokens)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_x1000"), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score_x1000", "rnk")
     )
