@@ -146,17 +146,28 @@ def hashed_perceptron(
             .withColumn("_mistake", (F.col("_y") * F.col("_margin")) <= 0)
         )
         mistakes = margins.filter("_mistake").select("_id", "_y")
+        # ONE update aggregate per epoch: the bias rides as a synthetic
+        # '__bias__' row per mistake doc (c=1), unioned into the same
+        # per-bucket sum — the exact shape of the oracle's hp_u CTE —
+        # instead of a second full margin recomputation for the bias
+        upd_input = mistakes.join(f, "_id").select("_b", "_y", "_c").unionByName(
+            mistakes.select(
+                F.lit("__bias__").alias("_b"),
+                F.col("_y"),
+                F.lit(1).cast("long").alias("_c"),
+            )
+        )
         upd = {
             r["_b"]: r["_dw"]
-            for r in mistakes.join(f, "_id")
-            .groupBy("_b")
+            for r in upd_input.groupBy("_b")
             .agg(F.sum(F.col("_y") * F.col("_c")).alias("_dw"))
             .collect()
         }
-        row = mistakes.agg(F.coalesce(F.sum("_y"), F.lit(0)).alias("_db")).first()
         for b, dw in upd.items():
-            w[b] = w[b] + dw
-        bias += row["_db"]
+            if b == "__bias__":
+                bias += dw
+            else:
+                w[b] = w[b] + dw
     f.unpersist()
     lab.unpersist()
     rows = [(b, int(v)) for b, v in sorted(w.items())] + [("__bias__", int(bias))]

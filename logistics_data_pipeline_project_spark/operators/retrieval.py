@@ -87,25 +87,27 @@ def bm25_parts(
     lengths), ``qterms``, ``tf`` (per doc-term counts over query terms
     only), ``df``, and ``scores``.
 
-    ``share=True`` materializes ``tf`` and ``dl`` once (lazy
-    localCheckpoint) for multi-ranking consumers: Spark does NOT reuse
-    logically-shared subtrees across branches (column pruning makes the
-    exchanges differ, so no ReusedExchange), and without the barrier a
-    hybrid query would pay one full corpus tokenization per ranking.
-    The checkpointed tables are the post-aggregation small ones —
-    O(docs) and O(matching doc-terms) — never the exploded token
-    stream."""
+    ``dl`` is always materialized (lazy localCheckpoint): the corpus
+    scalars are count/sum over it, so scalar fetch + scoring share one
+    tokenization.  ``share=True`` additionally materializes ``tf`` for
+    multi-ranking consumers: Spark does NOT reuse logically-shared
+    subtrees across branches (column pruning makes the exchanges
+    differ, so no ReusedExchange), and without the barrier a hybrid
+    query would pay one full corpus tokenization per ranking.  The
+    checkpointed tables are the post-aggregation small ones — O(docs)
+    and O(matching doc-terms) — never the exploded token stream."""
     spark: SparkSession = docs.sparkSession
     toks = _tokens(docs, id_col, text_col)
 
-    # Corpus constants: one tiny aggregate, collected as scalars (O(1)).
-    n_docs, n_tokens = (
-        toks.agg(
-            F.countDistinct("doc_id").alias("n"), F.count(F.lit(1)).alias("l")
-        ).first()
-    )
-
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # materialize dl BEFORE pulling the corpus scalars from it: the
+    # scalars are count/sum over the O(docs) table, so the scalar job,
+    # the scoring join, and any share=True consumer all ride ONE
+    # corpus tokenization instead of one each
+    dl = dl.localCheckpoint(eager=False)
+    n_docs, n_tokens = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+    ).first()
     qterms = _qterms(spark, queries)
 
     # Filter the token stream to query terms BEFORE any shuffle: the
@@ -116,7 +118,6 @@ def bm25_parts(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     if share:
-        dl = dl.localCheckpoint(eager=False)
         tf = tf.localCheckpoint(eager=False)
     df_tbl, scores = _scores_from_tables(tf, dl, qterms, n_docs, n_tokens)
     return {
@@ -263,18 +264,23 @@ def maintain_bm25_index(
     text_col: str = "text",
 ) -> None:
     """Fold an append-only document batch into the materialized BM25
-    index tables ``<prefix>_tf`` (doc, token, tf — the posting grain)
-    and ``<prefix>_dl`` (doc lengths), via ``plans.incremental``'s
-    watermarked rollups: each refresh tokenizes ONLY the new batch and
-    merges decomposable count partials into the stored snapshot — the
-    search-index build that never re-reads corpus history.  The doc id
-    is the ingestion cursor (append-only, monotone), riding inside the
-    rollup snapshot so index + watermark commit atomically.
+    index table ``<prefix>_tf`` (doc, token, tf — the posting grain)
+    via ``plans.incremental``'s watermarked rollup: each refresh
+    tokenizes ONLY the new batch and merges decomposable count partials
+    into the stored snapshot — the search-index build that never
+    re-reads corpus history.  The doc id is the ingestion cursor
+    (append-only, monotone), riding inside the rollup snapshot so
+    index + watermark commit atomically.
 
-    Note the tf table holds ALL tokens (an index serves future queries,
-    unlike the per-query-filtered tf inside bm25_parts); in production
-    it is bucketed by token so a query batch prunes to its terms'
-    buckets (operators/scale.py::write_bucketed)."""
+    The index is deliberately ONE table: doc lengths are exactly
+    ``sum(tf) per doc`` and are derived from the committed snapshot at
+    query time — a second independently-watermarked table could be
+    caught mid-crash out of step with the postings (tf committed, dl
+    not), leaving scores that match neither corpus state.  In
+    production, cache the derived dl as a snapshot REBUILT from the tf
+    version it was derived from (a cache, never a second source of
+    truth), and bucket the tf table by token so a query batch prunes
+    to its terms' buckets (operators/scale.py::write_bucketed)."""
     from ..plans.incremental import incremental_rollup
 
     toks = _tokens(docs_batch, id_col, text_col)
@@ -286,14 +292,6 @@ def maintain_bm25_index(
         measures={"tf": ("token", "count")},
         cursor_col="doc_id",
     )
-    incremental_rollup(
-        store,
-        f"{prefix}_dl",
-        toks,
-        keys=["doc_id"],
-        measures={"dl": ("token", "count")},
-        cursor_col="doc_id",
-    )
 
 
 def bm25_topk_from_index(
@@ -303,17 +301,22 @@ def bm25_topk_from_index(
     queries: Sequence[tuple[int, str]],
     k: int,
 ) -> DataFrame:
-    """Top-``k`` per query served FROM the maintained index tables —
-    identical results to ``bm25_topk`` over the full corpus (asserted
-    in tests), without touching any document text: the scoring joins
-    read O(matching postings) + O(docs) length rows."""
+    """Top-``k`` per query served FROM the maintained index — identical
+    results to ``bm25_topk`` over the full corpus (asserted in tests),
+    without touching any document text.  Doc lengths and corpus scalars
+    derive from the same committed tf snapshot the postings come from,
+    so a reader can never observe postings and lengths from different
+    corpus states."""
     qterms = _qterms(spark, queries)
-    tf = (
-        store.read(f"{prefix}_tf")
-        .select("doc_id", "token", "tf")
-        .join(F.broadcast(qterms.select("token").distinct()), "token")
+    tf_full = store.read(f"{prefix}_tf").select("doc_id", "token", "tf")
+    tf = tf_full.join(
+        F.broadcast(qterms.select("token").distinct()), "token"
     )
-    dl = store.read(f"{prefix}_dl").select("doc_id", "dl")
+    dl = (
+        tf_full.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     n_docs, n_tokens = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
     ).first()

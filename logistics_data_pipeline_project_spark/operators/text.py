@@ -318,3 +318,32 @@ def compression_ratio(
     return cols.mapInPandas(
         score, schema="id long, n_bytes long, n_compressed long, ratio_x1000 long"
     )
+
+
+def word_bigrams(df, text_col: str, extra_cols: tuple = ()):
+    """Adjacent word pairs per row: (extra_cols..., w1, w2), lowercase
+    split-on-space tokens.  Rows with < 2 non-empty tokens produce no
+    pairs — the filter also guards the slice against the NEGATIVE
+    length a 0-token document would produce (Spark's slice() rejects
+    it at runtime; the SQL oracles' generate_series(1, -1) is simply
+    empty). Shared by the bigram-LM (q158), PMI (q159), and TextRank
+    (q163) pipelines so the guard lives in one place."""
+    t = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    return (
+        df.select(*extra_cols, t.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            *extra_cols,
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(__t, 1, size(__t) - 1)").alias("w1"),
+                    F.expr("slice(__t, 2, size(__t) - 1)").alias("w2"),
+                )
+            ).alias("__b"),
+        )
+        .select(
+            *extra_cols,
+            F.col("__b.w1").alias("w1"),
+            F.col("__b.w2").alias("w2"),
+        )
+    )

@@ -4005,28 +4005,24 @@ def q158_bigram_lm_surprise(spark: SparkSession, sf_dir: str):
     scaled inverse conditional probability, floored per bigram so the
     per-doc sums are engine- and partitioning-exact (a log-perplexity
     would drift in the last ulp and is monotone-equivalent per bigram).
-    Scale shape: the corpus tokenizes once into per-doc bigram
-    multiplicities (map-side combined), the corpus bigram and prefix
-    tables aggregate FROM that (bounded by vocab², not corpus size),
-    and the scoring join is hash-keyed on the bigram — Zipf-small
-    tables that AQE broadcasts at catalog SF."""
+    Scale shape: the corpus tokenizes ONCE into per-doc bigram
+    multiplicities (map-side combined, materialized via a lazy
+    localCheckpoint — Spark won't reuse the logically-shared subtree
+    across the corp/pref/scoring branches otherwise), the corpus
+    bigram and prefix tables aggregate FROM that (bounded by vocab²,
+    not corpus size), and the scoring join is hash-keyed on the
+    bigram — Zipf-small tables that AQE broadcasts at catalog SF.
+    Docs with < 2 tokens carry no bigrams and are filtered before the
+    slice (a 0-length array would make the slice length negative —
+    the oracle's generate_series(1, -1) is just empty)."""
+    from ..operators.text import word_bigrams
+
     d = load(spark, sf_dir, "documents")
-    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-    big = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.arrays_zip(
-                    F.slice(t, 1, F.size(t) - 1).alias("w1"),
-                    F.slice(t, 2, F.size(t) - 1).alias("w2"),
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    )
+    big = word_bigrams(d, "text", extra_cols=("doc_id",))
     docbig = big.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("m")
     )
+    docbig = docbig.localCheckpoint(eager=False)
     corp = docbig.groupBy("w1", "w2").agg(F.sum("m").alias("c"))
     pref = corp.groupBy("w1").agg(F.sum("c").alias("cp"))
     return (
@@ -4099,18 +4095,16 @@ def q159_collocations_pmi(spark: SparkSession, sf_dir: str):
     d = load(spark, sf_dir, "documents")
     t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     toks = d.select(F.explode(t).alias("w"))
+    # materialize the O(vocab) unigram table once: it feeds the n_tok
+    # scalar AND both PMI joins — without the barrier each consumer
+    # would re-tokenize the corpus
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    uni = uni.localCheckpoint(eager=False)
     n_tok = uni.agg(F.sum("cu")).first()[0]
+    from ..operators.text import word_bigrams
+
     big = (
-        d.select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(t, 1, F.size(t) - 1).alias("w1"),
-                    F.slice(t, 2, F.size(t) - 1).alias("w2"),
-                )
-            ).alias("b")
-        )
-        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        word_bigrams(d, "text")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= _PMI_MIN_COUNT)
@@ -4474,17 +4468,11 @@ def q163_textrank_keywords(spark: SparkSession, sf_dir: str):
     the corpus-sized work is exactly the bigram count (map-side
     combined, q158's shape); iterations touch only O(edges)."""
     d = load(spark, sf_dir, "documents")
-    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    from ..operators.text import word_bigrams
+
     dirpairs = (
-        d.select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(t, 1, F.size(t) - 1).alias("u"),
-                    F.slice(t, 2, F.size(t) - 1).alias("v"),
-                )
-            ).alias("b")
-        )
-        .select(F.col("b.u").alias("u"), F.col("b.v").alias("v"))
+        word_bigrams(d, "text")
+        .select(F.col("w1").alias("u"), F.col("w2").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -42,6 +42,12 @@ def quality_tally(
     """Batch tally: (group, n_docs, n_positive, sum_margin) under the
     frozen integer weights — the build step of the streaming fold and
     the batch twin the equivalence tests compare against."""
+    if len(weights) != len(feature_cols):
+        raise ValueError(
+            f"{len(weights)} weights for {len(feature_cols)} feature "
+            "columns — a silent zip truncation here would tally wrong "
+            "margins forever"
+        )
     margin = sum(
         (F.lit(int(w)) * F.col(c) for w, c in zip(weights, feature_cols)),
         start=F.lit(0),

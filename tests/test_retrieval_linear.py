@@ -200,3 +200,21 @@ def test_compression_ratio_semantics(spark):
         for r in compression_ratio(df.repartition(3), "doc_id", "text").collect()
     }
     assert again == {i: out[i]["ratio_x1000"] for i, _ in rows}
+
+
+def test_word_bigrams_guards_degenerate_docs(spark):
+    from logistics_data_pipeline_project_spark.operators.text import (
+        word_bigrams,
+    )
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, ""),            # zero tokens: would make slice length -1
+        (3, "   "),         # whitespace-only: same
+        (4, "solo"),        # one token: no pairs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, word_bigrams(df, "text", extra_cols=("doc_id",)).collect())
+    )
+    assert got == [(1, "alpha", "beta"), (1, "beta", "gamma")]
