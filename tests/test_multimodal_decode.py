@@ -290,3 +290,64 @@ def test_png_decoder_rejects_corrupt_idat():
     good[idat_at + 3] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_png_pixels(bytes(good))
+
+
+from logistics_data_pipeline_project_spark.operators.multimodal import (  # noqa: E402
+    _gif_lzw_decode,
+    _gif_lzw_encode,
+    decode_gif_pixels,
+    encode_gif,
+    gif_probe,
+)
+
+_PAL = bytes((i * k) % 256 for i in range(256) for k in (1, 2, 3))
+
+
+def test_gif_roundtrip_small_and_boundary_crossing():
+    import random
+
+    rng = random.Random(11)
+    # 64x50 random indices force next_code across the 512 and 1024
+    # code-width boundaries; 3x2 stays entirely below the first one
+    for w, h in [(3, 2), (64, 50)]:
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        assert decode_gif_pixels(encode_gif(w, h, idx, _PAL)) == (
+            w,
+            h,
+            idx,
+            _PAL,
+        )
+
+
+def test_gif_lzw_repetitive_dictionary_chains():
+    # long repeated phrases grow multi-byte dictionary entries and hit
+    # the KwKwK special case (code == next_code)
+    data = b"aaaaabaaaab" * 3000
+    assert _gif_lzw_decode(_gif_lzw_encode(data, 8), 8) == data
+
+
+def test_gif_decoder_honest_guards():
+    import pytest as _pytest
+
+    g = bytearray(encode_gif(3, 2, bytes(6), _PAL))
+    desc_at = 13 + 256 * 3  # header+LSD, then the global color table
+    assert g[desc_at] == 0x2C
+    interlaced = bytearray(g)
+    interlaced[desc_at + 9] |= 0x40
+    with _pytest.raises(NotImplementedError):
+        decode_gif_pixels(bytes(interlaced))
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(b"NOTGIF" + bytes(20))
+
+
+def test_gif_probe_spark(spark):
+    w, h = 4, 3
+    idx = bytes((5 + 7 * x + 11 * y) % 256 for y in range(h) for x in range(w))
+    df = spark.createDataFrame(
+        [(9, encode_gif(w, h, idx, _PAL))], "id long, payload binary"
+    )
+    row = gif_probe(df, "id", "payload").collect()[0]
+    assert (row["width"], row["height"], row["n_px"]) == (w, h, 12)
+    assert row["first_idx"] == 5
+    assert (row["first_r"], row["first_g"], row["first_b"]) == (5, 10, 15)
+    assert row["px_index_sum"] == sum(idx)
