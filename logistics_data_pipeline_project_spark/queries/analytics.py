@@ -13,7 +13,7 @@ plain shuffled hash joins with AQE skew handling.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import dec, exact_sum
@@ -4844,13 +4844,23 @@ def q169_revenue_cusum_changepoint(spark: SparkSession, sf_dir: str):
     corpus-sized work is the one map-side-combined daily aggregate;
     every window after it runs over O(days) rows (the q051/q109
     precedent) — a deliberate collapse-then-window plan, not a global
-    window over raw facts."""
+    window over raw facts.  The daily aggregate is exactly the shape
+    plans.incremental.incremental_rollup maintains, so the monitor can
+    be served from a watermark-maintained table without re-reading
+    facts (equivalence pinned in tests/test_pipeline_integration)."""
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
         .alias("cents")
     )
+    return cusum_top_days(daily)
+
+
+def cusum_top_days(daily: DataFrame, top: int = 5) -> DataFrame:
+    """CUSUM tail of q169 over any (d, cents) daily series — shared by
+    the direct query and the rollup-served drift monitor so the two
+    paths cannot drift apart."""
     w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     daily = daily.withColumn(
         "mean_cents", F.expr("sum(cents) over () div count(1) over ()")
@@ -4871,7 +4881,7 @@ def q169_revenue_cusum_changepoint(spark: SparkSession, sf_dir: str):
         .over(Window.orderBy(F.desc("abs_cusum_cents"), "d"))
         .cast("int"),
     )
-    return ranked.filter(F.col("rnk") <= 5).select(
+    return ranked.filter(F.col("rnk") <= top).select(
         "d", "cents", "cusum_cents", "abs_cusum_cents", "rnk"
     )
 
@@ -4995,4 +5005,106 @@ def q174_point_in_time_join(spark: SparkSession, sf_dir: str):
             .alias("n_leaky"),
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — conversion attribution over a 7-day lookback (range-frame windows)
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "q176_click_attribution",
+    tags=("W2", "A4", "timeseries"),
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_type, value, epoch_us(ts) AS us FROM events
+),
+w AS (
+  SELECT user_id, ts, event_type, value, us,
+    MAX(CASE WHEN event_type = 'click' THEN us END) OVER (
+      PARTITION BY user_id ORDER BY us
+      RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING AND CURRENT ROW)
+      AS last_click_us,
+    MIN(CASE WHEN event_type = 'click' THEN us END) OVER (
+      PARTITION BY user_id ORDER BY us
+      RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING AND CURRENT ROW)
+      AS first_click_us
+  FROM e
+),
+p AS (SELECT * FROM w WHERE event_type = 'purchase')
+SELECT CAST(ts AS DATE) AS d,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CASE WHEN last_click_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_attributed,
+  CAST(SUM(CASE WHEN first_click_us < last_click_us THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_multi_touch,
+  CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS attr_revenue_cents,
+  CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+           THEN (us - last_click_us) // 1000000 ELSE 0 END) AS BIGINT)
+    AS total_gap_s
+FROM p GROUP BY CAST(ts AS DATE)
+""",
+)
+def q176_click_attribution(spark: SparkSession, sf_dir: str):
+    """Conversion attribution with a bounded lookback — the
+    marketing-analytics primitive: each purchase is attributed to the
+    user's latest click within the prior 7 days (last-touch), with the
+    earliest click in the same window distinguishing multi-touch
+    journeys.  The lookback is a RANGE frame over event-time
+    microseconds — value-based, so simultaneous events are frame peers
+    under identical semantics on both engines (a ROWS frame would be
+    partition-order-dependent).  Per purchase-day: attach counts,
+    attributed revenue in exact cents, and the total click-to-purchase
+    gap in whole seconds.  Scale shape: ONE user-partitioned window
+    pass computes both touch points (users sort independently across
+    the cluster), then a map-side-combined daily aggregate — the event
+    stream shuffles exactly once."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ATTR_LOOKBACK_US, 0)
+    )
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    marked = ev.select(
+        "ts",
+        "event_type",
+        "value",
+        "us",
+        F.max(click_us).over(w).alias("last_click_us"),
+        F.min(click_us).over(w).alias("first_click_us"),
+    )
+    p = marked.filter(F.col("event_type") == "purchase")
+    attributed = F.col("last_click_us").isNotNull()
+    return p.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.when(attributed, 1).otherwise(0)).cast("long").alias("n_attributed"),
+        F.sum(
+            F.when(F.col("first_click_us") < F.col("last_click_us"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_multi_touch"),
+        F.sum(
+            F.when(
+                attributed,
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("attr_revenue_cents"),
+        F.sum(
+            F.when(
+                attributed,
+                F.expr("(us - last_click_us) div 1000000"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("total_gap_s"),
     )

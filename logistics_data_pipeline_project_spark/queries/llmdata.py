@@ -5266,3 +5266,515 @@ def q175_dedup_aware_split(spark: SparkSession, sf_dir: str):
             .alias("n_straddling"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — consistent-hash ring sharding + rebalance audit
+# ---------------------------------------------------------------------------
+
+# Ring anchors are md5("shard:i") computed once and embedded as literals
+# (engine-portable: the ring is pure hex-string comparison, no RNG).
+_RING_V1 = [
+    ("5d2482ac252a9bd16d673db792519104", 0),
+    ("ae7451a0e2902045dfa6b580c22b4fa5", 1),
+    ("6b77afc85b0f2b4bf1d3342683ee2a07", 2),
+    ("3061a64f6111183194afcaaa55879dc5", 3),
+    ("ed68a9be3c50db0797fb0e71a8d39f4e", 4),
+    ("db9cacee782cd92b45d2522c6c936171", 5),
+    ("b9aec648910962212ff09f71acbde537", 6),
+    ("05c843f04a137f15190b293b6e7a90bf", 7),
+]
+_RING_V2 = _RING_V1 + [("efa5525945469d9466588717fa869c14", 8)]
+_NEW_SHARD = 8
+
+
+def _ring_case_sql(anchors: list[tuple[str, int]], hcol: str) -> str:
+    s = sorted(anchors)
+    whens = "\n    ".join(
+        f"WHEN {hcol} <= '{h}' THEN {i}" for h, i in s
+    )
+    return f"CASE {whens}\n    ELSE {s[0][1]} END"
+
+
+@register(
+    "q177_consistent_hash_shards",
+    tags=("scale", "P6", "A1"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5('ring:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents
+),
+assigned AS (
+  SELECT doc_id,
+    {_ring_case_sql(_RING_V1, "hh")} AS shard_v1,
+    {_ring_case_sql(_RING_V2, "hh")} AS shard_v2
+  FROM h
+)
+SELECT CAST(shard_v1 AS INTEGER) AS shard_v1,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN shard_v2 <> shard_v1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_moved,
+  CAST(SUM(CASE WHEN shard_v2 <> shard_v1 AND shard_v2 <> {_NEW_SHARD}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere,
+  CAST(SUM(CASE WHEN shard_v2 <> shard_v1 THEN 1 ELSE 0 END) * 1000000
+       // COUNT(*) AS BIGINT) AS move_rate_ppm
+FROM assigned GROUP BY shard_v1
+""",
+)
+def q177_consistent_hash_shards(spark: SparkSession, sf_dir: str):
+    """Consistent-hash ring sharding — the shard-affinity layout that
+    lets a 100 TB corpus add capacity without a full reshuffle: each doc
+    hashes to a point on the md5 ring and is owned by the next anchor
+    clockwise (string-compare only, engine-portable, no RNG).  The
+    query assigns every doc under an 8-anchor ring AND a 9-anchor ring
+    and audits the rebalance: moved docs must land ONLY on the new
+    shard (n_moved_elsewhere = 0 — THE consistent-hashing guarantee;
+    mod-N hashing would relocate ~8/9 of everything), at a per-shard
+    move rate of roughly the new shard's arc share.  Scale shape: the
+    ring rides the plan as a chained-CASE literal — assignment is pure
+    whole-stage codegen, no join, no window; one map-side-combined
+    aggregate on O(shards) keys."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    hh = F.md5(F.concat(F.lit("ring:"), F.col("doc_id").cast("string")))
+
+    def ring_owner(hcol, anchors):
+        s = sorted(anchors)
+        expr = None
+        for h, i in s:
+            expr = (
+                F.when(hcol <= h, i) if expr is None else expr.when(hcol <= h, i)
+            )
+        return expr.otherwise(s[0][1])
+
+    assigned = d.select(
+        ring_owner(hh, _RING_V1).cast("int").alias("shard_v1"),
+        ring_owner(hh, _RING_V2).cast("int").alias("shard_v2"),
+    )
+    moved = F.when(F.col("shard_v2") != F.col("shard_v1"), 1).otherwise(0)
+    elsewhere = F.when(
+        (F.col("shard_v2") != F.col("shard_v1"))
+        & (F.col("shard_v2") != _NEW_SHARD),
+        1,
+    ).otherwise(0)
+    return assigned.groupBy("shard_v1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(moved).cast("long").alias("n_moved"),
+        F.sum(elsewhere).cast("long").alias("n_moved_elsewhere"),
+        F.expr(
+            "sum(case when shard_v2 <> shard_v1 then 1 else 0 end) * 1000000"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("move_rate_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178 — retrieval quality evaluation (recall@k / MRR, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q178_retrieval_eval",
+    tags=("retrieval", "A3", "J3", "O3"),
+    oracle=f"""
+WITH {_bm25_ctes()},
+nq AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms FROM qt GROUP BY query_id
+),
+relc AS (
+  SELECT qt.query_id, tf.doc_id, COUNT(DISTINCT tf.token) AS nt
+  FROM tf JOIN qt USING (token) GROUP BY qt.query_id, tf.doc_id
+),
+rel AS (
+  SELECT r.query_id, r.doc_id
+  FROM relc r JOIN nq USING (query_id) WHERE r.nt = nq.n_terms
+),
+topk AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score_x1000 DESC, doc_id) AS rnk
+    FROM bm25)
+  WHERE rnk <= {_BM25_K}
+),
+ev AS (
+  SELECT t.query_id, t.rnk,
+    CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM topk t
+  LEFT JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+),
+nrel AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+  FROM rel GROUP BY query_id
+)
+SELECT CAST(e.query_id AS INTEGER) AS query_id,
+  nrel.n_relevant,
+  CAST(SUM(e.hit) AS BIGINT) AS n_hits_at_k,
+  CAST(MIN(CASE WHEN e.hit = 1 THEN e.rnk END) AS INTEGER) AS first_rel_rank,
+  CAST(COALESCE(1000000 // MIN(CASE WHEN e.hit = 1 THEN e.rnk END), 0)
+       AS BIGINT) AS rr_ppm,
+  CAST(SUM(e.hit) * 1000000 // LEAST({_BM25_K}, nrel.n_relevant) AS BIGINT)
+    AS recall_at_k_ppm
+FROM ev e JOIN nrel USING (query_id)
+GROUP BY e.query_id, nrel.n_relevant
+""",
+)
+def q178_retrieval_eval(spark: SparkSession, sf_dir: str):
+    """Offline retrieval-quality evaluation — the metric harness every
+    retrieval stack needs before it feeds data selection: BM25 top-k
+    (q155's exact ranking) scored against a DETERMINISTIC relevance
+    oracle (a doc is relevant to a query iff it contains ALL the
+    query's terms — boolean-conjunctive ground truth both engines can
+    recompute), reporting per query: relevant-set size, hits@k, the
+    first relevant rank, reciprocal rank and recall@k — all integer
+    ppm (1e6 div rank), no floats, so the eval itself is bit-exact and
+    a regression of one rank position is a guaranteed hash change, not
+    noise.  Scale shape: the relevance set reuses the corpus token
+    stream semi-joined against the broadcast query-term table (only
+    term-matching rows ever shuffle, the q155 contract); the eval join
+    runs on the O(queries·k) top-k table."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    topk = bm25_topk(docs, _BM25_QUERIES, k=_BM25_K)
+    qt = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, qtext in _BM25_QUERIES
+            for t in sorted(set(qtext.split()))
+        ],
+        "query_id int, token string",
+    )
+    nq = qt.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    match = (
+        toks.join(F.broadcast(qt), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("token").alias("nt"))
+    )
+    rel = (
+        match.join(F.broadcast(nq), "query_id")
+        .filter(F.col("nt") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    ev = topk.join(
+        rel.withColumn("hit", F.lit(1)), ["query_id", "doc_id"], "left"
+    ).select(
+        "query_id", "rnk", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
+    )
+    agg = ev.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("n_hits_at_k"),
+        F.min(F.when(F.col("hit") == 1, F.col("rnk"))).cast("int").alias(
+            "first_rel_rank"
+        ),
+        F.expr(
+            "coalesce(1000000 div min(case when hit = 1 then rnk end), 0)"
+        )
+        .cast("long")
+        .alias("rr_ppm"),
+    )
+    return (
+        agg.join(nrel, "query_id")
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "n_relevant",
+            "n_hits_at_k",
+            "first_rel_rank",
+            "rr_ppm",
+            F.expr(
+                f"n_hits_at_k * 1000000 div least({_BM25_K}, n_relevant)"
+            )
+            .cast("long")
+            .alias("recall_at_k_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179 — annealed curriculum mixture schedule (multi-phase data mixing)
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_PHASES = 3
+
+
+@register(
+    "q179_curriculum_schedule",
+    tags=("mixing", "A1", "W2"),
+    oracle=f"""
+WITH src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+    CAST(SUM(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, cnt, mass,
+    CAST(SUM(mass) OVER () AS BIGINT) AS total_mass,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+  FROM src
+),
+shares AS (
+  SELECT source, cnt,
+    CAST(1000000 // n_src AS BIGINT) AS uniform_ppm,
+    CAST(mass * 1000000 // total_mass AS BIGINT) AS mass_ppm
+  FROM t
+),
+phases AS (SELECT unnest(generate_series(0, {_CURRICULUM_PHASES - 1})) AS phase)
+SELECT CAST(p.phase AS INTEGER) AS phase, s.source, s.cnt,
+  s.uniform_ppm, s.mass_ppm,
+  CAST((({_CURRICULUM_PHASES - 1} - p.phase) * s.uniform_ppm
+        + p.phase * s.mass_ppm) // {_CURRICULUM_PHASES - 1} AS BIGINT)
+    AS target_ppm
+FROM shares s CROSS JOIN phases p
+""",
+)
+def q179_curriculum_schedule(spark: SparkSession, sf_dir: str):
+    """Curriculum data-mixing schedule: a training run that anneals its
+    source mixture from uniform (phase 0: see everything) to
+    mass-weighted (final phase: match the corpus's token-mass
+    distribution) needs a per-phase target plan; each phase's target is
+    the INTEGER interpolation ((P-1-p)·uniform + p·mass) div (P-1) in
+    ppm, so the schedule is engine-exact and composes with q172's
+    availability caps and q045/q137's deterministic samplers.  Scale
+    shape: one map-side-combined aggregate per source, windows over the
+    O(sources) rows, then a cross join against the O(phases) literal
+    axis — the corpus is read once and never shuffled."""
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("n_chars").cast("long").alias("mass"),
+    )
+    t = src.withColumn(
+        "total_mass", F.expr("sum(mass) over ()").cast("long")
+    ).withColumn("n_src", F.expr("count(1) over ()").cast("long"))
+    shares = t.select(
+        "source",
+        "cnt",
+        F.expr("1000000 div n_src").cast("long").alias("uniform_ppm"),
+        F.expr("mass * 1000000 div total_mass").cast("long").alias("mass_ppm"),
+    )
+    phases = F.explode(
+        F.array(*[F.lit(p) for p in range(_CURRICULUM_PHASES)])
+    ).alias("phase")
+    p_last = _CURRICULUM_PHASES - 1
+    return shares.select("*", phases).select(
+        F.col("phase").cast("int").alias("phase"),
+        "source",
+        "cnt",
+        "uniform_ppm",
+        "mass_ppm",
+        F.expr(
+            f"(({p_last} - phase) * uniform_ppm + phase * mass_ppm)"
+            f" div {p_last}"
+        )
+        .cast("long")
+        .alias("target_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — dup-graph triangle census (local transitivity audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q180_dup_graph_triangles",
+    tags=("dedup", "J8", "A1"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_JACCARD_N}
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_JACCARD_N - 1})) AS i FROM toks)
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_MAX_DF}
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+  SELECT id1, id2 FROM inter
+  JOIN sizes sa ON sa.doc_id = id1
+  JOIN sizes sb ON sb.doc_id = id2
+  WHERE CAST(inter_size AS DOUBLE) / (sa.n_sh + sb.n_sh - inter_size) >= {_JACCARD_THRESHOLD}
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM e UNION ALL SELECT id2, id1 FROM e),
+deg AS (SELECT a AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY a),
+tri AS (
+  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+  FROM e e1
+  JOIN e e2 ON e2.id1 = e1.id2
+  JOIN e e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2
+),
+pern AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.degree,
+  CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+  CAST(COALESCE(p.n_triangles, 0) * 2 * 1000000
+       // (d.degree * (d.degree - 1)) AS BIGINT) AS transitivity_ppm
+FROM deg d LEFT JOIN pern p USING (doc_id)
+WHERE d.degree >= 2
+""",
+)
+def q180_dup_graph_triangles(spark: SparkSession, sf_dir: str):
+    """Triangle census over the near-dup graph — the structural audit
+    that tells you whether dup families are CLIQUES (true duplicates:
+    every pair similar, local transitivity ~1) or CHAINS (threshold
+    artifacts: A~B~C with A≁C, transitivity ~0, the families a
+    connected-components dedup over-merges).  Per node with degree ≥ 2:
+    degree, triangle count, and local clustering coefficient in integer
+    ppm (2·tri·1e6 div deg·(deg−1)).  Triangles come from the standard
+    two-join edge-iterator (e1⋈e2 closing wedges, e3 verifying the
+    chord) over the canonically-ordered edge list (id1 < id2, so each
+    triangle is counted exactly once).  Scale shape: edges are the
+    already-thresholded dup pairs — orders of magnitude sparser than
+    the corpus; both joins hash-partition on edge endpoints; the
+    degree-ordering refinement (iterate from the lower-degree endpoint)
+    is the known skew guard if a hub node ever appears."""
+    docs = load(spark, sf_dir, "documents")
+    e = shingle_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n=_JACCARD_N,
+        threshold=_JACCARD_THRESHOLD,
+        max_shingle_df=_JACCARD_MAX_DF,
+    ).select("id1", "id2")
+    e = e.localCheckpoint(eager=False)
+    sym = e.unionByName(
+        e.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    )
+    deg = sym.groupBy(F.col("id1").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.id1") == F.col("e1.id2"))
+        .join(
+            e3,
+            (F.col("e3.id1") == F.col("e1.id1"))
+            & (F.col("e3.id2") == F.col("e2.id2")),
+        )
+        .select(
+            F.col("e1.id1").alias("a"),
+            F.col("e1.id2").alias("b"),
+            F.col("e2.id2").alias("c"),
+        )
+    )
+    pern = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionByName(tri.select(F.col("b").alias("doc_id")))
+        .unionByName(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(pern, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.expr(
+                "coalesce(n_triangles, 0) * 2 * 1000000"
+                " div (degree * (degree - 1))"
+            )
+            .cast("long")
+            .alias("transitivity_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — embedding QA audit (norm distribution, degenerate-vector screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q181_embedding_norm_audit",
+    tags=("similarity", "quality", "A1"),
+    oracle="""
+WITH n AS (
+  SELECT label,
+    CAST(len(embedding) AS INTEGER) AS dim,
+    CAST(FLOOR(list_sum(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000) AS BIGINT)
+      AS sq_norm_x1e6
+  FROM embeddings
+)
+SELECT CAST(label AS INTEGER) AS label,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(MIN(dim) AS INTEGER) AS min_dim,
+  CAST(MAX(dim) AS INTEGER) AS max_dim,
+  CAST(MIN(sq_norm_x1e6) AS BIGINT) AS min_sq_norm_x1e6,
+  CAST(MAX(sq_norm_x1e6) AS BIGINT) AS max_sq_norm_x1e6,
+  CAST(SUM(sq_norm_x1e6) // COUNT(*) AS BIGINT) AS avg_sq_norm_x1e6,
+  CAST(SUM(CASE WHEN sq_norm_x1e6 < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_near_zero
+FROM n GROUP BY label
+""",
+)
+def q181_embedding_norm_audit(spark: SparkSession, sf_dir: str):
+    """Embedding-table QA — the screen that runs before any ANN/cosine
+    stage ships: per label, vector count, dimension bounds (a ragged
+    dim column breaks every zip_with downstream), the squared-norm
+    distribution, and the count of near-zero vectors (cosine against a
+    ~0 vector is numerical garbage; these rows must be quarantined).
+    Determinism: the squared norm is a row-local left-to-right fold —
+    the same element order on both engines, so the doubles are
+    bit-identical BEFORE the x1e6 floor (FLOOR, not ROUND — rounding a
+    double at an exact half is the one operation the engines disagree
+    on), and everything aggregated after is integer (the standing float
+    policy: cross-row math only ever sums already-truncated integers).  Scale shape: pure
+    map-side row math plus one tiny-key hash aggregate; no join, no
+    window, no Python."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = emb.select(
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.floor(sq * 1000000).cast("long").alias("sq_norm_x1e6"),
+    )
+    return n.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("dim").cast("int").alias("min_dim"),
+        F.max("dim").cast("int").alias("max_dim"),
+        F.min("sq_norm_x1e6").cast("long").alias("min_sq_norm_x1e6"),
+        F.max("sq_norm_x1e6").cast("long").alias("max_sq_norm_x1e6"),
+        F.expr("sum(sq_norm_x1e6) div count(1)")
+        .cast("long")
+        .alias("avg_sq_norm_x1e6"),
+        F.sum(F.when(F.col("sq_norm_x1e6") < 1000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_zero"),
+    )

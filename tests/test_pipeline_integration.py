@@ -199,3 +199,52 @@ def test_cdc_feed_drives_downstream_replica(spark, tmp_path):
     # and the feed itself was O(delta): 4 changed keys (1 update, 1
     # delete, 2 inserts), unchanged key 1 absent
     assert feed.count() == 4
+
+
+def test_cusum_monitor_served_from_maintained_rollup(spark, sf_dir, tmp_path):
+    """The q169 drift monitor must be servable from a watermark-maintained
+    daily rollup (plans.incremental.incremental_rollup) without re-reading
+    facts: fold the orders stream in three arbitrary date-split batches —
+    including a replay of batch 2, which the watermark must ignore — and
+    the CUSUM over the rollup must equal the direct single-pass query."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.io_utils import load
+    from logistics_data_pipeline_project_spark.plans.incremental import (
+        incremental_rollup,
+        read_rollup,
+    )
+    from logistics_data_pipeline_project_spark.queries.analytics import (
+        cusum_top_days,
+        q169_revenue_cusum_changepoint,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    o = load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderdate").alias("cursor"),
+    )
+    cuts = ["1994-01-01", "1996-06-15"]
+    batches = [
+        o.filter(F.col("d") < cuts[0]),
+        o.filter((F.col("d") >= cuts[0]) & (F.col("d") < cuts[1])),
+        o.filter((F.col("d") >= cuts[0]) & (F.col("d") < cuts[1])),  # replay
+        o.filter(F.col("d") >= cuts[1]),
+    ]
+    for b in batches:
+        incremental_rollup(
+            store,
+            "daily_revenue",
+            b,
+            keys=["d"],
+            measures={"cents": ("cents", "sum")},
+            cursor_col="cursor",
+        )
+    served = cusum_top_days(read_rollup(store, "daily_revenue"))
+    direct = q169_revenue_cusum_changepoint(spark, sf_dir)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
