@@ -69,23 +69,18 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     return sh
 
 
-def shingle_jaccard_pairs(
+def _pair_intersections(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n: int = 3,
-    threshold: float = 0.1,
-    max_shingle_df: int | None = 50,
+    n: int,
+    max_shingle_df: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard ≥ threshold).
-
-    Jaccard is computed over the *discriminative* shingle universe: shingles
-    appearing in more than ``max_shingle_df`` documents are discarded before
-    both the sizes and the intersection counts (identical semantics on any
-    engine; bounds the posting lists as described below). Passing
-    ``max_shingle_df=None`` leaves posting lists unbounded — only safe for
-    small corpora/tests, never at scale.
-    """
+    """Shared machinery of the exact set-similarity family: the
+    df-capped shingle universe, the inverted index, and the per-pair
+    intersection counts joined with both set sizes — returns
+    (id1, id2, inter_size, n1, n2), id1 < id2. Jaccard, containment
+    and any other set measure are filters over this one dataflow."""
     sh = word_shingles(df, text_col, id_col, n)
     if max_shingle_df is not None:
         # Doc-frequency cap BEFORE building posting lists: a stop-shingle
@@ -125,18 +120,75 @@ def shingle_jaccard_pairs(
     inter = pairs.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("inter_size"))
     sa = sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1"))
     sb = sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2"))
-    jac = F.col("inter_size").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("inter_size")
-    )
     # sizes has one row per document — small next to the pair fan-out but
     # proportional to corpus size, so the broadcast decision is left to
     # AQE (runtime-sized) rather than forced with a hint.
+    return inter.join(sa, "id1").join(sb, "id2")
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_df: int | None = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id1 < id2, jaccard ≥ threshold).
+
+    Jaccard is computed over the *discriminative* shingle universe: shingles
+    appearing in more than ``max_shingle_df`` documents are discarded before
+    both the sizes and the intersection counts (identical semantics on any
+    engine; bounds the posting lists as described in
+    ``_pair_intersections``). Passing ``max_shingle_df=None`` leaves posting
+    lists unbounded — only safe for small corpora/tests, never at scale.
+    """
+    base = _pair_intersections(df, text_col, id_col, n, max_shingle_df)
+    jac = F.col("inter_size").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter_size")
+    )
     return (
-        inter.join(sa, "id1")
-        .join(sb, "id2")
-        .withColumn("jaccard", F.round(jac, 4).cast("double"))
+        base.withColumn("jaccard", F.round(jac, 4).cast("double"))
         .filter(jac >= threshold)
         .select("id1", "id2", "inter_size", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    containment_x10: int = 9,
+    max_shingle_df: int | None = 50,
+) -> DataFrame:
+    """Exact containment near-dup pairs: C = |A∩B| / min(|A|,|B|) ≥
+    containment_x10/10 — the measure that catches QUOTE/EXPANSION
+    duplication (a short doc embedded verbatim in a much longer one),
+    where Jaccard stays low because the union is dominated by the big
+    doc. All-integer threshold (10·inter ≥ x10·min) and integer-ppm
+    outputs, so the operator is engine-exact with no float in sight.
+    Same single dataflow as the Jaccard family (shared
+    ``_pair_intersections``); only the filter differs."""
+    base = _pair_intersections(df, text_col, id_col, n, max_shingle_df)
+    nmin = F.least(F.col("n1"), F.col("n2"))
+    return (
+        base.filter(
+            F.col("inter_size") * 10 >= F.lit(containment_x10) * nmin
+        )
+        .select(
+            "id1",
+            "id2",
+            "inter_size",
+            nmin.cast("long").alias("n_small"),
+            F.greatest(F.col("n1"), F.col("n2")).cast("long").alias("n_big"),
+            F.expr("inter_size * 1000000 div least(n1, n2)")
+            .cast("long")
+            .alias("containment_ppm"),
+            F.expr("inter_size * 1000000 div (n1 + n2 - inter_size)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
     )
 
 

@@ -5778,3 +5778,75 @@ def q181_embedding_norm_audit(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("n_near_zero"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — containment near-dup pairs (quote/expansion duplication)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q182_containment_dedup",
+    tags=("dedup", "A1", "J1"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_JACCARD_N}
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_JACCARD_N - 1})) AS i FROM toks)
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {_JACCARD_MAX_DF}
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id1, i.id2, CAST(i.inter_size AS BIGINT) AS inter_size,
+  CAST(LEAST(sa.n_sh, sb.n_sh) AS BIGINT) AS n_small,
+  CAST(GREATEST(sa.n_sh, sb.n_sh) AS BIGINT) AS n_big,
+  CAST(i.inter_size * 1000000 // LEAST(sa.n_sh, sb.n_sh) AS BIGINT)
+    AS containment_ppm,
+  CAST(i.inter_size * 1000000 // (sa.n_sh + sb.n_sh - i.inter_size) AS BIGINT)
+    AS jaccard_ppm,
+  CAST(CASE WHEN i.inter_size * 1000000 // (sa.n_sh + sb.n_sh - i.inter_size)
+                 < 500000 THEN 1 ELSE 0 END AS INTEGER) AS jaccard_missed
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id1
+JOIN sizes sb ON sb.doc_id = i.id2
+WHERE i.inter_size * 10 >= 9 * LEAST(sa.n_sh, sb.n_sh)
+""",
+)
+def q182_containment_dedup(spark: SparkSession, sf_dir: str):
+    """Containment-measure near-dup detection
+    (operators.dedup.containment_pairs): C = |A∩B| / min(|A|,|B|) ≥ 0.9
+    catches QUOTE/EXPANSION duplication — a short doc embedded verbatim
+    inside a much longer one — which the Jaccard family structurally
+    misses (the union is dominated by the long doc, so J stays small no
+    matter how complete the containment).  ``jaccard_missed`` marks
+    exactly those pairs: every 1 there is a duplicate q022 would have
+    shipped into training.  All thresholds and scores are integer
+    (10·inter ≥ 9·min; ppm divisions), and the dataflow is the shared
+    inverted-index/posting-list machinery of the Jaccard family — one
+    extra measure costs zero extra shuffles."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = containment_pairs(
+        docs,
+        "text",
+        "doc_id",
+        n=_JACCARD_N,
+        containment_x10=9,
+        max_shingle_df=_JACCARD_MAX_DF,
+    )
+    return pairs.withColumn(
+        "jaccard_missed",
+        F.when(F.col("jaccard_ppm") < 500000, 1).otherwise(0).cast("int"),
+    )

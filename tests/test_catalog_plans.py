@@ -230,6 +230,34 @@ def test_q155_bm25_scoring_is_all_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_q174_asof_is_one_join_no_explosion(spark, sf_dir):
+    plan = _physical(REGISTRY["q174_point_in_time_join"].fn(spark, sf_dir))
+    # the PIT enrichment must run as union+window (zero joins), leaving
+    # only the naive-vs-pit compare join — a range/theta join against the
+    # SCD2 history (the naive formulation) would explode at 100 TB
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert n_joins == 1, f"expected exactly the compare join, got {n_joins}"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q176_attribution_single_event_shuffle(spark, sf_dir):
+    plan = _physical(REGISTRY["q176_click_attribution"].fn(spark, sf_dir))
+    # both touch points ride ONE user-partitioned window pass; the only
+    # exchanges are the user hash and the final daily-rollup hash
+    assert plan.count("Window") == 1, "both touch points must share one window"
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "Join" not in plan
+
+
+def test_q177_ring_assignment_is_pure_codegen(spark, sf_dir):
+    plan = _physical(REGISTRY["q177_consistent_hash_shards"].fn(spark, sf_dir))
+    # ring ownership is a chained-CASE literal: no join, no window — the
+    # corpus-side work must be a single map-side-combined aggregate
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
 def test_catalog_wide_no_antipatterns(spark, sf_dir):
     """Sweep EVERY catalog query's physical plan for the two plan shapes
     this engine bans at 100 TB: row-at-a-time Python evaluation
