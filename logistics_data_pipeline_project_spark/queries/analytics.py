@@ -5108,3 +5108,155 @@ def q176_click_attribution(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("total_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — hierarchical taxonomy rollup (closed-form ancestor explode)
+# ---------------------------------------------------------------------------
+
+_TAXO_POWERS = [1, 7, 49, 343, 2401, 16807, 117649]
+
+
+@register(
+    "q183_part_taxonomy_rollup",
+    tags=("A1", "A2", "J7"),
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey AS k,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT node_id,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(SUM(cents) AS BIGINT) AS subtree_revenue_cents
+FROM (
+  SELECT k, cents,
+    unnest(list_distinct(list_transform(
+      {_TAXO_POWERS}, d -> k // d))) AS node_id
+  FROM rev
+)
+GROUP BY node_id
+""",
+)
+def q183_part_taxonomy_rollup(spark: SparkSession, sf_dir: str):
+    """Hierarchical rollup over a derived part taxonomy (node k's parent
+    is k div 7, up to the root 0): every part's revenue is credited to
+    ALL its ancestors.  For a fixed-depth hierarchy the scalable answer
+    is NOT an iterative transitive closure — each row derives its full
+    ancestor array CLOSED-FORM map-side (k div 7^i composes because
+    integer division nests) and explodes it, so the whole rollup is one
+    corpus aggregate, one explode of ≤ depth entries per part, and one
+    small aggregate; zero joins, zero iterations (contrast with q037's
+    min-label propagation, which is the right tool when edges are
+    arbitrary).  Revenue stays DECIMAL→cents, counts per node are exact
+    because the ancestor list is per-row DISTINCT (the 0-root repeats
+    collapse)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    # integer division in the transform lambda needs SQL `div`
+    anc = rev.selectExpr(
+        "cents",
+        "explode(array_distinct(transform("
+        f"array({', '.join(str(d) for d in _TAXO_POWERS)}),"
+        " d -> k div d))) AS node_id",
+    )
+    return anc.groupBy("node_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("subtree_revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — capped stock-balance fold (inventory with a floor at zero)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q184_stock_balance_fold",
+    tags=("timeseries", "A1", "A5"),
+    oracle="""
+WITH daily AS (
+  SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS d,
+    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             THEN CAST(l_quantity AS BIGINT)
+             ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS delta
+  FROM lineitem GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
+),
+series AS (
+  SELECT suppkey,
+    CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(delta) AS BIGINT) AS raw_net_units,
+    CAST(MIN(delta) AS BIGINT) AS max_daily_outflow,
+    list(delta ORDER BY d) AS xs
+  FROM daily GROUP BY suppkey
+)
+SELECT suppkey, n_days, raw_net_units, max_daily_outflow,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+       (acc, x) -> GREATEST(CAST(0 AS BIGINT), acc + x)) AS BIGINT)
+    AS final_balance_units,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+       (acc, x) -> GREATEST(CAST(0 AS BIGINT), acc + x))
+       - raw_net_units AS BIGINT) AS shortfall_units
+FROM series
+""",
+)
+def q184_stock_balance_fold(spark: SparkSession, sf_dir: str):
+    """Inventory running balance FLOORED AT ZERO — the capped recurrence
+    s_t = max(0, s_{t-1} + delta_t) that no linear window can express
+    (the clamp makes each step depend on the clamped history, q166's
+    non-linearity family).  Per supplier, returned units flow back in
+    (+qty on returnflag 'R') and shipped units flow out (−qty); the
+    fold is a strict per-group left fold over the day-ordered delta
+    array with an explicit 0 seed (DuckDB list_prepend(0, xs) ≡ Spark
+    aggregate's seed argument — pinning the seed convention both
+    engines share).  shortfall_units = final − raw_sum is the exact
+    total demand the floor refused — all BIGINT, engine-identical.
+    Scale shape: the corpus-sized work is one map-side-combined
+    (supplier, day) aggregate; each supplier then folds its own O(days)
+    array row-locally."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.to_date("l_shipdate").alias("d"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("l_returnflag") == "R",
+                F.col("l_quantity").cast("long"),
+            ).otherwise(-F.col("l_quantity").cast("long"))
+        )
+        .cast("long")
+        .alias("delta")
+    )
+    series = daily.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("delta").cast("long").alias("raw_net_units"),
+        F.min("delta").cast("long").alias("max_daily_outflow"),
+        F.array_sort(F.collect_list(F.struct("d", "delta"))).alias("arr"),
+    )
+    series = series.withColumn(
+        "xs", F.transform(F.col("arr"), lambda s: s["delta"])
+    )
+    return series.select(
+        "suppkey",
+        "n_days",
+        "raw_net_units",
+        "max_daily_outflow",
+        F.expr(
+            "aggregate(xs, cast(0 as bigint),"
+            " (acc, x) -> greatest(cast(0 as bigint), acc + x))"
+        )
+        .cast("long")
+        .alias("final_balance_units"),
+        F.expr(
+            "aggregate(xs, cast(0 as bigint),"
+            " (acc, x) -> greatest(cast(0 as bigint), acc + x))"
+            " - raw_net_units"
+        )
+        .cast("long")
+        .alias("shortfall_units"),
+    )
