@@ -3823,7 +3823,9 @@ def _perceptron_ctes(epochs: int) -> str:
     tags=("ml", "A1", "A7"),
     oracle=f"""
 WITH {_perceptron_ctes(_PCT_EPOCHS)}
-SELECT CAST(epoch AS INTEGER) AS epoch, w0, w1, w2, n_mistakes
+SELECT CAST(epoch AS INTEGER) AS epoch,
+  CAST(w0 AS BIGINT) AS w0, CAST(w1 AS BIGINT) AS w1,
+  CAST(w2 AS BIGINT) AS w2, n_mistakes
 FROM traj
 """,
 )
