@@ -5260,3 +5260,191 @@ def q184_stock_balance_fold(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("shortfall_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — revenue bridge: volume vs price effect (exactly reconciling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q185_revenue_bridge",
+    tags=("A1", "A4", "J1"),
+    oracle="""
+WITH o AS (
+  SELECT c.c_mktsegment AS segment,
+    CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS y,
+    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE EXTRACT(year FROM o.o_orderdate) IN (1996, 1997)
+),
+yr AS (
+  SELECT segment,
+    CAST(SUM(CASE WHEN y = 1996 THEN cents ELSE 0 END) AS BIGINT) AS rev1,
+    CAST(SUM(CASE WHEN y = 1997 THEN cents ELSE 0 END) AS BIGINT) AS rev2,
+    CAST(SUM(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN y = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM o GROUP BY segment
+)
+SELECT segment, rev1 AS rev1_cents, rev2 AS rev2_cents, n1, n2,
+  CAST((n2 - n1) * rev1 // n1 AS BIGINT) AS volume_effect_cents,
+  CAST(rev2 - rev1 - (n2 - n1) * rev1 // n1 AS BIGINT) AS price_effect_cents,
+  CAST(rev2 - rev1 AS BIGINT) AS total_delta_cents
+FROM yr WHERE n1 > 0
+""",
+)
+def q185_revenue_bridge(spark: SparkSession, sf_dir: str):
+    """Price/volume bridge — the BI decomposition every revenue review
+    asks for: how much of the year-over-year delta came from MORE
+    orders (volume) vs BIGGER orders (price/mix)?  volume_effect =
+    (n2−n1)·avg1 with avg1 = rev1 div n1 kept as the single floored
+    division (n2−n1)·rev1 div n1, and price_effect DEFINED as the
+    remainder — so the two effects reconcile to the total delta
+    EXACTLY, cent for cent, by construction (a floated decomposition
+    never re-adds).  Scale shape: the customer dim joins broadcast, the
+    year filter prunes the scan, and both years aggregate in one
+    conditional pass (no self-join of two year slices)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    y = F.year("o_orderdate")
+    j = (
+        o.filter(y.isin(1996, 1997))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            y.alias("y"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    yr = j.groupBy("segment").agg(
+        F.sum(F.when(F.col("y") == 1996, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("rev1"),
+        F.sum(F.when(F.col("y") == 1997, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("rev2"),
+        F.sum(F.when(F.col("y") == 1996, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("y") == 1997, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    return yr.filter(F.col("n1") > 0).select(
+        "segment",
+        F.col("rev1").alias("rev1_cents"),
+        F.col("rev2").alias("rev2_cents"),
+        "n1",
+        "n2",
+        F.expr("(n2 - n1) * rev1 div n1").cast("long").alias("volume_effect_cents"),
+        F.expr("rev2 - rev1 - (n2 - n1) * rev1 div n1")
+        .cast("long")
+        .alias("price_effect_cents"),
+        (F.col("rev2") - F.col("rev1")).cast("long").alias("total_delta_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186 — growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q186_growth_accounting",
+    tags=("W2", "A1", "timeseries"),
+    oracle="""
+WITH um AS (
+  SELECT DISTINCT user_id,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS midx
+  FROM events
+),
+lagged AS (
+  SELECT user_id, midx,
+    LAG(midx) OVER (PARTITION BY user_id ORDER BY midx) AS prev_midx
+  FROM um
+),
+classified AS (
+  SELECT midx,
+    CASE WHEN prev_midx IS NULL THEN 'new'
+         WHEN prev_midx = midx - 1 THEN 'retained'
+         ELSE 'resurrected' END AS kind
+  FROM lagged
+),
+churn AS (
+  SELECT prev_midx + 1 AS midx, 'churned' AS kind
+  FROM lagged WHERE prev_midx IS NOT NULL AND prev_midx < midx - 1
+  UNION ALL
+  -- users whose LAST active day precedes the corpus's final day
+  SELECT last_midx + 1, 'churned' FROM (
+    SELECT user_id, MAX(midx) AS last_midx FROM um GROUP BY user_id
+  ), (SELECT MAX(midx) AS gmax FROM um)
+  WHERE last_midx < gmax
+),
+allk AS (
+  SELECT midx, kind FROM classified
+  UNION ALL SELECT midx, kind FROM churn
+)
+SELECT midx,
+  CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_retained,
+  CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_resurrected,
+  CAST(SUM(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_churned
+FROM allk GROUP BY midx
+""",
+)
+def q186_growth_accounting(spark: SparkSession, sf_dir: str):
+    """Growth accounting — the active-user decomposition (new +
+    retained + resurrected − churned) every growth team reports, at
+    daily grain: per user-day, a user is NEW on their first active day,
+    RETAINED when active the day before, RESURRECTED after a gap;
+    CHURNED is emitted into the day AFTER each activity gap begins (and
+    after the final activity of users who fall silent before the corpus
+    ends).  Days are the integer epoch-day index, so gap arithmetic is
+    plain BIGINT.  Scale shape: the event stream collapses to distinct
+    (user, day) FIRST (map-side combined — the only corpus-sized
+    operation), the lag window partitions by user over O(active days)
+    rows each, and churn emission is a filter + projection of the same
+    lagged table — one shuffle on user, one tiny-key rollup."""
+    ev = load(spark, sf_dir, "events")
+    um = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("midx"),
+        )
+        .distinct()
+    )
+    wl = Window.partitionBy("user_id").orderBy("midx")
+    lagged = um.withColumn("prev_midx", F.lag("midx").over(wl))
+    classified = lagged.select(
+        "midx",
+        F.when(F.col("prev_midx").isNull(), "new")
+        .when(F.col("prev_midx") == F.col("midx") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("kind"),
+    )
+    churn_gap = lagged.filter(
+        F.col("prev_midx").isNotNull() & (F.col("prev_midx") < F.col("midx") - 1)
+    ).select((F.col("prev_midx") + 1).alias("midx"), F.lit("churned").alias("kind"))
+    last = um.groupBy("user_id").agg(F.max("midx").alias("last_midx"))
+    last = last.withColumn("gmax", F.expr("max(last_midx) over ()"))
+    churn_tail = last.filter(F.col("last_midx") < F.col("gmax")).select(
+        (F.col("last_midx") + 1).alias("midx"), F.lit("churned").alias("kind")
+    )
+    allk = classified.unionByName(churn_gap).unionByName(churn_tail)
+    return allk.groupBy("midx").agg(
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.sum(F.when(F.col("kind") == "churned", 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned"),
+    )
