@@ -129,10 +129,12 @@ def q022_near_dup_jaccard(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _q023_oracle(n: int, k: int, bands: int, seed: int, max_dist: float) -> str:
-    """DuckDB replay of minhash_lsh_pairs: same md5 signature math
+def _minhash_cand_ctes(n: int, k: int, bands: int, seed: int) -> str:
+    """DuckDB CTE chain replaying minhash_lsh_pairs up to ``cand``
+    (id1, id2, jaccard_distance): same md5 signature math
     (operators/dedup.py:143) — lexicographic min over seeded md5 hex is
-    engine-agnostic, which is the whole point of the md5 re-key."""
+    engine-agnostic, which is the whole point of the md5 re-key.
+    Shared by the q023 pair query and the q187 calibration audit."""
     per = k // bands
     sig_cols = ",\n    ".join(
         f"list_min([md5('{seed + i}:' || x) FOR x IN s]) AS h{i}" for i in range(k)
@@ -147,19 +149,18 @@ def _q023_oracle(n: int, k: int, bands: int, seed: int, max_dist: float) -> str:
     m_flags = " + ".join(
         f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(k)
     )
-    return f"""
-WITH toks AS (
+    return f"""mh_toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ), f AS (
-  SELECT doc_id, t FROM toks WHERE len(t) >= {n}
-), sh AS (
+  SELECT doc_id, t FROM mh_toks WHERE len(t) >= {n}
+), mh_sh AS (
   SELECT doc_id,
     list_distinct([array_to_string(t[i+1:i+{n}], ' ') FOR i IN range(len(t)-{n - 1})]) AS s
   FROM f
 ), sig AS (
   SELECT doc_id,
     {sig_cols}
-  FROM sh
+  FROM mh_sh
 ), bands AS (
   {band_rows}
 ), cand AS (
@@ -167,7 +168,12 @@ WITH toks AS (
     CAST(ROUND(1.0 - ({m_flags}) / {float(k)!r}, 4) AS DOUBLE) AS jaccard_distance
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _q023_oracle(n: int, k: int, bands: int, seed: int, max_dist: float) -> str:
+    return f"""
+WITH {_minhash_cand_ctes(n, k, bands, seed)}
 SELECT id1, id2, jaccard_distance FROM cand
 WHERE jaccard_distance <= {max_dist!r}
 """
@@ -5851,4 +5857,111 @@ def q182_containment_dedup(spark: SparkSession, sf_dir: str):
     return pairs.withColumn(
         "jaccard_missed",
         F.when(F.col("jaccard_ppm") < 500000, 1).otherwise(0).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — LSH band-calibration audit (candidate set vs exact truth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q187_lsh_calibration",
+    tags=("dedup", "A4", "J3"),
+    oracle=f"""
+WITH {_minhash_cand_ctes(3, 8, 4, 42)},
+j_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest(s) AS shingle FROM mh_sh)
+),
+j_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM j_sh GROUP BY doc_id),
+j_inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_size
+  FROM j_sh a JOIN j_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT id1, id2 FROM j_inter
+  JOIN j_sizes sa ON sa.doc_id = id1
+  JOIN j_sizes sb ON sb.doc_id = id2
+  WHERE 2 * inter_size >= sa.n_sh + sb.n_sh - inter_size
+),
+conf AS (
+  SELECT COALESCE(c.isc, 0) AS isc, COALESCE(t.ist, 0) AS ist
+  FROM (SELECT id1, id2, 1 AS isc FROM cand) c
+  FULL OUTER JOIN (SELECT id1, id2, 1 AS ist FROM truth) t
+    ON c.id1 = t.id1 AND c.id2 = t.id2
+)
+SELECT
+  CAST(SUM(isc) AS BIGINT) AS n_candidates,
+  CAST(SUM(ist) AS BIGINT) AS n_true_pairs,
+  CAST(SUM(isc * ist) AS BIGINT) AS n_hits,
+  CAST(SUM(isc * ist) * 1000000 // SUM(isc) AS BIGINT) AS precision_ppm,
+  CAST(SUM(isc * ist) * 1000000 // SUM(ist) AS BIGINT) AS recall_ppm
+FROM conf
+""",
+)
+def q187_lsh_calibration(spark: SparkSession, sf_dir: str):
+    """LSH band-calibration audit — the measurement you run at small
+    scale BEFORE committing a (k, bands) config to a 100 TB dedup pass:
+    the MinHash candidate set (q023's machinery, distance cut disabled
+    so banding alone decides) is reconciled against the EXACT Jaccard ≥
+    0.5 truth over the same uncapped shingle universe, and the confusion
+    counts yield banding precision (how much the verify stage must
+    filter) and recall (what the bands miss — pairs dedup silently
+    ships) in integer ppm.  The integer threshold 2·inter ≥ union keeps
+    the truth float-free.  Scale shape: both pair sets derive from one
+    shingle stream; the reconciliation is a full-outer join on the pair
+    key and a single global aggregate."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, max_distance=1.0
+    ).select("id1", "id2", F.lit(1).alias("isc"))
+    sh = (
+        docs.select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+        )
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', slice(t, i, 3))))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2")), "id2")
+        .filter(2 * F.col("inter_size") >= F.col("n1") + F.col("n2") - F.col("inter_size"))
+        .select("id1", "id2", F.lit(1).alias("ist"))
+    )
+    conf = cand.join(truth, ["id1", "id2"], "full_outer").select(
+        F.coalesce(F.col("isc"), F.lit(0)).alias("isc"),
+        F.coalesce(F.col("ist"), F.lit(0)).alias("ist"),
+    )
+    return conf.agg(
+        F.sum("isc").cast("long").alias("n_candidates"),
+        F.sum("ist").cast("long").alias("n_true_pairs"),
+        F.sum(F.col("isc") * F.col("ist")).cast("long").alias("n_hits"),
+        F.expr("sum(isc * ist) * 1000000 div sum(isc)")
+        .cast("long")
+        .alias("precision_ppm"),
+        F.expr("sum(isc * ist) * 1000000 div sum(ist)")
+        .cast("long")
+        .alias("recall_ppm"),
     )
