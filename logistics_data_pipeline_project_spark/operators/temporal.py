@@ -33,11 +33,20 @@ def asof_join(
     value_cols: list[str],
     allow_exact: bool = True,
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the most recent right row of the same
     ``by`` key with ``right_ts <= left_ts`` (strictly ``<`` when
     ``allow_exact=False``); unmatched left rows keep NULLs (left-outer
     as-of semantics, backward direction).
+
+    ``direction="forward"`` flips the match to the NEAREST FOLLOWING
+    right row (``right_ts >= left_ts``, or ``>`` without exact) — the
+    "next maintenance after the failure" / "next fill after the order"
+    lookup, pandas ``merge_asof(direction='forward')``. Implemented by
+    running the identical one-shuffle union+window plan over the
+    REVERSED time order, so both directions share one code path and one
+    physical shape.
 
     ``value_cols`` are the right-side columns to carry (must not collide
     with left column names — alias beforehand). ``right_tiebreak`` makes
@@ -49,6 +58,8 @@ def asof_join(
     by key ordered by (ts, side, tiebreak) carrying ``last(right_row,
     ignorenulls)`` → filter back to left rows. One shuffle on ``by``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     l_side, r_side = (1, 0) if allow_exact else (0, 1)
     keys = list(by)
     lrow = F.struct(*[F.col(c) for c in left.columns]).alias("__lrow")
@@ -72,9 +83,10 @@ def asof_join(
         rrow,
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__t", "__side", F.col("__tb").asc_nulls_first())
+        .orderBy(t_order, F.col("__side").asc(), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__rrow", ignorenulls=True).over(w))

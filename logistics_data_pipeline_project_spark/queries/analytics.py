@@ -5448,3 +5448,146 @@ def q186_growth_accounting(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("n_churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — pre-join hot-key probe (skew detector for self-joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q188_join_skew_probe",
+    tags=("A1", "W1", "O3"),
+    oracle="""
+WITH cnt AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT l_partkey, n_rows,
+    CAST(n_rows * (n_rows - 1) // 2 AS BIGINT) AS n_pairs,
+    CAST(SUM(n_rows * (n_rows - 1) // 2) OVER () AS BIGINT) AS total_pairs
+  FROM cnt
+)
+SELECT l_partkey, n_rows, n_pairs,
+  CAST(n_pairs * 1000000 // total_pairs AS BIGINT) AS pairs_share_ppm,
+  CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_rows DESC, l_partkey) AS rnk
+  FROM tot
+)
+WHERE rnk <= 10
+""",
+)
+def q188_join_skew_probe(spark: SparkSession, sf_dir: str):
+    """Pre-join hot-key probe — the diagnosis you run BEFORE a
+    self-join ships (q104's brand-affinity shape): a self-join on key k
+    emits cnt·(cnt−1)/2 pairs per key, so one hot key can dominate the
+    entire shuffle; this probe reports the top-10 keys by row count
+    with their exact pair contribution and its share of ALL pairs in
+    integer ppm — the number that decides between a plain join, salting
+    (operators/scale.py), or a frequency cap.  Scale shape: one
+    map-side-combined count per key, then windows over the already
+    aggregated key table (O(keys) rows, q112's threshold-pre-cut
+    precedent applies if even the key table is huge)."""
+    li = load(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    tot = cnt.select(
+        "l_partkey",
+        "n_rows",
+        F.expr("n_rows * (n_rows - 1) div 2").cast("long").alias("n_pairs"),
+    ).withColumn("total_pairs", F.expr("sum(n_pairs) over ()").cast("long"))
+    ranked = tot.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_rows"), "l_partkey"))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rnk") <= 10).select(
+        "l_partkey",
+        "n_rows",
+        "n_pairs",
+        F.expr("n_pairs * 1000000 div total_pairs")
+        .cast("long")
+        .alias("pairs_share_ppm"),
+        "rnk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — forward as-of: next error after each purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q189_next_error_after_purchase",
+    tags=("W2", "J4", "timeseries"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_type, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT user_id, ts, event_type, us,
+    MIN(CASE WHEN event_type = 'error' THEN us END) OVER (
+      PARTITION BY user_id ORDER BY us
+      RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_err_us
+  FROM e
+),
+p AS (SELECT * FROM m WHERE event_type = 'purchase')
+SELECT CAST(ts AS DATE) AS d,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CASE WHEN next_err_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_followed,
+  CAST(SUM(CASE WHEN next_err_us IS NOT NULL
+           THEN (next_err_us - us) // 1000000 ELSE 0 END) AS BIGINT)
+    AS total_gap_s,
+  CAST(MAX(CASE WHEN next_err_us IS NOT NULL
+           THEN (next_err_us - us) // 1000000 END) AS BIGINT) AS max_gap_s
+FROM p GROUP BY CAST(ts AS DATE)
+""",
+)
+def q189_next_error_after_purchase(spark: SparkSession, sf_dir: str):
+    """FORWARD as-of join — the "next event after" lookup (pandas
+    merge_asof direction='forward'; kdb aj's mirror): each purchase is
+    matched to the user's NEAREST FOLLOWING error, the post-purchase
+    failure-attribution primitive.  Runs through the engine's
+    asof_join(direction='forward') — the same one-shuffle union+window
+    plan as the backward direction, just over reversed time order — and
+    the oracle proves the operator equals the independent
+    min-over-following-RANGE-frame formulation (exact-timestamp peers
+    included on both paths).  Per purchase-day: follow rate and exact
+    whole-second gap totals.  Scale shape: one shuffle on user_id,
+    aggregates map-side combined."""
+    from ..operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", F.unix_micros("ts").alias("us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "us"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("us").alias("err_us")
+    )
+    matched = asof_join(
+        purchases,
+        errors,
+        by=["user_id"],
+        left_ts="us",
+        right_ts="err_us",
+        value_cols=[],
+        direction="forward",
+    )
+    followed = F.col("err_us_matched").isNotNull()
+    return matched.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.when(followed, 1).otherwise(0)).cast("long").alias("n_followed"),
+        F.sum(
+            F.when(followed, F.expr("(err_us_matched - us) div 1000000")).otherwise(0)
+        )
+        .cast("long")
+        .alias("total_gap_s"),
+        F.max(F.when(followed, F.expr("(err_us_matched - us) div 1000000")))
+        .cast("long")
+        .alias("max_gap_s"),
+    )

@@ -105,3 +105,38 @@ def test_interval_bin_join_long_interval_no_dups(spark):
         pts, iv, by=["k"], ts_col="ts", start_col="start_ts", end_col="end_ts"
     )
     assert out.count() == 1
+
+
+def test_asof_join_forward_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 5), (2, 99)], "k long, lt long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (1, 35, "c"), (2, 4, "d")],
+        "k long, rt long, v string",
+    )
+    fwd = {
+        (r["k"], r["lt"]): (r["rt_matched"], r["v"])
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt", ["v"], direction="forward"
+        ).collect()
+    }
+    # nearest following right (rt >= lt)
+    assert fwd[(1, 10)] == (10, "a")   # exact match allowed
+    assert fwd[(1, 25)] == (30, "b")
+    assert fwd[(1, 40)] == (None, None)
+    assert fwd[(2, 5)] == (None, None)
+    assert fwd[(2, 99)] == (None, None)
+    # strict forward: the exact-timestamp row no longer matches
+    strict = {
+        (r["k"], r["lt"]): (r["rt_matched"], r["v"])
+        for r in asof_join(
+            left, right, ["k"], "lt", "rt", ["v"],
+            allow_exact=False, direction="forward",
+        ).collect()
+    }
+    assert strict[(1, 10)] == (30, "b")
