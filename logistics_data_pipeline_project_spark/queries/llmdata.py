@@ -5965,3 +5965,107 @@ def q187_lsh_calibration(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q190 — vocabulary drift between corpus halves (ingestion shift detector)
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOPK = 20
+
+
+@register(
+    "q190_vocabulary_drift",
+    tags=("text", "A3", "O3"),
+    oracle=f"""
+WITH halves AS (
+  SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS half, text FROM documents
+),
+n AS (
+  SELECT half, CAST(COUNT(*) AS BIGINT) AS n_docs FROM halves GROUP BY half
+),
+tdf AS (
+  SELECT half, token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (
+    SELECT half, doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM halves)
+  WHERE token <> ''
+  GROUP BY half, token
+),
+rates AS (
+  SELECT tdf.token,
+    CAST(SUM(CASE WHEN tdf.half = 0 THEN tdf.df * 1000000 // n.n_docs
+             ELSE 0 END) AS BIGINT) AS rate0_ppm,
+    CAST(SUM(CASE WHEN tdf.half = 1 THEN tdf.df * 1000000 // n.n_docs
+             ELSE 0 END) AS BIGINT) AS rate1_ppm
+  FROM tdf JOIN n ON n.half = tdf.half
+  GROUP BY tdf.token
+)
+SELECT token, rate0_ppm, rate1_ppm,
+  CAST(ABS(rate1_ppm - rate0_ppm) AS BIGINT) AS drift_ppm,
+  CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY ABS(rate1_ppm - rate0_ppm) DESC, token) AS rnk
+  FROM rates
+)
+WHERE rnk <= {_DRIFT_TOPK}
+""",
+)
+def q190_vocabulary_drift(spark: SparkSession, sf_dir: str):
+    """Vocabulary drift detector — the check an incremental ingestion
+    pipeline runs on each new tranche: per-token document-frequency
+    RATES (df·1e6 div n_docs, integer ppm — rates, not counts, so
+    differently-sized tranches compare fairly) for two corpus halves,
+    ranked by absolute rate difference; a vocabulary that shifts warns
+    that tokenizer fertility, langid priors and dedup thresholds
+    calibrated on the old corpus are stale.  Halves are keyed
+    deterministically (doc_id parity) so the audit itself is
+    oracle-replayable.  Scale shape: the token stream collapses to
+    (half, token, df) with map-side partial distinct; rates join the
+    2-row count table broadcast; the ranking window runs over the
+    O(vocab) aggregate."""
+    d = load(spark, sf_dir, "documents")
+    halves = d.select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("half"), "text"
+    )
+    n = halves.groupBy("half").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tok = halves.select(
+        "half",
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tdf = tok.groupBy("half", "token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    rates = (
+        tdf.join(F.broadcast(n), "half")
+        .groupBy("token")
+        .agg(
+            F.sum(
+                F.when(F.col("half") == 0, F.expr("df * 1000000 div n_docs")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("rate0_ppm"),
+            F.sum(
+                F.when(F.col("half") == 1, F.expr("df * 1000000 div n_docs")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("rate1_ppm"),
+        )
+    )
+    ranked = rates.withColumn(
+        "drift_ppm", F.abs(F.col("rate1_ppm") - F.col("rate0_ppm")).cast("long")
+    ).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("drift_ppm"), "token"))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rnk") <= _DRIFT_TOPK).select(
+        "token", "rate0_ppm", "rate1_ppm", "drift_ppm", "rnk"
+    )
