@@ -5591,3 +5591,72 @@ def q189_next_error_after_purchase(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("max_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — time-weighted average value per user (step-function integral)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q191_time_weighted_value",
+    tags=("W2", "timeseries", "A5"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events
+),
+stepped AS (
+  SELECT user_id, us, cents,
+    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, cents) AS next_us
+  FROM e
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_obs,
+  CAST(SUM(next_us - us) AS BIGINT) AS total_dt_us,
+  CAST(SUM(cents * (next_us - us)) // SUM(next_us - us) AS BIGINT)
+    AS twap_cents,
+  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS naive_mean_cents
+FROM stepped
+WHERE next_us IS NOT NULL
+GROUP BY user_id
+HAVING SUM(next_us - us) > 0
+""",
+)
+def q191_time_weighted_value(spark: SparkSession, sf_dir: str):
+    """Time-weighted average (TWAP) — the correct mean for a sampled
+    step signal: each observation holds until the next one, so its
+    weight is the gap duration, not 1 (sensor/telemetry/pricing series
+    are never uniformly sampled; the naive mean over-weights bursts —
+    reported alongside for the contrast).  The step integral is
+    Σ value·Δt / Σ Δt with Δt in integer microseconds from ONE lead
+    window per user, and value floored to integer cents first, so the
+    whole integral is BIGINT (max gap ~month in µs × cents ≈ 1e17,
+    inside the BIGINT range) and engine-exact.  Ties at the same
+    microsecond order by (us, cents) so the lead chain is total.  Scale
+    shape: one user-partitioned window, one hash aggregate — the event
+    stream shuffles once."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value").cast("double") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "cents")
+    stepped = ev.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(F.col("next_us") - F.col("us")).cast("long").alias("total_dt_us"),
+            F.expr(
+                "sum(cents * (next_us - us)) div sum(next_us - us)"
+            )
+            .cast("long")
+            .alias("twap_cents"),
+            F.expr("sum(cents) div count(1)").cast("long").alias("naive_mean_cents"),
+        )
+        .filter(F.col("total_dt_us") > 0)
+    )

@@ -6069,3 +6069,78 @@ def q190_vocabulary_drift(spark: SparkSession, sf_dir: str):
     return ranked.filter(F.col("rnk") <= _DRIFT_TOPK).select(
         "token", "rate0_ppm", "rate1_ppm", "drift_ppm", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — winsorized length statistics (exact order-statistic clamps)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q192_winsorized_doclen",
+    tags=("quality", "W1", "A1"),
+    oracle="""
+WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+),
+cuts AS (
+  SELECT source,
+    MAX(CASE WHEN rn = (n + 19) // 20 THEN n_chars END) AS lo_cut,
+    MAX(CASE WHEN rn = GREATEST(1, (19 * n) // 20) THEN n_chars END) AS hi_cut
+  FROM r GROUP BY source
+)
+SELECT r.source,
+  CAST(MAX(r.n) AS BIGINT) AS n_docs,
+  CAST(MAX(c.lo_cut) AS BIGINT) AS lo_cut,
+  CAST(MAX(c.hi_cut) AS BIGINT) AS hi_cut,
+  CAST(SUM(CASE WHEN r.n_chars < c.lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped_low,
+  CAST(SUM(CASE WHEN r.n_chars > c.hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped_high,
+  CAST(SUM(GREATEST(c.lo_cut, LEAST(c.hi_cut, r.n_chars))) AS BIGINT)
+    AS sum_winsorized
+FROM r JOIN cuts c USING (source)
+GROUP BY r.source
+""",
+)
+def q192_winsorized_doclen(spark: SparkSession, sf_dir: str):
+    """Winsorization — the robust-statistics companion to q170's MAD
+    screen: instead of DROPPING outliers, clamp them to the exact p05 /
+    p95 ORDER STATISTICS (the elements at ranks ceil(n/20) and
+    floor(19n/20) under the total order (value, doc_id) — no
+    interpolation, so both engines pick the same physical rows) and
+    report the clamp counts plus the winsorized sum a downstream mean
+    would use.  Everything integer.  Scale shape: one source-partitioned
+    window sort, the O(sources) cut table broadcast back, one hash
+    aggregate — the q170 plan with a different tail."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    cuts = r.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("n_chars"))
+        ).alias("lo_cut"),
+        F.max(
+            F.when(F.col("rn") == F.expr("greatest(1, (19 * n) div 20)"), F.col("n_chars"))
+        ).alias("hi_cut"),
+    )
+    j = r.join(F.broadcast(cuts), "source")
+    clamped = F.greatest(F.col("lo_cut"), F.least(F.col("hi_cut"), F.col("n_chars")))
+    return j.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.max("lo_cut").cast("long").alias("lo_cut"),
+        F.max("hi_cut").cast("long").alias("hi_cut"),
+        F.sum(F.when(F.col("n_chars") < F.col("lo_cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_low"),
+        F.sum(F.when(F.col("n_chars") > F.col("hi_cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped_high"),
+        F.sum(clamped).cast("long").alias("sum_winsorized"),
+    )
