@@ -5660,3 +5660,216 @@ def q191_time_weighted_value(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("total_dt_us") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — ordered conversion funnel (sequential pattern over the event stream)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q193_signup_conversion_funnel",
+    tags=("A1", "A4", "W2", "timeseries"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+),
+s AS (
+  SELECT user_id, MIN(us) AS s1 FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(us) AS v1 FROM e JOIN s USING (user_id)
+  WHERE event_type = 'view' AND us > s1 GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, MIN(us) AS c1 FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND us > v1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(us) AS p1 FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND us > c1 GROUP BY e.user_id
+)
+SELECT CAST(make_timestamp(s1) AS DATE) AS cohort_day,
+  CAST(COUNT(*) AS BIGINT) AS n_signed,
+  CAST(COUNT(v1) AS BIGINT) AS n_viewed,
+  CAST(COUNT(c1) AS BIGINT) AS n_clicked,
+  CAST(COUNT(p1) AS BIGINT) AS n_purchased,
+  CAST(SUM(CASE WHEN p1 IS NOT NULL THEN (p1 - s1) // 1000000 ELSE 0 END)
+    AS BIGINT) AS total_conv_s,
+  CAST(MAX(CASE WHEN p1 IS NOT NULL THEN (p1 - s1) // 1000000 END)
+    AS BIGINT) AS max_conv_s
+FROM s LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+  LEFT JOIN p USING (user_id)
+GROUP BY cohort_day
+""",
+)
+def q193_signup_conversion_funnel(spark: SparkSession, sf_dir: str):
+    """Ordered-funnel / sequential-pattern matching (the MATCH_RECOGNIZE
+    / windowFunnel class of query, absent from both the reference and
+    vanilla Spark SQL): per user, find the earliest signup, then the
+    earliest view STRICTLY AFTER it, then the earliest click after that,
+    then the earliest purchase after that — greedy earliest-completion
+    semantics, the standard funnel definition — and report per signup
+    cohort day how far users got plus exact whole-second signup→purchase
+    conversion time.  Spark side this is ONE shuffle: events group to
+    their user, the per-user event list is array_sort'ed (total order:
+    (us, event_type)) and a single JVM-side `aggregate` fold walks it
+    carrying the 4-slot accumulator — sequential state that windows
+    cannot express without one join per step.  The oracle takes the
+    OPPOSITE plan on purpose (4 chained min-aggregate CTE joins), so
+    agreement certifies the fold against an independent formulation.
+    Scale: per-user lists are bounded by user activity, the fold is
+    O(events) with no per-step rescan of the fact table (the oracle's
+    plan reads events 4×; this one reads it once)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    arr = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "event_type"))).alias("evs")
+    )
+    folded = arr.select(
+        "user_id",
+        F.expr(
+            """
+            aggregate(
+              evs,
+              named_struct('s1', cast(null as bigint), 'v1', cast(null as bigint),
+                           'c1', cast(null as bigint), 'p1', cast(null as bigint)),
+              (acc, x) -> named_struct(
+                's1', coalesce(acc.s1,
+                        if(x.event_type = 'signup', x.us, cast(null as bigint))),
+                'v1', coalesce(acc.v1,
+                        if(x.event_type = 'view' and acc.s1 is not null
+                           and x.us > acc.s1, x.us, cast(null as bigint))),
+                'c1', coalesce(acc.c1,
+                        if(x.event_type = 'click' and acc.v1 is not null
+                           and x.us > acc.v1, x.us, cast(null as bigint))),
+                'p1', coalesce(acc.p1,
+                        if(x.event_type = 'purchase' and acc.c1 is not null
+                           and x.us > acc.c1, x.us, cast(null as bigint)))))
+            """
+        ).alias("f"),
+    ).filter(F.col("f.s1").isNotNull())
+    return (
+        folded.select(
+            F.to_date(F.timestamp_micros(F.col("f.s1"))).alias("cohort_day"),
+            "f.v1",
+            "f.c1",
+            "f.p1",
+            F.expr("(f.p1 - f.s1) div 1000000").alias("conv_s"),
+        )
+        .groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signed"),
+            F.count("v1").cast("long").alias("n_viewed"),
+            F.count("c1").cast("long").alias("n_clicked"),
+            F.count("p1").cast("long").alias("n_purchased"),
+            F.sum(F.coalesce("conv_s", F.lit(0))).cast("long").alias("total_conv_s"),
+            F.max("conv_s").cast("long").alias("max_conv_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — rank-biased overlap between two part leaderboards
+# ---------------------------------------------------------------------------
+
+_RBO_K = 14  # truncation depth; lcm(1..14)·2^14 keeps the scan in BIGINT
+_RBO_L = 360360  # lcm(1..14): every (L div d) below is exact
+
+
+@register(
+    "q195_rank_overlap_rbo",
+    tags=("W2", "A1", "topk", "eval"),
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS m
+  FROM lineitem GROUP BY l_partkey
+),
+ra AS (
+  SELECT l_partkey, r FROM (
+    SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY m DESC, l_partkey) AS r
+    FROM rev) WHERE r <= {_RBO_K}
+),
+qty AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS m
+  FROM lineitem GROUP BY l_partkey
+),
+rb AS (
+  SELECT l_partkey, r FROM (
+    SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY m DESC, l_partkey) AS r
+    FROM qty) WHERE r <= {_RBO_K}
+),
+pairs AS (
+  SELECT GREATEST(ra.r, rb.r) AS mx FROM ra JOIN rb USING (l_partkey)
+),
+ov AS (
+  SELECT t.d, CAST(COUNT(p.mx) AS BIGINT) AS overlap_d
+  FROM generate_series(1, {_RBO_K}) t(d)
+  LEFT JOIN pairs p ON p.mx <= t.d
+  GROUP BY t.d
+)
+SELECT d, overlap_d,
+  CAST(overlap_d * 1000000 // d AS BIGINT) AS agreement_ppm,
+  CAST(SUM(overlap_d * ({_RBO_L} // d) * (1 << ({_RBO_K} - d)))
+         OVER (ORDER BY d)
+       * 1000000 // (CAST({_RBO_L} AS BIGINT) * (1 << {_RBO_K})) AS BIGINT)
+    AS rbo_ppm
+FROM ov
+""",
+)
+def q195_rank_overlap_rbo(spark: SparkSession, sf_dir: str):
+    """Rank-biased overlap (Webber et al. 2010) between two part
+    leaderboards — revenue-ranked vs quantity-ranked — the top-weighted
+    ranking-similarity metric an eval harness uses to compare retrieval
+    or recommendation runs (q157's RRF fuses rankings; this SCORES how
+    much two rankings agree).  RBO@k = Σ_{{d≤k}} (1-p)·p^(d-1)·|A_d∩B_d|/d;
+    with p=1/2 each term is overlap_d/(d·2^d), and scaling by
+    lcm(1..k)·2^k makes the whole prefix sum BIGINT-exact — reported per
+    depth in integer ppm, alongside the raw overlap and per-depth
+    agreement.  Ranking metrics stay DECIMAL (exact argsort; a DOUBLE
+    sum could flip last-bit ties between engines); tiebreak partkey.
+    Scale shape: two map-side-combined aggregates over lineitem, each
+    topped with TakeOrdered (distributed top-k heap, NO single-partition
+    sort of the part domain); everything after is a broadcast of 2·k
+    rows and a 14-row window."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice", 12, 2) * (1 - dec("l_discount", 4, 2))).alias("m")
+    )
+    qty = li.groupBy("l_partkey").agg(F.sum(dec("l_quantity", 18, 2)).alias("m"))
+
+    def topk(df):
+        cut = df.orderBy(F.desc("m"), F.asc("l_partkey")).limit(_RBO_K)
+        return cut.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("m"), F.asc("l_partkey")))
+        ).select("l_partkey", "r")
+
+    ra, rb = topk(rev), topk(qty)
+    pairs = ra.alias("a").join(rb.alias("b"), "l_partkey").select(
+        F.greatest(F.col("a.r"), F.col("b.r")).alias("mx")
+    )
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    ov = (
+        depths.join(F.broadcast(pairs), F.col("mx") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("mx").cast("long").alias("overlap_d"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.expr(
+        f"overlap_d * ({_RBO_L} div d) * shiftleft(1, {_RBO_K} - cast(d as int))"
+    )
+    return (
+        ov.withColumn("__cum", F.sum(term).over(w))
+        .select(
+            "d",
+            "overlap_d",
+            F.expr("overlap_d * 1000000 div d").cast("long").alias("agreement_ppm"),
+            F.expr(f"__cum * 1000000 div ({_RBO_L}L * shiftleft(1, {_RBO_K}))")
+            .cast("long")
+            .alias("rbo_ppm"),
+        )
+    )

@@ -6144,3 +6144,419 @@ def q192_winsorized_doclen(spark: SparkSession, sf_dir: str):
         .alias("n_clamped_high"),
         F.sum(clamped).cast("long").alias("sum_winsorized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — maximal duplicate-span coverage (interval union over dup windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q194_duplicate_span_coverage",
+    tags=("dedup", "W2", "A1", "quality"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+),
+sized AS (SELECT doc_id, source, t, len(t) AS n_tok FROM toks),
+win AS (
+  SELECT doc_id, i AS pos,
+    md5(list_aggr(t[i:i+{_PASSAGE_W - 1}], 'string_agg', ' ')) AS gram_hash
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-{_PASSAGE_W - 1})) AS i
+        FROM sized WHERE n_tok >= {_PASSAGE_W})
+),
+dup AS (
+  SELECT gram_hash FROM win GROUP BY gram_hash
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT w.doc_id, CAST(COUNT(DISTINCT w.pos + g.o) AS BIGINT) AS dup_tokens
+  FROM win w JOIN dup USING (gram_hash)
+    CROSS JOIN generate_series(0, {_PASSAGE_W - 1}) g(o)
+  GROUP BY w.doc_id
+)
+SELECT s.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(c.dup_tokens) AS BIGINT) AS n_dup_docs,
+  CAST(SUM(s.n_tok) AS BIGINT) AS total_tokens,
+  CAST(SUM(COALESCE(c.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+  CAST(SUM(COALESCE(c.dup_tokens, 0)) * 1000000 // SUM(s.n_tok) AS BIGINT)
+    AS dup_ppm,
+  CAST(MAX(c.dup_tokens * 1000000 // s.n_tok) AS BIGINT) AS max_doc_dup_ppm
+FROM sized s LEFT JOIN cov c USING (doc_id)
+GROUP BY s.source
+""",
+)
+def q194_duplicate_span_coverage(spark: SparkSession, sf_dir: str):
+    """Maximal duplicate-SPAN coverage — q062 finds which {{W}}-token
+    windows repeat across documents; this measures how much of each
+    document those windows COVER once overlapping/abutting windows are
+    merged into maximal spans (the Lee-et-al duplicate-text fraction
+    that decides drop-vs-trim in curation).  Interval union without an
+    explode: per doc, dup-window start positions are sorted and a
+    prefix-max window over strict predecessors carries the furthest
+    covered end; a window merges into the running span iff its start ≤
+    prev_end + 1, else opens a new island (flag running-summed into an
+    island id); each island covers max(pos)-min(pos)+W tokens.  The
+    oracle instead EXPLODES every window into its covered positions and
+    counts them DISTINCT — agreement certifies the island algebra
+    against brute force.  Per source: duplicate-token ppm and the worst
+    single document.  Scale: one shuffle keyed on the 32-byte window
+    hash (text never shuffles), one doc-partitioned window sort over
+    dup positions only (dup windows ≪ all windows), hash aggregates
+    map-side combined; the oracle's position explode (×{{W}} rows) is
+    exactly what this plan avoids."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.split(F.lower(F.col("text")), " ").alias("t"),
+    ).withColumn("n_tok", F.size("t"))
+    win = sized.filter(F.col("n_tok") >= _PASSAGE_W).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(slice(t, 1, size(t) - {_PASSAGE_W - 1}),"
+                f" (x, i) -> md5(concat_ws(' ', slice(t, i + 1, {_PASSAGE_W}))))"
+            )
+        ).alias("pos0", "gram_hash"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_hash")
+    dup = (
+        win.groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram_hash")
+    )
+    dwin = win.join(dup, "gram_hash", "leftsemi")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dwin.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + F.lit(_PASSAGE_W - 1)).over(w_prev),
+                F.lit(-1),
+            )
+            + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cov = (
+        flagged.groupBy("doc_id", "island")
+        .agg((F.max("pos") - F.min("pos") + F.lit(_PASSAGE_W)).alias("span_tokens"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").cast("long").alias("dup_tokens"))
+    )
+    per_doc = sized.select("doc_id", "source", "n_tok").join(cov, "doc_id", "left")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("dup_tokens").cast("long").alias("n_dup_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.coalesce("dup_tokens", F.lit(0))).cast("long").alias("dup_tokens"),
+        F.expr("sum(coalesce(dup_tokens, 0)) * 1000000 div sum(n_tok)")
+        .cast("long")
+        .alias("dup_ppm"),
+        F.max(F.expr("dup_tokens * 1000000 div n_tok"))
+        .cast("long")
+        .alias("max_doc_dup_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — record linkage: rare-token blocking + best-match assignment
+# ---------------------------------------------------------------------------
+
+_LINK_MIN_PPM = 100_000  # keep pairs with Jaccard >= 10%
+
+
+@register(
+    "q196_doc_record_linkage",
+    tags=("dedup", "J1", "W1", "linkage"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS token FROM d),
+df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+blk AS (
+  SELECT doc_id, token AS bkey FROM (
+    SELECT t.doc_id, t.token,
+      ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                         ORDER BY f.df, t.token) AS rn
+    FROM tok t JOIN df f USING (token)
+  ) WHERE rn = 1
+),
+sides AS (
+  SELECT d.doc_id, b.bkey, d.ts, len(d.ts) AS nt, doc_id % 2 = 0 AS is_left
+  FROM d JOIN blk b USING (doc_id)
+),
+cand AS (
+  SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+    CAST(len(list_intersect(l.ts, r.ts)) AS BIGINT) AS n_common,
+    CAST(l.nt + r.nt - len(list_intersect(l.ts, r.ts)) AS BIGINT) AS n_union
+  FROM sides l JOIN sides r ON l.bkey = r.bkey
+  WHERE l.is_left AND NOT r.is_left
+),
+scored AS (
+  SELECT left_id, right_id, n_common, n_union,
+    CAST(n_common * 1000000 // n_union AS BIGINT) AS score_ppm
+  FROM cand
+)
+SELECT left_id, right_id, n_common, n_union, score_ppm FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+                               ORDER BY score_ppm DESC, right_id) AS rn
+  FROM scored WHERE score_ppm >= {_LINK_MIN_PPM}
+) WHERE rn = 1
+""",
+)
+def q196_doc_record_linkage(spark: SparkSession, sf_dir: str):
+    """Record linkage / entity resolution — the classic
+    blocking-then-matching pipeline (Fellegi-Sunter shape) the dedup
+    family doesn't cover: two record sets (here the even/odd doc_id
+    halves standing in for "CRM vs billing") are linked by (1) a
+    BLOCKING key — each record's globally RAREST token (min document
+    frequency, lexicographic tiebreak), the standard trick that bounds
+    candidate pairs by the rare token's df instead of n² — (2) exact
+    token-set Jaccard on candidates only, (3) best-match assignment:
+    each left record keeps its single highest-scoring right record
+    (tiebreak: smallest id) above a 10% floor.  Scale shape: df is one
+    map-side-combined aggregate; the blocking join shuffles only
+    (doc_id, bkey, token-set) — candidate generation never touches
+    non-blocked pairs; the per-left argmax is a window over candidate
+    groups, bounded by blocking.  Oracle replays it with DuckDB's
+    independent list_intersect implementation."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("ts"),
+    )
+    tok = d.select("doc_id", F.explode("ts").alias("token"))
+    df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w_blk = Window.partitionBy("doc_id").orderBy("df", "token")
+    blk = (
+        tok.join(df_tbl, "token")
+        .withColumn("rn", F.row_number().over(w_blk))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("bkey"))
+    )
+    sides = d.join(blk, "doc_id").select(
+        "doc_id", "bkey", "ts", F.size("ts").alias("nt"),
+        (F.col("doc_id") % 2 == 0).alias("is_left"),
+    )
+    l = sides.filter("is_left").select(
+        F.col("doc_id").alias("left_id"),
+        F.col("bkey"),
+        F.col("ts").alias("lts"),
+        F.col("nt").alias("lnt"),
+    )
+    r = sides.filter(~F.col("is_left")).select(
+        F.col("doc_id").alias("right_id"),
+        F.col("bkey"),
+        F.col("ts").alias("rts"),
+        F.col("nt").alias("rnt"),
+    )
+    cand = l.join(r, "bkey").withColumn(
+        "n_common", F.size(F.array_intersect("lts", "rts")).cast("long")
+    )
+    scored = cand.select(
+        "left_id",
+        "right_id",
+        "n_common",
+        (F.col("lnt") + F.col("rnt") - F.col("n_common")).cast("long").alias("n_union"),
+    ).withColumn(
+        "score_ppm", F.expr("n_common * 1000000 div n_union").cast("long")
+    )
+    w_best = Window.partitionBy("left_id").orderBy(
+        F.desc("score_ppm"), F.asc("right_id")
+    )
+    return (
+        scored.filter(F.col("score_ppm") >= _LINK_MIN_PPM)
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("left_id", "right_id", "n_common", "n_union", "score_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — score-calibration (reliability) audit over exact deciles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q197_score_calibration",
+    tags=("W1", "A4", "eval", "quality"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang = 'en' AS is_en,
+    len(list_distinct(string_split(lower(text), ' '))) * 1000000
+      // len(string_split(lower(text), ' ')) AS score
+  FROM documents
+),
+b AS (
+  SELECT *, NTILE(10) OVER (ORDER BY score, doc_id) AS decile FROM s
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+    AS en_ppm,
+  CAST(MIN(score) AS BIGINT) AS min_score,
+  CAST(MAX(score) AS BIGINT) AS max_score
+FROM b GROUP BY decile
+""",
+)
+def q197_score_calibration(spark: SparkSession, sf_dir: str):
+    """Reliability-diagram audit — the model-ops companion to the
+    trained scorers (q156/q165): bucket a score into EXACT deciles and
+    report, per decile, how often the target condition actually holds
+    (here: integer-ppm lexical-uniqueness score vs the doc being
+    English) — monotone drift across buckets is what tells you a score
+    is informative, flat means useless, non-monotone means miscalibrated.
+    Deciles come from `operators.ranking.exact_ntile` — range-partitioned
+    global rank + pure integer NTILE arithmetic, NO single-partition
+    sort of the corpus (q110's de-globalization precedent) — certified
+    here against DuckDB's native NTILE over the same total order
+    (score, doc_id).  Scale: one range exchange for the decile, one hash
+    aggregate; score itself is a codegen'd column expression."""
+    from ..operators.ranking import exact_ntile
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 1000000"
+            " div size(split(lower(text), ' '))"
+        ).alias("score"),
+    )
+    binned = exact_ntile(d, [F.col("score"), F.col("doc_id")], 10, "decile")
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("long").alias("n_en"),
+        F.expr("sum(if(is_en, 1, 0)) * 1000000 div count(1)")
+        .cast("long")
+        .alias("en_ppm"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 — deterministic hash-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64  # resamples; 5th/95th percentile = order stats 4 and 61
+
+
+@register(
+    "q198_hash_bootstrap_ci",
+    tags=("A1", "sampling", "eval"),
+    oracle=f"""
+WITH w AS (
+  SELECT d.doc_id, d.source, d.n_chars, t.b,
+    CASE
+      WHEN h < 94 THEN 0 WHEN h < 188 THEN 1 WHEN h < 235 THEN 2 ELSE 3
+    END AS wt
+  FROM (SELECT doc_id, source, n_chars FROM documents) d
+  CROSS JOIN generate_series(0, {_BOOT_B - 1}) t(b)
+  CROSS JOIN LATERAL (
+    SELECT ('0x' || substr(md5('boot' || t.b || ':' || d.doc_id), 1, 2))
+      ::UBIGINT::BIGINT AS h) hx
+),
+means AS (
+  SELECT source, b,
+    SUM(wt * n_chars) * 1000 // NULLIF(SUM(wt), 0) AS mean_milli
+  FROM w GROUP BY source, b
+),
+ranked AS (
+  SELECT source, mean_milli,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY mean_milli, b) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS nb
+  FROM means WHERE mean_milli IS NOT NULL
+)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(d.n_chars) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
+  CAST(MAX(r4.mean_milli) AS BIGINT) AS boot_lo_milli,
+  CAST(MAX(r61.mean_milli) AS BIGINT) AS boot_hi_milli
+FROM documents d
+LEFT JOIN (SELECT source, mean_milli FROM ranked WHERE rn = 4) r4
+  ON d.source = r4.source
+LEFT JOIN (SELECT source, mean_milli FROM ranked WHERE rn = nb - 3) r61
+  ON d.source = r61.source
+GROUP BY d.source
+""",
+)
+def q198_hash_bootstrap_ci(spark: SparkSession, sf_dir: str):
+    """Deterministic multiplier bootstrap — error bars without an RNG:
+    every (doc, resample b) pair draws an integer weight in {{0,1,2,3}}
+    from one md5 byte with Poisson(1)-matched probabilities
+    (94/94/47/21 out of 256 ≈ e⁻¹·1/k!), so each of the {_BOOT_B}
+    resamples is a reproducible, partitioning-independent reweighting of
+    the corpus — the engine's salted-hash sampling discipline (q045,
+    q137) extended to uncertainty quantification.  Per source the
+    bootstrap distribution of the mean doc length (exact integer
+    milli-chars) is summarized by its 4th and 61st order statistics —
+    the ~5th/95th percentile bootstrap CI — next to the point estimate.
+    Scale shape: the ×{_BOOT_B} expansion carries only (source, n_chars,
+    b) — 24 bytes a row, never text; one map-side-combined aggregate to
+    O(sources·{_BOOT_B}) rows, then O(sources) windows.  Resamples with
+    zero total weight (impossible beyond toy groups) fold away via
+    NULLIF."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = d.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    ).withColumn(
+        "wt",
+        F.expr(
+            """
+            CASE
+              WHEN conv(substring(md5(concat('boot', b, ':', doc_id)), 1, 2),
+                        16, 10) < 94 THEN 0
+              WHEN conv(substring(md5(concat('boot', b, ':', doc_id)), 1, 2),
+                        16, 10) < 188 THEN 1
+              WHEN conv(substring(md5(concat('boot', b, ':', doc_id)), 1, 2),
+                        16, 10) < 235 THEN 2
+              ELSE 3
+            END
+            """
+        ),
+    )
+    means = w.groupBy("source", "b").agg(
+        F.expr("sum(wt * n_chars) * 1000 div nullif(sum(wt), 0)").alias("mean_milli")
+    ).filter(F.col("mean_milli").isNotNull())
+    w_rank = Window.partitionBy("source").orderBy("mean_milli", "b")
+    ranked = means.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "nb", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    lo = ranked.filter(F.col("rn") == 4).select(
+        "source", F.col("mean_milli").alias("boot_lo_milli")
+    )
+    hi = ranked.filter(F.col("rn") == F.col("nb") - 3).select(
+        "source", F.col("mean_milli").alias("boot_hi_milli")
+    )
+    point = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(n_chars) * 1000 div count(1)").cast("long").alias("mean_milli"),
+    )
+    return (
+        point.join(F.broadcast(lo), "source", "left")
+        .join(F.broadcast(hi), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "mean_milli",
+            F.col("boot_lo_milli").cast("long").alias("boot_lo_milli"),
+            F.col("boot_hi_milli").cast("long").alias("boot_hi_milli"),
+        )
+    )
