@@ -6343,31 +6343,58 @@ def q196_doc_record_linkage(spark: SparkSession, sf_dir: str):
     )
     tok = d.select("doc_id", F.explode("ts").alias("token"))
     df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    w_blk = Window.partitionBy("doc_id").orderBy("df", "token")
+    # rarest token per doc == lexicographic MIN of (df, token): a hash
+    # aggregate with map-side combine, not a per-doc sort window.
     blk = (
         tok.join(df_tbl, "token")
-        .withColumn("rn", F.row_number().over(w_blk))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("token").alias("bkey"))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("df", "token")).alias("m"))
+        .select("doc_id", F.col("m.token").alias("bkey"))
     )
+    # The strings themselves never reach the pair join: token sets ride
+    # as xxhash64 ids (8 bytes vs full UTF8 tokens), so the O(block²)
+    # intersect compares longs and the pair shuffle is ~3× smaller.
+    # (64-bit collisions would need V² ≈ 2⁶⁴ distinct tokens to matter;
+    # the DuckDB oracle intersects the real strings, so any collision
+    # would surface as a parity failure.)
     sides = d.join(blk, "doc_id").select(
-        "doc_id", "bkey", "ts", F.size("ts").alias("nt"),
+        "doc_id",
+        "bkey",
+        F.array_sort(F.expr("transform(ts, t -> xxhash64(t))")).alias("ids"),
+        F.size("ts").alias("nt"),
         (F.col("doc_id") % 2 == 0).alias("is_left"),
     )
     l = sides.filter("is_left").select(
         F.col("doc_id").alias("left_id"),
         F.col("bkey"),
-        F.col("ts").alias("lts"),
+        F.col("ids").alias("lids"),
         F.col("nt").alias("lnt"),
     )
     r = sides.filter(~F.col("is_left")).select(
         F.col("doc_id").alias("right_id"),
         F.col("bkey"),
-        F.col("ts").alias("rts"),
+        F.col("ids").alias("rids"),
         F.col("nt").alias("rnt"),
     )
-    cand = l.join(r, "bkey").withColumn(
-        "n_common", F.size(F.array_intersect("lts", "rts")).cast("long")
+    # Blocking keys are Zipf-skewed by construction (a popular "rarest"
+    # token is the pathological case: one bkey → one reducer doing the
+    # whole O(block²) intersect). Salt the left side and replicate the
+    # right so each hot block's pair work spreads across n_salts
+    # reducers. The EXPLICIT repartition(N, keys) is load-bearing: the
+    # shuffled bytes are tiny, so AQE would coalesce an implicit
+    # exchange back to one partition and re-serialize the O(block²)
+    # intersect CPU; a user repartition with a fixed N is exempt from
+    # coalescing and already satisfies the join's distribution, so the
+    # join adds no further exchange.
+    n_salts = 32
+    l2 = l.withColumn(
+        "__salt", F.pmod(F.xxhash64("left_id"), F.lit(n_salts))
+    ).repartition(2 * n_salts, "bkey", "__salt")
+    r2 = r.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).repartition(2 * n_salts, "bkey", "__salt")
+    cand = l2.join(r2, ["bkey", "__salt"]).withColumn(
+        "n_common", F.size(F.array_intersect("lids", "rids")).cast("long")
     )
     scored = cand.select(
         "left_id",
