@@ -5853,12 +5853,18 @@ def q195_rank_overlap_rbo(spark: SparkSession, sf_dir: str):
         F.greatest(F.col("a.r"), F.col("b.r")).alias("mx")
     )
     depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
-    ov = (
-        depths.join(F.broadcast(pairs), F.col("mx") <= F.col("d"), "left")
-        .groupBy("d")
-        .agg(F.count("mx").cast("long").alias("overlap_d"))
-    )
+    # overlap_d = |pairs with mx <= d| — a cumulative count. Histogram
+    # the (at most k) pairs by mx, equi-join to the depth spine, and
+    # prefix-sum: no theta join, so no BroadcastNestedLoopJoin in the
+    # plan (the banned shape, even though both sides are O(k) here).
+    hist = pairs.groupBy("mx").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    ov = (
+        depths.join(F.broadcast(hist), depths["d"] == hist["mx"], "left")
+        .select("d", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("overlap_d", F.sum("c").over(w).cast("long"))
+        .drop("c")
+    )
     term = F.expr(
         f"overlap_d * ({_RBO_L} div d) * shiftleft(1, {_RBO_K} - cast(d as int))"
     )
