@@ -21,8 +21,11 @@ Decode tiers (no image/audio libraries in this container):
   16-bit PCM WAV sample stats (`parse_wav_pcm_stats`), and full GIF
   first-frame pixel decode + encode (variable-width LZW both
   directions: `decode_gif_pixels` / `encode_gif` / `gif_probe`) — all
-  golden-tested on real byte payloads. JPEG pixel decode (needs a DCT)
-  and video frame extraction still raise NotImplementedError where
+  golden-tested on real byte payloads. Baseline JPEG is a full real codec
+  too (ITU-T T.81 SOF0 grayscale: numpy DCT/IDCT, Annex K quant/Huffman
+  tables, byte stuffing, restart-marker handling — ``encode_jpeg`` /
+  ``decode_jpeg_pixels`` / ``jpeg_probe``). Progressive/color JPEG and
+  video frame extraction still raise NotImplementedError where
   Pillow/pyav calls would go — an honest capability boundary, not a
   silent fake.
 """
@@ -53,6 +56,10 @@ __all__ = [
     "decode_gif_pixels",
     "encode_gif",
     "gif_probe",
+    "encode_jpeg",
+    "decode_jpeg_pixels",
+    "jpeg_probe",
+    "jpeg_qtable",
     "nearest_resize",
     "png_probe",
     "sample_frames",
@@ -825,4 +832,491 @@ def gif_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             "id long, width int, height int, n_px int, first_idx int,"
             " first_r int, first_g int, first_b int, px_index_sum long"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline codec (ITU-T T.81) — pure numpy, grayscale
+# ---------------------------------------------------------------------------
+
+# Zig-zag scan order: position k of the scan reads flattened index
+# _JPEG_ZIGZAG[k] of the row-major 8x8 block (T.81 Figure 5).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 luminance quantization table (row-major).
+_JPEG_STD_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Annex K.3.3 standard luminance Huffman tables: BITS (count of codes of
+# each length 1..16) and HUFFVAL (symbols in code order).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+_dct_cache: dict[int, object] = {}
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II matrix C: dct2(A) = C @ A @ C.T and
+    idct2(X) = C.T @ X @ C (C is orthogonal)."""
+    import math
+
+    import numpy as np
+
+    if "C" not in _dct_cache:
+        c = np.zeros((8, 8))
+        for k in range(8):
+            s = math.sqrt(0.125) if k == 0 else 0.5
+            for n in range(8):
+                c[k, n] = s * math.cos(math.pi * k * (2 * n + 1) / 16.0)
+        _dct_cache["C"] = c
+    return _dct_cache["C"]
+
+
+def jpeg_qtable(quality: int) -> list[int]:
+    """Scale the Annex K.1 luminance table by the libjpeg quality
+    convention: scale = 5000/q below 50 else 200-2q, entries clamped to
+    [1, 255]. quality=50 is the unscaled standard table."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (t * scale + 50) // 100)) for t in _JPEG_STD_QT]
+
+
+def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C code assignment: symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (0xFF -> 0xFF00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    """Bit category (SSSS) of a DC difference / AC coefficient."""
+    return abs(v).bit_length()
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    raw: bytes,
+    quality: int = 90,
+    qtable: list[int] | None = None,
+) -> bytes:
+    """REAL baseline JPEG encoder (ITU-T T.81, SOF0) for 8-bit grayscale:
+    level shift, 8x8 orthonormal DCT, half-away-from-zero quantization
+    against ``qtable`` (row-major; default: Annex K.1 scaled by
+    ``quality``), zig-zag scan, DC difference coding and run-length AC
+    coding against the Annex K.3.3 standard luminance Huffman tables,
+    with byte stuffing. Output is a standard JFIF file any decoder reads.
+
+    Edge blocks replicate the last row/column (the common encoder
+    padding; pixels outside the image are never emitted by the decoder).
+    Deterministic byte-for-byte for a given input."""
+    import struct
+
+    import numpy as np
+
+    if len(raw) != width * height:
+        raise ValueError("raw buffer size does not match dimensions")
+    if width == 0 or height == 0:
+        raise ValueError("empty image")
+    qt = list(qtable) if qtable is not None else jpeg_qtable(quality)
+    if len(qt) != 64 or not all(1 <= t <= 255 for t in qt):
+        raise ValueError("qtable must be 64 entries in 1..255")
+
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
+    bw = (width + 7) // 8 * 8
+    bh = (height + 7) // 8 * 8
+    padded = np.empty((bh, bw), dtype=np.float64)
+    padded[:height, :width] = img
+    if bw > width:
+        padded[:height, width:] = img[:, -1:]
+    if bh > height:
+        padded[height:, :] = padded[height - 1 : height, :]
+    padded -= 128.0
+
+    c = _dct_matrix()
+    nby, nbx = bh // 8, bw // 8
+    blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,yxjk,lk->yxil", c, blocks, c)
+    q = np.asarray(qt, dtype=np.float64).reshape(8, 8)
+    ratio = coef / q
+    quant = (np.sign(ratio) * np.floor(np.abs(ratio) + 0.5)).astype(np.int32)
+
+    dc_codes = _build_huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _build_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    zz = np.asarray(_JPEG_ZIGZAG)
+    writer = _BitWriter()
+    prev_dc = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            zig = quant[by, bx].reshape(64)[zz]
+            dc = int(zig[0])
+            diff = dc - prev_dc
+            prev_dc = dc
+            s = _jpeg_category(diff)
+            code, length = dc_codes[s]
+            writer.write(code, length)
+            if s:
+                writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zig)[0])) if np.any(zig) else 0
+            for k in range(1, 64):
+                v = int(zig[k])
+                if v == 0:
+                    if k > last_nz:
+                        code, length = ac_codes[0x00]  # EOB
+                        writer.write(code, length)
+                        break
+                    run += 1
+                    if run == 16:
+                        code, length = ac_codes[0xF0]  # ZRL
+                        writer.write(code, length)
+                        run = 0
+                    continue
+                s = _jpeg_category(v)
+                code, length = ac_codes[(run << 4) | s]
+                writer.write(code, length)
+                writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+    entropy = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_qt = bytes(qt[_JPEG_ZIGZAG[k]] for k in range(64))
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, b"\x00" + zz_qt)  # DQT, 8-bit, table 0, zig-zag order
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00",
+        )  # SOF0: 1 component, 1x1 sampling, qtable 0
+        + seg(0xFFC4, dht_dc)
+        + seg(0xFFC4, dht_ac)
+        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+        + entropy
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def _build_huffman_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, inverse of _build_huffman_codes."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first reader over a de-stuffed JPEG entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huffman(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.12: map s received bits to the signed coefficient value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL baseline JPEG decoder (ITU-T T.81, SOF0) for 8-bit grayscale:
+    marker walk (DQT in zig-zag order, DHT, optional DRI with RSTn
+    handling), Huffman entropy decode with byte-unstuffing, dequantize,
+    batched orthonormal IDCT over all blocks at once (numpy einsum),
+    level shift, clamp, crop to the SOF dimensions. Returns (width,
+    height, raw) with ``raw`` row-major ``width*height`` bytes.
+
+    Raises ValueError for non-JPEG bytes and NotImplementedError for the
+    JPEG features that genuinely need libjpeg (progressive/SOF2,
+    arithmetic coding, multi-component color, 12-bit precision) — the
+    same honest capability surface as the PNG/GIF decoders."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tables: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = -1
+    comp_qt = comp_dc = comp_ac = 0
+    restart_interval = 0
+    i = 2
+    sos_at = -1
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xC2, 0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            raise NotImplementedError(
+                "progressive/extended JPEG needs libjpeg; only baseline SOF0"
+            )
+        if marker == 0xCC or marker == 0xC8:
+            raise NotImplementedError("arithmetic-coded JPEG unsupported")
+        (size,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        body = payload[i + 4 : i + 2 + size]
+        if marker == 0xDB:  # DQT — may carry several tables
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz_qt = list(body[j + 1 : j + 65])
+                qt = [0] * 64
+                for k in range(64):
+                    qt[_JPEG_ZIGZAG[k]] = zz_qt[k]
+                qtables[tq] = qt
+                j += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, height, width, nf = struct.unpack(">BHHB", body[:6])
+            if _prec != 8:
+                raise NotImplementedError("12-bit JPEG unsupported")
+            if nf != 1:
+                raise NotImplementedError(
+                    "multi-component JPEG color needs libjpeg; grayscale only"
+                )
+            comp_qt = body[8]
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG unsupported")
+        elif marker == 0xC4:  # DHT — may carry several tables
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                if tc == 0:
+                    dc_tables[th] = _build_huffman_decode(bits, vals)
+                else:
+                    ac_tables[th] = _build_huffman_decode(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 0x0F
+            sos_at = i + 2 + size
+            break
+        i += 2 + size
+    if sos_at < 0 or width <= 0:
+        raise ValueError("JPEG missing SOF/SOS")
+    if comp_qt not in qtables or comp_dc not in dc_tables or comp_ac not in ac_tables:
+        raise ValueError("JPEG missing quant/Huffman table for scan")
+
+    # De-stuff the entropy segment: 0xFF00 -> 0xFF; RSTn markers split
+    # the stream into restart intervals (DC predictor resets at each).
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = sos_at
+    while j < len(payload):
+        b = payload[j]
+        if b == 0xFF:
+            nxt = payload[j + 1] if j + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+
+    nbx = (width + 7) // 8
+    nby = (height + 7) // 8
+    total_blocks = nbx * nby
+    quant = np.zeros((total_blocks, 64), dtype=np.float64)
+    dc_t, ac_t = dc_tables[comp_dc], ac_tables[comp_ac]
+    per_segment = restart_interval if restart_interval else total_blocks
+    blk = 0
+    for seg_bytes in segments:
+        reader = _BitReader(seg_bytes)
+        prev_dc = 0
+        for _ in range(min(per_segment, total_blocks - blk)):
+            s = reader.read_huffman(dc_t)
+            diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+            prev_dc += diff
+            quant[blk, _JPEG_ZIGZAG[0]] = prev_dc
+            k = 1
+            while k < 64:
+                sym = reader.read_huffman(ac_t)
+                if sym == 0x00:  # EOB
+                    break
+                run, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if run != 15:
+                        raise ValueError("bad JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run overflows block")
+                quant[blk, _JPEG_ZIGZAG[k]] = _jpeg_extend(reader.read_bits(s), s)
+                k += 1
+            blk += 1
+        if blk >= total_blocks:
+            break
+    if blk != total_blocks:
+        raise ValueError("JPEG entropy stream ended early")
+
+    q = np.asarray(qtables[comp_qt], dtype=np.float64)
+    coef = (quant * q).reshape(total_blocks, 8, 8)
+    c = _dct_matrix()
+    spatial = np.einsum("ji,bjk,kl->bil", c, coef, c) + 128.0
+    pixels = np.clip(np.floor(spatial + 0.5), 0, 255).astype(np.uint8)
+    img = (
+        pixels.reshape(nby, nbx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby * 8, nbx * 8)
+    )
+    return int(width), int(height), img[:height, :width].tobytes()
+
+
+def jpeg_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL JPEG pixel probe via mapInPandas: full baseline decode per
+    payload, reporting dimensions, the top-left decoded pixel, and the
+    sum of ALL decoded pixels — a whole-image checksum that only matches
+    an oracle if every stage (Huffman, zig-zag, DC prediction,
+    dequantize, IDCT) is correct."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, raw = decode_jpeg_pixels(
+                    bytes(payload) if payload is not None else b""
+                )
+                out.append(
+                    {
+                        "id": int(_id),
+                        "width": w,
+                        "height": h,
+                        "first_px": raw[0],
+                        "px_sum": sum(raw),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height", "first_px", "px_sum"]
+            )
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return cols.mapInPandas(
+        probe, schema="id long, width int, height int, first_px int, px_sum long"
     )

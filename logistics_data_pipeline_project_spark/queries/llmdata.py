@@ -6587,3 +6587,86 @@ def q198_hash_bootstrap_ci(spark: SparkSession, sf_dir: str):
             F.col("boot_hi_milli").cast("long").alias("boot_hi_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — real JPEG codec audit (encode → decode, oracle-exact pixels)
+# ---------------------------------------------------------------------------
+
+_JPEG_TILES_X = 3
+_JPEG_TILES_Y = 2
+
+
+@register(
+    "q199_jpeg_codec_audit",
+    tags=("multimodal", "U1"),
+    oracle=f"""
+WITH tiles AS (
+  SELECT d.doc_id, t.b, (d.doc_id * 7 + t.b * 31) % 256 AS v
+  FROM documents d
+  CROSS JOIN generate_series(0, {_JPEG_TILES_X * _JPEG_TILES_Y - 1}) t(b)
+)
+SELECT doc_id,
+  CAST({_JPEG_TILES_X * 8} AS INTEGER) AS width,
+  CAST({_JPEG_TILES_Y * 8} AS INTEGER) AS height,
+  CAST(doc_id * 7 % 256 AS INTEGER) AS first_px,
+  CAST(SUM(v) * 64 AS BIGINT) AS px_sum
+FROM tiles GROUP BY doc_id
+""",
+)
+def q199_jpeg_codec_audit(spark: SparkSession, sf_dir: str):
+    """REAL JPEG pipeline over Arrow batches (operators/multimodal.py):
+    per document a genuine baseline JFIF file is ENCODED — a {tx}x{ty}
+    grid of flat 8x8 tiles, tile b = (doc_id*7 + 31*b) mod 256, with a
+    uniform quantization table of 8s — then fully DECODED by jpeg_probe
+    (Huffman entropy decode, byte unstuffing, DC-difference chain across
+    tiles, dequantize, batched IDCT).  With flat tiles every AC
+    coefficient quantizes to exactly 0 and the DC path is integer-exact,
+    so decoded pixels equal the generating formula BIT-FOR-BIT — the
+    oracle recomputes the tile formula in SQL and checks the whole-image
+    pixel sum, which only matches if every codec stage is correct (the
+    q161 PNG pattern, now through a DCT codec).  Lossy-path behavior is
+    property-tested separately (tests/test_multimodal_decode.py).  Scale
+    shape: generation and decode are iterator mapInPandas stages; no
+    payload ever reaches the driver; one broadcast-free narrow pipeline
+    plus the final checksum join on doc_id."""
+    from ..operators.multimodal import jpeg_probe
+
+    w_px, h_px = _JPEG_TILES_X * 8, _JPEG_TILES_Y * 8
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_jpeg
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                raw = bytes(
+                    (doc_id * 7 + 31 * ((y // 8) * _JPEG_TILES_X + x // 8)) % 256
+                    for y in range(h_px)
+                    for x in range(w_px)
+                )
+                out.append(
+                    {"doc_id": doc_id, "payload": encode_jpeg(w_px, h_px, raw, qtable=[8] * 64)}
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    # the id column is tiny but the codec work is CPU-bound: spread the
+    # generate+encode+decode pipeline across executors before the
+    # mapInPandas stages (one cheap shuffle of bare longs).
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return jpeg_probe(gen_df, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        "first_px",
+        "px_sum",
+    )
+
+
+q199_jpeg_codec_audit.__doc__ = q199_jpeg_codec_audit.__doc__.format(
+    tx=_JPEG_TILES_X, ty=_JPEG_TILES_Y
+)

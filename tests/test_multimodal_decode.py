@@ -351,3 +351,106 @@ def test_gif_probe_spark(spark):
     assert row["first_idx"] == 5
     assert (row["first_r"], row["first_g"], row["first_b"]) == (5, 10, 15)
     assert row["px_index_sum"] == sum(idx)
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline codec
+# ---------------------------------------------------------------------------
+
+from logistics_data_pipeline_project_spark.operators.multimodal import (  # noqa: E402
+    decode_jpeg_pixels,
+    encode_jpeg,
+    jpeg_probe,
+    jpeg_qtable,
+)
+
+
+def test_jpeg_flat_tiles_roundtrip_exact():
+    # Uniform qtable of 8s + per-8x8-tile constant pixels: every AC
+    # coefficient quantizes to exactly 0 and the DC path is integer-exact
+    # end to end, so decode(encode(x)) == x bit-for-bit. This certifies
+    # Huffman coding, zig-zag, DC prediction, byte stuffing, and IDCT.
+    w = h = 24
+    vals = [[17, 255, 0], [128, 77, 200], [1, 99, 161]]
+    raw = bytes(vals[y // 8][x // 8] for y in range(h) for x in range(w))
+    payload = encode_jpeg(w, h, raw, qtable=[8] * 64)
+    w2, h2, dec = decode_jpeg_pixels(payload)
+    assert (w2, h2) == (w, h)
+    assert dec == raw
+    # deterministic bytes
+    assert encode_jpeg(w, h, raw, qtable=[8] * 64) == payload
+
+
+def test_jpeg_header_matches_shared_parser():
+    raw = bytes(range(64))
+    payload = encode_jpeg(8, 8, raw, quality=75)
+    assert parse_image_header(payload) == (8, 8)
+
+
+def test_jpeg_lossy_quality_bounds_error():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 17), dtype=np.uint8)
+    payload = encode_jpeg(17, 24, img.tobytes(), quality=90)
+    w, h, dec = decode_jpeg_pixels(payload)
+    assert (w, h) == (17, 24)
+    got = np.frombuffer(dec, dtype=np.uint8).astype(int).reshape(24, 17)
+    err = np.abs(got - img.astype(int))
+    assert err.mean() < 8 and err.max() < 64  # noise at q90
+    # smooth content at q95 is near-exact
+    xx, yy = np.meshgrid(np.arange(40), np.arange(32))
+    smooth = ((xx * 3 + yy * 5) // 2 % 256).astype(np.uint8)
+    _, _, dec2 = decode_jpeg_pixels(encode_jpeg(40, 32, smooth.tobytes(), quality=95))
+    err2 = np.abs(
+        np.frombuffer(dec2, dtype=np.uint8).astype(int) - smooth.astype(int).ravel()
+    )
+    assert err2.max() <= 2
+
+
+def test_jpeg_non_multiple_of_8_shapes():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for w, h in [(1, 1), (7, 3), (9, 17), (8, 5)]:
+        img = rng.randint(0, 256, h * w).astype(np.uint8).tobytes()
+        w2, h2, dec = decode_jpeg_pixels(encode_jpeg(w, h, img, quality=95))
+        assert (w2, h2) == (w, h) and len(dec) == w * h
+
+
+def test_jpeg_qtable_scaling_convention():
+    assert jpeg_qtable(50) == list(jpeg_qtable(50))
+    assert jpeg_qtable(50)[0] == 16  # unscaled Annex K.1
+    assert jpeg_qtable(100)[0] == 1
+    assert all(1 <= t <= 255 for t in jpeg_qtable(5))
+
+
+def test_jpeg_decoder_honest_guards():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(b"not a jpeg")
+    # progressive SOF2 -> NotImplementedError (honest boundary)
+    payload = bytearray(encode_jpeg(8, 8, bytes(64), qtable=[8] * 64))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(payload))
+
+
+def test_jpeg_probe_spark(spark):
+    rows = []
+    for i in range(6):
+        v = (37 * i + 5) % 256
+        raw = bytes([v]) * 64
+        rows.append((i, encode_jpeg(8, 8, raw, qtable=[8] * 64), v))
+    df = spark.createDataFrame(rows, "id long, payload binary, v int")
+    got = {
+        r["id"]: r
+        for r in jpeg_probe(df, "id", "payload").collect()
+    }
+    for i in range(6):
+        v = (37 * i + 5) % 256
+        assert got[i]["width"] == 8 and got[i]["height"] == 8
+        assert got[i]["first_px"] == v
+        assert got[i]["px_sum"] == 64 * v
