@@ -24,8 +24,11 @@ Decode tiers (no image/audio libraries in this container):
   golden-tested on real byte payloads. Baseline JPEG is a full real codec
   too (ITU-T T.81 SOF0 grayscale: numpy DCT/IDCT, Annex K quant/Huffman
   tables, byte stuffing, restart-marker handling — ``encode_jpeg`` /
-  ``decode_jpeg_pixels`` / ``jpeg_probe``). Progressive/color JPEG and
-  video frame extraction still raise NotImplementedError where
+  ``decode_jpeg_pixels`` / ``jpeg_probe``). Video frame extraction is
+  real for YUV4MPEG2 streams (``encode_y4m`` / ``decode_y4m_frames`` /
+  ``y4m_frame_stats``, and ``sample_frames(decode_stub=False)``), the
+  uncompressed interchange format that needs no codec. Progressive/
+  color JPEG and COMPRESSED video still raise NotImplementedError where
   Pillow/pyav calls would go — an honest capability boundary, not a
   silent fake.
 """
@@ -62,6 +65,9 @@ __all__ = [
     "jpeg_qtable",
     "nearest_resize",
     "png_probe",
+    "encode_y4m",
+    "decode_y4m_frames",
+    "y4m_frame_stats",
     "sample_frames",
     "resize_images",
     "MEDIA_FEATURE_SCHEMA",
@@ -489,22 +495,47 @@ def sample_frames(
     Row explosion happens Python-side inside the Arrow batch, so a task's
     peak memory is one batch of payloads plus its frame rows — the frame
     rows are tiny (no pixel data leaves the UDF; downstream feature
-    extraction happens in the same pass at real scale). The codec call is
-    STUBBED (no pyav here): frame count/digests derive deterministically
-    from the payload hash so tests pin exact shapes.
+    extraction happens in the same pass at real scale).
+
+    ``decode_stub=True``: frame count/digests derive deterministically
+    from the payload hash so tests pin exact shapes without a codec.
+    ``decode_stub=False``: REAL sampling for YUV4MPEG2 payloads — frames
+    picked on the stream's own F num:den timebase, digest = sha256 of
+    the actual frame planes (``decode_y4m_frames``). Compressed video
+    raises NotImplementedError (needs pyav) — the honest boundary.
     """
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires pyav; not in this environment"
-                )
             out = []
             for _id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else b""
+                if not decode_stub:
+                    if not payload.startswith(b"YUV4MPEG2"):
+                        raise NotImplementedError(
+                            "real frame sampling of compressed video "
+                            "requires pyav; only YUV4MPEG2 decodes here"
+                        )
+                    _w, _h, num, den, planes = decode_y4m_frames(payload)
+                    seen: set[int] = set()
+                    for k in range(max_frames):
+                        idx = (k * every_ms) * num // (1000 * den)
+                        if idx >= len(planes) or idx in seen:
+                            break
+                        seen.add(idx)
+                        out.append(
+                            {
+                                "id": int(_id),
+                                "frame_index": idx,
+                                "frame_ms": idx * 1000 * den // num,
+                                "frame_digest": hashlib.sha256(
+                                    planes[idx]
+                                ).hexdigest(),
+                            }
+                        )
+                    continue
                 digest = hashlib.sha256(payload).hexdigest()
                 duration_ms = int(digest[:8], 16) % 600000
                 n = min(max_frames, max(1, duration_ms // every_ms))
@@ -1319,4 +1350,138 @@ def jpeg_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
     return cols.mapInPandas(
         probe, schema="id long, width int, height int, first_px int, px_sum long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video: real frame extraction without a codec library
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "mono",
+) -> bytes:
+    """Encode raw frames as a standard YUV4MPEG2 stream (the uncompressed
+    interchange format every video toolchain reads — ffmpeg, mjpegtools).
+    ``colorspace`` 'mono' expects width*height luma bytes per frame;
+    '420jpeg' expects the additional two half-resolution chroma planes.
+    Deterministic byte-for-byte."""
+    if colorspace == "mono":
+        frame_len = width * height
+    elif colorspace == "420jpeg":
+        frame_len = width * height + 2 * ((width // 2) * (height // 2))
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    for f in frames:
+        if len(f) != frame_len:
+            raise ValueError("frame byte length does not match dimensions")
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 "
+        f"C{colorspace}\n"
+    ).encode("ascii")
+    return header + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def decode_y4m_frames(payload: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """REAL Y4M parse: header tags (W/H/F/C), then the FRAME-delimited
+    raw planes. Returns (width, height, fps_num, fps_den, frames) where
+    each frame is the full plane payload ('mono': luma only; '420jpeg':
+    luma + 2 chroma planes). Raises ValueError for non-Y4M bytes and
+    NotImplementedError for the colorspaces that need real chroma-siting
+    logic (the honest boundary: compressed video needs pyav/ffmpeg)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M header unterminated")
+    width = height = -1
+    fps_num, fps_den = 25, 1
+    colorspace = "420jpeg"  # Y4M default
+    for tag in payload[10:nl].decode("ascii", "replace").split():
+        if tag[:1] == "W":
+            width = int(tag[1:])
+        elif tag[:1] == "H":
+            height = int(tag[1:])
+        elif tag[:1] == "F":
+            num, den = tag[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag[:1] == "C":
+            colorspace = tag[1:]
+    if width <= 0 or height <= 0:
+        raise ValueError("Y4M header missing dimensions")
+    if colorspace == "mono":
+        frame_len = width * height
+    elif colorspace.startswith("420"):
+        frame_len = width * height + 2 * ((width // 2) * (height // 2))
+    else:
+        raise NotImplementedError(
+            f"Y4M colorspace {colorspace} needs a real chroma pipeline"
+        )
+    frames: list[bytes] = []
+    i = nl + 1
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        fnl = payload.find(b"\n", i)
+        if fnl < 0 or fnl + 1 + frame_len > len(payload):
+            raise ValueError("Y4M frame truncated")
+        frames.append(payload[fnl + 1 : fnl + 1 + frame_len])
+        i = fnl + 1 + frame_len
+    return width, height, fps_num, fps_den, frames
+
+
+def y4m_frame_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """REAL video frame sampling via mapInPandas over Y4M payloads: pick
+    the frame nearest each ``every_ms`` boundary (by the stream's own
+    F num:den timebase), never the same frame twice, up to
+    ``max_frames``; report exact per-frame luma stats (first byte, full
+    plane sum) the oracle can recompute. Row explosion happens inside
+    the Arrow batch — pixel planes never leave the UDF."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, num, den, frames = decode_y4m_frames(
+                    bytes(payload) if payload is not None else b""
+                )
+                n = len(frames)
+                seen: set[int] = set()
+                for k in range(max_frames):
+                    t_ms = k * every_ms
+                    idx = t_ms * num // (1000 * den)
+                    if idx >= n or idx in seen:
+                        break
+                    seen.add(idx)
+                    luma = frames[idx][: w * h]
+                    out.append(
+                        {
+                            "id": int(_id),
+                            "frame_index": idx,
+                            "frame_ms": idx * 1000 * den // num,
+                            "y_first": luma[0],
+                            "y_sum": sum(luma),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["id", "frame_index", "frame_ms", "y_first", "y_sum"]
+            )
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return cols.mapInPandas(
+        stats,
+        schema="id long, frame_index int, frame_ms long, y_first int, y_sum long",
     )

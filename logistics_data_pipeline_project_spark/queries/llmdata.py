@@ -6670,3 +6670,84 @@ def q199_jpeg_codec_audit(spark: SparkSession, sf_dir: str):
 q199_jpeg_codec_audit.__doc__ = q199_jpeg_codec_audit.__doc__.format(
     tx=_JPEG_TILES_X, ty=_JPEG_TILES_Y
 )
+
+
+# ---------------------------------------------------------------------------
+# q200 — real video frame sampling audit (Y4M, oracle-exact luma stats)
+# ---------------------------------------------------------------------------
+
+_Y4M_W = 8
+_Y4M_H = 6
+
+
+@register(
+    "q200_video_frame_audit",
+    tags=("multimodal", "U1"),
+    oracle=f"""
+WITH f AS (
+  SELECT d.doc_id, t.i AS frame_index,
+    (d.doc_id * 11 + 13 * t.i) % 256 AS v,
+    1 + d.doc_id % 4 AS n_frames
+  FROM documents d
+  CROSS JOIN generate_series(0, 3) t(i)
+)
+SELECT doc_id, CAST(frame_index AS INTEGER) AS frame_index,
+  CAST(frame_index * 100 AS BIGINT) AS frame_ms,
+  CAST(v AS INTEGER) AS y_first,
+  CAST(v * {_Y4M_W * _Y4M_H} AS BIGINT) AS y_sum
+FROM f WHERE frame_index < n_frames
+""",
+)
+def q200_video_frame_audit(spark: SparkSession, sf_dir: str):
+    """REAL video pipeline (operators/multimodal.py): per document a
+    genuine YUV4MPEG2 stream is encoded — 1 + doc_id%4 flat {w}x{h} luma
+    frames at 10 fps, frame i = (doc_id*11 + 13i) mod 256 — then frame-
+    sampled through y4m_frame_stats on the stream's own F num:den
+    timebase (every 100 ms = the frame period, so every frame samples
+    exactly once) and the decoded per-frame luma stats (first byte,
+    whole-plane sum) must match the generating formula BIT-FOR-BIT in
+    the oracle.  This is the video twin of q161/q199: the Spark-side
+    plumbing (binary payloads, Arrow batches, in-UDF row explosion) and
+    the parser are both real; only COMPRESSED video remains behind the
+    honest pyav boundary.  Scale shape: two narrow mapInPandas stages
+    after an explicit repartition of bare ids — frame planes never
+    shuffle and never reach the driver."""
+    from ..operators.multimodal import y4m_frame_stats
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_y4m
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = [
+                    bytes([(doc_id * 11 + 13 * i) % 256]) * (_Y4M_W * _Y4M_H)
+                    for i in range(1 + doc_id % 4)
+                ]
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_y4m(_Y4M_W, _Y4M_H, frames, fps=(10, 1)),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return y4m_frame_stats(
+        gen_df, "doc_id", "payload", every_ms=100, max_frames=8
+    ).select(
+        F.col("id").alias("doc_id"),
+        "frame_index",
+        "frame_ms",
+        "y_first",
+        "y_sum",
+    )
+
+
+q200_video_frame_audit.__doc__ = q200_video_frame_audit.__doc__.format(
+    w=_Y4M_W, h=_Y4M_H
+)

@@ -454,3 +454,72 @@ def test_jpeg_probe_spark(spark):
         assert got[i]["width"] == 8 and got[i]["height"] == 8
         assert got[i]["first_px"] == v
         assert got[i]["px_sum"] == 64 * v
+
+
+# ---------------------------------------------------------------------------
+# Y4M video frames
+# ---------------------------------------------------------------------------
+
+from logistics_data_pipeline_project_spark.operators.multimodal import (  # noqa: E402
+    decode_y4m_frames,
+    encode_y4m,
+    sample_frames,
+    y4m_frame_stats,
+)
+
+
+def test_y4m_roundtrip_mono_and_420():
+    frames = [bytes([v]) * 12 for v in (3, 250, 128)]
+    p = encode_y4m(4, 3, frames, fps=(30, 1))
+    w, h, num, den, got = decode_y4m_frames(p)
+    assert (w, h, num, den) == (4, 3, 30, 1)
+    assert got == frames
+    # 420jpeg: luma + two quarter-size chroma planes
+    f420 = [bytes(range(24)) + bytes(6) + bytes(6)]
+    p2 = encode_y4m(6, 4, f420, fps=(24, 1), colorspace="420jpeg")
+    w2, h2, *_rest, got2 = decode_y4m_frames(p2)
+    assert (w2, h2) == (6, 4) and got2 == f420
+
+
+def test_y4m_honest_guards():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_y4m_frames(b"RIFFxxxx")
+    with _pytest.raises(NotImplementedError):
+        decode_y4m_frames(b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + bytes(12))
+    with _pytest.raises(ValueError):  # truncated frame
+        decode_y4m_frames(b"YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAME\n\x00")
+
+
+def test_y4m_frame_stats_and_sample_frames_spark(spark):
+    import hashlib
+
+    frames = [bytes([i * 20]) * 4 for i in range(10)]
+    p = encode_y4m(2, 2, frames, fps=(10, 1))
+    df = spark.createDataFrame([(1, p)], "id long, payload binary")
+    got = {
+        r["frame_index"]: r
+        for r in y4m_frame_stats(df, "id", "payload", every_ms=250, max_frames=8).collect()
+    }
+    # 10 fps: 250ms->frame 2, 500->5, 750->7; 0->0
+    assert sorted(got) == [0, 2, 5, 7]
+    assert got[2]["y_first"] == 40 and got[2]["y_sum"] == 160
+    assert got[5]["frame_ms"] == 500
+    real = {
+        r["frame_index"]: r["frame_digest"]
+        for r in sample_frames(
+            df, "id", "payload", every_ms=250, max_frames=8, decode_stub=False
+        ).collect()
+    }
+    assert sorted(real) == [0, 2, 5, 7]
+    assert real[5] == hashlib.sha256(frames[5]).hexdigest()
+
+
+def test_sample_frames_real_rejects_compressed(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, b"\x00\x00\x00\x18ftypmp42")], "id long, payload binary")
+    with _pytest.raises(Exception) as ei:
+        sample_frames(df, "id", "payload", decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "pyav" in str(ei.value)
