@@ -6751,3 +6751,157 @@ def q200_video_frame_audit(spark: SparkSession, sf_dir: str):
 q200_video_frame_audit.__doc__ = q200_video_frame_audit.__doc__.format(
     w=_Y4M_W, h=_Y4M_H
 )
+
+
+# ---------------------------------------------------------------------------
+# q201 — exact ROC/AUC of the lexical-uniqueness quality score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q201_quality_score_auc",
+    tags=("eval", "A1", "W1", "quality"),
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang = 'en' AS y,
+    len(list_distinct(string_split(lower(text), ' '))) * 1000000
+      // len(string_split(lower(text), ' ')) AS sc
+  FROM documents
+),
+g AS (
+  SELECT sc, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         SUM(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+  FROM s GROUP BY sc
+),
+c AS (
+  SELECT pos, neg, COALESCE(SUM(neg) OVER (ORDER BY sc
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM g
+),
+u AS (
+  SELECT SUM(pos) AS np, SUM(neg) AS nn,
+         SUM(pos * (2 * cnb + neg)) AS u2
+  FROM c
+),
+b AS (
+  SELECT y, NTILE(10) OVER (ORDER BY sc DESC, doc_id) AS cut FROM s
+),
+per AS (
+  SELECT cut, COUNT(*) AS n_rows,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos
+  FROM b GROUP BY cut
+),
+r AS (
+  SELECT cut, SUM(n_rows) OVER (ORDER BY cut) AS n_pred_pos,
+         SUM(n_pos) OVER (ORDER BY cut) AS tp
+  FROM per
+)
+SELECT CAST(cut AS INTEGER) AS cut,
+  CAST(n_pred_pos AS BIGINT) AS n_pred_pos,
+  CAST(tp AS BIGINT) AS tp,
+  CAST(n_pred_pos - tp AS BIGINT) AS fp,
+  CAST(tp * 1000000 // np AS BIGINT) AS tpr_ppm,
+  CAST((n_pred_pos - tp) * 1000000 // nn AS BIGINT) AS fpr_ppm,
+  CAST(u2 * 1000000 // (2 * np * nn) AS BIGINT) AS auc_ppm
+FROM r, u
+""",
+)
+def q201_quality_score_auc(spark: SparkSession, sf_dir: str):
+    """Exact ROC/AUC eval of a quality score (operators/evalmetrics.py)
+    — the discrimination companion to q197's calibration audit: does the
+    lexical-uniqueness score actually SEPARATE English from non-English?
+    AUC is the tie-aware Mann-Whitney statistic kept integral by
+    carrying 2U (2U = Σ_s pos_s·(2·neg_below_s + neg_s) over the
+    distinct-score histogram) — bit-exact, no trapezoid floats; the ten
+    ROC operating points come from exact count-decile thresholds
+    (range-partitioned exact_ntile, q110 precedent, no single-partition
+    corpus sort).  Scale shape: one hash aggregate over the corpus per
+    branch; the only windows run over the distinct-score histogram
+    (bounded: scores are ppm ints) and the 10 decile rows; the one-row
+    AUC result broadcasts onto the points (allowlisted scalar BNLJ,
+    q154 precedent)."""
+    from ..operators.evalmetrics import exact_binary_auc, roc_points
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").alias("y"),
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 1000000L"
+            " div size(split(lower(text), ' '))"
+        ).alias("sc"),
+    )
+    auc = exact_binary_auc(d, "sc", "y").select("auc_ppm")
+    pts = roc_points(d, "sc", "y", "doc_id", n_cuts=10)
+    return pts.crossJoin(F.broadcast(auc))
+
+
+# ---------------------------------------------------------------------------
+# q202 — Cohen's kappa: heuristic lang-ID vs gold labels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q202_lang_id_kappa",
+    tags=("eval", "text", "A1"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS en_s,
+    len(list_filter(toks, x -> list_contains(['el','la','de','y','es'], x))) AS es_s,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de_s,
+    len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))) AS fr_s,
+    len(list_filter(toks, x -> list_contains(['的','是','了','在','和'], x))) AS zh_s
+  FROM t
+), p AS (
+  SELECT doc_id, lang,
+    CASE WHEN en_s >= greatest(es_s, de_s, fr_s, zh_s) THEN 'en'
+         WHEN es_s >= greatest(de_s, fr_s, zh_s) THEN 'es'
+         WHEN de_s >= greatest(fr_s, zh_s) THEN 'de'
+         WHEN fr_s >= zh_s THEN 'fr'
+         ELSE 'zh' END AS pred_lang
+  FROM s
+), m AS (
+  SELECT lang, pred_lang, COUNT(*) AS c FROM p GROUP BY lang, pred_lang
+), rows_ AS (SELECT lang AS k, SUM(c) AS r FROM m GROUP BY lang),
+cols_ AS (SELECT pred_lang AS k, SUM(c) AS cc FROM m GROUP BY pred_lang),
+e AS (
+  SELECT SUM(r * COALESCE(cc, 0)) AS e FROM rows_ LEFT JOIN cols_ USING (k)
+), tot AS (
+  SELECT SUM(c) AS n,
+         SUM(CASE WHEN lang = pred_lang THEN c ELSE 0 END) AS n_agree
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(n_agree AS BIGINT) AS n_agree,
+  CAST(e AS BIGINT) AS chance_pairs,
+  CAST(n * n_agree - e AS BIGINT) AS kappa_num,
+  CAST(n * n - e AS BIGINT) AS kappa_den,
+  CAST(CASE WHEN n * n_agree - e >= 0
+       THEN (n * n_agree - e) * 1000000 // (n * n - e)
+       ELSE -((e - n * n_agree) * 1000000 // (n * n - e)) END AS BIGINT)
+    AS kappa_ppm
+FROM tot, e
+""",
+)
+def q202_lang_id_kappa(spark: SparkSession, sf_dir: str):
+    """Inter-annotator agreement as a first-class eval op
+    (operators/evalmetrics.py::cohens_kappa): the engine's heuristic
+    marker-word language-ID (q029's predictor, operators/text.py) is
+    treated as annotator A, the gold ``lang`` column as annotator B, and
+    κ = (p_o − p_e)/(1 − p_e) is computed EXACTLY on the integer
+    confusion matrix — n·Σdiag and Σ row_k·col_k never leave BIGINT, κ
+    reported in truncate-toward-zero ppm (sign-safe on both engines).
+    Accuracy alone overstates a labeler on skewed label mixes; κ is the
+    chance-corrected number a labeling pipeline gates on.  Scale shape:
+    ONE corpus aggregate (the 5×5 confusion matrix); everything after is
+    arithmetic on ≤25 rows."""
+    from ..operators.evalmetrics import cohens_kappa
+    from ..operators.text import language_id, tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang", tokens("text").alias("__toks")
+    )
+    pred = d.select(F.col("lang"), language_id("__toks").alias("pred_lang"))
+    return cohens_kappa(pred, "lang", "pred_lang")

@@ -280,6 +280,8 @@ def test_catalog_wide_no_antipatterns(spark, sf_dir):
         "q148_ann_pq_topk",          # broadcast per-query ADC tables
         "q154_importance_resample",  # broadcast 1-row corpus-mass scalars
         "q160_matryoshka_recall",    # broadcast query-vector set (2 passes)
+        "q201_quality_score_auc",    # broadcast 1-row AUC scalar onto ROC points
+        "q202_lang_id_kappa",        # broadcast 1-row chance-agreement scalar
     }
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
