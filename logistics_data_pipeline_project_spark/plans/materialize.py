@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 _POINTER = "_LATEST"
 _VPREFIX = "v_"
 _META = "_META.json"
+_STATS = "_STATS.json"
 
 
 class TableStore:
@@ -205,7 +206,14 @@ class TableStore:
         if meta is None:
             meta = self.meta(name) or None
         current = self.read(name)
-        if current.schema != df.schema:
+        # nullability is not drift: parquet read-back is always nullable,
+        # so a stricter incoming column appends safely — only name/type
+        # differences force the unionByName rewrite (which would also
+        # needlessly drop file stats and rewrite the whole table)
+        def _lax(schema):
+            return [(f.name, f.dataType) for f in schema.fields]
+
+        if _lax(current.schema) != _lax(df.schema):
             evolved = current.unionByName(df, allowMissingColumns=True)
             # localCheckpoint cuts lineage to the snapshot being replaced
             self.overwrite(
@@ -216,13 +224,38 @@ class TableStore:
         nxt = vs[-1] + 1
         src, dst = self._vdir(name, cur), self._vdir(name, nxt)
         os.makedirs(dst)
+        carried = set()
         for f in os.listdir(src):
             if f.endswith(".parquet"):
                 os.link(os.path.join(src, f), os.path.join(dst, f))
+                carried.add(f)
         df.write.mode("append").parquet(dst)
         if meta is not None:
             with open(os.path.join(dst, _META), "w") as f:
                 json.dump(meta, f)
+        # data-skipping stats maintain incrementally: hardlinked files keep
+        # their names (their stats entries stay valid); only the NEW part
+        # files get scanned — O(batch), never O(table)
+        prior_stats = self.stats(name)
+        if prior_stats is not None:
+            new_files = [
+                f
+                for f in os.listdir(dst)
+                if f.endswith(".parquet") and f not in carried
+            ]
+            merged = {
+                "columns": prior_stats["columns"],
+                "files": dict(prior_stats["files"]),
+            }
+            if new_files:
+                merged["files"].update(
+                    self._file_stats(
+                        [os.path.join(dst, f) for f in new_files],
+                        prior_stats["columns"],
+                    )
+                )
+            with open(os.path.join(dst, _STATS), "w") as f:
+                json.dump(merged, f)
         self._commit_pointer(name, nxt)
         self._gc(name)
 
@@ -397,3 +430,155 @@ class TableStore:
         self.overwrite(name, kept.localCheckpoint(eager=True))
         after = self.read(name).count()
         return before - after, self.current_version(name)
+
+    # -- file-level data skipping ----------------------------------------
+
+    def analyze(self, name: str, cols: list[str]) -> dict:
+        """Compute per-file min/max/null-count statistics for ``cols`` on
+        the CURRENT snapshot and commit them as ``_STATS.json`` inside the
+        version directory — the data-skipping index Delta/Iceberg keep in
+        their manifests. One Spark job over the snapshot (grouped by
+        ``input_file_name``); the result is O(files), driver-sized.
+
+        Stats are derived metadata: adding them does not change committed
+        data, and readers that predate them simply skip nothing. Columns
+        must be of orderable scalar types whose ordering survives JSON
+        (integers, floats, strings, dates/timestamps — the latter stored
+        as ISO strings, whose lexicographic order IS chronological order).
+        Returns the stats dict."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_version(name)
+        if cur is None:
+            raise KeyError(f"no table {name!r}")
+        vdir = self._vdir(name, cur)
+        stats = {"columns": cols, "files": self._file_stats([vdir], cols)}
+        with open(os.path.join(vdir, _STATS), "w") as f:
+            json.dump(stats, f)
+        return stats
+
+    def _file_stats(self, paths: list[str], cols: list[str]) -> dict:
+        """Per-file stats entries for the parquet files under ``paths`` —
+        one grouped aggregate, O(files) result."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.parquet(*paths)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"__min__{c}"),
+                F.max(c).alias(f"__max__{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
+            ]
+        rows = (
+            df.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
+        )
+        files = {}
+        for r in rows:
+            base = os.path.basename(r["__file"])
+            entry = {"n": r["__n"], "cols": {}}
+            for c in cols:
+                entry["cols"][c] = {
+                    "min": _stats_encode(r[f"__min__{c}"]),
+                    "max": _stats_encode(r[f"__max__{c}"]),
+                    "nulls": r[f"__nulls__{c}"],
+                }
+            files[base] = entry
+        return files
+
+    def stats(self, name: str, version: int | None = None) -> dict | None:
+        """The snapshot's data-skipping stats, or None if never analyzed."""
+        p = os.path.join(self._resolve(name, version), _STATS)
+        if os.path.isfile(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def read_pruned(
+        self, name: str, col: str, op: str, value, value2=None
+    ) -> tuple[DataFrame, int, int]:
+        """Read the current snapshot with FILE-LEVEL pruning: only the
+        part files whose [min, max] interval for ``col`` can contain rows
+        matching ``col <op> value`` are opened; the predicate is then
+        applied to the survivors, so results are exactly equal to an
+        unpruned filter. ``op`` ∈ {=, <, <=, >, >=, between} (between
+        takes ``value2`` as the inclusive upper bound).
+
+        Returns (DataFrame, files_kept, files_total). Files without stats
+        for ``col`` (or with no stats at all) are conservatively kept —
+        pruning is an optimization, never a correctness gamble. At 100 TB
+        this is the difference between scanning a table and scanning the
+        handful of files a clustered/z-ordered layout confines the
+        predicate to — the same skipping a lakehouse manifest gives."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_version(name)
+        if cur is None:
+            raise KeyError(f"no table {name!r}")
+        vdir = self._vdir(name, cur)
+        all_files = sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))
+        st = self.stats(name)
+        v = _stats_encode(value)
+        v2 = _stats_encode(value2) if value2 is not None else None
+        kept = []
+        for fname in all_files:
+            entry = (st or {}).get("files", {}).get(fname, {}).get("cols", {}).get(col)
+            if entry is None or entry["min"] is None or entry["max"] is None:
+                kept.append(fname)  # no stats / all-null file: cannot prune =
+                # (all-null files match no range predicate, but min/max None
+                # also means "unknown" for legacy stats — keep conservatively)
+                continue
+            lo, hi = entry["min"], entry["max"]
+            if op == "=":
+                keep = lo <= v <= hi
+            elif op == "<":
+                keep = lo < v
+            elif op == "<=":
+                keep = lo <= v
+            elif op == ">":
+                keep = hi > v
+            elif op == ">=":
+                keep = hi >= v
+            elif op == "between":
+                if v2 is None:
+                    raise ValueError("between needs value2")
+                keep = hi >= v and lo <= v2
+            else:
+                raise ValueError(f"unsupported op {op!r}")
+            if keep:
+                kept.append(fname)
+        c = F.col(col)
+        pred = {
+            "=": c == value,
+            "<": c < value,
+            "<=": c <= value,
+            ">": c > value,
+            ">=": c >= value,
+            "between": c.between(value, value2),
+        }[op]
+        if not kept:
+            # empty result with the right schema, zero files opened
+            empty = self.read(name).where(F.lit(False))
+            return empty, 0, len(all_files)
+        df = self.spark.read.parquet(*[os.path.join(vdir, f) for f in kept])
+        return df.where(pred), len(kept), len(all_files)
+
+
+def _stats_encode(v):
+    """JSON-safe encoding that PRESERVES ordering within a column's type:
+    numbers stay numbers; strings stay strings (Python str comparison is
+    code-point order == UTF-8 byte order == Spark's string order); dates/
+    timestamps become ISO strings (lexicographic == chronological)."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        # str() breaks ordering across digit counts ("9.5" > "10.0") and
+        # float() could flip order at the min/max boundary — honest
+        # refusal; callers cast the column for stats purposes
+        raise TypeError("decimal stats unsupported; cast to double/long first")
+    raise TypeError(f"unsupported stats type {type(v).__name__}")

@@ -273,3 +273,111 @@ def test_backfill_replaces_only_touched_partitions(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
     )
+
+
+# ---------------------------------------------------------------------------
+# file-level data skipping (TableStore.analyze / read_pruned)
+# ---------------------------------------------------------------------------
+
+
+def _mk_clustered_store(spark, tmp_path, n=4000):
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "id", "id % 1000 as k", "cast(id as double) / 7 as x",
+            "concat('u', lpad(cast(id % 50 as string), 2, '0')) as tag",
+        )
+        .repartitionByRange(8, "id")
+    )
+    store.overwrite("t", df)
+    return store
+
+
+def test_data_skipping_prunes_and_matches(spark, tmp_path):
+    store = _mk_clustered_store(spark, tmp_path)
+    store.analyze("t", ["id", "tag"])
+    # range-clustered on id: a point/range predicate must open few files
+    df, kept, total = store.read_pruned("t", "id", "between", 100, 140)
+    assert total == 8 and kept <= 2
+    want = sorted(r["id"] for r in store.read("t").where("id between 100 and 140").collect())
+    got = sorted(r["id"] for r in df.collect())
+    assert got == want
+    # string column: every file spans all tags -> nothing prunes, still exact
+    df2, kept2, _ = store.read_pruned("t", "tag", "=", "u07")
+    assert kept2 == 8
+    assert df2.count() == store.read("t").where("tag = 'u07'").count()
+    # predicate outside the domain: zero files opened, empty result
+    df3, kept3, _ = store.read_pruned("t", "id", ">", 10_000_000)
+    assert kept3 == 0 and df3.count() == 0
+    assert df3.columns == store.read("t").columns
+
+
+def test_data_skipping_all_ops_match_unpruned(spark, tmp_path):
+    store = _mk_clustered_store(spark, tmp_path, n=1000)
+    store.analyze("t", ["id"])
+    full = store.read("t")
+    for op, args, sql in [
+        ("=", (500, None), "id = 500"),
+        ("<", (100, None), "id < 100"),
+        ("<=", (100, None), "id <= 100"),
+        (">", (900, None), "id > 900"),
+        (">=", (900, None), "id >= 900"),
+        ("between", (250, 260), "id between 250 and 260"),
+    ]:
+        df, kept, total = store.read_pruned("t", "id", op, args[0], args[1])
+        assert df.count() == full.where(sql).count(), op
+        assert kept < total, op  # clustered layout must actually skip
+
+
+def test_data_skipping_survives_append_incrementally(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    store = _mk_clustered_store(spark, tmp_path, n=1000)
+    store.analyze("t", ["id"])
+    more = spark.range(50_000, 50_200).selectExpr(
+        "id", "id % 1000 as k", "cast(id as double) / 7 as x",
+        "concat('u', lpad(cast(id % 50 as string), 2, '0')) as tag",
+    ).coalesce(1)
+    store.append("t", more)
+    st = store.stats("t")
+    assert st is not None and len(st["files"]) > 8  # new file got stats
+    df, kept, total = store.read_pruned("t", "id", ">=", 50_000)
+    assert kept == 1  # only the appended file survives pruning
+    assert df.count() == 200
+    # the old range still prunes to few files
+    df2, kept2, _ = store.read_pruned("t", "id", "between", 0, 50)
+    assert kept2 <= 2 and df2.count() == 51
+
+
+def test_data_skipping_unanalyzed_and_decimal_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite("t", spark.range(10).selectExpr("id", "cast(id as decimal(10,2)) as d"))
+    # no stats: everything conservatively kept, result exact
+    df, kept, total = store.read_pruned("t", "id", "=", 5)
+    assert kept == total and df.count() == 1
+    with _pytest.raises(Exception):
+        store.analyze("t", ["d"])  # decimal honestly refused
+
+
+def test_zordered_table_prunes_on_both_dims(spark, tmp_path):
+    from logistics_data_pipeline_project_spark.operators.scale import zorder_key
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    grid = spark.range(64 * 64).selectExpr("id % 64 as a", "id div 64 as b")
+    zordered = grid.repartitionByRange(16, zorder_key(["a", "b"], bits=6))
+    store.overwrite("z", zordered)
+    store.analyze("z", ["a", "b"])
+    _, kept_a, total = store.read_pruned("z", "a", "between", 0, 7)
+    _, kept_b, _ = store.read_pruned("z", "b", "between", 0, 7)
+    # z-order clusters BOTH dims: each single-dim range must skip files
+    assert kept_a < total and kept_b < total
