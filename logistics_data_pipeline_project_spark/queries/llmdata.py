@@ -6905,3 +6905,242 @@ def q202_lang_id_kappa(spark: SparkSession, sf_dir: str):
     )
     pred = d.select(F.col("lang"), language_id("__toks").alias("pred_lang"))
     return cohens_kappa(pred, "lang", "pred_lang")
+
+
+# ---------------------------------------------------------------------------
+# q203 — next-event training examples: order-3 Markov transition table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q203_markov_transition_examples",
+    tags=("timeseries", "W1", "A1", "training-data"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+    LAG(event_type, 3) OVER w AS c1,
+    LAG(event_type, 2) OVER w AS c2,
+    LAG(event_type, 1) OVER w AS c3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT c1 || '>' || c2 || '>' || c3 AS context,
+  event_type AS label,
+  CAST(COUNT(*) AS BIGINT) AS n_examples
+FROM e WHERE c1 IS NOT NULL
+GROUP BY context, label
+""",
+)
+def q203_markov_transition_examples(spark: SparkSession, sf_dir: str):
+    """Training-example construction for next-event prediction: every
+    user's event stream (total order: event time, event_id tiebreak)
+    yields one example per position — context = the 3 trailing event
+    types, label = the current one — aggregated into the order-3 Markov
+    transition table (context, label, n_examples) that both trains a
+    baseline sequence model and prices the dataset (examples per
+    pattern).  The per-user sequencing and the example aggregation are
+    the two halves of what a sequence-model data pipeline does before
+    tokenization; sequence PACKING of such examples is q144.  Scale
+    shape: one shuffle to the user partition for the lag window, then
+    one hash aggregate bounded by |event_type|⁴ — the example stream
+    itself never materializes wide rows."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    ctx = e.select(
+        "event_type",
+        F.lag("event_type", 3).over(w).alias("c1"),
+        F.lag("event_type", 2).over(w).alias("c2"),
+        F.lag("event_type", 1).over(w).alias("c3"),
+    ).filter(F.col("c1").isNotNull())
+    return ctx.groupBy(
+        F.concat_ws(">", "c1", "c2", "c3").alias("context"),
+        F.col("event_type").alias("label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_examples"))
+
+
+# ---------------------------------------------------------------------------
+# q204 — T5-style span-corruption example audit
+# ---------------------------------------------------------------------------
+
+_SPAN_MASK_MOD = 10
+_SPAN_MASK_KEEP = 2  # mask a token iff md5-bucket < 2  (20% corruption)
+
+
+@register(
+    "q204_span_corruption_examples",
+    tags=("training-data", "W1", "A1", "text"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, i, t,
+    CAST(('0x' || substr(md5(doc_id || ':' || i), 1, 8)) AS BIGINT)
+      % {_SPAN_MASK_MOD} < {_SPAN_MASK_KEEP} AS masked
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+    FROM documents
+  ) WHERE t <> ''
+),
+runs AS (
+  SELECT doc_id, i, masked,
+    CASE WHEN masked AND NOT COALESCE(LAG(masked) OVER (
+      PARTITION BY doc_id ORDER BY i), FALSE) THEN 1 ELSE 0 END AS span_start
+  FROM tok
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+  CAST(SUM(span_start) AS BIGINT) AS n_spans,
+  CAST(COUNT(*) - SUM(CASE WHEN masked THEN 1 ELSE 0 END) + SUM(span_start)
+    AS BIGINT) AS n_input_tokens,
+  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) + SUM(span_start) AS BIGINT)
+    AS n_target_tokens
+FROM runs GROUP BY doc_id
+""",
+)
+def q204_span_corruption_examples(spark: SparkSession, sf_dir: str):
+    """T5-style span-corruption example construction, audited exactly:
+    each document token is masked by a DETERMINISTIC salted-hash draw
+    (md5(doc_id:position) bucket < 20% — the engine's RNG-free sampling
+    discipline, q045/q137 precedent), consecutive masked tokens merge
+    into spans (gaps-and-islands via one lag window), and the example
+    accounting follows the T5 encoder/decoder layout: input length =
+    kept tokens + one sentinel per span; target length = masked tokens +
+    one sentinel per span.  The oracle replays the identical hash draws
+    and window in DuckDB, so the span structure — not just counts — is
+    certified.  Scale shape: explode → one doc-partitioned window (each
+    doc's tokens are one partition's rows, bounded by doc length) → one
+    hash aggregate back to doc grain; the hash draw is a codegen'd
+    column expression, no Python, no RNG state."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    tok = d.select(
+        "doc_id",
+        F.posexplode("toks").alias("i", "t"),
+    ).filter(F.col("t") != "")
+    masked = tok.withColumn(
+        "masked",
+        F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", "i")), 1, 8), 16, 10)
+        .cast("long")
+        % _SPAN_MASK_MOD
+        < _SPAN_MASK_KEEP,
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = masked.withColumn(
+        "span_start",
+        (
+            F.col("masked")
+            & ~F.coalesce(F.lag("masked").over(w), F.lit(False))
+        ).cast("int"),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("masked").cast("int")).cast("long").alias("n_masked"),
+        F.sum("span_start").cast("long").alias("n_spans"),
+        (
+            F.count(F.lit(1))
+            - F.sum(F.col("masked").cast("int"))
+            + F.sum("span_start")
+        )
+        .cast("long")
+        .alias("n_input_tokens"),
+        (F.sum(F.col("masked").cast("int")) + F.sum("span_start"))
+        .cast("long")
+        .alias("n_target_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205 — diverse subset selection (greedy MMR, unrolled-CTE oracle)
+# ---------------------------------------------------------------------------
+
+_MMR_K = 4
+_MMR_LAM = 20_000
+
+
+def _mmr_ctes(k: int, lam: int) -> str:
+    """Unrolled greedy-MMR replay: step n picks the argmax of
+    rel − lam·max_overlap(selected so far), ties to smallest id — the
+    exact trajectory operators/selection.py::mmr_select walks."""
+    parts = [
+        """s1 AS (
+  SELECT id, rel, CAST(0 AS BIGINT) AS pen, rel AS obj
+  FROM pool ORDER BY obj DESC, id LIMIT 1
+), sel1 AS (SELECT id FROM s1)"""
+    ]
+    for n in range(2, k + 1):
+        parts.append(
+            f"""s{n} AS (
+  SELECT id, rel, pen, rel - {lam} * pen AS obj FROM (
+    SELECT p.id, p.rel,
+           CAST(MAX(len(list_intersect(p.toks, q.toks))) AS BIGINT) AS pen
+    FROM pool p, pool q
+    WHERE q.id IN (SELECT id FROM sel{n - 1})
+      AND p.id NOT IN (SELECT id FROM sel{n - 1})
+    GROUP BY p.id, p.rel
+  ) ORDER BY obj DESC, id LIMIT 1
+), sel{n} AS (SELECT id FROM sel{n - 1} UNION ALL SELECT id FROM s{n})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {n} AS selection_rank, id, rel, pen, obj FROM s{n}"
+        for n in range(1, k + 1)
+    )
+    return ",\n".join(parts) + f", picks AS (\n{union}\n)"
+
+
+@register(
+    "q205_mmr_diverse_selection",
+    tags=("training-data", "dedup", "topk", "iterative"),
+    oracle=f"""
+WITH pool AS (
+  SELECT doc_id AS id,
+    list_distinct(string_split(lower(text), ' ')) AS toks,
+    CAST(len(list_distinct(string_split(lower(text), ' '))) * 1000000
+      // len(string_split(lower(text), ' ')) AS BIGINT) AS rel
+  FROM documents WHERE doc_id % 17 = 0
+),
+{_mmr_ctes(_MMR_K, _MMR_LAM)}
+SELECT CAST(selection_rank AS INTEGER) AS selection_rank,
+  id AS doc_id, rel AS rel_ppm,
+  CAST(pen AS BIGINT) AS penalty, CAST(obj AS BIGINT) AS objective
+FROM picks
+""",
+)
+def q205_mmr_diverse_selection(spark: SparkSession, sf_dir: str):
+    """Diversity-aware subset selection (operators/selection.py): greedy
+    maximal-marginal-relevance picks {k} documents from a deterministic
+    candidate pool (doc_id % 17 = 0), each step maximizing
+    lexical-uniqueness relevance minus {lam}·(max shared distinct tokens
+    with anything already selected) — the curation primitive behind
+    diverse eval seeds / few-shot pools, where pure top-k by quality
+    returns near-duplicates.  Integer-exact with a total tiebreak, so
+    the whole greedy TRAJECTORY is certified by an unrolled-CTE oracle
+    (k-means/perceptron precedent), not just the final set.  Scale
+    shape: k driver rounds, each ONE job over the cached pool with the
+    O(k) selected set folded into a codegen'd greatest-of-intersects;
+    the per-round collect is a single row."""
+    from ..operators.selection import mmr_select
+
+    pool = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 17 == 0
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 1000000L"
+            " div size(split(lower(text), ' '))"
+        ).alias("rel"),
+    )
+    picks = mmr_select(pool, "id", "toks", "rel", k=_MMR_K, lam=_MMR_LAM)
+    return spark.createDataFrame(
+        [
+            (p["rank"], p["id"], p["rel"], p["penalty"], p["objective"])
+            for p in picks
+        ],
+        "selection_rank int, doc_id long, rel_ppm long, penalty long, objective long",
+    )
+
+
+q205_mmr_diverse_selection.__doc__ = q205_mmr_diverse_selection.__doc__.format(
+    k=_MMR_K, lam=_MMR_LAM
+)

@@ -114,3 +114,37 @@ def test_kappa_edges(spark):
         [("x", "y"), ("y", "x"), ("x", "y"), ("y", "x")], "ga string, gb string"
     )
     assert cohens_kappa(df2, "ga", "gb").collect()[0]["kappa_ppm"] == -1_000_000
+
+
+def test_mmr_select_matches_bruteforce_greedy(spark):
+    import random
+
+    from logistics_data_pipeline_project_spark.operators.selection import mmr_select
+
+    rng = random.Random(23)
+    vocab = ["a", "b", "c", "d", "e", "f", "g"]
+    rows = []
+    for i in range(25):
+        toks = sorted(set(rng.sample(vocab, rng.randint(2, 5))))
+        rows.append((i, toks, rng.randrange(100, 1000)))
+    df = spark.createDataFrame(rows, "id long, toks array<string>, rel long")
+    got = mmr_select(df, "id", "toks", "rel", k=5, lam=50)
+
+    # brute-force greedy replay
+    pool = {i: (set(t), r) for i, t, r in rows}
+    sel, want = [], []
+    for rank in range(1, 6):
+        best = None
+        for i, (t, r) in sorted(pool.items()):
+            if i in sel:
+                continue
+            pen = max((len(t & pool[s][0]) for s in sel), default=0)
+            obj = r - 50 * pen
+            if best is None or obj > best[1]:
+                best = (i, obj, r, pen)
+        sel.append(best[0])
+        want.append(
+            {"rank": rank, "id": best[0], "rel": best[2], "penalty": best[3],
+             "objective": best[1]}
+        )
+    assert got == want
