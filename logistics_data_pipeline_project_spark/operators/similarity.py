@@ -1099,3 +1099,28 @@ def semantic_dedup(
             F.col("cell").cast("int").alias("cell"),
         )
     )
+
+
+def whitening_from_gram(gram_rows, d: int):
+    """PCA whitening matrix from the exact integer Gram rows q206 emits
+    ((i, j, n_vecs, gram) upper triangle): covariance C = G/n (quantized
+    scale cancels in the whitener's application), eigendecompose, return
+    (W, eigvals) with W = Λ^(-1/2)·Vᵀ so that Cov(W·x) = I on the
+    accumulated corpus. Driver-side numpy on O(d²) numbers — the scale
+    story lives in the Gram ACCUMULATION (q206's one distributed pass),
+    not here."""
+    import numpy as np
+
+    g = np.zeros((d, d))
+    n = None
+    for r in gram_rows:
+        i, j = int(r["i"]), int(r["j"])
+        g[i, j] = g[j, i] = float(r["gram"])
+        n = int(r["n_vecs"])
+    if not n:
+        raise ValueError("empty gram")
+    cov = g / n
+    vals, vecs = np.linalg.eigh(cov)
+    vals = np.maximum(vals, 1e-12)
+    w = (vecs / np.sqrt(vals)).T  # rows = Λ^(-1/2)·Vᵀ
+    return w, vals

@@ -7144,3 +7144,80 @@ def q205_mmr_diverse_selection(spark: SparkSession, sf_dir: str):
 q205_mmr_diverse_selection.__doc__ = q205_mmr_diverse_selection.__doc__.format(
     k=_MMR_K, lam=_MMR_LAM
 )
+
+
+# ---------------------------------------------------------------------------
+# q206 — exact embedding Gram matrix (PCA/whitening input)
+# ---------------------------------------------------------------------------
+
+_GRAM_D = 8
+_GRAM_SCALE = 1000
+
+
+def _gram_oracle(d: int, scale: int) -> str:
+    q = (
+        f"CAST(floor(embedding[{{k}}] * {scale}) AS BIGINT)"  # 1-based in DuckDB
+    )
+    selects = []
+    for i in range(d):
+        for j in range(i, d):
+            selects.append(
+                f"SELECT {i} AS i, {j} AS j, CAST(COUNT(*) AS BIGINT) AS n_vecs,"
+                f" CAST(SUM({q.format(k=i + 1)} * {q.format(k=j + 1)}) AS BIGINT)"
+                f" AS gram FROM embeddings"
+            )
+    return "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "q206_embedding_gram_matrix",
+    tags=("embedding", "A7", "training-data"),
+    oracle=_gram_oracle(_GRAM_D, _GRAM_SCALE),
+)
+def q206_embedding_gram_matrix(spark: SparkSession, sf_dir: str):
+    """Exact Gram/covariance accumulation over the embedding corpus —
+    the one-pass sufficient statistic behind PCA whitening, degenerate-
+    direction detection and anisotropy audits (the embedding-QA family
+    q160/q181): G[i,j] = Σ_v q_i(v)·q_j(v) over the first {d} dims
+    (Matryoshka-prefix precedent), with q = floor(x·{s}) integer
+    quantization — floor, not round, so both engines agree on every
+    float without half-tie hazards.  All {np} upper-triangle entries
+    come out of ONE hash aggregate with map-side combine (no per-pair
+    pass, no shuffle of vectors), then unpivot to (i, j, n_vecs, gram)
+    rows.  The eigen step on the {d}x{d} result is driver-side numpy
+    (operators/similarity.py::whitening_from_gram) — O(d³) on O(d²)
+    data, the same bounded-driver-state idiom as k-means init.  Scale
+    shape: the corpus is read once; the aggregate state is {np}+1 longs
+    per task."""
+    e = load(spark, sf_dir, "embeddings")
+    q = [
+        F.floor(F.col("embedding").getItem(k) * _GRAM_SCALE).cast("long")
+        for k in range(_GRAM_D)
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")]
+    pairs = []
+    for i in range(_GRAM_D):
+        for j in range(i, _GRAM_D):
+            pairs.append((i, j))
+            aggs.append(F.sum(q[i] * q[j]).cast("long").alias(f"g_{i}_{j}"))
+    one = e.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.col("n_vecs").alias("n_vecs"),
+                F.col(f"g_{i}_{j}").alias("gram"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return (
+        one.select(F.explode(structs).alias("s"))
+        .select("s.i", "s.j", "s.n_vecs", "s.gram")
+    )
+
+
+q206_embedding_gram_matrix.__doc__ = q206_embedding_gram_matrix.__doc__.format(
+    d=_GRAM_D, s=_GRAM_SCALE, np=_GRAM_D * (_GRAM_D + 1) // 2
+)

@@ -148,3 +148,27 @@ def test_mmr_select_matches_bruteforce_greedy(spark):
              "objective": best[1]}
         )
     assert got == want
+
+
+def test_gram_whitening_identity(spark):
+    import numpy as np
+
+    from logistics_data_pipeline_project_spark.operators.similarity import (
+        whitening_from_gram,
+    )
+    from logistics_data_pipeline_project_spark.queries import REGISTRY
+
+    rows = REGISTRY["q206_embedding_gram_matrix"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    d = 8
+    w, vals = whitening_from_gram(rows, d)
+    assert vals.shape == (d,) and np.all(vals > 0)
+    # rebuild cov from the rows and check W whitens it
+    g = np.zeros((d, d))
+    n = rows[0]["n_vecs"]
+    for r in rows:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["gram"]
+    cov = g / n
+    ident = w @ cov @ w.T
+    assert np.allclose(ident, np.eye(d), atol=1e-6)
