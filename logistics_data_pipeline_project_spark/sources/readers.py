@@ -123,3 +123,32 @@ def has_pending_files(path: str, pattern: str = "*") -> bool:
     launching a batch — the reference raises AirflowSkipException
     (dags/utils/check_files.py:19-41); callers here just skip the run."""
     return bool(glob.glob(os.path.join(path, pattern)))
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None = None,
+    recursive: bool = True,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Binary media ingestion: read a directory of image/audio/video
+    files as (path, modificationTime, length, content) rows via Spark's
+    ``binaryFile`` source — the standard way raw media enters a Spark
+    pipeline (one task per file, bytes never touch the driver). Feed the
+    result to ``operators.multimodal.attach_payload_metadata`` /
+    ``decode_media`` for the typed-metadata + decode stages.
+
+    ``pattern`` prunes at LISTING time (pathGlobFilter — unmatched files
+    are never opened); ``max_bytes`` guards against a stray huge file
+    blowing a task's memory (binaryFile materializes one whole file per
+    row by design — media payloads, not datasets)."""
+    r = spark.read.format("binaryFile")
+    if pattern:
+        r = r.option("pathGlobFilter", pattern)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -523,3 +523,53 @@ def test_sample_frames_real_rejects_compressed(spark):
     with _pytest.raises(Exception) as ei:
         sample_frames(df, "id", "payload", decode_stub=False).collect()
     assert "NotImplementedError" in str(ei.value) or "pyav" in str(ei.value)
+
+
+def test_read_media_dir_end_to_end(spark, tmp_path):
+    """binaryFile ingestion -> typed metadata -> real PNG decode: the
+    full media landing path over actual files on disk."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        attach_payload_metadata,
+        encode_png,
+        png_probe,
+    )
+    from logistics_data_pipeline_project_spark.sources.readers import read_media_dir
+
+    media = tmp_path / "media" / "nested"
+    media.mkdir(parents=True)
+    for i in range(4):
+        raw = bytes([(7 * i + x) % 256 for x in range(6)])
+        (media / f"img_{i}.png").write_bytes(encode_png(3, 2, 1, raw))
+    (media / "notes.txt").write_text("not media")
+
+    df = read_media_dir(spark, str(tmp_path / "media"), pattern="*.png")
+    assert df.count() == 4  # the .txt never listed
+    assert {"path", "content", "length", "modificationTime"} <= set(df.columns)
+
+    tagged = attach_payload_metadata(
+        df.select(
+            F.col("content").alias("payload"), F.col("length")
+        ),
+        "payload",
+    )
+    for r in tagged.collect():
+        assert r["media_meta"]["n_bytes"] == r["length"]
+        assert len(r["media_meta"]["sha256"]) == 64
+
+    probed = png_probe(
+        df.select(
+            F.element_at(F.split("path", "img_"), -1).substr(1, 1).cast("long").alias("id"),
+            F.col("content").alias("payload"),
+        ),
+        "id",
+        "payload",
+    ).collect()
+    by_id = {r["id"]: r for r in probed}
+    for i in range(4):
+        assert by_id[i]["width"] == 3 and by_id[i]["height"] == 2
+        assert by_id[i]["first_px"] == (7 * i) % 256
+
+    # max_bytes guard filters oversized payloads at scan time
+    assert read_media_dir(spark, str(tmp_path / "media"), pattern="*.png", max_bytes=10).count() == 0
