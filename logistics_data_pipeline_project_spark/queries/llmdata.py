@@ -7221,3 +7221,160 @@ def q206_embedding_gram_matrix(spark: SparkSession, sf_dir: str):
 q206_embedding_gram_matrix.__doc__ = q206_embedding_gram_matrix.__doc__.format(
     d=_GRAM_D, s=_GRAM_SCALE, np=_GRAM_D * (_GRAM_D + 1) // 2
 )
+
+
+# ---------------------------------------------------------------------------
+# q207 — cross-source contamination matrix (pairwise 8-gram overlap)
+# ---------------------------------------------------------------------------
+
+_XSRC_N = 8
+
+
+@register(
+    "q207_source_overlap_matrix",
+    tags=("dedup", "A3", "J1", "training-data"),
+    oracle=f"""
+WITH toks AS (
+  SELECT source, string_split(lower(text), ' ') AS t FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_XSRC_N}
+), sh AS (
+  SELECT DISTINCT source, array_to_string(t[i:i+{_XSRC_N - 1}], ' ') AS gram
+  FROM (SELECT source, t,
+        unnest(generate_series(1, len(t)-{_XSRC_N - 1})) AS i FROM toks)
+), sz AS (SELECT source, COUNT(*) AS n_grams FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa, sb, shared,
+  CAST(za.n_grams AS BIGINT) AS n_a, CAST(zb.n_grams AS BIGINT) AS n_b,
+  CAST(shared * 1000000 // LEAST(za.n_grams, zb.n_grams) AS BIGINT)
+    AS containment_ppm
+FROM pairs
+JOIN sz za ON za.source = sa
+JOIN sz zb ON zb.source = sb
+""",
+)
+def q207_source_overlap_matrix(spark: SparkSession, sf_dir: str):
+    """Cross-SOURCE contamination matrix — the corpus-level twin of
+    per-document decontamination (q044): for every source pair, how many
+    distinct {n}-grams they share, normalized by the smaller side
+    (containment ppm) — the audit that catches one crawl slice wholesale
+    republishing another before both are "deduplicated" against eval
+    sets only.  Scale shape: the corpus explodes to DISTINCT (source,
+    gram) once (one shuffle); grams then group to their source SET
+    (bounded by |sources|) and pairs explode INSIDE the row — fan-out is
+    C(sources-per-gram, 2) ≤ C(|sources|,2), never a gram-level
+    self-join of the corpus; per-source sizes broadcast onto the ≤
+    C(|sources|,2) result rows.  The oracle takes the opposite
+    (self-join) plan, so agreement certifies the set-fold."""
+    n = _XSRC_N
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.split(F.lower("text"), " ").alias("t")
+    ).filter(F.size("t") >= n)
+    sh = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {n}),"
+                f" i -> array_join(slice(t, i + 1, {n}), ' '))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    sz = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    by_gram = sh.groupBy("gram").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    ).filter(F.size("srcs") >= 2)
+    pairs = by_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) ->"
+                " transform(slice(srcs, i + 2, size(srcs)),"
+                " y -> struct(x AS sa, y AS sb))))"
+            )
+        ).alias("p")
+    ).groupBy("p.sa", "p.sb").agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    za = sz.select(F.col("source").alias("sa"), F.col("n_grams").alias("n_a"))
+    zb = sz.select(F.col("source").alias("sb"), F.col("n_grams").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(za), "sa")
+        .join(F.broadcast(zb), "sb")
+        .select(
+            "sa",
+            "sb",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr("shared * 1000000 div least(n_a, n_b)")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )
+
+
+q207_source_overlap_matrix.__doc__ = q207_source_overlap_matrix.__doc__.format(
+    n=_XSRC_N
+)
+
+
+# ---------------------------------------------------------------------------
+# q208 — dedup savings priced in training tokens, per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q208_dedup_token_savings",
+    tags=("dedup", "A1", "training-data"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+keep AS (
+  SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY h) AS keeper FROM d
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_docs,
+  CAST(SUM(CASE WHEN keeper THEN n_tok ELSE 0 END) AS BIGINT)
+    AS n_effective_tokens,
+  CAST(SUM(CASE WHEN keeper THEN 0 ELSE n_tok END) * 1000000
+       // SUM(n_tok) AS BIGINT) AS waste_ppm
+FROM keep GROUP BY source
+""",
+)
+def q208_dedup_token_savings(spark: SparkSession, sf_dir: str):
+    """Dedup savings PRICED IN TRAINING TOKENS, per source — the number
+    a curation run reports upward: raw token volume, post-exact-dedup
+    effective tokens (first-occurrence keeper by doc_id, the engine's
+    exact-dedup semantics q021/q087), and the ppm of the token budget
+    that duplicates were about to burn.  Token pricing turns "n dup
+    docs" into compute dollars; per-source attribution says WHICH feed
+    to fix.  Scale shape: one window over md5(text) hash groups (only
+    32-byte hashes shuffle — q021's discipline; text never leaves its
+    partition) and one hash aggregate to source grain."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tok"),
+    )
+    w = Window.partitionBy("h")
+    keep = d.withColumn("keeper", F.col("doc_id") == F.min("doc_id").over(w))
+    return keep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("keeper"), 0).otherwise(1)).cast("long").alias("n_dup_docs"),
+        F.sum(F.when(F.col("keeper"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("n_effective_tokens"),
+        F.expr(
+            "sum(case when keeper then 0 else n_tok end) * 1000000"
+            " div sum(n_tok)"
+        )
+        .cast("long")
+        .alias("waste_ppm"),
+    )
