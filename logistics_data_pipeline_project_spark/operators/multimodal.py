@@ -22,13 +22,14 @@ Decode tiers (no image/audio libraries in this container):
   first-frame pixel decode + encode (variable-width LZW both
   directions: `decode_gif_pixels` / `encode_gif` / `gif_probe`) — all
   golden-tested on real byte payloads. Baseline JPEG is a full real codec
-  too (ITU-T T.81 SOF0 grayscale: numpy DCT/IDCT, Annex K quant/Huffman
-  tables, byte stuffing, restart-marker handling — ``encode_jpeg`` /
+  too (ITU-T T.81 SOF0, grayscale and YCbCr 4:4:4 color: numpy DCT/IDCT,
+  Annex K quant/Huffman tables, interleaved MCUs, byte stuffing,
+  restart-marker handling — ``encode_jpeg`` /
   ``decode_jpeg_pixels`` / ``jpeg_probe``). Video frame extraction is
   real for YUV4MPEG2 streams (``encode_y4m`` / ``decode_y4m_frames`` /
   ``y4m_frame_stats``, and ``sample_frames(decode_stub=False)``), the
   uncompressed interchange format that needs no codec. Progressive/
-  color JPEG and COMPRESSED video still raise NotImplementedError where
+  subsampled JPEG and COMPRESSED video still raise NotImplementedError where
   Pillow/pyav calls would go — an honest capability boundary, not a
   silent fake.
 """
@@ -891,6 +892,18 @@ _JPEG_STD_QT = [
     72, 92, 95, 98, 112, 100, 103, 99,
 ]
 
+# Annex K.2 chrominance quantization table (row-major).
+_JPEG_STD_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
 # Annex K.3.3 standard luminance Huffman tables: BITS (count of codes of
 # each length 1..16) and HUFFVAL (symbols in code order).
 _JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -1000,13 +1013,16 @@ def encode_jpeg(
     raw: bytes,
     quality: int = 90,
     qtable: list[int] | None = None,
+    channels: int = 1,
 ) -> bytes:
-    """REAL baseline JPEG encoder (ITU-T T.81, SOF0) for 8-bit grayscale:
-    level shift, 8x8 orthonormal DCT, half-away-from-zero quantization
-    against ``qtable`` (row-major; default: Annex K.1 scaled by
-    ``quality``), zig-zag scan, DC difference coding and run-length AC
-    coding against the Annex K.3.3 standard luminance Huffman tables,
-    with byte stuffing. Output is a standard JFIF file any decoder reads.
+    """REAL baseline JPEG encoder (ITU-T T.81, SOF0) for 8-bit grayscale
+    (``channels=1``) or RGB via YCbCr 4:4:4 (``channels=3``, interleaved
+    MCUs, Annex K.2 chroma quantization): level shift, 8x8 orthonormal
+    DCT, half-away-from-zero quantization against ``qtable`` (row-major;
+    default: Annex K.1 scaled by ``quality``), zig-zag scan, DC
+    difference coding and run-length AC coding against the Annex K.3.3
+    standard luminance Huffman tables, with byte stuffing. Output is a
+    standard JFIF file any decoder reads.
 
     Edge blocks replicate the last row/column (the common encoder
     padding; pixels outside the image are never emitted by the decoder).
@@ -1015,88 +1031,129 @@ def encode_jpeg(
 
     import numpy as np
 
-    if len(raw) != width * height:
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (grayscale) or 3 (RGB)")
+    if len(raw) != width * height * channels:
         raise ValueError("raw buffer size does not match dimensions")
     if width == 0 or height == 0:
         raise ValueError("empty image")
     qt = list(qtable) if qtable is not None else jpeg_qtable(quality)
     if len(qt) != 64 or not all(1 <= t <= 255 for t in qt):
         raise ValueError("qtable must be 64 entries in 1..255")
+    # chroma table: explicit qtable applies to ALL components (the
+    # exactness path); otherwise Annex K.2 scaled like K.1
+    if qtable is not None:
+        qt_c = qt
+    else:
+        scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+        qt_c = [
+            max(1, min(255, (t * scale + 50) // 100)) for t in _JPEG_STD_QT_CHROMA
+        ]
 
-    img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, channels)
+    if channels == 3:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qts = [qt, qt_c, qt_c]
+    else:
+        planes = [img[:, :, 0].astype(np.float64)]
+        qts = [qt]
+
     bw = (width + 7) // 8 * 8
     bh = (height + 7) // 8 * 8
-    padded = np.empty((bh, bw), dtype=np.float64)
-    padded[:height, :width] = img
-    if bw > width:
-        padded[:height, width:] = img[:, -1:]
-    if bh > height:
-        padded[height:, :] = padded[height - 1 : height, :]
-    padded -= 128.0
-
     c = _dct_matrix()
     nby, nbx = bh // 8, bw // 8
-    blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-    coef = np.einsum("ij,yxjk,lk->yxil", c, blocks, c)
-    q = np.asarray(qt, dtype=np.float64).reshape(8, 8)
-    ratio = coef / q
-    quant = (np.sign(ratio) * np.floor(np.abs(ratio) + 0.5)).astype(np.int32)
+    quants = []
+    for plane, q_tab in zip(planes, qts):
+        padded = np.empty((bh, bw), dtype=np.float64)
+        padded[:height, :width] = plane
+        if bw > width:
+            padded[:height, width:] = plane[:, -1:]
+        if bh > height:
+            padded[height:, :] = padded[height - 1 : height, :]
+        padded -= 128.0
+        blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,yxjk,lk->yxil", c, blocks, c)
+        q = np.asarray(q_tab, dtype=np.float64).reshape(8, 8)
+        ratio = coef / q
+        quants.append(
+            (np.sign(ratio) * np.floor(np.abs(ratio) + 0.5)).astype(np.int32)
+        )
 
+    # one standard luminance Huffman set serves every component (file-
+    # defined tables, so any decoder reads it; slightly suboptimal for
+    # chroma, irrelevant for correctness)
     dc_codes = _build_huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _build_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     zz = np.asarray(_JPEG_ZIGZAG)
     writer = _BitWriter()
-    prev_dc = 0
+    prev_dc = [0] * channels
     for by in range(nby):
-        for bx in range(nbx):
-            zig = quant[by, bx].reshape(64)[zz]
-            dc = int(zig[0])
-            diff = dc - prev_dc
-            prev_dc = dc
-            s = _jpeg_category(diff)
-            code, length = dc_codes[s]
-            writer.write(code, length)
-            if s:
-                writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = int(np.max(np.nonzero(zig)[0])) if np.any(zig) else 0
-            for k in range(1, 64):
-                v = int(zig[k])
-                if v == 0:
-                    if k > last_nz:
-                        code, length = ac_codes[0x00]  # EOB
-                        writer.write(code, length)
-                        break
-                    run += 1
-                    if run == 16:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        writer.write(code, length)
-                        run = 0
-                    continue
-                s = _jpeg_category(v)
-                code, length = ac_codes[(run << 4) | s]
+        for bx in range(nbx):  # 4:4:4 MCU = one block per component
+            for comp in range(channels):
+                zig = quants[comp][by, bx].reshape(64)[zz]
+                dc = int(zig[0])
+                diff = dc - prev_dc[comp]
+                prev_dc[comp] = dc
+                s = _jpeg_category(diff)
+                code, length = dc_codes[s]
                 writer.write(code, length)
-                writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                if s:
+                    writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
                 run = 0
+                last_nz = int(np.max(np.nonzero(zig)[0])) if np.any(zig) else 0
+                for k in range(1, 64):
+                    v = int(zig[k])
+                    if v == 0:
+                        if k > last_nz:
+                            code, length = ac_codes[0x00]  # EOB
+                            writer.write(code, length)
+                            break
+                        run += 1
+                        if run == 16:
+                            code, length = ac_codes[0xF0]  # ZRL
+                            writer.write(code, length)
+                            run = 0
+                        continue
+                    s = _jpeg_category(v)
+                    code, length = ac_codes[(run << 4) | s]
+                    writer.write(code, length)
+                    writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
     entropy = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     zz_qt = bytes(qt[_JPEG_ZIGZAG[k]] for k in range(64))
+    dqt = seg(0xFFDB, b"\x00" + zz_qt)  # table 0, zig-zag order
+    if channels == 3:
+        zz_qt_c = bytes(qt_c[_JPEG_ZIGZAG[k]] for k in range(64))
+        dqt += seg(0xFFDB, b"\x01" + zz_qt_c)  # table 1 (chroma)
+        sof_comps = b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        sos_comps = b"\x03\x01\x00\x02\x00\x03\x00"
+    else:
+        sof_comps = b"\x01\x11\x00"
+        sos_comps = b"\x01\x01\x00"
     dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xFFDB, b"\x00" + zz_qt)  # DQT, 8-bit, table 0, zig-zag order
+        + dqt
         + seg(
             0xFFC0,
-            struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00",
-        )  # SOF0: 1 component, 1x1 sampling, qtable 0
+            struct.pack(">BHHB", 8, height, width, channels) + sof_comps,
+        )  # SOF0: 1x1 sampling throughout (4:4:4)
         + seg(0xFFC4, dht_dc)
         + seg(0xFFC4, dht_ac)
-        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+        + seg(0xFFDA, sos_comps + b"\x00\x3f\x00")  # SOS
         + entropy
         + b"\xff\xd9"  # EOI
     )
@@ -1155,18 +1212,21 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL baseline JPEG decoder (ITU-T T.81, SOF0) for 8-bit grayscale:
-    marker walk (DQT in zig-zag order, DHT, optional DRI with RSTn
-    handling), Huffman entropy decode with byte-unstuffing, dequantize,
-    batched orthonormal IDCT over all blocks at once (numpy einsum),
-    level shift, clamp, crop to the SOF dimensions. Returns (width,
-    height, raw) with ``raw`` row-major ``width*height`` bytes.
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline JPEG decoder (ITU-T T.81, SOF0) for 8-bit grayscale
+    and YCbCr 4:4:4 color: marker walk (DQT in zig-zag order, DHT,
+    optional DRI with RSTn handling), Huffman entropy decode of the
+    interleaved MCUs with byte-unstuffing and per-component DC
+    predictors, dequantize, batched orthonormal IDCT over all blocks of
+    each component at once (numpy einsum), YCbCr→RGB for color, level
+    shift, clamp, crop to the SOF dimensions. Returns (width, height,
+    channels, raw) with ``raw`` row-major ``width*height*channels``
+    bytes — the decode_png_pixels convention.
 
     Raises ValueError for non-JPEG bytes and NotImplementedError for the
     JPEG features that genuinely need libjpeg (progressive/SOF2,
-    arithmetic coding, multi-component color, 12-bit precision) — the
-    same honest capability surface as the PNG/GIF decoders."""
+    arithmetic coding, chroma subsampling, 12-bit precision) — the same
+    honest capability surface as the PNG/GIF decoders."""
     import struct
 
     import numpy as np
@@ -1177,7 +1237,7 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
     dc_tables: dict[int, dict[tuple[int, int], int]] = {}
     ac_tables: dict[int, dict[tuple[int, int], int]] = {}
     width = height = -1
-    comp_qt = comp_dc = comp_ac = 0
+    comps: list[dict] = []  # SOF order: {id, qt}; scan adds dc/ac
     restart_interval = 0
     i = 2
     sos_at = -1
@@ -1212,13 +1272,17 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
             _prec, height, width, nf = struct.unpack(">BHHB", body[:6])
             if _prec != 8:
                 raise NotImplementedError("12-bit JPEG unsupported")
-            if nf != 1:
+            if nf not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component JPEG color needs libjpeg; grayscale only"
+                    f"{nf}-component JPEG unsupported (grayscale or YCbCr)"
                 )
-            comp_qt = body[8]
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG unsupported")
+            for ci in range(nf):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG needs libjpeg; 4:4:4 only"
+                    )
+                comps.append({"id": cid, "qt": tq})
         elif marker == 0xC4:  # DHT — may carry several tables
             j = 0
             while j < len(body):
@@ -1234,15 +1298,28 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
-            comp_dc = body[2] >> 4
-            comp_ac = body[2] & 0x0F
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan JPEG unsupported")
+            by_id = {c["id"]: c for c in comps}
+            for si in range(ns):
+                cs, tables = body[1 + 2 * si], body[2 + 2 * si]
+                if cs not in by_id:
+                    raise ValueError("JPEG scan names unknown component")
+                by_id[cs]["dc"] = tables >> 4
+                by_id[cs]["ac"] = tables & 0x0F
             sos_at = i + 2 + size
             break
         i += 2 + size
     if sos_at < 0 or width <= 0:
         raise ValueError("JPEG missing SOF/SOS")
-    if comp_qt not in qtables or comp_dc not in dc_tables or comp_ac not in ac_tables:
-        raise ValueError("JPEG missing quant/Huffman table for scan")
+    for comp in comps:
+        if (
+            comp["qt"] not in qtables
+            or comp.get("dc") not in dc_tables
+            or comp.get("ac") not in ac_tables
+        ):
+            raise ValueError("JPEG missing quant/Huffman table for scan")
 
     # De-stuff the entropy segment: 0xFF00 -> 0xFF; RSTn markers split
     # the stream into restart intervals (DC predictor resets at each).
@@ -1269,52 +1346,72 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, bytes]:
 
     nbx = (width + 7) // 8
     nby = (height + 7) // 8
-    total_blocks = nbx * nby
-    quant = np.zeros((total_blocks, 64), dtype=np.float64)
-    dc_t, ac_t = dc_tables[comp_dc], ac_tables[comp_ac]
-    per_segment = restart_interval if restart_interval else total_blocks
-    blk = 0
+    total_mcus = nbx * nby
+    nc = len(comps)
+    quant = [np.zeros((total_mcus, 64), dtype=np.float64) for _ in range(nc)]
+    per_segment = restart_interval if restart_interval else total_mcus
+    mcu = 0
     for seg_bytes in segments:
         reader = _BitReader(seg_bytes)
-        prev_dc = 0
-        for _ in range(min(per_segment, total_blocks - blk)):
-            s = reader.read_huffman(dc_t)
-            diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
-            prev_dc += diff
-            quant[blk, _JPEG_ZIGZAG[0]] = prev_dc
-            k = 1
-            while k < 64:
-                sym = reader.read_huffman(ac_t)
-                if sym == 0x00:  # EOB
-                    break
-                run, s = sym >> 4, sym & 0x0F
-                if s == 0:
-                    if run != 15:
-                        raise ValueError("bad JPEG AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC run overflows block")
-                quant[blk, _JPEG_ZIGZAG[k]] = _jpeg_extend(reader.read_bits(s), s)
-                k += 1
-            blk += 1
-        if blk >= total_blocks:
+        prev_dc = [0] * nc
+        for _ in range(min(per_segment, total_mcus - mcu)):
+            for ci, comp in enumerate(comps):  # 4:4:4 MCU: 1 block/comp
+                dc_t = dc_tables[comp["dc"]]
+                ac_t = ac_tables[comp["ac"]]
+                s = reader.read_huffman(dc_t)
+                diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                quant[ci][mcu, _JPEG_ZIGZAG[0]] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = reader.read_huffman(ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if run != 15:
+                            raise ValueError("bad JPEG AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows block")
+                    quant[ci][mcu, _JPEG_ZIGZAG[k]] = _jpeg_extend(
+                        reader.read_bits(s), s
+                    )
+                    k += 1
+            mcu += 1
+        if mcu >= total_mcus:
             break
-    if blk != total_blocks:
+    if mcu != total_mcus:
         raise ValueError("JPEG entropy stream ended early")
 
-    q = np.asarray(qtables[comp_qt], dtype=np.float64)
-    coef = (quant * q).reshape(total_blocks, 8, 8)
     c = _dct_matrix()
-    spatial = np.einsum("ji,bjk,kl->bil", c, coef, c) + 128.0
-    pixels = np.clip(np.floor(spatial + 0.5), 0, 255).astype(np.uint8)
-    img = (
-        pixels.reshape(nby, nbx, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(nby * 8, nbx * 8)
+    planes = []
+    for ci, comp in enumerate(comps):
+        q = np.asarray(qtables[comp["qt"]], dtype=np.float64)
+        coef = (quant[ci] * q).reshape(total_mcus, 8, 8)
+        spatial = np.einsum("ji,bjk,kl->bil", c, coef, c) + 128.0
+        plane = (
+            spatial.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)[:height, :width]
+        )
+        planes.append(plane)
+    if nc == 1:
+        out = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return int(width), int(height), 1, out.tobytes()
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
     )
-    return int(width), int(height), img[:height, :width].tobytes()
+    out = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return int(width), int(height), 3, out.tobytes()
 
 
 def jpeg_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -1328,7 +1425,7 @@ def jpeg_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         for pdf in batches:
             out = []
             for _id, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, raw = decode_jpeg_pixels(
+                w, h, ch, raw = decode_jpeg_pixels(
                     bytes(payload) if payload is not None else b""
                 )
                 out.append(
@@ -1336,12 +1433,14 @@ def jpeg_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                         "id": int(_id),
                         "width": w,
                         "height": h,
+                        "channels": ch,
                         "first_px": raw[0],
                         "px_sum": sum(raw),
                     }
                 )
             yield pd.DataFrame(
-                out, columns=["id", "width", "height", "first_px", "px_sum"]
+                out,
+                columns=["id", "width", "height", "channels", "first_px", "px_sum"],
             )
 
     cols = df.select(
@@ -1349,7 +1448,11 @@ def jpeg_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         F.col(payload_col).cast(BinaryType()).alias(payload_col),
     )
     return cols.mapInPandas(
-        probe, schema="id long, width int, height int, first_px int, px_sum long"
+        probe,
+        schema=(
+            "id long, width int, height int, channels int,"
+            " first_px int, px_sum long"
+        ),
     )
 
 

@@ -374,8 +374,8 @@ def test_jpeg_flat_tiles_roundtrip_exact():
     vals = [[17, 255, 0], [128, 77, 200], [1, 99, 161]]
     raw = bytes(vals[y // 8][x // 8] for y in range(h) for x in range(w))
     payload = encode_jpeg(w, h, raw, qtable=[8] * 64)
-    w2, h2, dec = decode_jpeg_pixels(payload)
-    assert (w2, h2) == (w, h)
+    w2, h2, ch, dec = decode_jpeg_pixels(payload)
+    assert (w2, h2, ch) == (w, h, 1)
     assert dec == raw
     # deterministic bytes
     assert encode_jpeg(w, h, raw, qtable=[8] * 64) == payload
@@ -393,7 +393,7 @@ def test_jpeg_lossy_quality_bounds_error():
     rng = np.random.RandomState(11)
     img = rng.randint(0, 256, (24, 17), dtype=np.uint8)
     payload = encode_jpeg(17, 24, img.tobytes(), quality=90)
-    w, h, dec = decode_jpeg_pixels(payload)
+    w, h, _ch, dec = decode_jpeg_pixels(payload)
     assert (w, h) == (17, 24)
     got = np.frombuffer(dec, dtype=np.uint8).astype(int).reshape(24, 17)
     err = np.abs(got - img.astype(int))
@@ -401,7 +401,7 @@ def test_jpeg_lossy_quality_bounds_error():
     # smooth content at q95 is near-exact
     xx, yy = np.meshgrid(np.arange(40), np.arange(32))
     smooth = ((xx * 3 + yy * 5) // 2 % 256).astype(np.uint8)
-    _, _, dec2 = decode_jpeg_pixels(encode_jpeg(40, 32, smooth.tobytes(), quality=95))
+    _, _, _, dec2 = decode_jpeg_pixels(encode_jpeg(40, 32, smooth.tobytes(), quality=95))
     err2 = np.abs(
         np.frombuffer(dec2, dtype=np.uint8).astype(int) - smooth.astype(int).ravel()
     )
@@ -414,8 +414,8 @@ def test_jpeg_non_multiple_of_8_shapes():
     rng = np.random.RandomState(3)
     for w, h in [(1, 1), (7, 3), (9, 17), (8, 5)]:
         img = rng.randint(0, 256, h * w).astype(np.uint8).tobytes()
-        w2, h2, dec = decode_jpeg_pixels(encode_jpeg(w, h, img, quality=95))
-        assert (w2, h2) == (w, h) and len(dec) == w * h
+        w2, h2, ch, dec = decode_jpeg_pixels(encode_jpeg(w, h, img, quality=95))
+        assert (w2, h2, ch) == (w, h, 1) and len(dec) == w * h
 
 
 def test_jpeg_qtable_scaling_convention():
@@ -573,3 +573,89 @@ def test_read_media_dir_end_to_end(spark, tmp_path):
 
     # max_bytes guard filters oversized payloads at scan time
     assert read_media_dir(spark, str(tmp_path / "media"), pattern="*.png", max_bytes=10).count() == 0
+
+
+def test_jpeg_color_flat_tiles_roundtrip_exact():
+    # flat gray RGB tiles (R=G=B): Y carries the value, Cb/Cr quantize to
+    # exactly 0, so the 3-component interleaved pipeline round-trips
+    # bit-for-bit with the uniform qtable — certifying the MCU
+    # interleave, per-component DC predictors, and both color transforms.
+    w = h = 16
+    vals = [[10, 250], [128, 64]]
+    raw = bytes(
+        vals[y // 8][x // 8]
+        for y in range(h)
+        for x in range(w)
+        for _c in range(3)
+    )
+    payload = encode_jpeg(w, h, raw, qtable=[8] * 64, channels=3)
+    w2, h2, ch, dec = decode_jpeg_pixels(payload)
+    assert (w2, h2, ch) == (w, h, 3)
+    assert dec == raw
+    assert parse_image_header(payload) == (w, h)
+
+
+def test_jpeg_color_lossy_close():
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (16, 9, 3), dtype=np.uint8)
+    payload = encode_jpeg(9, 16, img.tobytes(), quality=95, channels=3)
+    w, h, ch, dec = decode_jpeg_pixels(payload)
+    assert (w, h, ch) == (9, 16, 3)
+    got = np.frombuffer(dec, dtype=np.uint8).astype(int).reshape(16, 9, 3)
+    err = np.abs(got - img.astype(int))
+    assert err.mean() < 16 and err.max() < 128  # chroma noise at q95
+
+
+def test_jpeg_restart_marker_decode():
+    # the encoder never emits DRI, so build a restart-interval stream by
+    # hand: two flat 8x8 tiles, each entropy-coded in its own interval
+    # (DC predictor resets to 0 at RST0), DRI=1.
+    import struct
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _BitWriter,
+        _build_huffman_codes,
+        _jpeg_category,
+    )
+
+    dc_codes = _build_huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _build_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def interval(v):  # one flat tile: dc = 8*(v-128)/8 = v-128, ACs zero
+        wtr = _BitWriter()
+        diff = v - 128  # predictor reset: diff IS the dc
+        s = _jpeg_category(diff)
+        code, length = dc_codes[s]
+        wtr.write(code, length)
+        if s:
+            wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        code, length = ac_codes[0x00]  # EOB
+        wtr.write(code, length)
+        return wtr.flush()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt_zz = bytes([8] * 64)
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + qt_zz)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 16, 1) + b"\x01\x11\x00")
+        + seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xFFDD, struct.pack(">H", 1))  # DRI: restart every MCU
+        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        + interval(77)
+        + b"\xff\xd0"  # RST0
+        + interval(201)
+        + b"\xff\xd9"
+    )
+    w, h, ch, dec = decode_jpeg_pixels(payload)
+    assert (w, h, ch) == (16, 8, 1)
+    assert dec == bytes([77] * 8 + [201] * 8) * 8
