@@ -582,3 +582,29 @@ def _stats_encode(v):
         # refusal; callers cast the column for stats purposes
         raise TypeError("decimal stats unsupported; cast to double/long first")
     raise TypeError(f"unsupported stats type {type(v).__name__}")
+
+
+def optimize_zorder(
+    store: TableStore,
+    name: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> dict:
+    """OPTIMIZE ZORDER BY: rewrite the current snapshot range-partitioned
+    on the interleaved-bit key of ``cols`` (operators.scale.zorder_key),
+    commit atomically, and refresh the data-skipping stats for the same
+    columns — after which ``read_pruned`` on ANY of the clustered columns
+    opens a file subset (multi-dimensional clustering + file skipping,
+    the Delta OPTIMIZE ZORDER pairing). Returns the new stats dict."""
+    from ..operators.scale import zorder_key
+
+    cur = store.current_version(name)
+    if cur is None:
+        raise KeyError(f"no table {name!r}")
+    df = store.read(name)
+    clustered = df.repartitionByRange(
+        n_files, zorder_key(cols, bits=bits)
+    ).localCheckpoint(eager=True)
+    store.overwrite(name, clustered, meta=store.meta(name) or None)
+    return store.analyze(name, cols)

@@ -7378,3 +7378,77 @@ def q208_dedup_token_savings(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("waste_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 — color JPEG codec audit (YCbCr 4:4:4, oracle-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q209_jpeg_color_audit",
+    tags=("multimodal", "U1"),
+    oracle=f"""
+WITH tiles AS (
+  SELECT d.doc_id, t.b, (d.doc_id * 13 + t.b * 29) % 256 AS v
+  FROM documents d
+  CROSS JOIN generate_series(0, {_JPEG_TILES_X * _JPEG_TILES_Y - 1}) t(b)
+)
+SELECT doc_id,
+  CAST({_JPEG_TILES_X * 8} AS INTEGER) AS width,
+  CAST({_JPEG_TILES_Y * 8} AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST(doc_id * 13 % 256 AS INTEGER) AS first_px,
+  CAST(SUM(v) * 64 * 3 AS BIGINT) AS px_sum
+FROM tiles GROUP BY doc_id
+""",
+)
+def q209_jpeg_color_audit(spark: SparkSession, sf_dir: str):
+    """COLOR twin of q199: a genuine 3-component YCbCr 4:4:4 baseline
+    JFIF per document — flat GRAY tiles (R=G=B = (doc_id*13+29b) mod
+    256), so Y carries the exact integer value while Cb/Cr quantize to
+    exactly 0 and the interleaved-MCU pipeline (per-component DC
+    predictor chains, two quantization tables, both color transforms)
+    is integer-exact END TO END; the oracle recomputes the whole-image
+    RGB pixel sum in closed form.  Chromatic content is lossy by nature
+    and lives in the property tests; this query certifies the color
+    STRUCTURE bit-for-bit.  Same two-stage mapInPandas shape as q199."""
+    from ..operators.multimodal import jpeg_probe
+
+    w_px, h_px = _JPEG_TILES_X * 8, _JPEG_TILES_Y * 8
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_jpeg
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                raw = bytes(
+                    (doc_id * 13 + 29 * ((y // 8) * _JPEG_TILES_X + x // 8)) % 256
+                    for y in range(h_px)
+                    for x in range(w_px)
+                    for _c in range(3)
+                )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_jpeg(
+                            w_px, h_px, raw, qtable=[8] * 64, channels=3
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return jpeg_probe(gen_df, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        "channels",
+        "first_px",
+        "px_sum",
+    )

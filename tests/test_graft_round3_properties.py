@@ -139,3 +139,54 @@ def test_gif_lzw_roundtrip_arbitrary_bytes(data):
     )
 
     assert _gif_lzw_decode(_gif_lzw_encode(data, 8), 8) == data
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec properties (no Spark needed — pure codec)
+# ---------------------------------------------------------------------------
+
+jpeg_dims = st.tuples(st.integers(1, 21), st.integers(1, 19))
+
+
+@prop
+@given(dims=jpeg_dims, seed=st.integers(0, 2**31 - 1), channels=st.sampled_from([1, 3]))
+def test_jpeg_roundtrip_shape_and_bound(dims, seed, channels):
+    import numpy as np
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    w, h = dims
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, h * w * channels).astype(np.uint8).tobytes()
+    payload = encode_jpeg(w, h, img, quality=95, channels=channels)
+    w2, h2, ch2, dec = decode_jpeg_pixels(payload)
+    assert (w2, h2, ch2) == (w, h, channels)
+    assert len(dec) == w * h * channels
+    # encode is deterministic; decode of the same payload is stable
+    assert encode_jpeg(w, h, img, quality=95, channels=channels) == payload
+    err = np.abs(
+        np.frombuffer(dec, np.uint8).astype(int) - np.frombuffer(img, np.uint8).astype(int)
+    )
+    assert err.mean() < 24  # q95 noise bound, chroma included
+
+
+@prop
+@given(
+    vals=st.lists(st.integers(0, 255), min_size=1, max_size=6),
+    channels=st.sampled_from([1, 3]),
+)
+def test_jpeg_flat_tiles_always_exact(vals, channels):
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    w, h = 8 * len(vals), 8
+    raw = bytes(
+        vals[x // 8] for _y in range(h) for x in range(w) for _c in range(channels)
+    )
+    payload = encode_jpeg(w, h, raw, qtable=[8] * 64, channels=channels)
+    assert decode_jpeg_pixels(payload) == (w, h, channels, raw)

@@ -381,3 +381,26 @@ def test_zordered_table_prunes_on_both_dims(spark, tmp_path):
     _, kept_b, _ = store.read_pruned("z", "b", "between", 0, 7)
     # z-order clusters BOTH dims: each single-dim range must skip files
     assert kept_a < total and kept_b < total
+
+
+def test_optimize_zorder_enables_pruning_on_all_dims(spark, tmp_path):
+    from logistics_data_pipeline_project_spark.plans.materialize import (
+        TableStore,
+        optimize_zorder,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    grid = spark.range(64 * 64).selectExpr(
+        "id % 64 as a", "id div 64 as b", "id as payload"
+    )
+    # worst-case incoming layout: clustered on NEITHER dim after shuffle
+    store.overwrite("g", grid.repartition(16))
+    before = store.read("g").count()
+    stats = optimize_zorder(store, "g", ["a", "b"], n_files=16, bits=6)
+    assert len(stats["files"]) >= 2
+    assert store.read("g").count() == before  # rewrite is lossless
+    _, kept_a, total = store.read_pruned("g", "a", "between", 0, 7)
+    _, kept_b, _ = store.read_pruned("g", "b", "between", 0, 7)
+    assert kept_a < total and kept_b < total
+    df, _, _ = store.read_pruned("g", "a", "=", 5)
+    assert df.count() == 64
