@@ -248,3 +248,93 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str,
+    manifest_cols: Sequence[str] | None = None,
+) -> dict:
+    """Deterministic training-data export: write ``df`` into exactly
+    ``n_shards`` parquet shard directories (``shard=K``), rows assigned
+    by md5(key) — the SAME uniform, partitioning-stable draw as the
+    engine's samplers (q045) and ring sharding (q177) — and commit a
+    ``_MANIFEST.json`` recording per-shard row counts and an
+    order-insensitive content checksum (sum of per-row xxhash64 over
+    ``manifest_cols``, wrapped to uint64). A trainer (or a re-export on
+    a different cluster layout) verifies integrity per shard without
+    re-reading the source.
+
+    Shard assignment depends only on row KEYS, so re-running on any
+    partitioning/cluster size reproduces byte-identical shard
+    membership; one shuffle on the shard id; the manifest aggregate
+    rides the same pass. Returns the manifest dict."""
+    import json
+    import os
+
+    cols = list(manifest_cols or df.columns)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_shards),
+    ).alias("shard")
+    tagged = df.withColumn("shard", shard).repartition(n_shards, "shard")
+    tagged.write.mode("overwrite").partitionBy("shard").parquet(path)
+    written = (
+        tagged.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.xxhash64(*cols)).cast("long").alias("content_sum"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "key": key,
+        "manifest_cols": cols,
+        "shards": {
+            str(r["shard"]): {
+                "n_rows": r["n_rows"],
+                "content_sum": r["content_sum"],
+            }
+            for r in written
+        },
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def verify_shards(spark, path: str) -> dict:
+    """Re-derive every shard's row count and content checksum from the
+    written files and compare with ``_MANIFEST.json``. Returns
+    {shard: 'ok' | 'mismatch' | 'missing'} — the integrity gate a
+    training job runs before consuming an exported corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    df = spark.read.parquet(path)
+    cols = manifest["manifest_cols"]
+    got = {
+        str(r["shard"]): (r["n_rows"], r["content_sum"])
+        for r in df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.xxhash64(*cols)).cast("long").alias("content_sum"),
+        )
+        .collect()
+    }
+    out = {}
+    for shard, want in manifest["shards"].items():
+        if shard not in got:
+            out[shard] = "missing"
+        elif got[shard] == (want["n_rows"], want["content_sum"]):
+            out[shard] = "ok"
+        else:
+            out[shard] = "mismatch"
+    return out

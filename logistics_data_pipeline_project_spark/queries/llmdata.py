@@ -7452,3 +7452,87 @@ def q209_jpeg_color_audit(spark: SparkSession, sf_dir: str):
         "first_px",
         "px_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — preference-pair construction (reward-model training examples)
+# ---------------------------------------------------------------------------
+
+_PREF_PAIRS_PER_GROUP = 3
+
+
+@register(
+    "q210_preference_pairs",
+    tags=("training-data", "W1", "J5", "eval"),
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, source,
+    CAST(len(list_distinct(string_split(lower(text), ' '))) * 1000000
+      // len(string_split(lower(text), ' ')) AS BIGINT) AS score
+  FROM documents
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY score DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM s
+)
+SELECT a.source,
+  CAST(a.rk AS INTEGER) AS pair_rank,
+  a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+  a.score AS chosen_score, b.score AS rejected_score,
+  a.score - b.score AS margin_ppm
+FROM r a JOIN r b
+  ON a.source = b.source AND b.rk = a.rk + a.n // 2
+WHERE a.rk <= {_PREF_PAIRS_PER_GROUP} AND a.score > b.score
+""",
+)
+def q210_preference_pairs(spark: SparkSession, sf_dir: str):
+    """Preference-pair construction — the reward-model / DPO data stage:
+    within each prompt group (source), documents rank by quality score
+    (lexical uniqueness ppm, total tiebreak) and the top-{k} each pair
+    with the document half the group below them (rank i ↔ rank i+n/2) —
+    the standard "clear margin" pairing that avoids near-tie label noise;
+    pairs where the margin would be ≤ 0 are dropped, and the exact
+    integer margin rides along as a training weight.  Scale shape: ONE
+    shuffle to the group partition serves both rank windows, then a
+    self-join on (group, rank) — rank is unique per group so the join is
+    1:1, no fan-out; output is k rows per group."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 1000000L"
+            " div size(split(lower(text), ' '))"
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    r = d.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    a = r.filter(F.col("rk") <= _PREF_PAIRS_PER_GROUP).select(
+        "source",
+        F.col("rk").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+        (F.col("rk") + F.expr("n div 2")).alias("target_rk"),
+    )
+    b = r.select(
+        "source",
+        F.col("rk").alias("target_rk"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        a.join(b, ["source", "target_rk"])
+        .filter(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            "source",
+            F.col("pair_rank").cast("integer").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin_ppm"),
+        )
+    )

@@ -404,3 +404,29 @@ def test_optimize_zorder_enables_pruning_on_all_dims(spark, tmp_path):
     assert kept_a < total and kept_b < total
     df, _, _ = store.read_pruned("g", "a", "=", 5)
     assert df.count() == 64
+
+
+def test_export_shards_deterministic_and_verifiable(spark, tmp_path):
+    from logistics_data_pipeline_project_spark.operators.scale import (
+        export_shards,
+        verify_shards,
+    )
+
+    df = spark.range(2000).selectExpr("id", "id % 7 as v")
+    m1 = export_shards(df, str(tmp_path / "exp1"), 8, "id")
+    assert sum(s["n_rows"] for s in m1["shards"].values()) == 2000
+    # re-export from a DIFFERENT partitioning: identical shard membership
+    m2 = export_shards(df.repartition(3), str(tmp_path / "exp2"), 8, "id")
+    assert m1["shards"] == m2["shards"]
+    assert set(verify_shards(spark, str(tmp_path / "exp1")).values()) == {"ok"}
+    # corrupt one shard -> flagged, others stay ok
+    import os
+    import shutil
+
+    shard_dir = next(
+        str(p) for p in (tmp_path / "exp1").iterdir() if p.name.startswith("shard=")
+    )
+    shutil.rmtree(shard_dir)
+    status = verify_shards(spark, str(tmp_path / "exp1"))
+    assert "missing" in status.values() or "mismatch" in status.values()
+    assert list(status.values()).count("ok") == 7
