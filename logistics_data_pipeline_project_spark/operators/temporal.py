@@ -131,3 +131,34 @@ def interval_bin_join(
         & (F.unix_micros(F.col(ts_col)) <= F.unix_micros(F.col(end_col)))
     )
     return joined.drop("__bin")
+
+
+def bitemporal_read(
+    store,
+    name: str,
+    valid_at: Column,
+    tx_version: int | None = None,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+):
+    """Bitemporal point-in-time read: "what did we BELIEVE (transaction
+    time) the world looked like AT (valid time)". The two time axes come
+    from two orthogonal engine primitives composed, not a new format:
+
+    - transaction time = the versioned TableStore snapshot (every SCD2
+      rewrite commits a new immutable version; ``tx_version`` selects
+      what the warehouse knew then — pointer lookup, zero data copy),
+    - valid time = the SCD2 interval filter (``scd2_as_of``) inside that
+      snapshot — a pure scan-pushed predicate.
+
+    This answers the audit/backtest class of question ("as of last
+    Tuesday's load, what was the customer's segment on Jan 1") that
+    neither axis alone can: rolling back transaction time undoes bad
+    loads, rolling back valid time undoes real-world change. Cost: one
+    filtered scan of one snapshot — no join, no window."""
+    from .merge import scd2_as_of
+
+    hist = store.read(name, version=tx_version)
+    return scd2_as_of(
+        hist, valid_at, valid_from_col=valid_from_col, valid_to_col=valid_to_col
+    )

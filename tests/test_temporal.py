@@ -140,3 +140,49 @@ def test_asof_join_forward_matches_reference(spark):
         ).collect()
     }
     assert strict[(1, 10)] == (30, "b")
+
+
+def test_bitemporal_read_separates_the_two_time_axes(spark, tmp_path):
+    """Transaction-time rollback (what we KNEW) vs valid-time as-of (what
+    WAS) — the composition must answer all four quadrant queries."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.operators.merge import scd2_apply
+    from logistics_data_pipeline_project_spark.operators.temporal import (
+        bitemporal_read,
+    )
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    hist0 = spark.createDataFrame(
+        [(1, "bronze", "2024-01-01 00:00:00", None, True)],
+        "cust long, segment string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "cust", "segment",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    store.overwrite("dim", hist0)  # tx v1: bronze since Jan 1
+
+    # Feb 1 load: segment changes to gold
+    upd = spark.createDataFrame([(1, "gold")], "cust long, segment string")
+    hist1 = scd2_apply(
+        store.read("dim"), upd, "cust", ["segment"],
+        F.lit("2024-02-01 00:00:00").cast("timestamp"),
+    )
+    store.overwrite("dim", hist1.localCheckpoint(eager=True))  # tx v2
+
+    v1, v2 = store.versions("dim")[-2:]
+    jan15 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    feb15 = F.lit("2024-02-15 00:00:00").cast("timestamp")
+
+    def seg(tx, valid):
+        rows = bitemporal_read(store, "dim", valid, tx_version=tx).collect()
+        return rows[0]["segment"] if rows else None
+
+    assert seg(v2, jan15) == "bronze"   # latest knowledge, old valid time
+    assert seg(v2, feb15) == "gold"     # latest knowledge, new valid time
+    assert seg(v1, jan15) == "bronze"   # old knowledge, old valid time
+    # old knowledge never saw the Feb change — still bronze at Feb 15
+    assert seg(v1, feb15) == "bronze"
