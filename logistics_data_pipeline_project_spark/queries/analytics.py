@@ -3139,7 +3139,8 @@ k AS (
 SELECT abc_class,
   COUNT(*) AS parts,
   CAST(SUM(revenue) AS DOUBLE) AS class_revenue,
-  CAST((CAST(SUM(revenue) * 100 AS BIGINT) * 1000000)
+  -- cents*1e6 passes 2^63 a few SF past the test scale: widen first
+  CAST(CAST(CAST(SUM(revenue) * 100 AS BIGINT) AS HUGEINT) * 1000000
        // CAST(MAX(total) * 100 AS BIGINT) AS BIGINT) AS share_ppm
 FROM k GROUP BY abc_class
 """,
@@ -3175,9 +3176,12 @@ def q117_part_abc_classes(spark: SparkSession, sf_dir: str):
     return k.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("parts"),
         F.sum("revenue").cast("double").alias("class_revenue"),
+        # cents*1e6 passes 2^63 a few SF past the test scale (silent wrap
+        # on the JVM, raise in DuckDB): divide in decimal(38,0) and floor
+        # — both operands non-negative, so floor == both engines' //
         F.expr(
-            "CAST((CAST(SUM(revenue) * 100 AS BIGINT) * 1000000)"
-            " DIV CAST(MAX(total) * 100 AS BIGINT) AS BIGINT)"
+            "CAST(FLOOR(CAST(CAST(SUM(revenue) * 100 AS BIGINT) AS DECIMAL(38,0))"
+            " * 1000000 / CAST(MAX(total) * 100 AS BIGINT)) AS BIGINT)"
         ).alias("share_ppm"),
     )
 
@@ -5878,4 +5882,143 @@ def q195_rank_overlap_rbo(spark: SparkSession, sf_dir: str):
             .cast("long")
             .alias("rbo_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211 — out-of-orderness / watermark calibration audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q211_watermark_lateness_audit",
+    tags=("timeseries", "W1", "A4", "streaming-design"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm,
+    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day
+  FROM events
+)
+SELECT day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN hwm - us > 30 * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS late_30s,
+  CAST(SUM(CASE WHEN hwm - us > 300 * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS late_5m,
+  CAST(MAX(GREATEST(hwm - us, 0)) // 1000000 AS BIGINT) AS max_lateness_s
+FROM e GROUP BY day
+""",
+)
+def q211_watermark_lateness_audit(spark: SparkSession, sf_dir: str):
+    """Watermark calibration input for the streaming operators
+    (streaming/stateful.py, streaming/upsert.py): how out-of-order is
+    the event stream, really?  Per user the high-water mark of event
+    time runs along ARRIVAL order (event_id — the ingestion sequence);
+    an event is late by (hwm − its event time).  Reported per event-time
+    day: volume, events later than the 30 s and 5 min candidate
+    watermarks (= rows a stream with that watermark would drop or
+    side-output), and the worst lateness observed — exactly the numbers
+    that pick `withWatermark`'s delay.  Scale shape: one shuffle to the
+    user partition (the same keying the stateful operators use), then
+    one hash aggregate to day grain; all integer-µs arithmetic."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"),
+        F.to_date("ts").alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lateness = e.withColumn("hwm", F.max("us").over(w))
+    return lateness.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("hwm") - F.col("us") > 30 * 1_000_000, 1).otherwise(0)
+        ).cast("long").alias("late_30s"),
+        F.sum(
+            F.when(F.col("hwm") - F.col("us") > 300 * 1_000_000, 1).otherwise(0)
+        ).cast("long").alias("late_5m"),
+        F.expr("max(greatest(hwm - us, 0)) div 1000000")
+        .cast("long")
+        .alias("max_lateness_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212 — exact Gini concentration of customer revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q212_revenue_gini",
+    tags=("A7", "W1", "ranking"),
+    oracle="""
+WITH r AS (
+  SELECT o_custkey AS cust,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, cust) AS i FROM r
+),
+t AS (SELECT COUNT(*) AS n, SUM(cents) AS total FROM r),
+g AS (
+  SELECT SUM((2 * i - (SELECT n FROM t) - 1) * cents) AS num FROM rk
+)
+SELECT CAST(t.n AS BIGINT) AS n_customers,
+  CAST(t.total AS BIGINT) AS total_cents,
+  CAST(g.num AS BIGINT) AS gini_num,
+  -- num*1e6 exceeds BIGINT at scale: widen explicitly on BOTH engines
+  CAST(CAST(g.num AS HUGEINT) * 1000000
+       // (CAST(t.n AS HUGEINT) * t.total) AS BIGINT) AS gini_ppm
+FROM t, g
+""",
+)
+def q212_revenue_gini(spark: SparkSession, sf_dir: str):
+    """Exact Gini coefficient of customer revenue concentration — the
+    inequality number behind "do 20% of customers drive 80% of revenue"
+    (the continuous twin of q117's ABC classes): with revenues sorted
+    ascending and i the 1-based global rank, G = Σ(2i−n−1)·xᵢ /
+    (n·Σxᵢ) — exact in integer cents, no Lorenz-curve floats.  The
+    global rank comes from operators/ranking.with_global_rank
+    (range-partitioned, q110 precedent — the part domain never sorts in
+    one partition); ties break on customer id so both engines walk one
+    total order.  Scale shape: one aggregate to customer grain, one
+    range exchange for the rank, one scalar aggregate."""
+    from ..operators.ranking import with_global_rank
+
+    r = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg((F.sum(dec("o_totalprice", 12, 2)) * 100).cast("long").alias("cents"))
+    )
+    ranked = with_global_rank(
+        r, [F.asc("cents"), F.asc("cust")], out="i", total_out="n"
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents"))
+        .cast("long")
+        .alias("gini_num"),
+    ).select(
+        "n_customers",
+        "total_cents",
+        "gini_num",
+        # num*1e6 exceeds BIGINT at scale (silent wrap): do the division
+        # in decimal(38,0) and floor — num and denom are non-negative, so
+        # floor == both engines' integer-division conventions
+        F.floor(
+            F.col("gini_num").cast("decimal(38,0)")
+            * 1_000_000
+            / (
+                F.col("n_customers").cast("decimal(38,0)")
+                * F.col("total_cents")
+            )
+        )
+        .cast("long")
+        .alias("gini_ppm"),
     )
