@@ -269,8 +269,13 @@ def export_shards(
 
     Shard assignment depends only on row KEYS, so re-running on any
     partitioning/cluster size reproduces byte-identical shard
-    membership; one shuffle on the shard id; the manifest aggregate
-    rides the same pass. Returns the manifest dict."""
+    membership; one shuffle on the shard id. The source lineage is
+    evaluated EXACTLY ONCE (the write job); the manifest aggregate is
+    then derived from the shard files just written — a scan of the
+    columnar OUTPUT, never a second pass over the source — so the
+    checksum certifies the bytes a trainer will actually read and
+    there is no window for source mutation between write and manifest.
+    Returns the manifest dict."""
     import json
     import os
 
@@ -284,7 +289,8 @@ def export_shards(
     tagged = df.withColumn("shard", shard).repartition(n_shards, "shard")
     tagged.write.mode("overwrite").partitionBy("shard").parquet(path)
     written = (
-        tagged.groupBy("shard")
+        df.sparkSession.read.parquet(path)
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum(F.xxhash64(*cols)).cast("long").alias("content_sum"),

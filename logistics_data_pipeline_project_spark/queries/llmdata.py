@@ -7116,9 +7116,12 @@ def q205_mmr_diverse_selection(spark: SparkSession, sf_dir: str):
     returns near-duplicates.  Integer-exact with a total tiebreak, so
     the whole greedy TRAJECTORY is certified by an unrolled-CTE oracle
     (k-means/perceptron precedent), not just the final set.  Scale
-    shape: k driver rounds, each ONE job over the cached pool with the
-    O(k) selected set folded into a codegen'd greatest-of-intersects;
-    the per-round collect is a single row."""
+    shape: lazy greedy (Minoux) — each Spark job collects a small
+    top-(batch+1) slice of the cached pool by the current objective
+    and the driver replays exact greedy inside it, refreshing only
+    when the monotone upper bound is violated: typically ⌈k/batch⌉
+    jobs, provably identical picks; unbounded corpora cap the pool
+    first (``pool_cap`` two-stage)."""
     from ..operators.selection import mmr_select
 
     pool = load(spark, sf_dir, "documents").filter(

@@ -148,6 +148,53 @@ def test_mmr_select_matches_bruteforce_greedy(spark):
              "objective": best[1]}
         )
     assert got == want
+    # lazy-greedy batching: a friendly pool resolves in far fewer than
+    # k jobs, and the trajectory is identical at every batch size
+    for b in (1, 2, 16):
+        st = {}
+        assert mmr_select(
+            df, "id", "toks", "rel", k=5, lam=50, batch=b, stats=st
+        ) == want
+        assert st["jobs"] <= -(-5 // b) + 5  # bounded; exactness is the bar
+    st = {}
+    mmr_select(df, "id", "toks", "rel", k=5, lam=50, batch=16, stats=st)
+    assert st["jobs"] < 5  # batched beats one-job-per-pick
+
+
+def test_mmr_batching_exact_under_rank_reshuffle(spark):
+    """Adversarial lam: every pick demolishes the stale ranking, so the
+    lazy bound must trigger refreshes rather than return stale picks."""
+    import random
+
+    from logistics_data_pipeline_project_spark.operators.selection import mmr_select
+
+    rng = random.Random(7)
+    vocab = [f"t{j}" for j in range(6)]
+    rows = []
+    for i in range(30):
+        toks = sorted(set(rng.sample(vocab, rng.randint(3, 6))))
+        rows.append((i, toks, rng.randrange(0, 40)))
+    df = spark.createDataFrame(rows, "id long, toks array<string>, rel long")
+    lam = 1000  # one shared token outweighs any relevance gap
+    want = mmr_select(df, "id", "toks", "rel", k=6, lam=lam, batch=1)
+    for b in (2, 4, 32):
+        assert mmr_select(df, "id", "toks", "rel", k=6, lam=lam, batch=b) == want
+
+
+def test_mmr_pool_cap_two_stage(spark):
+    from logistics_data_pipeline_project_spark.operators.selection import mmr_select
+
+    rows = [
+        (1, ["a", "b"], 100),
+        (2, ["a", "b"], 90),
+        (3, ["c", "d"], 80),
+        (4, ["e", "f"], 10),  # diverse but below the cap line
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>, rel long")
+    capped = mmr_select(df, "id", "toks", "rel", k=3, lam=50, pool_cap=3)
+    assert [p["id"] for p in capped] == [1, 3, 2]  # id 4 never considered
+    full = mmr_select(df, "id", "toks", "rel", k=3, lam=50)
+    assert [p["id"] for p in full] == [1, 3, 4]  # uncapped greedy prefers 4
 
 
 def test_gram_whitening_identity(spark):

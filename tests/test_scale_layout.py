@@ -430,3 +430,28 @@ def test_export_shards_deterministic_and_verifiable(spark, tmp_path):
     status = verify_shards(spark, str(tmp_path / "exp1"))
     assert "missing" in status.values() or "mismatch" in status.values()
     assert list(status.values()).count("ok") == 7
+
+
+def test_export_shards_scans_source_exactly_once(spark, tmp_path):
+    """The source lineage must be evaluated once (the write job); the
+    manifest derives from the written shard files, not a re-scan. An
+    accumulator in the lineage counts evaluated rows: one pass == n."""
+    from logistics_data_pipeline_project_spark.operators.scale import (
+        export_shards,
+        verify_shards,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+    src = spark.range(500).selectExpr("id", "id % 5 as v")
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    df = src.mapInPandas(count_rows, src.schema)
+    m = export_shards(df, str(tmp_path / "exp"), 4, "id")
+    assert sum(s["n_rows"] for s in m["shards"].values()) == 500
+    assert acc.value == 500  # a second source pass would read 1000
+    # manifest certifies the written bytes: verify agrees
+    assert set(verify_shards(spark, str(tmp_path / "exp")).values()) == {"ok"}
