@@ -4820,7 +4820,9 @@ def q166_exp_smoothed_revenue(spark: SparkSession, sf_dir: str):
     "q167_compression_quality",
     tags=("text", "quality", "U1"),
     oracle=None,  # DEFLATE is deterministic but no SQL engine exposes it;
-    # the per-source aggregate structure is pinned by unit tests instead
+    # value-level differential lives in tests/test_oracle_parity.py::
+    # test_q167_matches_pure_python_reference (an independent pure-Python
+    # replay of compress + aggregate, compared exactly)
 )
 def q167_compression_quality(spark: SparkSession, sf_dir: str):
     """Compressibility quality screen (operators/text.py
@@ -4829,9 +4831,10 @@ def q167_compression_quality(spark: SparkSession, sf_dir: str):
     docs (ratios far below prose) and binary noise (ratios near 1000+).
     Arrow-batched mapInPandas (one DEFLATE call per doc, the only way
     compression can run), then a bounded per-source aggregate.
-    Deterministic for a fixed zlib build; rows-only on the driver by
-    necessity — the engine's documented exception class (q066's
-    approx sketches are its other member)."""
+    Deterministic for a fixed zlib build; rows-only on the DRIVER by
+    necessity, but value-checked locally against an independent
+    pure-Python replay (test_oracle_parity.py), leaving q066's
+    bounded-error sketches as the only differential-free query."""
     from ..operators.text import compression_ratio
 
     d = load(spark, sf_dir, "documents")
@@ -7539,3 +7542,189 @@ def q210_preference_pairs(spark: SparkSession, sf_dir: str):
             (F.col("chosen_score") - F.col("rejected_score")).alias("margin_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — chroma-subsampled JPEG audit (4:2:0 / 4:2:2, oracle-exact)
+# ---------------------------------------------------------------------------
+
+_JPEG_SS_W = 24
+_JPEG_SS_H = 16
+
+
+@register(
+    "q213_jpeg_subsampled_audit",
+    tags=("multimodal", "U1"),
+    oracle=f"""
+WITH tiles AS (
+  SELECT * FROM (VALUES
+    ('420', 0, 0, 256), ('420', 1, 0, 128),
+    ('422', 0, 101, 128), ('422', 1, 101, 64),
+    ('422', 2, 101, 128), ('422', 3, 101, 64)
+  ) t(mode, tile, moff, npx)
+)
+SELECT d.doc_id, t.mode,
+  CAST({_JPEG_SS_W} AS INTEGER) AS width,
+  CAST({_JPEG_SS_H} AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CAST((d.doc_id * 11 + t.moff) % 256 AS INTEGER) AS first_px,
+  CAST(SUM(((d.doc_id * 11 + 37 * t.tile + t.moff) % 256) * t.npx * 3)
+    AS BIGINT) AS px_sum
+FROM documents d CROSS JOIN tiles t
+GROUP BY d.doc_id, t.mode, t.moff
+""",
+)
+def q213_jpeg_subsampled_audit(spark: SparkSession, sf_dir: str):
+    """Chroma-SUBSAMPLED twin of q209 — the dominant real-world JPEG
+    shapes: per document a genuine 4:2:0 JFIF (16x16 MCUs, luma 2x2)
+    and a genuine 4:2:2 JFIF (16x8 MCUs, luma 2x1) are encoded with a
+    constant gray value per MCU region (value = (doc_id*11 + 37*tile +
+    mode_offset) mod 256 over a {w}x{h} canvas, so the 4:2:0 file has 2
+    tiles and the 4:2:2 file 4, and the second MCU column exercises the
+    crop path: 24 px = 1.5 MCUs).  Over constant regions box-average
+    chroma downsampling and replication upsampling are EXACT and every
+    AC coefficient quantizes to 0, so the multi-block interleaved MCU
+    pipeline (operators/multimodal.py: per-component sampling factors,
+    h*v luma blocks per MCU, per-component DC predictor chains, chroma
+    reassembly + upsample) is integer-exact END TO END; the oracle
+    recomputes both whole-image RGB pixel sums in closed form.  Lossy
+    chromatic content lives in the property tests
+    (tests/test_multimodal_decode.py).  Scale shape: same two-stage
+    iterator-mapInPandas pipeline as q199/q209 — payloads never touch
+    the driver, one cheap shuffle of bare longs fans the CPU-bound
+    codec work across executors."""
+    from ..operators.multimodal import jpeg_probe
+
+    w_px, h_px = _JPEG_SS_W, _JPEG_SS_H
+    modes = (("420", 16, 16, 0), ("422", 16, 8, 101))
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_jpeg
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                for mi, (mode, mw, mh, moff) in enumerate(modes):
+                    mcux = -(-w_px // mw)
+                    raw = bytes(
+                        v
+                        for y in range(h_px)
+                        for x in range(w_px)
+                        for v in [
+                            (doc_id * 11 + 37 * ((y // mh) * mcux + x // mw)
+                             + moff) % 256
+                        ] * 3
+                    )
+                    out.append(
+                        {
+                            "id": doc_id * 2 + mi,
+                            "payload": encode_jpeg(
+                                w_px, h_px, raw, qtable=[8] * 64,
+                                channels=3, subsampling=mode,
+                            ),
+                        }
+                    )
+            yield _pd.DataFrame(out, columns=["id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="id long, payload binary")
+    return jpeg_probe(gen_df, "id", "payload").select(
+        (F.col("id") / 2).cast("long").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("420")).otherwise(F.lit("422")).alias("mode"),
+        "width",
+        "height",
+        "channels",
+        "first_px",
+        "px_sum",
+    )
+
+
+q213_jpeg_subsampled_audit.__doc__ = q213_jpeg_subsampled_audit.__doc__.format(
+    w=_JPEG_SS_W, h=_JPEG_SS_H
+)
+
+
+# ---------------------------------------------------------------------------
+# q214 — compressed-video frame sampling audit (MJPEG AVI, oracle-exact)
+# ---------------------------------------------------------------------------
+
+_MJPEG_W = 16
+_MJPEG_H = 16
+
+
+@register(
+    "q214_mjpeg_frame_audit",
+    tags=("multimodal", "U1"),
+    oracle=f"""
+SELECT d.doc_id,
+  CAST(2 * k.k AS INTEGER) AS frame_index,
+  CAST(2 * k.k * 250 AS BIGINT) AS frame_ms,
+  CAST((d.doc_id * 23 + 19 * 2 * k.k) % 256 AS INTEGER) AS px_first,
+  CAST(((d.doc_id * 23 + 19 * 2 * k.k) % 256)
+    * {_MJPEG_W * _MJPEG_H * 3} AS BIGINT) AS px_sum
+FROM documents d CROSS JOIN generate_series(0, 3) k(k)
+WHERE 2 * k.k < 3 + d.doc_id % 5
+""",
+)
+def q214_mjpeg_frame_audit(spark: SparkSession, sf_dir: str):
+    """COMPRESSED-video twin of q200 with a real codec in the loop: per
+    document a genuine MJPEG AVI (RIFF 'hdrl'/'movi'/idx1, fourcc MJPG,
+    4 fps) holding 3 + doc_id%5 frames, each frame a real 4:2:0 baseline
+    JPEG of constant value (doc_id*23 + 19*frame) mod 256 on a {w}x{h}
+    canvas; ``mjpeg_frame_stats`` (operators/multimodal.py) walks the
+    container, picks the frame at each 500 ms boundary on the AVI's own
+    rate/scale timebase, and JPEG-decodes ONLY the sampled frames —
+    flat 4:2:0 tiles decode integer-exactly, so the oracle recomputes
+    every sampled frame's first pixel and whole-frame RGB sum in closed
+    form (frames 0,2,4,6 while they exist).  At 100 TB this sampling
+    shape reads n_sampled, not n_total, JPEG decodes per clip — the
+    reason the container stays compressed until the sample point.
+    Scale shape: two iterator-mapInPandas stages (generate+mux, then
+    sample+decode); payloads and pixels never leave the UDFs; one cheap
+    shuffle of bare longs spreads the CPU-bound codec work."""
+    from ..operators.multimodal import mjpeg_frame_stats
+
+    w_px, h_px = _MJPEG_W, _MJPEG_H
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_avi_mjpeg, encode_jpeg
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = [
+                    encode_jpeg(
+                        w_px, h_px,
+                        bytes([(doc_id * 23 + 19 * k) % 256]) * (w_px * h_px * 3),
+                        qtable=[8] * 64, channels=3, subsampling="420",
+                    )
+                    for k in range(3 + doc_id % 5)
+                ]
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_avi_mjpeg(w_px, h_px, frames, fps=(4, 1)),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return mjpeg_frame_stats(gen_df, "doc_id", "payload", every_ms=500).select(
+        F.col("id").alias("doc_id"),
+        "frame_index",
+        "frame_ms",
+        "px_first",
+        "px_sum",
+    )
+
+
+q214_mjpeg_frame_audit.__doc__ = q214_mjpeg_frame_audit.__doc__.format(
+    w=_MJPEG_W, h=_MJPEG_H
+)

@@ -456,6 +456,95 @@ def test_jpeg_probe_spark(spark):
         assert got[i]["px_sum"] == 64 * v
 
 
+def test_jpeg_chroma_subsampling_flat_mcu_exact():
+    # Constant color per MCU region (16x16 for 4:2:0, 16x8 for 4:2:2):
+    # box-average chroma downsampling and replication upsampling are
+    # both exact over constant regions, every AC quantizes to 0, so the
+    # full subsampled pipeline is bit-exact — including the crop path
+    # (width 24 = 1.5 MCUs at 4:2:0).
+    for mode, mw, mh in (("420", 16, 16), ("422", 16, 8)):
+        w, h = 24, 16
+        mcux = -(-w // mw)
+        raw = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in [((y // mh) * mcux + x // mw) * 53 % 256] * 3
+        )
+        payload = encode_jpeg(
+            w, h, raw, qtable=[8] * 64, channels=3, subsampling=mode
+        )
+        w2, h2, ch, dec = decode_jpeg_pixels(payload)
+        assert (w2, h2, ch) == (w, h, 3)
+        assert dec == raw
+        # deterministic bytes
+        assert (
+            encode_jpeg(w, h, raw, qtable=[8] * 64, channels=3, subsampling=mode)
+            == payload
+        )
+
+
+def test_jpeg_subsampled_sof_sampling_bytes():
+    import struct
+
+    raw = bytes(192 * 3)
+    for mode, byte in (("444", 0x11), ("422", 0x21), ("420", 0x22)):
+        payload = encode_jpeg(
+            16, 4, raw[: 16 * 4 * 3], channels=3, subsampling=mode
+        )
+        sof = payload.find(b"\xff\xc0")
+        # SOF0 body: len(2) prec(1) h(2) w(2) nf(1), then id/sampling/tq
+        assert payload[sof + 11] == byte  # luma sampling factors
+        assert payload[sof + 14] == 0x11  # Cb
+        assert payload[sof + 17] == 0x11  # Cr
+        assert struct.unpack(">HH", payload[sof + 5 : sof + 9]) == (4, 16)
+
+
+def test_jpeg_subsampled_lossy_bounds_and_dims():
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    for mode in ("422", "420"):
+        for w, h in [(17, 9), (16, 16), (33, 31), (8, 8)]:
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            payload = encode_jpeg(
+                w, h, img.tobytes(), quality=95, channels=3, subsampling=mode
+            )
+            w2, h2, ch, dec = decode_jpeg_pixels(payload)
+            assert (w2, h2, ch) == (w, h, 3) and len(dec) == w * h * 3
+        # gray content (constant chroma): subsampling loses nothing —
+        # luma survives q95 smooth-content encoding near-exactly
+        xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+        g = ((xx * 3 + yy * 5) // 2 % 256).astype(np.uint8)
+        raw = np.repeat(g[:, :, None], 3, axis=2).tobytes()
+        _, _, _, dec = decode_jpeg_pixels(
+            encode_jpeg(32, 24, raw, quality=95, channels=3, subsampling=mode)
+        )
+        err = np.abs(
+            np.frombuffer(dec, dtype=np.uint8).astype(int)
+            - np.frombuffer(raw, dtype=np.uint8).astype(int)
+        )
+        assert err.max() <= 2
+
+
+def test_jpeg_subsampled_probe_spark(spark):
+    rows = []
+    for i in range(4):
+        v = (41 * i + 3) % 256
+        raw = bytes([v]) * (16 * 16 * 3)
+        rows.append(
+            (i, encode_jpeg(16, 16, raw, qtable=[8] * 64, channels=3,
+                            subsampling="420"))
+        )
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in jpeg_probe(df, "id", "payload").collect()}
+    for i in range(4):
+        v = (41 * i + 3) % 256
+        assert got[i]["width"] == 16 and got[i]["channels"] == 3
+        assert got[i]["first_px"] == v
+        assert got[i]["px_sum"] == 16 * 16 * 3 * v
+
+
 # ---------------------------------------------------------------------------
 # Y4M video frames
 # ---------------------------------------------------------------------------
@@ -659,3 +748,94 @@ def test_jpeg_restart_marker_decode():
     w, h, ch, dec = decode_jpeg_pixels(payload)
     assert (w, h, ch) == (16, 8, 1)
     assert dec == bytes([77] * 8 + [201] * 8) * 8
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI compressed video
+# ---------------------------------------------------------------------------
+
+from logistics_data_pipeline_project_spark.operators.multimodal import (  # noqa: E402
+    decode_avi_mjpeg_frames,
+    encode_avi_mjpeg,
+    mjpeg_frame_stats,
+    sample_frames,
+)
+
+
+def test_avi_mjpeg_container_roundtrip():
+    frames = [
+        encode_jpeg(16, 16, bytes([(10 * i + 5) % 256]) * (16 * 16 * 3),
+                    qtable=[8] * 64, channels=3, subsampling="420")
+        for i in range(5)
+    ]
+    avi = encode_avi_mjpeg(16, 16, frames, fps=(30000, 1001))  # NTSC timebase
+    w, h, num, den, got = decode_avi_mjpeg_frames(avi)
+    assert (w, h, num, den) == (16, 16, 30000, 1001)
+    assert got == frames  # container is lossless over the JPEG payloads
+    # deterministic bytes
+    assert encode_avi_mjpeg(16, 16, frames, fps=(30000, 1001)) == avi
+    # odd-length JPEG payloads must word-align without corruption
+    odd = [f + b"" if len(f) % 2 else f[:-1] for f in frames]
+    got2 = decode_avi_mjpeg_frames(encode_avi_mjpeg(16, 16, odd))[4]
+    assert got2 == odd
+
+
+def test_avi_honest_guards():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg_frames(b"RIFX nope")
+    # a non-MJPEG fourcc is the inter-coded boundary
+    avi = bytearray(encode_avi_mjpeg(8, 8, [encode_jpeg(8, 8, bytes(64))]))
+    h264 = avi.replace(b"vidsMJPG", b"vidsH264", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_avi_mjpeg_frames(bytes(h264))
+
+
+def test_mjpeg_frame_stats_spark(spark):
+    # flat 4:2:0 frames -> decoded pixels exact -> stats in closed form
+    rows = []
+    for i in range(3):
+        n_frames = 3 + i
+        frames = [
+            encode_jpeg(16, 16, bytes([(17 * i + 19 * k) % 256]) * 768,
+                        qtable=[8] * 64, channels=3, subsampling="420")
+            for k in range(n_frames)
+        ]
+        rows.append((i, encode_avi_mjpeg(16, 16, frames, fps=(4, 1))))
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        (r["id"], r["frame_index"]): r
+        for r in mjpeg_frame_stats(df, "id", "payload", every_ms=500).collect()
+    }
+    for i in range(3):
+        n_frames = 3 + i
+        for k in range(8):
+            idx = k * 500 * 4 // 1000
+            if idx >= n_frames:
+                break
+            v = (17 * i + 19 * idx) % 256
+            r = got[(i, idx)]
+            assert r["frame_ms"] == idx * 250
+            assert r["px_first"] == v and r["px_sum"] == 768 * v
+    # sampling never decodes the same frame twice and respects max_frames
+    assert all(k[1] in range(7) for k in got)
+
+
+def test_sample_frames_real_avi_path(spark):
+    import hashlib
+
+    frames = [
+        encode_jpeg(8, 8, bytes([40 * k % 256]) * 192, qtable=[8] * 64,
+                    channels=3, subsampling="422")
+        for k in range(4)
+    ]
+    avi = encode_avi_mjpeg(8, 8, frames, fps=(2, 1))
+    df = spark.createDataFrame([(1, avi)], "id long, payload binary")
+    got = sample_frames(
+        df, "id", "payload", every_ms=500, max_frames=8, decode_stub=False
+    ).collect()
+    assert [r["frame_index"] for r in got] == [0, 1, 2, 3]
+    # digest is over DECODED pixels, matching a direct decode
+    want0 = hashlib.sha256(decode_jpeg_pixels(frames[0])[3]).hexdigest()
+    assert got[0]["frame_digest"] == want0
