@@ -83,6 +83,50 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
+def test_q167_matches_pure_python_reference(spark, sf_dir):
+    """q167 has no SQL oracle (no engine exposes zlib), but DEFLATE at a
+    fixed level is deterministic for a given zlib build — so this test
+    IS its differential: an independent pure-Python replay of the whole
+    query (per-doc compress + per-source aggregate) compared exactly.
+    Leaves q066 (bounded-error approx sketches) as the only catalog
+    query without a value-level differential check."""
+    import zlib
+    from collections import defaultdict
+
+    con = _duck(sf_dir)
+    docs = con.execute("SELECT doc_id, source, text FROM documents").fetchall()
+    con.close()
+    per_source = defaultdict(list)
+    for _doc_id, source, text in docs:
+        raw = (text or "").encode("utf-8")
+        comp = len(zlib.compress(raw, 6)) if raw else 0
+        per_source[source].append((comp * 1000) // len(raw) if raw else 0)
+    want = sorted(
+        (
+            s,
+            len(rs),
+            min(rs),
+            sum(rs) // len(rs),
+            max(rs),
+            sum(1 for r in rs if r < 300),
+        )
+        for s, rs in per_source.items()
+    )
+    sdf = REGISTRY["q167_compression_quality"].fn(spark, sf_dir)
+    got = sorted(
+        (
+            r["source"],
+            r["n_docs"],
+            r["min_ratio_x1000"],
+            r["avg_ratio_x1000"],
+            r["max_ratio_x1000"],
+            r["n_low_entropy"],
+        )
+        for r in sdf.collect()
+    )
+    assert got == want
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
