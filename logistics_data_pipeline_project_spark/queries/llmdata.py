@@ -6294,12 +6294,13 @@ WITH d AS (
 tok AS (SELECT doc_id, unnest(ts) AS token FROM d),
 df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
 blk AS (
-  SELECT doc_id, token AS bkey FROM (
-    SELECT t.doc_id, t.token,
+  SELECT doc_id, string_agg(token, '|' ORDER BY df, token) AS bkey FROM (
+    SELECT t.doc_id, t.token, f.df,
       ROW_NUMBER() OVER (PARTITION BY t.doc_id
                          ORDER BY f.df, t.token) AS rn
     FROM tok t JOIN df f USING (token)
-  ) WHERE rn = 1
+  ) WHERE rn <= 2
+  GROUP BY doc_id
 ),
 sides AS (
   SELECT d.doc_id, b.bkey, d.ts, len(d.ts) AS nt, doc_id % 2 = 0 AS is_left
@@ -6329,13 +6330,21 @@ def q196_doc_record_linkage(spark: SparkSession, sf_dir: str):
     blocking-then-matching pipeline (Fellegi-Sunter shape) the dedup
     family doesn't cover: two record sets (here the even/odd doc_id
     halves standing in for "CRM vs billing") are linked by (1) a
-    BLOCKING key — each record's globally RAREST token (min document
-    frequency, lexicographic tiebreak), the standard trick that bounds
-    candidate pairs by the rare token's df instead of n² — (2) exact
-    token-set Jaccard on candidates only, (3) best-match assignment:
-    each left record keeps its single highest-scoring right record
-    (tiebreak: smallest id) above a 10% floor.  Scale shape: df is one
-    map-side-combined aggregate; the blocking join shuffles only
+    CONJUNCTIVE blocking key — each record's TWO globally rarest tokens
+    (min document frequency, lexicographic tiebreak, '|'-joined), the
+    standard Fellegi-Sunter trick that bounds candidate pairs by the
+    key's selectivity instead of n²; the two-token conjunction (vs a
+    single rarest token) multiplies selectivity, which the x10
+    weak-scaling curve showed is load-bearing on closed-vocabulary
+    corpora where every single token's df grows linearly with the
+    corpus (single-key pairs grew ~7x at 10x data; conjunctive keys
+    restore ~linear growth — bench_history/SCALE_CURVE.json).
+    Blocking always trades recall for boundedness; pairs sharing one
+    rare token but not two are no longer candidates, by design —
+    (2) exact token-set Jaccard on candidates only, (3) best-match
+    assignment: each left record keeps its single highest-scoring right
+    record (tiebreak: smallest id) above a 10% floor.  Scale shape: df
+    is one map-side-combined aggregate; the blocking join shuffles only
     (doc_id, bkey, token-set) — candidate generation never touches
     non-blocked pairs; the per-left argmax is a window over candidate
     groups, bounded by blocking.  Oracle replays it with DuckDB's
@@ -6346,13 +6355,23 @@ def q196_doc_record_linkage(spark: SparkSession, sf_dir: str):
     )
     tok = d.select("doc_id", F.explode("ts").alias("token"))
     df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # rarest token per doc == lexicographic MIN of (df, token): a hash
-    # aggregate with map-side combine, not a per-doc sort window.
+    # two rarest tokens per doc == first 2 of the (df, token) sort order:
+    # a hash aggregate with map-side combine (collect_list is bounded by
+    # the doc's distinct tokens), not a per-doc sort window.
     blk = (
         tok.join(df_tbl, "token")
         .groupBy("doc_id")
-        .agg(F.min(F.struct("df", "token")).alias("m"))
-        .select("doc_id", F.col("m.token").alias("bkey"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("df", "token"))), 1, 2
+            ).alias("m2")
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("m2"), lambda x: x["token"]), "|"
+            ).alias("bkey"),
+        )
     )
     # The strings themselves never reach the pair join: token sets ride
     # as xxhash64 ids (8 bytes vs full UTF8 tokens), so the O(block²)
@@ -7728,3 +7747,452 @@ def q214_mjpeg_frame_audit(spark: SparkSession, sf_dir: str):
 q214_mjpeg_frame_audit.__doc__ = q214_mjpeg_frame_audit.__doc__.format(
     w=_MJPEG_W, h=_MJPEG_H
 )
+
+
+# ---------------------------------------------------------------------------
+# q215 — corpus-frequent segment scrub with document reassembly (C4-style)
+# ---------------------------------------------------------------------------
+
+_SCRUB_SEG_W = 5  # words per pseudo-line segment
+_SCRUB_MIN_DOCS = 3  # a segment in >= this many distinct docs is boilerplate
+
+
+@register(
+    "q215_segment_scrub_reassembly",
+    tags=("training-data", "dedup", "text", "A1"),
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+    array_to_string(w[(i * {_SCRUB_SEG_W} + 1):(i * {_SCRUB_SEG_W} + {_SCRUB_SEG_W})], ' ') AS seg_text
+  FROM (SELECT doc_id, w,
+          unnest(generate_series(0, (len(w) + {_SCRUB_SEG_W - 1}) // {_SCRUB_SEG_W} - 1)) AS i
+        FROM ws)
+),
+freq AS (
+  SELECT seg_text FROM segs GROUP BY seg_text
+  HAVING COUNT(DISTINCT doc_id) >= {_SCRUB_MIN_DOCS}
+),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg_text
+  FROM segs s ANTI JOIN freq f ON s.seg_text = f.seg_text
+),
+rebuilt AS (
+  SELECT doc_id,
+    COUNT(*) AS n_kept,
+    string_agg(seg_text, ' ' ORDER BY seg_idx) AS kept_text
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_segs FROM segs GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(t.n_segs AS BIGINT) AS n_segs,
+  CAST(t.n_segs - COALESCE(r.n_kept, 0) AS BIGINT) AS n_scrubbed,
+  CAST(length(COALESCE(r.kept_text, '')) AS BIGINT) AS kept_chars,
+  md5(COALESCE(r.kept_text, '')) AS kept_hash
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+""",
+)
+def q215_segment_scrub_reassembly(spark: SparkSession, sf_dir: str):
+    """The C4 scrub ACTION (q062 only reports): cut every document into
+    {w}-word pseudo-line segments, drop each segment whose exact text
+    recurs in >= {k} distinct documents (corpus-level boilerplate:
+    navigation chrome, legal footers, templated sentences), and
+    REASSEMBLE the surviving segments in original order — the rewritten
+    corpus a C4-style cleaner actually ships.  The reassembled text is
+    certified by md5, so segment order, the join-back, and the
+    empty-document edge (every segment scrubbed → md5('')) are all
+    oracle-checked, not just counts.  Scale shape: segmentation is a
+    zero-shuffle codegen expression (sequence + slice + array_join —
+    the text never explodes to word rows); ONE shuffle counts segment
+    document-frequency; the boilerplate set is df-filtered (heavy
+    hitters only, q044's broadcast-probe shape) and broadcast to an
+    anti join; one final doc-grain aggregate rebuilds the text.  No
+    Python, no RNG."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(w) + {_SCRUB_SEG_W - 1}) DIV {_SCRUB_SEG_W} - 1 AS INT)),"
+                f" i -> array_join(slice(w, i * {_SCRUB_SEG_W} + 1, {_SCRUB_SEG_W}), ' '))"
+            )
+        ).alias("seg_idx", "seg_text"),
+    )
+    freq = (
+        segs.groupBy("seg_text")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _SCRUB_MIN_DOCS)
+        .select("seg_text")
+    )
+    kept = segs.join(F.broadcast(freq), "seg_text", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda x: x["seg_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_segs").cast("long").alias("n_segs"),
+        (F.col("n_segs") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_scrubbed"),
+        F.length(F.coalesce("kept_text", F.lit("")))
+        .cast("long")
+        .alias("kept_chars"),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_hash"),
+    )
+
+
+q215_segment_scrub_reassembly.__doc__ = q215_segment_scrub_reassembly.__doc__.format(
+    w=_SCRUB_SEG_W, k=_SCRUB_MIN_DOCS
+)
+
+
+# ---------------------------------------------------------------------------
+# q216 — fill-in-middle (FIM) training-example construction
+# ---------------------------------------------------------------------------
+
+_FIM_MIN_WORDS = 9
+
+
+@register(
+    "q216_fim_examples",
+    tags=("training-data", "text", "W1"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+  FROM documents WHERE len(string_split(text, ' ')) >= {_FIM_MIN_WORDS}
+),
+cuts AS (
+  SELECT doc_id, w, n,
+    1 + CAST(('0x' || substr(md5('fim_a:' || doc_id), 1, 8)) AS BIGINT) % (n - 2) AS a
+  FROM d
+),
+spans AS (
+  SELECT doc_id, w, n, a,
+    1 + CAST(('0x' || substr(md5('fim_m:' || doc_id), 1, 8)) AS BIGINT) % (n - a - 1) AS m,
+    CAST(('0x' || substr(md5('fim_o:' || doc_id), 1, 8)) AS BIGINT) % 2 = 0 AS psm
+  FROM cuts
+)
+SELECT doc_id,
+  CASE WHEN psm THEN 'psm' ELSE 'spm' END AS mode,
+  CAST(a AS BIGINT) AS n_prefix,
+  CAST(m AS BIGINT) AS n_middle,
+  CAST(n - a - m AS BIGINT) AS n_suffix,
+  md5(CASE WHEN psm
+    THEN '<PRE>' || array_to_string(w[1:a], ' ')
+      || '<SUF>' || array_to_string(w[(a + m + 1):n], ' ')
+      || '<MID>' || array_to_string(w[(a + 1):(a + m)], ' ')
+    ELSE '<SUF>' || array_to_string(w[(a + m + 1):n], ' ')
+      || '<PRE>' || array_to_string(w[1:a], ' ')
+      || '<MID>' || array_to_string(w[(a + 1):(a + m)], ' ')
+  END) AS fim_hash
+FROM spans
+""",
+)
+def q216_fim_examples(spark: SparkSession, sf_dir: str):
+    """Fill-in-middle training-example construction (the infilling data
+    stage behind code models): per document of >= {mw} words a
+    DETERMINISTIC salted-md5 draw picks the middle span (start a in
+    [1, n-2], length m in [1, n-a-1] — at least one prefix and one
+    suffix word survive) and the PSM/SPM document layout (50/50 by a
+    third draw), then the example is materialized as
+    sentinel-delimited text — <PRE>prefix<SUF>suffix<MID>middle (PSM)
+    or the SPM rotation — exactly the byte layout an infilling
+    tokenizer consumes.  The oracle replays the identical draws and
+    slicing, certifying the reassembled example bytes by md5, not just
+    span lengths.  Scale shape: pure per-row codegen expressions
+    (split + slice + concat + md5) — zero shuffles, zero Python, the
+    RNG-free q045/q204 sampling discipline; the heavy string work
+    streams through one projection."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn("n", F.size("w"))
+        .filter(F.col("n") >= _FIM_MIN_WORDS)
+    )
+
+    def draw(salt: str) -> "F.Column":
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    spans = d.select(
+        "doc_id",
+        "w",
+        "n",
+        (F.lit(1) + draw("fim_a:") % (F.col("n") - 2)).alias("a"),
+    ).select(
+        "doc_id",
+        "w",
+        "n",
+        "a",
+        (F.lit(1) + draw("fim_m:") % (F.col("n") - F.col("a") - 1)).alias("m"),
+        (draw("fim_o:") % 2 == 0).alias("psm"),
+    )
+    pre = F.array_join(F.slice("w", 1, F.col("a")), " ")
+    mid = F.array_join(F.expr("slice(w, a + 1, m)"), " ")
+    suf = F.array_join(F.expr("slice(w, a + m + 1, n - a - m)"), " ")
+    return spans.select(
+        "doc_id",
+        F.when(F.col("psm"), F.lit("psm")).otherwise(F.lit("spm")).alias("mode"),
+        F.col("a").cast("long").alias("n_prefix"),
+        F.col("m").cast("long").alias("n_middle"),
+        (F.col("n") - F.col("a") - F.col("m")).cast("long").alias("n_suffix"),
+        F.md5(
+            F.when(
+                F.col("psm"),
+                F.concat(
+                    F.lit("<PRE>"), pre, F.lit("<SUF>"), suf, F.lit("<MID>"), mid
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("<SUF>"), suf, F.lit("<PRE>"), pre, F.lit("<MID>"), mid
+                )
+            )
+        ).alias("fim_hash"),
+    )
+
+
+q216_fim_examples.__doc__ = q216_fim_examples.__doc__.format(mw=_FIM_MIN_WORDS)
+
+
+# ---------------------------------------------------------------------------
+# q217 — instruction-template expansion (structured -> text SFT examples)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q217_instruction_templates",
+    tags=("training-data", "text", "J1"),
+    oracle="""
+WITH src AS (
+  SELECT o.o_orderkey AS okey, c.c_name AS name, o.o_orderpriority AS prio,
+    CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents,
+    CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS odate,
+    CAST(('0x' || substr(md5('tmpl:' || o.o_orderkey), 1, 8)) AS BIGINT) % 3
+      AS template_id
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderkey % 10 = 0
+),
+money AS (
+  SELECT *, CAST(cents // 100 AS VARCHAR) || '.' ||
+    lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS amt
+  FROM src
+),
+ex AS (
+  SELECT okey, template_id,
+    CASE template_id
+      WHEN 0 THEN 'Write a status update for order ' || okey || ': customer '
+        || name || ' requested ' || prio || ' handling, total $' || amt
+        || ', placed ' || odate || '.'
+      WHEN 1 THEN 'Summarize: ' || name || ' placed order ' || okey || ' on '
+        || odate || ' (' || prio || '), value $' || amt || '.'
+      ELSE 'Q: What is the total of order ' || okey || ' from ' || name
+        || '? A: $' || amt || ' (ordered ' || odate || ', ' || prio || ').'
+    END AS example
+  FROM money
+)
+SELECT okey AS o_orderkey,
+  CAST(template_id AS INTEGER) AS template_id,
+  CAST(length(example) AS BIGINT) AS example_chars,
+  md5(example) AS example_hash
+FROM ex
+""",
+)
+def q217_instruction_templates(spark: SparkSession, sf_dir: str):
+    """Structured-to-text SFT example construction: each sampled order
+    (o_orderkey % 10 = 0) joins its customer dim (broadcast) and renders
+    ONE of three instruction templates — status-update, summarization,
+    and extractive-QA phrasings — chosen by a salted-md5 draw, with
+    money rendered from exact integer cents and the date from the
+    ISO-cast, so the example BYTES are engine-portable and the oracle
+    certifies them by md5 (not just lengths).  This is the template-
+    expansion stage of instruction-tuning data builds (self-instruct
+    style seed diversification over structured sources).  Scale shape:
+    one broadcast dim join + pure codegen string expressions — zero
+    extra shuffles, no Python, no RNG; sampling/template choice are
+    partitioning-stable salted draws (q045 discipline)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    src = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("c_name").alias("name"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").cast("string").alias("odate"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmpl:"), F.col("o_orderkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        ).alias("template_id"),
+    )
+    amt = F.concat(
+        (F.col("cents") / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((F.col("cents") % 100).cast("string"), 2, "0"),
+    )
+    okey_s = F.col("okey").cast("string")
+    example = (
+        F.when(
+            F.col("template_id") == 0,
+            F.concat(
+                F.lit("Write a status update for order "), okey_s,
+                F.lit(": customer "), F.col("name"),
+                F.lit(" requested "), F.col("prio"),
+                F.lit(" handling, total $"), amt,
+                F.lit(", placed "), F.col("odate"), F.lit("."),
+            ),
+        )
+        .when(
+            F.col("template_id") == 1,
+            F.concat(
+                F.lit("Summarize: "), F.col("name"),
+                F.lit(" placed order "), okey_s,
+                F.lit(" on "), F.col("odate"),
+                F.lit(" ("), F.col("prio"),
+                F.lit("), value $"), amt, F.lit("."),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Q: What is the total of order "), okey_s,
+                F.lit(" from "), F.col("name"),
+                F.lit("? A: $"), amt,
+                F.lit(" (ordered "), F.col("odate"),
+                F.lit(", "), F.col("prio"), F.lit(")."),
+            )
+        )
+    )
+    return src.select(
+        F.col("okey").alias("o_orderkey"),
+        F.col("template_id").cast("integer").alias("template_id"),
+        F.length(example).cast("long").alias("example_chars"),
+        F.md5(example).alias("example_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — chat-transcript assembly (session -> SFT conversation examples)
+# ---------------------------------------------------------------------------
+
+_CHAT_GAP_US = 1_800_000_000  # 30 min session gap
+
+
+@register(
+    "q218_chat_transcript_assembly",
+    tags=("training-data", "text", "W1", "A1"),
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+flag AS (
+  SELECT *, CASE WHEN us - LAG(us) OVER w > {_CHAT_GAP_US}
+                 OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flag
+),
+turn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+    ORDER BY us, event_id) AS turn_no
+  FROM sess
+)
+SELECT user_id,
+  CAST(session_idx AS BIGINT) AS session_idx,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(MIN(us) AS BIGINT) AS t_start_us,
+  md5(string_agg(turn_no || ':' || event_type, chr(10) ORDER BY turn_no))
+    AS transcript_hash
+FROM turn GROUP BY user_id, session_idx
+""",
+)
+def q218_chat_transcript_assembly(spark: SparkSession, sf_dir: str):
+    """Conversation-example assembly — the chat-SFT data stage: events
+    sessionize per user on a 30-minute inactivity gap (gaps-and-islands:
+    one lag + one running sum over a single user-partitioned window),
+    every session's turns render in arrival order as 'turn:event_type'
+    lines, and the assembled transcript BYTES are certified by md5 —
+    ordering, the session boundary rule, and the turn numbering all have
+    to match the oracle's replay exactly.  Integer-µs arithmetic
+    throughout (q211 discipline).  Scale shape: ONE shuffle to the user
+    partition serves the lag window, the running session sum, the turn
+    row_number AND the final (user, session) aggregate — sessions are
+    bounded by user activity, so no partition-wide sort grows with the
+    corpus; the transcript string_agg is an ordered in-partition fold,
+    no Python, no collect."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flag = e.withColumn(
+        "new_s",
+        F.when(
+            F.col("us") - F.lag("us").over(w) > _CHAT_GAP_US, 1
+        ).when(F.lag("us").over(w).isNull(), 1).otherwise(0),
+    )
+    sess = flag.withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_idx").orderBy("us", "event_id")
+    turn = sess.withColumn("turn_no", F.row_number().over(w2))
+    return (
+        turn.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.min("us").cast("long").alias("t_start_us"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "turn_no",
+                                    F.concat_ws(
+                                        ":",
+                                        F.col("turn_no").cast("string"),
+                                        "event_type",
+                                    ).alias("line"),
+                                )
+                            )
+                        ),
+                        lambda x: x["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("transcript_hash"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_turns",
+            "t_start_us",
+            "transcript_hash",
+        )
+    )

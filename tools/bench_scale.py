@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Scale-curve benchmark: run the catalog's heavy-tail queries at 1x,
+2x, 5x and 10x the sf0.1 data volume and record how wall time grows.
+
+This is the weak-scaling evidence behind the "designed for 100x" claim:
+each scaled dataset is k INDEPENDENT sf0.1-shaped shards — replica k
+offsets every key by k*10^7 and rewrites text through a per-replica
+vowel rotation (length-preserving, deterministic), so cross-replica
+rows share no keys and almost no shingles and the workload is k times
+the original candidate structure, not k^2 cross-replica matches. A
+super-linear point on this curve means the operator does work that
+grows faster than the data (the thing partitioned design must avoid);
+~linear growth means the per-shard cost shape survives scale-up.
+
+Usage:  python tools/bench_scale.py [--mults 1,2,5,10]
+Writes  bench_history/SCALE_CURVE.json and prints one JSON line.
+Scaled parquet lands in .scale/x{k}/ (gitignored, regenerated on
+demand; sizes are MBs at these SFs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from logistics_data_pipeline_project_spark.queries import REGISTRY  # noqa: E402
+from logistics_data_pipeline_project_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+HEAVY = [
+    "q037_near_dup_clusters",
+    "q127_prefix_filter_near_dup",
+    "q149_ann_ivfpq_topk",
+    "q165_hashed_ngram_perceptron",
+    "q175_dedup_aware_split",
+    "q187_lsh_calibration",
+    "q196_doc_record_linkage",
+]
+TABLES = ["documents", "embeddings", "orders"]
+KEY_OFF = 10_000_000
+_V = "aeiou"
+_VU = "AEIOU"
+
+
+def _rot(s: str, k: int) -> str:
+    k %= len(s)
+    return s[k:] + s[:k]
+
+
+def _replica(df, table: str, k: int):
+    if k == 0:
+        return df
+    if table == "documents":
+        return df.select(
+            (F.col("doc_id") + k * KEY_OFF).alias("doc_id"),
+            F.translate(
+                F.translate("text", _V, _rot(_V, k % 5)),
+                _VU,
+                _rot(_VU, (k // 5) % 5),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",  # vowel rotation preserves length
+        )
+    if table == "embeddings":
+        return df.select(
+            (F.col("vec_id") + k * KEY_OFF).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (x, j) -> cast(x + "
+                f"pmod(xxhash64(vec_id * 131 + j + {k}), 997) / 10000.0 "
+                f"as float))"
+            ).alias("embedding"),
+            "label",
+        )
+    if table == "orders":
+        return df.withColumn("o_orderkey", F.col("o_orderkey") + k * KEY_OFF)
+    raise ValueError(table)
+
+
+def _gen(spark, mult: int, out_dir: str) -> None:
+    if os.path.isfile(os.path.join(out_dir, "_DONE")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        parts = [_replica(src, t, k) for k in range(mult)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(os.path.join(out_dir, "_DONE"), "w") as f:
+        f.write(str(mult))
+
+
+def main() -> None:
+    mults = [1, 2, 5, 10]
+    if "--mults" in sys.argv:
+        mults = [int(x) for x in sys.argv[sys.argv.index("--mults") + 1].split(",")]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scale_root = os.path.join(repo, ".scale")
+
+    # default local-mode driver heap is 1g — fine for the sf0.1 catalog
+    # bench, not for 10x volume in a single JVM; raise it for the curve
+    spark = get_spark(
+        app_name="ldp-spark-bench-scale",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).agg({"id": "sum"}).collect()
+    # one warm pass at the smallest SF: JVM/codegen/Arrow startup must not
+    # be charged to the x1 point (bench.py methodology)
+    for q in HEAVY:
+        REGISTRY[q].fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    dirs: dict[int, str] = {}
+    for m in mults:
+        d = BASE if m == 1 else os.path.join(scale_root, f"x{m}")
+        if m != 1:
+            _gen(spark, m, d)
+        dirs[m] = d
+
+    points: dict[str, dict] = {}
+    for m in mults:
+        timings: dict[str, float] = {}
+        for _pass in range(2):
+            for q in HEAVY:
+                t0 = time.perf_counter()
+                REGISTRY[q].fn(spark, dirs[m]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.perf_counter() - t0, 3)
+                timings[q] = min(timings.get(q, dt), dt)
+                print(f"# x{m} pass{_pass} {q}: {dt:.3f}s", file=sys.stderr)
+        points[f"x{m}"] = {
+            "total": round(sum(timings.values()), 3),
+            "queries": timings,
+        }
+
+    base_q = points[f"x{mults[0]}"]["queries"]
+    ratios = {
+        f"x{m}": {
+            q: round(points[f"x{m}"]["queries"][q] / max(base_q[q], 1e-9), 2)
+            for q in HEAVY
+        }
+        for m in mults[1:]
+    }
+    payload = {
+        "metric": "heavy_tail_scale_curve",
+        "base_sf_dir": BASE,
+        "mults": mults,
+        "points": points,
+        "ratio_vs_x1": ratios,
+        "design": "weak-scaling: k independent key/vowel-remapped sf0.1 shards",
+    }
+    out = os.path.join(repo, "bench_history", "SCALE_CURVE.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
