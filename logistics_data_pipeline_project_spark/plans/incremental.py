@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..operators.checkpoints import checkpointed_write
 from .materialize import TableStore
 
 #: Merge functions for decomposable partial aggregates.
@@ -111,9 +112,10 @@ def incremental_rollup(
     merged = merged.withColumn(
         wm_col, F.lit(gmax).cast(dict(merged.dtypes)[wm_col])
     )
-    # localCheckpoint cuts lineage to the store's previous snapshot files
-    # before the atomic swap (same discipline as streaming/upsert.py)
-    store.overwrite(name, merged.localCheckpoint(eager=True))
+    # checkpoint cuts lineage to the store's previous snapshot files
+    # before the atomic swap (same discipline as streaming/upsert.py);
+    # blocks are freed once the write lands
+    checkpointed_write(merged, lambda ck: store.overwrite(name, ck))
     return store.read(name)
 
 
@@ -192,5 +194,5 @@ def incremental_join_rollup(
     merged = update.groupBy(*keys).agg(
         *[_MERGE[kind](F.col(col)).alias(col) for col, kind in measures.items()]
     )
-    store.overwrite(name, merged.localCheckpoint(eager=True))
+    checkpointed_write(merged, lambda ck: store.overwrite(name, ck))
     return store.read(name)

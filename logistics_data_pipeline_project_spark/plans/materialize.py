@@ -36,6 +36,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.checkpoints import checkpointed_write
+
 _POINTER = "_LATEST"
 _VPREFIX = "v_"
 _META = "_META.json"
@@ -215,9 +217,10 @@ class TableStore:
 
         if _lax(current.schema) != _lax(df.schema):
             evolved = current.unionByName(df, allowMissingColumns=True)
-            # localCheckpoint cuts lineage to the snapshot being replaced
-            self.overwrite(
-                name, evolved.localCheckpoint(eager=True), meta=meta
+            # checkpoint cuts lineage to the snapshot being replaced;
+            # blocks are freed as soon as the write lands
+            checkpointed_write(
+                evolved, lambda ck: self.overwrite(name, ck, meta=meta)
             )
             return
         vs = self.versions(name)
@@ -284,8 +287,10 @@ class TableStore:
         # localCheckpoint cuts lineage to the snapshot being replaced;
         # the prior snapshot's metadata (e.g. stream replay guard) must
         # survive a compaction unchanged
-        df = self.read(name).coalesce(n_files).localCheckpoint(eager=True)
-        self.overwrite(name, df, meta=self.meta(name) or None)
+        checkpointed_write(
+            self.read(name).coalesce(n_files),
+            lambda ck: self.overwrite(name, ck, meta=self.meta(name) or None),
+        )
         new = self._vdir(name, self.current_version(name))
         return sum(1 for f in os.listdir(new) if f.endswith(".parquet"))
 
@@ -426,8 +431,8 @@ class TableStore:
         klist = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
         kept = df.join(F.broadcast(klist), key_col, "left_anti")
         before = df.count()
-        # localCheckpoint cuts lineage to the snapshot being replaced
-        self.overwrite(name, kept.localCheckpoint(eager=True))
+        # checkpoint cuts lineage to the snapshot being replaced
+        checkpointed_write(kept, lambda ck: self.overwrite(name, ck))
         after = self.read(name).count()
         return before - after, self.current_version(name)
 
@@ -603,8 +608,9 @@ def optimize_zorder(
     if cur is None:
         raise KeyError(f"no table {name!r}")
     df = store.read(name)
-    clustered = df.repartitionByRange(
-        n_files, zorder_key(cols, bits=bits)
-    ).localCheckpoint(eager=True)
-    store.overwrite(name, clustered, meta=store.meta(name) or None)
+    clustered = df.repartitionByRange(n_files, zorder_key(cols, bits=bits))
+    checkpointed_write(
+        clustered,
+        lambda ck: store.overwrite(name, ck, meta=store.meta(name) or None),
+    )
     return store.analyze(name, cols)

@@ -129,12 +129,15 @@ def q022_near_dup_jaccard(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _minhash_cand_ctes(n: int, k: int, bands: int, seed: int) -> str:
+def _minhash_cand_ctes(
+    n: int, k: int, bands: int, seed: int, source: str = "documents"
+) -> str:
     """DuckDB CTE chain replaying minhash_lsh_pairs up to ``cand``
     (id1, id2, jaccard_distance): same md5 signature math
     (operators/dedup.py:143) — lexicographic min over seeded md5 hex is
     engine-agnostic, which is the whole point of the md5 re-key.
-    Shared by the q023 pair query and the q187 calibration audit."""
+    Shared by the q023 pair query and the q187 calibration audit
+    (which passes its bounded-sample CTE as ``source``)."""
     per = k // bands
     sig_cols = ",\n    ".join(
         f"list_min([md5('{seed + i}:' || x) FOR x IN s]) AS h{i}" for i in range(k)
@@ -150,7 +153,7 @@ def _minhash_cand_ctes(n: int, k: int, bands: int, seed: int) -> str:
         f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(k)
     )
     return f"""mh_toks AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}
 ), f AS (
   SELECT doc_id, t FROM mh_toks WHERE len(t) >= {n}
 ), mh_sh AS (
@@ -5868,11 +5871,19 @@ def q182_containment_dedup(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+_CAL_SAMPLE_N = 400  # fixed-size uniform sample the calibration runs on
+
+
 @register(
     "q187_lsh_calibration",
     tags=("dedup", "A4", "J3"),
     oracle=f"""
-WITH {_minhash_cand_ctes(3, 8, 4, 42)},
+WITH cal_sample AS (
+  SELECT doc_id, text FROM documents
+  ORDER BY md5('cal:' || CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {_CAL_SAMPLE_N}
+),
+{_minhash_cand_ctes(3, 8, 4, 42, source="cal_sample")},
 j_sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id, unnest(s) AS shingle FROM mh_sh)
@@ -5905,20 +5916,36 @@ FROM conf
 """,
 )
 def q187_lsh_calibration(spark: SparkSession, sf_dir: str):
-    """LSH band-calibration audit — the measurement you run at small
-    scale BEFORE committing a (k, bands) config to a 100 TB dedup pass:
-    the MinHash candidate set (q023's machinery, distance cut disabled
-    so banding alone decides) is reconciled against the EXACT Jaccard ≥
-    0.5 truth over the same uncapped shingle universe, and the confusion
-    counts yield banding precision (how much the verify stage must
-    filter) and recall (what the bands miss — pairs dedup silently
-    ships) in integer ppm.  The integer threshold 2·inter ≥ union keeps
-    the truth float-free.  Scale shape: both pair sets derive from one
-    shingle stream; the reconciliation is a full-outer join on the pair
-    key and a single global aggregate."""
+    """LSH band-calibration audit — the measurement you run BEFORE
+    committing a (k, bands) config to a 100 TB dedup pass: the MinHash
+    candidate set (q023's machinery, distance cut disabled so banding
+    alone decides) is reconciled against the EXACT Jaccard ≥ 0.5 truth
+    over the same uncapped shingle universe, and the confusion counts
+    yield banding precision (how much the verify stage must filter) and
+    recall (what the bands miss — pairs dedup silently ships) in
+    integer ppm.  The integer threshold 2·inter ≥ union keeps the truth
+    float-free.  Exact truth is intrinsically quadratic, so the audit
+    runs on a FIXED-SIZE uniform sample — the {n}-doc salted-md5 top-N
+    (deterministic, partitioning-stable; one TakeOrdered, no full
+    sort) — making its cost CONSTANT in corpus size: the x10
+    weak-scaling run that motivated the cap showed the uncapped truth
+    pass growing 3.3x at 10x data (bench_history/SCALE_CURVE.json).
+    Calibration estimates band precision/recall, which a uniform sample
+    estimates unbiasedly; the production dedup path (q023) still runs
+    on the full corpus.  Scale shape: both pair sets derive from one
+    bounded shingle stream; the reconciliation is a full-outer join on
+    the pair key and a single global aggregate."""
     from ..operators.dedup import minhash_lsh_pairs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy(
+            F.md5(F.concat(F.lit("cal:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+        .limit(_CAL_SAMPLE_N)
+    )
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, max_distance=1.0
     ).select("id1", "id2", F.lit(1).alias("isc"))
@@ -5968,6 +5995,11 @@ def q187_lsh_calibration(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+q187_lsh_calibration.__doc__ = q187_lsh_calibration.__doc__.format(
+    n=_CAL_SAMPLE_N
+)
 
 
 # ---------------------------------------------------------------------------
@@ -6281,6 +6313,7 @@ def q194_duplicate_span_coverage(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _LINK_MIN_PPM = 100_000  # keep pairs with Jaccard >= 10%
+_LINK_BLOCK_CAP = 64  # expected right-side candidates kept per block
 
 
 @register(
@@ -6306,12 +6339,23 @@ sides AS (
   SELECT d.doc_id, b.bkey, d.ts, len(d.ts) AS nt, doc_id % 2 = 0 AS is_left
   FROM d JOIN blk b USING (doc_id)
 ),
+rc AS (
+  SELECT bkey, COUNT(*) AS nrt FROM sides WHERE NOT is_left GROUP BY bkey
+),
+rkeep AS (
+  SELECT s.doc_id, s.bkey, s.ts, s.nt
+  FROM sides s JOIN rc USING (bkey)
+  WHERE NOT s.is_left
+    AND CAST(('0x' || substr(md5('rb:' || s.doc_id || ':' || s.bkey), 1, 8))
+          AS BIGINT) % 1000000
+        < LEAST(1000000, {_LINK_BLOCK_CAP} * 1000000 // nrt)
+),
 cand AS (
   SELECT l.doc_id AS left_id, r.doc_id AS right_id,
     CAST(len(list_intersect(l.ts, r.ts)) AS BIGINT) AS n_common,
     CAST(l.nt + r.nt - len(list_intersect(l.ts, r.ts)) AS BIGINT) AS n_union
-  FROM sides l JOIN sides r ON l.bkey = r.bkey
-  WHERE l.is_left AND NOT r.is_left
+  FROM sides l JOIN rkeep r ON l.bkey = r.bkey
+  WHERE l.is_left
 ),
 scored AS (
   SELECT left_id, right_id, n_common, n_union,
@@ -6340,15 +6384,20 @@ def q196_doc_record_linkage(spark: SparkSession, sf_dir: str):
     corpus (single-key pairs grew ~7x at 10x data; conjunctive keys
     restore ~linear growth — bench_history/SCALE_CURVE.json).
     Blocking always trades recall for boundedness; pairs sharing one
-    rare token but not two are no longer candidates, by design —
-    (2) exact token-set Jaccard on candidates only, (3) best-match
-    assignment: each left record keeps its single highest-scoring right
-    record (tiebreak: smallest id) above a 10% floor.  Scale shape: df
-    is one map-side-combined aggregate; the blocking join shuffles only
-    (doc_id, bkey, token-set) — candidate generation never touches
-    non-blocked pairs; the per-left argmax is a window over candidate
-    groups, bounded by blocking.  Oracle replays it with DuckDB's
-    independent list_intersect implementation."""
+    rare token but not two are no longer candidates, by design.  On top
+    of the key, an EXPLICIT block cap (salted Bernoulli keep at rate
+    cap/|block|, cap={cap}) bounds candidate pairs expected-linear in
+    corpus size even when the key distribution degenerates — the
+    guarantee production linkage systems enforce, with the truncation
+    as the logged recall loss — (2) exact token-set Jaccard on
+    candidates only, (3) best-match assignment: each left record keeps
+    its single highest-scoring right record (tiebreak: smallest id)
+    above a 10% floor.  Scale shape: df is one map-side-combined
+    aggregate; the blocking join shuffles only (doc_id, bkey,
+    token-set) — candidate generation never touches non-blocked pairs;
+    the per-left argmax is a window over candidate groups, bounded by
+    blocking.  Oracle replays it with DuckDB's independent
+    list_intersect implementation."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("ts"),
@@ -6392,11 +6441,45 @@ def q196_doc_record_linkage(spark: SparkSession, sf_dir: str):
         F.col("ids").alias("lids"),
         F.col("nt").alias("lnt"),
     )
-    r = sides.filter(~F.col("is_left")).select(
+    # Explicit block cap — the guarantee blocking alone cannot give:
+    # each block keeps ~_LINK_BLOCK_CAP right-side candidates via a
+    # salted-md5 Bernoulli draw at rate cap/|block| (deterministic,
+    # partitioning-stable, oracle-replayable), so candidate pairs are
+    # EXPECTED-LINEAR in corpus size (sum over lefts of <= cap) even
+    # when the key distribution degenerates (closed vocabularies make
+    # every blocking key's population grow with the corpus — the x10
+    # weak-scaling run measured the uncapped join super-linear).
+    # Truncation loss is blocking's usual recall trade, now explicit.
+    r0 = sides.filter(~F.col("is_left")).select(
         F.col("doc_id").alias("right_id"),
         F.col("bkey"),
         F.col("ids").alias("rids"),
         F.col("nt").alias("rnt"),
+    )
+    rc = r0.groupBy("bkey").agg(F.count(F.lit(1)).alias("nrt"))
+    r = (
+        r0.join(rc, "bkey")
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("rb:"),
+                            F.col("right_id").cast("string"),
+                            F.lit(":"),
+                            F.col("bkey"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+            < F.expr(f"least(1000000, {_LINK_BLOCK_CAP} * 1000000 div nrt)")
+        )
+        .drop("nrt")
     )
     # Blocking keys are Zipf-skewed by construction (a popular "rarest"
     # token is the pathological case: one bkey → one reducer doing the
@@ -6435,6 +6518,11 @@ def q196_doc_record_linkage(spark: SparkSession, sf_dir: str):
         .filter(F.col("rn") == 1)
         .select("left_id", "right_id", "n_common", "n_union", "score_ppm")
     )
+
+
+q196_doc_record_linkage.__doc__ = q196_doc_record_linkage.__doc__.format(
+    cap=_LINK_BLOCK_CAP
+)
 
 
 # ---------------------------------------------------------------------------
@@ -8196,3 +8284,88 @@ def q218_chat_transcript_assembly(spark: SparkSession, sf_dir: str):
             "transcript_hash",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — audio spectral-feature audit (framed FFT peak-picking, oracle-exact)
+# ---------------------------------------------------------------------------
+
+_AUDIO_FRAME = 256
+
+
+@register(
+    "q219_audio_spectral_audit",
+    tags=("multimodal", "U1"),
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+    CAST(power(2, 1 + doc_id % 5) AS BIGINT) AS period,
+    1000 + (doc_id % 7) * 500 AS amp,
+    2 + doc_id % 3 AS n_frames
+  FROM documents
+)
+SELECT p.doc_id,
+  CAST(k.k AS INTEGER) AS frame_index,
+  CAST({_AUDIO_FRAME} * amp * amp AS BIGINT) AS energy_sum,
+  CAST(amp AS INTEGER) AS peak_abs,
+  CAST({_AUDIO_FRAME} // period AS INTEGER) AS dom_bin
+FROM p CROSS JOIN generate_series(0, 7) k(k)
+WHERE k.k < n_frames
+""",
+)
+def q219_audio_spectral_audit(spark: SparkSession, sf_dir: str):
+    """Audio twin of the image/video codec audits — a REAL spectral
+    pipeline with closed-form truth: per document a genuine mono PCM16
+    WAV is synthesized (a square wave of period 2^(1+doc_id%5) samples,
+    amplitude 1000+500·(doc_id%7), lasting 2+doc_id%3 frames of
+    {n} samples), then ``audio_frame_features``
+    (operators/multimodal.py) re-parses the RIFF container, frames the
+    stream, and reports per-frame integer energy, peak amplitude and
+    the dominant rFFT bin.  A period-P square wave whose period divides
+    the frame has ALL its energy on odd harmonics of bin N/P with the
+    fundamental strictly dominant (verified margin ≥2.4x), so the
+    numpy FFT argmax is structurally stable and the oracle states every
+    output in closed form — container parse, framing, integer energy
+    and the spectral peak all have to be right at once.  Scale shape:
+    two iterator-mapInPandas stages (synthesize, then decode+FFT);
+    samples never leave the UDFs; one cheap shuffle of bare longs
+    spreads the CPU-bound DSP."""
+    from ..operators.multimodal import audio_frame_features
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_wav_pcm16
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                period = 2 ** (1 + doc_id % 5)
+                amp = 1000 + (doc_id % 7) * 500
+                n = _AUDIO_FRAME * (2 + doc_id % 3)
+                samples = [
+                    amp if (i % period) < period // 2 else -amp
+                    for i in range(n)
+                ]
+                out.append(
+                    {"doc_id": doc_id, "payload": encode_wav_pcm16(samples)}
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return audio_frame_features(
+        gen_df, "doc_id", "payload", frame_len=_AUDIO_FRAME
+    ).select(
+        F.col("id").alias("doc_id"),
+        "frame_index",
+        "energy_sum",
+        "peak_abs",
+        "dom_bin",
+    )
+
+
+q219_audio_spectral_audit.__doc__ = q219_audio_spectral_audit.__doc__.format(
+    n=_AUDIO_FRAME
+)

@@ -26,6 +26,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.checkpoints import checkpointed_write
 from ..operators.sketch import hll_registers, merge_hll_sketches
 from ..plans.materialize import TableStore
 
@@ -67,12 +68,19 @@ def stream_sketch_rollup(
             ):
                 return  # replayed batch — already folded into the snapshot
             sk = merge(store.read(table), sk)
-        # localCheckpoint cuts lineage to the store's previous snapshot
-        # files before the atomic swap (same discipline as upsert.py)
-        store.overwrite(
-            table,
-            sk.localCheckpoint(eager=True),
-            meta={"last_batch_id": batch_id, "checkpoint_dir": checkpoint_dir},
+        # checkpoint cuts lineage to the store's previous snapshot
+        # files before the atomic swap (same discipline as upsert.py);
+        # blocks are freed per batch
+        checkpointed_write(
+            sk,
+            lambda ck: store.overwrite(
+                table,
+                ck,
+                meta={
+                    "last_batch_id": batch_id,
+                    "checkpoint_dir": checkpoint_dir,
+                },
+            ),
         )
 
     writer = (

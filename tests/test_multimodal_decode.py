@@ -839,3 +839,58 @@ def test_sample_frames_real_avi_path(spark):
     # digest is over DECODED pixels, matching a direct decode
     want0 = hashlib.sha256(decode_jpeg_pixels(frames[0])[3]).hexdigest()
     assert got[0]["frame_digest"] == want0
+
+
+# ---------------------------------------------------------------------------
+# audio: PCM16 WAV codec + framed spectral features
+# ---------------------------------------------------------------------------
+
+from logistics_data_pipeline_project_spark.operators.multimodal import (  # noqa: E402
+    audio_frame_features,
+    decode_wav_samples,
+    encode_wav_pcm16,
+)
+
+
+def test_wav_pcm16_roundtrip_and_guards():
+    import pytest as _pytest
+
+    s = [(-1) ** (i // 4) * 500 for i in range(1024)] + [32767, -32768]
+    rate, got = decode_wav_samples(encode_wav_pcm16(s, sample_rate=16000))
+    assert rate == 16000 and got == s
+    with _pytest.raises(ValueError):
+        decode_wav_samples(b"OggS not a wav")
+    # stereo is the honest codec boundary
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + bytes(4))
+    stereo = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(NotImplementedError):
+        decode_wav_samples(stereo)
+
+
+def test_audio_frame_features_square_waves(spark):
+    # period-P square wave, P | 256: fundamental bin N/P strictly
+    # dominates (margin >= 2.4x), energy = N*A^2 exactly
+    rows = []
+    want = {}
+    for i, (p, a, nf) in enumerate([(4, 700, 2), (16, 1200, 1), (32, 300, 3)]):
+        n = 256 * nf
+        samples = [a if (j % p) < p // 2 else -a for j in range(n)]
+        rows.append((i, encode_wav_pcm16(samples)))
+        for k in range(nf):
+            want[(i, k)] = (256 * a * a, a, 256 // p)
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        (r["id"], r["frame_index"]): (r["energy_sum"], r["peak_abs"], r["dom_bin"])
+        for r in audio_frame_features(df, "id", "payload").collect()
+    }
+    assert got == want
+    # trailing partial frames are dropped (analysis convention)
+    df2 = spark.createDataFrame(
+        [(9, encode_wav_pcm16([100] * 300))], "id long, payload binary"
+    )
+    out = audio_frame_features(df2, "id", "payload").collect()
+    assert len(out) == 1 and out[0]["frame_index"] == 0

@@ -389,6 +389,62 @@ def test_connected_components_min_label():
     assert dist == got
 
 
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """The distributed loop localCheckpoints every round; superseded
+    rounds (and the symmetrized edge set) must be unpersisted before the
+    function returns — a long-lived session otherwise accumulates
+    O(rounds) dead blocks per invocation until storage thrashes
+    (measured 4x rerun degradation at 10x volume)."""
+    from logistics_data_pipeline_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    nodes = spark.range(0, 400).select(F.col("id"))
+    # 100 chains of diameter 3 -> several propagation rounds
+    edges = spark.createDataFrame(
+        [(4 * i + k, 4 * i + k + 1) for i in range(100) for k in range(3)],
+        "id1 long, id2 long",
+    )
+    base = n_persistent()
+    result = connected_components(nodes, edges, local_edge_threshold=0)
+    got = {r["id"]: r["component"] for r in result.collect()}
+    assert got == {4 * i + k: 4 * i for i in range(100) for k in range(4)}
+    # only the FINAL labels checkpoint may remain pinned — not the edge
+    # set, not any superseded round
+    assert n_persistent() <= base + 1
+    # the local union-find path frees its edge materialization too
+    base2 = n_persistent()
+    local = connected_components(nodes, edges)
+    assert {r["id"]: r["component"] for r in local.collect()} == got
+    assert n_persistent() <= base2
+
+
+def test_checkpointed_write_frees_blocks(spark, tmp_path):
+    from logistics_data_pipeline_project_spark.operators.checkpoints import (
+        checkpointed_write,
+    )
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite("t", spark.range(100).selectExpr("id", "id * 2 as v"))
+    base = n_persistent()
+    # the foreachBatch discipline: checkpoint -> write -> free
+    checkpointed_write(
+        store.read("t").withColumn("v", F.col("v") + 1),
+        lambda ck: store.overwrite("t", ck),
+    )
+    assert n_persistent() == base
+    assert store.read("t").agg(F.sum("v")).collect()[0][0] == sum(
+        2 * i + 1 for i in range(100)
+    )
+
+
 def test_top_ngram_repetition_semantics(spark):
     from logistics_data_pipeline_project_spark.operators.text import (
         top_ngram_repetition,

@@ -4,8 +4,8 @@
 
 This is the weak-scaling evidence behind the "designed for 100x" claim:
 each scaled dataset is k INDEPENDENT sf0.1-shaped shards — replica k
-offsets every key by k*10^7 and rewrites text through a per-replica
-vowel rotation (length-preserving, deterministic), so cross-replica
+offsets every key by k*10^7 and rewrites text through per-replica
+vowel + consonant rotations (length-preserving, deterministic), so cross-replica
 rows share no keys and almost no shingles and the workload is k times
 the original candidate structure, not k^2 cross-replica matches. A
 super-linear point on this curve means the operator does work that
@@ -45,7 +45,10 @@ HEAVY = [
 TABLES = ["documents", "embeddings", "orders"]
 KEY_OFF = 10_000_000
 _V = "aeiou"
-_VU = "AEIOU"
+_C = "rstln"  # second remap axis — the corpus text is all-lowercase, so
+# an uppercase rotation would be a NO-OP and replicas k and k+5 would be
+# byte-identical (measured: cross-replica exact twins quadrupled near-dup
+# pair counts between x5 and x10, masquerading as operator super-linearity)
 
 
 def _rot(s: str, k: int) -> str:
@@ -61,12 +64,12 @@ def _replica(df, table: str, k: int):
             (F.col("doc_id") + k * KEY_OFF).alias("doc_id"),
             F.translate(
                 F.translate("text", _V, _rot(_V, k % 5)),
-                _VU,
-                _rot(_VU, (k // 5) % 5),
+                _C,
+                _rot(_C, (k // 5) % 5),
             ).alias("text"),
             "lang",
             "source",
-            "n_chars",  # vowel rotation preserves length
+            "n_chars",  # letter rotations preserve length
         )
     if table == "embeddings":
         return df.select(
@@ -158,7 +161,7 @@ def main() -> None:
         "mults": mults,
         "points": points,
         "ratio_vs_x1": ratios,
-        "design": "weak-scaling: k independent key/vowel-remapped sf0.1 shards",
+        "design": "weak-scaling: k independent key/letter-remapped sf0.1 shards",
     }
     out = os.path.join(repo, "bench_history", "SCALE_CURVE.json")
     with open(out, "w") as f:
