@@ -33,6 +33,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_near_pairs",
+    "hamming_near_pairs",
     "connected_components",
     "decontaminate",
     "prefix_filter_jaccard_pairs",
@@ -721,4 +722,89 @@ def prefix_filter_jaccard_pairs(
             / (F.col("size1") + F.col("size2") - F.col("inter_size")),
             4,
         ).alias("jaccard"),
+    )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Banded-LSH near-dup pairs over any 64-bit fingerprint stored as
+    two non-negative 32-bit halves (the ``dhash_images`` layout —
+    perceptual image hashes, but any 64-bit signature fits): the
+    fingerprint splits into four 16-bit bands, candidates share at least
+    one exact band, and the verify stage computes the exact Hamming
+    distance as bit_count(xor(hi)) + bit_count(xor(lo)).
+
+    Recall is structural, not probabilistic: any pair at Hamming
+    distance < 4 (the band count) has a band with NO differing bit
+    (pigeonhole), so true near-dups below that radius are never missed;
+    3 < distance <= max_hamming pairs are found iff their differing bits
+    leave a band clean. First-matching-band ownership dedups multi-band
+    collisions with a pure bit-expression (zero extra exchanges — the
+    simhash_near_pairs discipline). Scale shape: the band join shuffles
+    (band, 16-bit key, two 4-byte halves) — never payloads — and is
+    linear in candidates."""
+    n_bands = 4
+    fp = df.select(F.col(id_col), F.col(hi_col), F.col(lo_col))
+
+    def _bv(hi, lo, i):
+        col = lo if i < 2 else hi
+        return F.shiftright(col, (i % 2) * 16).bitwiseAND(F.lit(0xFFFF))
+
+    bands = fp.select(
+        F.col(id_col),
+        F.col(hi_col),
+        F.col(lo_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        _bv(F.col(hi_col), F.col(lo_col), i).alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        F.col(id_col),
+        F.col(hi_col),
+        F.col(lo_col),
+        F.col("bv.band").alias("band"),
+        F.col("bv.val").alias("val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    prior_mismatch = reduce(
+        lambda acc, j: acc
+        & (
+            (F.col("a.band") <= j)
+            | (
+                _bv(F.col(f"a.{hi_col}"), F.col(f"a.{lo_col}"), j)
+                != _bv(F.col(f"b.{hi_col}"), F.col(f"b.{lo_col}"), j)
+            )
+        ),
+        range(n_bands - 1),
+        F.lit(True),
+    )
+    hamming = F.bit_count(
+        F.col(f"a.{hi_col}").bitwiseXOR(F.col(f"b.{hi_col}"))
+    ) + F.bit_count(F.col(f"a.{lo_col}").bitwiseXOR(F.col(f"b.{lo_col}")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(prior_mismatch)
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )

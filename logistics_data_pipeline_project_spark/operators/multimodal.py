@@ -76,6 +76,9 @@ __all__ = [
     "encode_wav_pcm16",
     "decode_wav_samples",
     "audio_frame_features",
+    "decode_image_pixels",
+    "dhash_reference",
+    "dhash_images",
     "sample_frames",
     "resize_images",
     "MEDIA_FEATURE_SCHEMA",
@@ -2007,4 +2010,116 @@ def audio_frame_features(
     return cols.mapInPandas(
         feats,
         schema="id long, frame_index int, energy_sum long, peak_abs int, dom_bin int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) — the image-dedup fingerprint
+# ---------------------------------------------------------------------------
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Format-dispatching pixel decode: PNG, GIF (palette resolved to
+    RGB) and baseline JPEG all return (width, height, channels, raw
+    row-major 8-bit samples). ValueError for unknown magic. The
+    dispatcher is what lets image-level operators (dHash, resize,
+    audits) treat a mixed-format crawl as ONE binary column — at 100 TB
+    an image corpus is never single-format."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, indices, palette = decode_gif_pixels(payload)
+        rgb = bytearray(w * h * 3)
+        for i, ix in enumerate(indices):
+            rgb[3 * i : 3 * i + 3] = palette[3 * ix : 3 * ix + 3]
+        return w, h, 3, bytes(rgb)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(payload)
+    raise ValueError("unknown image format")
+
+
+def dhash_reference(width: int, height: int, channels: int, raw: bytes) -> int:
+    """Pure-Python reference dHash (64-bit int) used by tests to certify
+    the vectorized UDF: integer luma, nearest 9x8 sample grid, bit
+    (r,c) = 1 iff the left sample is strictly darker than its right
+    neighbor, packed at idx = r*8 + c."""
+    def gray(x: int, y: int) -> int:
+        o = (y * width + x) * channels
+        if channels >= 3:
+            return (299 * raw[o] + 587 * raw[o + 1] + 114 * raw[o + 2]) // 1000
+        return raw[o]
+
+    val = 0
+    for r in range(8):
+        y = r * height // 8
+        row = [gray(c * width // 9, y) for c in range(9)]
+        for c in range(8):
+            if row[c] < row[c + 1]:
+                val |= 1 << (r * 8 + c)
+    return val
+
+
+def dhash_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """64-bit perceptual difference-hash (dHash) per image — the standard
+    near-duplicate fingerprint for image corpora (crawl dedup a la
+    LAION): decode (any supported format via ``decode_image_pixels``),
+    integer luma (299/587/114 per mille — exact, engine-portable), a
+    nearest-neighbor 9x8 sample grid (floor(c*W/9), floor(r*H/8) — pure
+    integer index math, so the hash is closed-form replayable for
+    synthetic pixels), and bit (r,c) = 1 iff sample (r,c) is strictly
+    darker than sample (r,c+1).
+
+    The hash returns as TWO non-negative 32-bit halves (``dhash_hi`` =
+    bits 32..63, ``dhash_lo`` = bits 0..31): signed-64 overflow can
+    never occur in any engine, Hamming distance is
+    bit_count(xor(hi))+bit_count(xor(lo)), and 16-bit LSH band keys fall
+    out of plain shift+mask (operators/dedup.py::hamming_near_pairs).
+
+    Scale shape: one Arrow-batched mapInPandas projection — payloads
+    never leave the UDF, the output row is 5 scalars; downstream dedup
+    shuffles 8-byte fingerprints, never pixels."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, raw = decode_image_pixels(
+                    bytes(payload) if payload is not None else b""
+                )
+                a = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(h, w, ch)
+                    .astype(np.int64)
+                )
+                if ch >= 3:
+                    g = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+                else:
+                    g = a[:, :, 0]
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                s = g[np.ix_(ys, xs)]
+                bits = (s[:, :-1] < s[:, 1:]).astype(np.uint64).ravel()
+                val = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                out.append(
+                    {
+                        "id": int(_id),
+                        "width": w,
+                        "height": h,
+                        "dhash_hi": (val >> 32) & 0xFFFFFFFF,
+                        "dhash_lo": val & 0xFFFFFFFF,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height", "dhash_hi", "dhash_lo"]
+            )
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return cols.mapInPandas(
+        hashes,
+        schema="id long, width int, height int, dhash_hi long, dhash_lo long",
     )

@@ -8369,3 +8369,197 @@ def q219_audio_spectral_audit(spark: SparkSession, sf_dir: str):
 q219_audio_spectral_audit.__doc__ = q219_audio_spectral_audit.__doc__.format(
     n=_AUDIO_FRAME
 )
+
+
+# ---------------------------------------------------------------------------
+# q220/q221 — perceptual image hashing (dHash) + banded Hamming near-dup
+# ---------------------------------------------------------------------------
+
+_DH_W, _DH_H = 18, 16
+
+# md5-derived synthetic pixel: first byte of md5("<g>:<x>:<y>") — diverse
+# (effectively random per generator key) yet stated in closed form by both
+# engines, so a REAL decode→hash pipeline gets an exact oracle.
+_DH_PX = (
+    "CAST(('0x' || substr(md5(CAST({g} AS VARCHAR) || ':' || "
+    "CAST({x} AS VARCHAR) || ':' || CAST({y} AS VARCHAR)), 1, 2)) AS INTEGER)"
+)
+
+# the sampled 9x8 grid for an 18x16 image: sx(c)=2c, sy(r)=2r — shared by
+# the Spark-side generator (full image) and the oracle (samples only).
+_DH_BITS_SQL = """bits AS (
+  SELECT a.doc_id, a.r * 8 + a.c AS idx,
+    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 8
+), fp AS (
+  SELECT doc_id,
+    CAST(coalesce(SUM(CASE WHEN idx >= 32
+                           THEN CAST(bit AS BIGINT) << (idx - 32) END),
+                  0) AS BIGINT) AS dhash_hi,
+    CAST(coalesce(SUM(CASE WHEN idx < 32
+                           THEN CAST(bit AS BIGINT) << idx END),
+                  0) AS BIGINT) AS dhash_lo
+  FROM bits GROUP BY doc_id
+)"""
+
+
+def _dhash_px(doc_key: int, x: int, y: int) -> int:
+    import hashlib
+
+    return hashlib.md5(f"{doc_key}:{x}:{y}".encode()).digest()[0]
+
+
+@register(
+    "q220_image_dhash_audit",
+    tags=("multimodal", "dedup"),
+    oracle=f"""
+WITH s AS (
+  SELECT d.doc_id, r.r, c.c,
+    {_DH_PX.format(g="d.doc_id", x="2 * c.c", y="2 * r.r")} AS v
+  FROM documents d, generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+), {_DH_BITS_SQL}
+SELECT doc_id, CAST({_DH_W} AS INTEGER) AS width,
+  CAST({_DH_H} AS INTEGER) AS height, dhash_hi, dhash_lo
+FROM fp
+""",
+)
+def q220_image_dhash_audit(spark: SparkSession, sf_dir: str):
+    """Perceptual image-hash audit over a REAL mixed-format decode path:
+    per document an {w}x{h} image with md5-derived pixels is encoded as
+    a genuine PNG (even doc_ids: zlib+filter scanlines) or GIF (odd:
+    LZW over an identity grayscale palette), then ``dhash_images``
+    (operators/multimodal.py) runs the full decode (format dispatch →
+    inflate/LZW → luma → nearest 9x8 grid → 64-bit difference hash).
+    The hash samples land on even coordinates (sx=2c, sy=2r), so the
+    oracle restates every sampled pixel in closed form and reconstructs
+    the exact fingerprint — container parse, entropy decode, palette
+    resolution, luma and the bit packing all have to be right at once
+    (the q199/q219 pattern, now for the image-dedup fingerprint).
+    Scale shape: generate and hash are iterator-mapInPandas stages;
+    payloads never leave the UDFs; the result is 5 scalars per image."""
+    from ..operators.multimodal import dhash_images
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_gif, encode_png
+
+        gray_palette = bytes(v for i in range(256) for v in (i, i, i))
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                raw = bytes(
+                    _dhash_px(doc_id, x, y)
+                    for y in range(_DH_H)
+                    for x in range(_DH_W)
+                )
+                payload = (
+                    encode_png(_DH_W, _DH_H, 1, raw)
+                    if doc_id % 2 == 0
+                    else encode_gif(_DH_W, _DH_H, raw, gray_palette)
+                )
+                out.append({"doc_id": doc_id, "payload": payload})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return dhash_images(gen_df, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"), "width", "height", "dhash_hi", "dhash_lo"
+    )
+
+
+q220_image_dhash_audit.__doc__ = q220_image_dhash_audit.__doc__.format(
+    w=_DH_W, h=_DH_H
+)
+
+
+_DH_MAX_HAMMING = 6
+
+
+@register(
+    "q221_image_neardup_pairs",
+    tags=("multimodal", "dedup", "J1"),
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+), s AS (
+  SELECT d.doc_id, r.r, c.c,
+    CASE WHEN d.v > 0 AND c.c = d.v AND r.r = d.v
+         THEN ({_DH_PX.format(g="d.g", x="2 * c.c", y="2 * r.r")} + 128) % 256
+         ELSE {_DH_PX.format(g="d.g", x="2 * c.c", y="2 * r.r")} END AS v
+  FROM docs d, generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+), {_DH_BITS_SQL},
+bands AS (
+  SELECT doc_id, dhash_hi, dhash_lo, b.band,
+    (CASE WHEN b.band < 2 THEN dhash_lo >> (b.band * 16)
+          ELSE dhash_hi >> ((b.band - 2) * 16) END) & 65535 AS val
+  FROM fp, (SELECT unnest(range(4)) AS band) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+    CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+       + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, hamming FROM pairs WHERE hamming <= {_DH_MAX_HAMMING}
+""",
+)
+def q221_image_neardup_pairs(spark: SparkSession, sf_dir: str):
+    """Image near-duplicate detection end to end — the crawl-dedup path
+    of a multimodal training pipeline: documents form groups of 4
+    variants of one base image (group g = doc_id // 4, md5-derived
+    pixels; variant v > 0 flips sampled pixel (2v, 2v) by +128 mod 256,
+    perturbing at most 2 hash bits — a re-encoded thumbnail with a
+    watermark, in miniature), every variant is PNG-encoded, REALLY
+    decoded and dHashed (q220's path), and
+    ``hamming_near_pairs`` (operators/dedup.py) finds all pairs within
+    Hamming distance {t} via 4x16-bit banded LSH — within-group pairs
+    differ by <= 4 bits and surface, cross-group hashes are effectively
+    random 64-bit values whose band collisions the exact Hamming verify
+    rejects.  Recall below distance 4 is structural (pigeonhole over
+    bands).  The oracle replays pixels, hash, banding and verify in
+    closed form.  Scale shape: pixels stay inside the mapInPandas
+    stages; the LSH join shuffles only (band, 16-bit key, 8-byte
+    fingerprint) — at 100 TB the pair stage never touches image bytes."""
+    from ..operators.dedup import hamming_near_pairs
+    from ..operators.multimodal import dhash_images
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_png
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g, v = doc_id // 4, doc_id % 4
+                raw = bytearray(
+                    _dhash_px(g, x, y) for y in range(_DH_H) for x in range(_DH_W)
+                )
+                if v > 0:
+                    i = 2 * v * _DH_W + 2 * v
+                    raw[i] = (raw[i] + 128) % 256
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_png(_DH_W, _DH_H, 1, bytes(raw)),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    fp = dhash_images(gen_df, "doc_id", "payload")
+    return hamming_near_pairs(
+        fp.select(F.col("id").alias("doc_id"), "dhash_hi", "dhash_lo"),
+        "doc_id",
+        max_hamming=_DH_MAX_HAMMING,
+    )
+
+
+q221_image_neardup_pairs.__doc__ = q221_image_neardup_pairs.__doc__.format(
+    t=_DH_MAX_HAMMING
+)

@@ -894,3 +894,94 @@ def test_audio_frame_features_square_waves(spark):
     )
     out = audio_frame_features(df2, "id", "payload").collect()
     assert len(out) == 1 and out[0]["frame_index"] == 0
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing: dispatcher + dHash + banded Hamming pairs
+# ---------------------------------------------------------------------------
+
+from logistics_data_pipeline_project_spark.operators.multimodal import (  # noqa: E402
+    decode_image_pixels,
+    dhash_images,
+    dhash_reference,
+    encode_gif,
+    encode_jpeg,
+    encode_png,
+)
+
+
+def test_decode_image_pixels_dispatch():
+    import pytest as _pytest
+
+    raw = bytes((x * 5 + y * 3) % 256 for y in range(8) for x in range(8))
+    w, h, ch, got = decode_image_pixels(encode_png(8, 8, 1, raw))
+    assert (w, h, ch, got) == (8, 8, 1, raw)
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    w, h, ch, got = decode_image_pixels(encode_gif(8, 8, raw, pal))
+    assert (w, h, ch) == (8, 8, 3)
+    assert bytes(got[3 * i] for i in range(64)) == raw
+    # flat 8x8 JPEG tile with quantizer 8 decodes bit-exactly
+    flat = bytes([137] * 64)
+    w, h, ch, got = decode_image_pixels(encode_jpeg(8, 8, flat, qtable=[8] * 64))
+    assert (w, h, ch, got) == (8, 8, 1, flat)
+    with _pytest.raises(ValueError):
+        decode_image_pixels(b"BM not an image")
+
+
+def test_dhash_images_matches_reference(spark):
+    # mixed formats, mixed sizes, RGB and grayscale — the Spark UDF must
+    # agree with the pure-python reference hash bit for bit
+    import hashlib
+
+    rows, want = [], {}
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    for i, (w, h) in enumerate([(18, 16), (9, 8), (40, 24)]):
+        gray = bytes(
+            hashlib.md5(f"{i}:{x}:{y}".encode()).digest()[0]
+            for y in range(h)
+            for x in range(w)
+        )
+        rgb = bytes(b for v in gray for b in (v, (v * 3) % 256, (v * 7) % 256))
+        rows.append((3 * i, encode_png(w, h, 1, gray)))
+        want[3 * i] = dhash_reference(w, h, 1, gray)
+        rows.append((3 * i + 1, encode_png(w, h, 3, rgb)))
+        want[3 * i + 1] = dhash_reference(w, h, 3, rgb)
+        rows.append((3 * i + 2, encode_gif(w, h, gray, pal)))
+        # identity palette -> luma == index
+        want[3 * i + 2] = dhash_reference(w, h, 1, gray)
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r["id"]: (r["dhash_hi"] << 32) | r["dhash_lo"]
+        for r in dhash_images(df, "id", "payload").collect()
+    }
+    assert got == want
+    # constant image -> all comparisons false -> hash 0
+    flat = spark.createDataFrame(
+        [(99, encode_png(18, 16, 1, bytes([7] * 288)))], "id long, payload binary"
+    )
+    r = dhash_images(flat, "id", "payload").collect()[0]
+    assert (r["dhash_hi"], r["dhash_lo"], r["width"], r["height"]) == (0, 0, 18, 16)
+
+
+def test_hamming_near_pairs_bands_and_verify(spark):
+    from logistics_data_pipeline_project_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    base_hi, base_lo = 0x12345678, 0x9ABCDEF0
+    rows = [
+        (1, base_hi, base_lo),
+        (2, base_hi, base_lo),            # identical: all 4 bands match, once
+        (3, base_hi ^ 0b111, base_lo),    # 3 bits in ONE band: found (d=3)
+        (4, base_hi ^ 0x10001, base_lo ^ 0x10001),  # d=4 spread over 4 bands: no clean band
+        (5, 0x0F0F0F0F, 0x70707070),      # unrelated: no band collision with base
+    ]
+    df = spark.createDataFrame(rows, "id long, dhash_hi long, dhash_lo long")
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in hamming_near_pairs(df, "id", max_hamming=6).collect()
+    }
+    assert got[(1, 2)] == 0 and got[(2, 3)] == 3 and got[(1, 3)] == 3
+    assert (1, 4) not in got and (1, 5) not in got
+    # structural recall: ANY 3-bit-distant pair shares a clean band
+    assert (1, 3) in got
