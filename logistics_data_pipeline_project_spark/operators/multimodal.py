@@ -30,9 +30,11 @@ Decode tiers (no image/audio libraries in this container):
   frame extraction is real for YUV4MPEG2 streams (``encode_y4m`` /
   ``decode_y4m_frames`` / ``y4m_frame_stats``, and
   ``sample_frames(decode_stub=False)``), the uncompressed interchange
-  format that needs no codec. Progressive/arithmetic JPEG and
-  inter-coded video still raise NotImplementedError where Pillow/pyav
-  calls would go — an honest capability boundary, not a silent fake.
+  format that needs no codec. Progressive JPEG (SOF2: spectral
+  selection + successive approximation) is fully decoded and encoded.
+  Arithmetic-coded/12-bit JPEG and inter-coded video still raise
+  NotImplementedError where Pillow/pyav calls would go — an honest
+  capability boundary, not a silent fake.
 """
 
 from __future__ import annotations
@@ -759,25 +761,54 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+#: GIF interlace passes: (first row, row step) in storage order.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlaced_rows(height: int) -> list[int]:
+    """Row indices in GIF interlace STORAGE order (the order an
+    interlaced stream carries them)."""
+    return [y for start, step in _GIF_INTERLACE for y in range(start, height, step)]
+
+
 def encode_gif(
-    width: int, height: int, indices: bytes, palette: bytes
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    interlaced: bool = False,
+    local_palette: bool = False,
 ) -> bytes:
-    """Minimal GIF89a encoder: one full-size non-interlaced frame over a
-    256-entry global color table. `indices` is width*height palette
-    indices row-major; `palette` is 768 bytes of RGB triples."""
+    """Minimal GIF89a encoder: one full-size frame over a 256-entry color
+    table. `indices` is width*height palette indices row-major; `palette`
+    is 768 bytes of RGB triples. ``interlaced`` stores rows in the
+    standard 4-pass interlace order; ``local_palette`` attaches the table
+    to the image descriptor instead of the screen (both are common in
+    real crawls — multi-image GIFs almost always use local tables)."""
     if len(indices) != width * height:
         raise ValueError("indices length != width*height")
     if len(palette) != 256 * 3:
         raise ValueError("palette must be 256 RGB triples")
     out = bytearray(b"GIF89a")
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out.append(0xF7)  # GCT present, 8 bits/channel, 256 entries
-    out += b"\x00\x00"  # background index, aspect
-    out += palette
+    if local_palette:
+        out.append(0x77)  # no GCT; color-resolution bits only
+        out += b"\x00\x00"
+    else:
+        out.append(0xF7)  # GCT present, 8 bits/channel, 256 entries
+        out += b"\x00\x00"  # background index, aspect
+        out += palette
     out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out.append(0x00)  # no local table, not interlaced
+    out.append((0x80 if local_palette else 0) | (0x40 if interlaced else 0) | (0x07 if local_palette else 0))
+    if local_palette:
+        out += palette
     out.append(8)  # LZW min code size
+    if interlaced:
+        indices = b"".join(
+            indices[y * width : (y + 1) * width]
+            for y in _gif_interlaced_rows(height)
+        )
     comp = _gif_lzw_encode(indices, 8)
     for i in range(0, len(comp), 255):
         block = comp[i : i + 255]
@@ -790,9 +821,8 @@ def encode_gif(
 def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes, bytes]:
     """REAL GIF pixel decode (first frame): returns (width, height,
     indices, palette). Pure stdlib — container walk + variable-width
-    LZW. Interlaced frames and local color tables raise
-    NotImplementedError (an honest capability boundary; the encoder
-    half never produces them)."""
+    LZW, 4-pass deinterlace, local color tables (which override the
+    global one, per spec)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw = int.from_bytes(payload[6:8], "little")
@@ -820,10 +850,10 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes, bytes]:
         h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
         flags = payload[pos + 9]
         pos += 10
-        if flags & 0x40:
-            raise NotImplementedError("interlaced GIF frames unsupported")
-        if flags & 0x80:
-            raise NotImplementedError("local color tables unsupported")
+        if flags & 0x80:  # local color table overrides the global one
+            n = 2 << (flags & 0x07)
+            palette = payload[pos : pos + 3 * n]
+            pos += 3 * n
         min_code = payload[pos]
         pos += 1
         comp = bytearray()
@@ -834,7 +864,15 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes, bytes]:
         indices = _gif_lzw_decode(bytes(comp), min_code)
         if len(indices) < w * h:
             raise ValueError("LZW stream shorter than frame")
-        return w, h, indices[: w * h], palette
+        indices = indices[: w * h]
+        if flags & 0x40:  # 4-pass deinterlace: stream order -> row order
+            rows = bytearray(w * h)
+            for stream_i, y in enumerate(_gif_interlaced_rows(h)):
+                rows[y * w : (y + 1) * w] = indices[
+                    stream_i * w : (stream_i + 1) * w
+                ]
+            indices = bytes(rows)
+        return w, h, indices, palette
     raise ValueError("GIF contains no image frame")
 
 
@@ -960,6 +998,16 @@ _JPEG_AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# Progressive AC table for the ENCODER: the baseline Annex K.3.3 table
+# has no EOBn symbols (r<15, s=0 with r>0), which progressive AC scans
+# require — so the progressive scans carry a flat canonical table giving
+# every run/size symbol with s <= 10 (16*11 = 176 symbols) an 8-bit
+# code. Legal (codes 0..175, the all-ones 8-bit code unused), trivially
+# decodable, and ~suboptimal only in compression ratio, never
+# correctness — the decoder reads whatever DHT the file defines.
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
 _dct_cache: dict[int, object] = {}
 
 
@@ -1042,6 +1090,7 @@ def encode_jpeg(
     qtable: list[int] | None = None,
     channels: int = 1,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """REAL baseline JPEG encoder (ITU-T T.81, SOF0) for 8-bit grayscale
     (``channels=1``) or RGB via YCbCr (``channels=3``, interleaved
@@ -1058,6 +1107,14 @@ def encode_jpeg(
     dominant real-world format). Chroma planes are box-averaged before
     the DCT — over a region of constant color the average is exact, so
     flat-tile audits stay integer-exact end to end.
+
+    ``progressive=True`` emits SOF2 with a libjpeg-style scan script
+    exercising BOTH progressive dimensions (T.81 Annex G): successive
+    approximation (every band lands at Al=1 and is refined by an Ah=1
+    bitplane scan) and spectral selection (luma AC splits into a 1-5
+    band and a 6-63 band). Coefficients are identical to the baseline
+    output — progression changes transmission order, not values — so a
+    correct decoder reproduces the baseline pixels bit for bit.
 
     Edge blocks replicate the last row/column (the common encoder
     padding; pixels outside the image are never emitted by the decoder).
@@ -1141,26 +1198,37 @@ def encode_jpeg(
     # defined tables, so any decoder reads it; slightly suboptimal for
     # chroma, irrelevant for correctness)
     dc_codes = _build_huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _build_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     zz = np.asarray(_JPEG_ZIGZAG)
-    writer = _BitWriter()
-    prev_dc = [0] * channels
-    for my in range(mcuy):
-        for mx in range(mcux):  # MCU = fh*fv blocks per component, T.81 A.2.3
-            for comp in range(channels):
-                fh, fv = factors[comp]
-                for vi in range(fv):
-                    for hi in range(fh):
-                        _jpeg_write_block(
-                            writer,
-                            quants[comp][my * fv + vi, mx * fh + hi],
-                            comp,
-                            prev_dc,
-                            zz,
-                            dc_codes,
-                            ac_codes,
-                        )
-    entropy = writer.flush()
+    comp_ids = [1, 2, 3][:channels]
+    scans_out: list[tuple[bytes, bytes]] = []  # (SOS body, entropy)
+    if not progressive:
+        ac_codes = _build_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+        writer = _BitWriter()
+        prev_dc = [0] * channels
+        for my in range(mcuy):
+            for mx in range(mcux):  # MCU = fh*fv blocks/component, T.81 A.2.3
+                for comp in range(channels):
+                    fh, fv = factors[comp]
+                    for vi in range(fv):
+                        for hi in range(fh):
+                            _jpeg_write_block(
+                                writer,
+                                quants[comp][my * fv + vi, mx * fh + hi],
+                                comp,
+                                prev_dc,
+                                zz,
+                                dc_codes,
+                                ac_codes,
+                            )
+        sos_comps = b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+        scans_out.append(
+            (bytes([channels]) + sos_comps + b"\x00\x3f\x00", writer.flush())
+        )
+    else:
+        scans_out = _jpeg_progressive_scans(
+            quants, factors, channels, comp_ids, width, height,
+            hy, vy, mcux, mcuy, dc_codes, zz,
+        )
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -1173,26 +1241,207 @@ def encode_jpeg(
         sof_comps = (
             bytes([0x01, (hy << 4) | vy, 0x00]) + b"\x02\x11\x01\x03\x11\x01"
         )
-        sos_comps = b"\x03\x01\x00\x02\x00\x03\x00"
     else:
         sof_comps = b"\x01\x11\x00"
-        sos_comps = b"\x01\x01\x00"
     dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    if progressive:
+        dht_ac = (
+            bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+        )
+    else:
+        dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + dqt
         + seg(
-            0xFFC0,
+            0xFFC2 if progressive else 0xFFC0,
             struct.pack(">BHHB", 8, height, width, channels) + sof_comps,
-        )  # SOF0
+        )  # SOF2 / SOF0
         + seg(0xFFC4, dht_dc)
         + seg(0xFFC4, dht_ac)
-        + seg(0xFFDA, sos_comps + b"\x00\x3f\x00")  # SOS
-        + entropy
+        + b"".join(
+            seg(0xFFDA, body) + entropy for body, entropy in scans_out
+        )
         + b"\xff\xd9"  # EOI
     )
+
+
+def _jpeg_progressive_scans(
+    quants,
+    factors,
+    channels: int,
+    comp_ids: list[int],
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+    mcux: int,
+    mcuy: int,
+    dc_codes: dict,
+    zz,
+) -> list[tuple[bytes, bytes]]:
+    """Entropy-code the quantized blocks as a progressive scan script
+    (T.81 Annex G, libjpeg jcphuff conventions): interleaved DC first at
+    Al=1, per-component AC first scans at Al=1 (luma split into 1-5 and
+    6-63 spectral bands), then the DC and AC Ah=1->Al=0 refinement
+    bitplanes. Returns [(SOS body, stuffed entropy bytes), ...]."""
+    acp = _build_huffman_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def dc_sos(ah: int, al: int) -> bytes:
+        return (
+            bytes([channels])
+            + b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+            + bytes([0, 0, (ah << 4) | al])
+        )
+
+    def mcu_dc_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(channels):
+                    fh, fv = factors[ci]
+                    for vi in range(fv):
+                        for hi in range(fh):
+                            yield ci, int(
+                                quants[ci][my * fv + vi, mx * fh + hi, 0, 0]
+                            )
+
+    def scan_blocks(ci):
+        # the REAL component grid (non-interleaved scans never carry
+        # MCU padding blocks)
+        fh, fv = factors[ci]
+        cw = (width * fh + hmax - 1) // hmax
+        chh = (height * fv + vmax - 1) // vmax
+        for by in range((chh + 7) // 8):
+            for bx in range((cw + 7) // 8):
+                yield quants[ci][by, bx].reshape(64)[zz]
+
+    scans: list[tuple[bytes, bytes]] = []
+    # ---- DC first scan: difference chain on the Al=1 point transform
+    w = _BitWriter()
+    prev = [0] * channels
+    for ci, dc in mcu_dc_blocks():
+        v = dc >> 1  # arithmetic shift per T.81 G.1.2.1
+        diff = v - prev[ci]
+        prev[ci] = v
+        s = _jpeg_category(diff)
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    scans.append((dc_sos(0, 1), w.flush()))
+
+    bands = []
+    for ci in range(channels):
+        bands += [(ci, 1, 5), (ci, 6, 63)] if ci == 0 else [(ci, 1, 63)]
+
+    # ---- AC first scans (Al=1): run/size + EOBn end-of-band runs
+    for ci, ss, se in bands:
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = acp[r << 4]
+                w.write(code, ln)
+                if r:
+                    w.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for zig in scan_blocks(ci):
+            run = 0
+            for k in range(ss, se + 1):
+                t = int(zig[k])
+                a = abs(t) >> 1
+                if a == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    code, ln = acp[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                s = a.bit_length()
+                code, ln = acp[(run << 4) | s]
+                w.write(code, ln)
+                v = a if t > 0 else -a
+                w.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        scans.append((bytes([1, comp_ids[ci], 0x00, ss, se, 0x01]), w.flush()))
+
+    # ---- DC refinement: one raw bit per block (no Huffman)
+    w = _BitWriter()
+    for _ci, dc in mcu_dc_blocks():
+        w.write(dc & 1, 1)
+    scans.append((dc_sos(1, 0), w.flush()))
+
+    # ---- AC refinement scans (Ah=1, Al=0): correction bits buffered
+    # per libjpeg jcphuff figure G.7 semantics
+    for ci, ss, se in bands:
+        w = _BitWriter()
+        eobrun = 0
+        pend: list[int] = []  # correction bits deferred across an EOB run
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = acp[r << 4]
+                w.write(code, ln)
+                if r:
+                    w.write(eobrun - (1 << r), r)
+                for b in pend:
+                    w.write(b, 1)
+                pend = []
+                eobrun = 0
+
+        for zig in scan_blocks(ci):
+            absv = [abs(int(zig[k])) for k in range(64)]
+            eobpos = 0  # last NEWLY-nonzero position in the band
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eobpos = k
+            r = 0
+            br: list[int] = []  # this block's buffered correction bits
+            for k in range(ss, se + 1):
+                temp = absv[k]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    flush_eob()
+                    code, ln = acp[0xF0]
+                    w.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                if temp > 1:  # history coefficient: correction bit only
+                    br.append(temp & 1)
+                    continue
+                flush_eob()
+                code, ln = acp[(r << 4) | 1]
+                w.write(code, ln)
+                w.write(1 if int(zig[k]) > 0 else 0, 1)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pend.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        scans.append((bytes([1, comp_ids[ci], 0x00, ss, se, 0x10]), w.flush()))
+    return scans
 
 
 def _jpeg_write_block(
@@ -1291,6 +1540,98 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_dc_unit(reader, row, bidx, dc_t, pred, si, ah, al) -> None:
+    """Decode one block's DC for a progressive DC scan (T.81 G.2):
+    first scan (Ah=0) runs the usual difference chain on the
+    point-transformed value and stores it at precision Al; refinement
+    scans carry exactly one raw bit per block, OR-ed in at bit Al
+    (two's complement — works for negative DC by construction)."""
+    if ah == 0:
+        s = reader.read_huffman(dc_t)
+        diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+        pred[si] += diff
+        row[bidx, 0] = pred[si] << al
+    elif reader.read_bit():
+        row[bidx, 0] |= 1 << al
+
+
+def _jpeg_ac_first(reader, ac_t, row, ss, se, al, eob) -> None:
+    """Decode one block's AC band for a progressive first scan (Ah=0,
+    T.81 G.2.2): run/size coding as baseline plus EOBn symbols — an
+    end-of-band RUN spanning (1<<r)+bits whole blocks, tracked across
+    calls in the one-element ``eob`` list. Coefficients land at
+    precision Al in ZIGZAG order (``row`` is the block's 64-entry
+    zigzag-indexed slice)."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = reader.read_huffman(ac_t)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r != 15:
+                eob[0] = (1 << r) - 1  # minus this block
+                if r:
+                    eob[0] += reader.read_bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows band")
+        row[k] = _jpeg_extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _jpeg_ac_refine(reader, ac_t, row, ss, se, al, eob) -> None:
+    """Decode one block's AC band for a progressive refinement scan
+    (Ah=Al+1, T.81 G.1.2.3 figure G.7 / libjpeg jdphuff convention):
+    every already-nonzero coefficient passed over consumes one
+    correction bit (magnitude grows by 1<<Al if the bit is set and not
+    already present); run lengths count ZERO-history positions only;
+    s=1 symbols introduce a new ±1<<Al coefficient; EOBn runs finish
+    the band of whole blocks while still draining correction bits."""
+    p1 = 1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            sym = reader.read_huffman(ac_t)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG AC refinement symbol")
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                v = int(row[k])
+                if v != 0:
+                    if reader.read_bit() and (abs(v) & p1) == 0:
+                        row[k] = v + p1 if v > 0 else v - p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                row[k] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            v = int(row[k])
+            if v != 0:
+                if reader.read_bit() and (abs(v) & p1) == 0:
+                    row[k] = v + p1 if v > 0 else v - p1
+            k += 1
+        eob[0] -= 1
+
+
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL baseline JPEG decoder (ITU-T T.81, SOF0) for 8-bit grayscale
     and YCbCr color at ANY baseline sampling (4:4:4, 4:2:2, 4:2:0 and
@@ -1307,9 +1648,9 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     convention.
 
     Raises ValueError for non-JPEG bytes and NotImplementedError for the
-    JPEG features that genuinely need libjpeg (progressive/SOF2,
-    arithmetic coding, 12-bit precision) — the same honest capability
-    surface as the PNG/GIF decoders."""
+    JPEG features that genuinely need libjpeg (arithmetic coding,
+    12-bit precision, lossless/hierarchical) — the same honest
+    capability surface as the PNG/GIF decoders."""
     import struct
 
     import numpy as np
@@ -1320,20 +1661,27 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     dc_tables: dict[int, dict[tuple[int, int], int]] = {}
     ac_tables: dict[int, dict[tuple[int, int], int]] = {}
     width = height = -1
-    comps: list[dict] = []  # SOF order: {id, qt}; scan adds dc/ac
+    comps: list[dict] = []  # SOF order: {id, qt, h, v}
+    progressive = False
     restart_interval = 0
+    # every SOS: component selection with table SNAPSHOTS (tables may be
+    # redefined between scans), band, approximation, de-stuffed entropy
+    scans: list[dict] = []
     i = 2
-    sos_at = -1
-    while i + 4 <= len(payload):
+    while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = payload[i + 1]
         if marker == 0xFF:  # fill byte
             i += 1
             continue
-        if marker in (0xC2, 0xC1, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC1, 0xC3) or (
+            0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC)
+        ):
             raise NotImplementedError(
-                "progressive/extended JPEG needs libjpeg; only baseline SOF0"
+                "extended/lossless/hierarchical JPEG needs libjpeg"
             )
         if marker == 0xCC or marker == 0xC8:
             raise NotImplementedError("arithmetic-coded JPEG unsupported")
@@ -1343,15 +1691,25 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             j = 0
             while j < len(body):
                 pq, tq = body[j] >> 4, body[j] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                zz_qt = list(body[j + 1 : j + 65])
+                if pq not in (0, 1):
+                    raise ValueError("bad DQT precision")
+                if pq:  # 16-bit table values, big-endian
+                    zz_qt = [
+                        int.from_bytes(
+                            body[j + 1 + 2 * k : j + 3 + 2 * k], "big"
+                        )
+                        for k in range(64)
+                    ]
+                    j += 129
+                else:
+                    zz_qt = list(body[j + 1 : j + 65])
+                    j += 65
                 qt = [0] * 64
                 for k in range(64):
                     qt[_JPEG_ZIGZAG[k]] = zz_qt[k]
                 qtables[tq] = qt
-                j += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _prec, height, width, nf = struct.unpack(">BHHB", body[:6])
             if _prec != 8:
                 raise NotImplementedError("12-bit JPEG unsupported")
@@ -1379,52 +1737,67 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 j += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: header, then de-stuffed entropy
             ns = body[0]
-            if ns != len(comps):
-                raise NotImplementedError("multi-scan JPEG unsupported")
-            by_id = {c["id"]: c for c in comps}
+            by_id = {c["id"]: idx for idx, c in enumerate(comps)}
+            sel = []
             for si in range(ns):
                 cs, tables = body[1 + 2 * si], body[2 + 2 * si]
                 if cs not in by_id:
                     raise ValueError("JPEG scan names unknown component")
-                by_id[cs]["dc"] = tables >> 4
-                by_id[cs]["ac"] = tables & 0x0F
-            sos_at = i + 2 + size
-            break
+                sel.append(
+                    (
+                        by_id[cs],
+                        dc_tables.get(tables >> 4),
+                        ac_tables.get(tables & 0x0F),
+                    )
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            approx = body[3 + 2 * ns]
+            # 0xFF00 -> 0xFF; RSTn split into restart segments (DC
+            # predictors and EOB runs reset at each)
+            segments: list[bytes] = []
+            cur = bytearray()
+            j = i + 2 + size
+            while j < len(payload):
+                b = payload[j]
+                if b == 0xFF:
+                    nxt = payload[j + 1] if j + 1 < len(payload) else 0xD9
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        j += 2
+                        continue
+                    if nxt == 0xFF:
+                        j += 1
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        j += 2
+                        continue
+                    break  # next marker
+                cur.append(b)
+                j += 1
+            segments.append(bytes(cur))
+            scans.append(
+                {
+                    "sel": sel,
+                    "ss": ss,
+                    "se": se,
+                    "ah": approx >> 4,
+                    "al": approx & 0x0F,
+                    "segments": segments,
+                    "dri": restart_interval,
+                }
+            )
+            i = j
+            continue
         i += 2 + size
-    if sos_at < 0 or width <= 0:
+    if not scans or width <= 0:
         raise ValueError("JPEG missing SOF/SOS")
     for comp in comps:
-        if (
-            comp["qt"] not in qtables
-            or comp.get("dc") not in dc_tables
-            or comp.get("ac") not in ac_tables
-        ):
-            raise ValueError("JPEG missing quant/Huffman table for scan")
-
-    # De-stuff the entropy segment: 0xFF00 -> 0xFF; RSTn markers split
-    # the stream into restart intervals (DC predictor resets at each).
-    segments: list[bytes] = []
-    cur = bytearray()
-    j = sos_at
-    while j < len(payload):
-        b = payload[j]
-        if b == 0xFF:
-            nxt = payload[j + 1] if j + 1 < len(payload) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        j += 1
-    segments.append(bytes(cur))
+        if comp["qt"] not in qtables:
+            raise ValueError("JPEG missing quant table")
 
     # MCU geometry per T.81 A.2.3: the grid is sized by the MAX sampling
     # factors; each component contributes h*v blocks per MCU into its
@@ -1439,65 +1812,150 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     total_mcus = mcux * mcuy
-    nc = len(comps)
     for comp in comps:
-        comp["bw"] = mcux * comp["h"]  # blocks across the component grid
+        comp["bw"] = mcux * comp["h"]  # blocks across the PADDED grid
         comp["bh"] = mcuy * comp["v"]
+        # non-interleaved scans carry only the REAL block grid
+        # (T.81 A.2.2: ceil of the component's true dims), not the
+        # MCU-padded one
+        cw = (width * comp["h"] + hmax - 1) // hmax
+        chh = (height * comp["v"] + vmax - 1) // vmax
+        comp["sw"] = (cw + 7) // 8
+        comp["sh"] = (chh + 7) // 8
+    # coefficients accumulate across scans in ZIGZAG order (progressive
+    # bands are zigzag ranges); integer-exact until dequantization
     quant = [
-        np.zeros((comp["bh"] * comp["bw"], 64), dtype=np.float64)
+        np.zeros((comp["bh"] * comp["bw"], 64), dtype=np.int64)
         for comp in comps
     ]
-    per_segment = restart_interval if restart_interval else total_mcus
-    mcu = 0
-    for seg_bytes in segments:
-        reader = _BitReader(seg_bytes)
-        prev_dc = [0] * nc
-        for _ in range(min(per_segment, total_mcus - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for ci, comp in enumerate(comps):
-                dc_t = dc_tables[comp["dc"]]
-                ac_t = ac_tables[comp["ac"]]
-                for vi in range(comp["v"]):
-                    for hi in range(comp["h"]):
-                        bidx = (my * comp["v"] + vi) * comp["bw"] + (
-                            mx * comp["h"] + hi
-                        )
-                        s = reader.read_huffman(dc_t)
-                        diff = (
-                            _jpeg_extend(reader.read_bits(s), s) if s else 0
-                        )
-                        prev_dc[ci] += diff
-                        quant[ci][bidx, _JPEG_ZIGZAG[0]] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            sym = reader.read_huffman(ac_t)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, s = sym >> 4, sym & 0x0F
-                            if s == 0:
-                                if run != 15:
-                                    raise ValueError("bad JPEG AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflows block")
-                            quant[ci][bidx, _JPEG_ZIGZAG[k]] = _jpeg_extend(
-                                reader.read_bits(s), s
+
+    if not progressive:
+        if len(scans) != 1 or len(scans[0]["sel"]) != len(comps):
+            raise NotImplementedError("multi-scan sequential JPEG unsupported")
+        scan = scans[0]
+        for _ci, dc_t, ac_t in scan["sel"]:
+            if dc_t is None or ac_t is None:
+                raise ValueError("JPEG missing Huffman table for scan")
+        per_segment = scan["dri"] if scan["dri"] else total_mcus
+        mcu = 0
+        for seg_bytes in scan["segments"]:
+            reader = _BitReader(seg_bytes)
+            prev_dc = [0] * len(comps)
+            for _ in range(min(per_segment, total_mcus - mcu)):
+                my, mx = divmod(mcu, mcux)
+                for si, (ci, dc_t, ac_t) in enumerate(scan["sel"]):
+                    comp = comps[ci]
+                    for vi in range(comp["v"]):
+                        for hi in range(comp["h"]):
+                            bidx = (my * comp["v"] + vi) * comp["bw"] + (
+                                mx * comp["h"] + hi
                             )
-                            k += 1
-            mcu += 1
-        if mcu >= total_mcus:
-            break
-    if mcu != total_mcus:
-        raise ValueError("JPEG entropy stream ended early")
+                            s = reader.read_huffman(dc_t)
+                            diff = (
+                                _jpeg_extend(reader.read_bits(s), s)
+                                if s
+                                else 0
+                            )
+                            prev_dc[si] += diff
+                            row = quant[ci][bidx]
+                            row[0] = prev_dc[si]
+                            k = 1
+                            while k < 64:
+                                sym = reader.read_huffman(ac_t)
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, s = sym >> 4, sym & 0x0F
+                                if s == 0:
+                                    if run != 15:
+                                        raise ValueError("bad JPEG AC symbol")
+                                    k += 16  # ZRL
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG AC run overflows block"
+                                    )
+                                row[k] = _jpeg_extend(reader.read_bits(s), s)
+                                k += 1
+                mcu += 1
+            if mcu >= total_mcus:
+                break
+        if mcu != total_mcus:
+            raise ValueError("JPEG entropy stream ended early")
+    else:
+        # SOF2: every scan deposits one band/precision slice into the
+        # shared coefficient planes (T.81 G.2); DC scans may interleave
+        # components, AC scans are single-component by definition
+        for scan in scans:
+            sel, ss, se = scan["sel"], scan["ss"], scan["se"]
+            ah, al = scan["ah"], scan["al"]
+            interleaved = len(sel) > 1
+            if ss == 0 and se != 0:
+                raise ValueError("progressive scan mixes DC and AC")
+            if ss > 0 and interleaved:
+                raise ValueError("progressive AC scan must be single-component")
+            if ss == 0:
+                if ah == 0 and any(dc_t is None for _c, dc_t, _a in sel):
+                    raise ValueError("JPEG missing DC Huffman table")
+                total_units = (
+                    total_mcus
+                    if interleaved
+                    else comps[sel[0][0]]["sw"] * comps[sel[0][0]]["sh"]
+                )
+            else:
+                if sel[0][2] is None:
+                    raise ValueError("JPEG missing AC Huffman table")
+                total_units = comps[sel[0][0]]["sw"] * comps[sel[0][0]]["sh"]
+            per_segment = scan["dri"] if scan["dri"] else total_units
+            unit = 0
+            for seg_bytes in scan["segments"]:
+                reader = _BitReader(seg_bytes)
+                pred = [0] * len(sel)
+                eob = [0]
+                for _ in range(min(per_segment, total_units - unit)):
+                    if ss == 0 and interleaved:
+                        my, mx = divmod(unit, mcux)
+                        for si, (ci, dc_t, _ac) in enumerate(sel):
+                            comp = comps[ci]
+                            for vi in range(comp["v"]):
+                                for hi in range(comp["h"]):
+                                    bidx = (
+                                        my * comp["v"] + vi
+                                    ) * comp["bw"] + (mx * comp["h"] + hi)
+                                    _jpeg_dc_unit(
+                                        reader, quant[ci], bidx,
+                                        dc_t, pred, si, ah, al,
+                                    )
+                    else:
+                        ci, dc_t, ac_t = sel[0]
+                        comp = comps[ci]
+                        by, bx = divmod(unit, comp["sw"])
+                        row = quant[ci][by * comp["bw"] + bx]
+                        if ss == 0:
+                            _jpeg_dc_unit(
+                                reader, quant[ci], by * comp["bw"] + bx,
+                                dc_t, pred, 0, ah, al,
+                            )
+                        elif ah == 0:
+                            _jpeg_ac_first(reader, ac_t, row, ss, se, al, eob)
+                        else:
+                            _jpeg_ac_refine(reader, ac_t, row, ss, se, al, eob)
+                    unit += 1
+                if unit >= total_units:
+                    break
+            if unit != total_units:
+                raise ValueError("JPEG entropy stream ended early")
 
     c = _dct_matrix()
+    zzarr = np.asarray(_JPEG_ZIGZAG)
+    nc = len(comps)
     planes = []
     for ci, comp in enumerate(comps):
         q = np.asarray(qtables[comp["qt"]], dtype=np.float64)
         nb = comp["bh"] * comp["bw"]
-        coef = (quant[ci] * q).reshape(nb, 8, 8)
+        natural = np.zeros_like(quant[ci])
+        natural[:, zzarr] = quant[ci]  # de-zigzag all blocks at once
+        coef = (natural.astype(np.float64) * q).reshape(nb, 8, 8)
         spatial = np.einsum("ji,bjk,kl->bil", c, coef, c) + 128.0
         # crop to the component's true dims (T.81 A.1.1: ceil(D*f/fmax)),
         # then replicate-upsample back to full resolution
@@ -1908,13 +2366,24 @@ def mjpeg_frame_stats(
 # ---------------------------------------------------------------------------
 
 
-def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000) -> bytes:
-    """Encode mono 16-bit PCM samples as a standard RIFF/WAVE file.
-    Deterministic byte-for-byte; the inverse of ``decode_wav_samples``."""
+def encode_wav_pcm16(
+    samples: list[int], sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Encode 16-bit PCM samples (channel-interleaved for n_channels > 1)
+    as a standard RIFF/WAVE file. Deterministic byte-for-byte; the
+    inverse of ``decode_wav_samples``."""
     import struct
 
     data = struct.pack(f"<{len(samples)}h", *samples)
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,
+        n_channels,
+        sample_rate,
+        sample_rate * 2 * n_channels,
+        2 * n_channels,
+        16,
+    )
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -1924,10 +2393,12 @@ def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
-    """REAL RIFF/WAVE parse returning (sample_rate, samples) for mono
-    16-bit PCM. Raises ValueError for non-WAV bytes and
-    NotImplementedError for compressed/multichannel/other-depth audio
-    (the codec-library boundary)."""
+    """REAL RIFF/WAVE parse returning (sample_rate, samples) for 16-bit
+    PCM. Multichannel audio is downmixed to mono by the floor mean of
+    the channels per frame (integer, deterministic — the standard
+    analysis downmix). Raises ValueError for non-WAV bytes and
+    NotImplementedError for compressed/other-depth audio (the
+    codec-library boundary)."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1945,13 +2416,20 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
         i += 8 + size + (size & 1)
     if data is None or fmt_code is None:
         raise ValueError("WAVE missing fmt/data chunks")
-    if fmt_code != 1 or bits != 16 or n_channels != 1:
+    if fmt_code != 1 or bits != 16 or n_channels < 1:
         raise NotImplementedError(
-            "only mono 16-bit PCM decodes here; compressed/multichannel "
-            "audio needs a codec library"
+            "only 16-bit PCM decodes here; compressed audio needs a "
+            "codec library"
         )
     n = len(data) // 2
-    return int(rate), list(struct.unpack(f"<{n}h", data[: n * 2]))
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    if n_channels == 1:
+        return int(rate), list(samples)
+    n_frames = n // n_channels
+    return int(rate), [
+        sum(samples[f * n_channels : (f + 1) * n_channels]) // n_channels
+        for f in range(n_frames)
+    ]
 
 
 def audio_frame_features(

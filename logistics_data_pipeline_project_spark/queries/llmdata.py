@@ -8563,3 +8563,82 @@ def q221_image_neardup_pairs(spark: SparkSession, sf_dir: str):
 q221_image_neardup_pairs.__doc__ = q221_image_neardup_pairs.__doc__.format(
     t=_DH_MAX_HAMMING
 )
+
+
+# ---------------------------------------------------------------------------
+# q222 — progressive JPEG codec audit (SOF2: spectral selection +
+# successive approximation, oracle-exact pixels)
+# ---------------------------------------------------------------------------
+
+_PJPEG_TX, _PJPEG_TY = 4, 2
+
+
+@register(
+    "q222_jpeg_progressive_audit",
+    tags=("multimodal", "U1"),
+    oracle=f"""
+WITH tiles AS (
+  SELECT d.doc_id, t.b, (d.doc_id * 13 + t.b * 41) % 256 AS v
+  FROM documents d
+  CROSS JOIN generate_series(0, {_PJPEG_TX * _PJPEG_TY - 1}) t(b)
+)
+SELECT doc_id,
+  CAST({_PJPEG_TX * 8} AS INTEGER) AS width,
+  CAST({_PJPEG_TY * 8} AS INTEGER) AS height,
+  CAST(doc_id * 13 % 256 AS INTEGER) AS first_px,
+  CAST(SUM(v) * 64 AS BIGINT) AS px_sum
+FROM tiles GROUP BY doc_id
+""",
+)
+def q222_jpeg_progressive_audit(spark: SparkSession, sf_dir: str):
+    """PROGRESSIVE twin of the q199 JPEG audit — the format most
+    web-crawled photos actually use: per document a genuine SOF2 stream
+    is encoded with a libjpeg-style scan script exercising BOTH
+    progressive dimensions (DC at Al=1 plus a refinement bitplane;
+    luma AC split into 1-5 / 6-63 spectral bands, each refined
+    Ah=1->Al=0 with EOBn end-of-band runs), then fully decoded by
+    jpeg_probe: multi-scan marker walk, per-band Huffman decode,
+    successive-approximation accumulation in zigzag coefficient planes,
+    dequantize, batched IDCT.  Flat 8x8 tiles (tile b = (doc_id*13 +
+    41*b) mod 256, quantizer 8) keep every stage integer-exact, so the
+    oracle states the decoded pixels in closed form — a wrong EOBRUN,
+    correction bit, band boundary or DC bitplane breaks the whole-image
+    checksum.  Scale shape: identical to q199 — two iterator
+    mapInPandas stages, payloads never leave the UDFs."""
+    from ..operators.multimodal import jpeg_probe
+
+    w_px, h_px = _PJPEG_TX * 8, _PJPEG_TY * 8
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_jpeg
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                raw = bytes(
+                    (doc_id * 13 + 41 * ((y // 8) * _PJPEG_TX + x // 8)) % 256
+                    for y in range(h_px)
+                    for x in range(w_px)
+                )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_jpeg(
+                            w_px, h_px, raw, qtable=[8] * 64, progressive=True
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return jpeg_probe(gen_df, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        "first_px",
+        "px_sum",
+    )

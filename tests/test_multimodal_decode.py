@@ -329,15 +329,24 @@ def test_gif_lzw_repetitive_dictionary_chains():
 def test_gif_decoder_honest_guards():
     import pytest as _pytest
 
-    g = bytearray(encode_gif(3, 2, bytes(6), _PAL))
-    desc_at = 13 + 256 * 3  # header+LSD, then the global color table
-    assert g[desc_at] == 0x2C
-    interlaced = bytearray(g)
-    interlaced[desc_at + 9] |= 0x40
-    with _pytest.raises(NotImplementedError):
-        decode_gif_pixels(bytes(interlaced))
     with _pytest.raises(ValueError):
         decode_gif_pixels(b"NOTGIF" + bytes(20))
+
+
+def test_gif_interlaced_and_local_palette_roundtrip():
+    # both real-crawl shapes: 4-pass interlaced storage and a local
+    # color table overriding the (absent) global one
+    w, h = 7, 13
+    idx = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+    inter = encode_gif(w, h, idx, _PAL, interlaced=True)
+    assert decode_gif_pixels(inter) == (w, h, idx, _PAL)
+    # interlaced stream really stores rows out of order
+    plain = encode_gif(w, h, idx, _PAL)
+    assert inter != plain and decode_gif_pixels(plain) == (w, h, idx, _PAL)
+    local = encode_gif(w, h, idx, _PAL, local_palette=True)
+    assert decode_gif_pixels(local) == (w, h, idx, _PAL)
+    both = encode_gif(w, h, idx, _PAL, interlaced=True, local_palette=True)
+    assert decode_gif_pixels(both) == (w, h, idx, _PAL)
 
 
 def test_gif_probe_spark(spark):
@@ -430,12 +439,18 @@ def test_jpeg_decoder_honest_guards():
 
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(b"not a jpeg")
-    # progressive SOF2 -> NotImplementedError (honest boundary)
+    # a SOF2 relabel of a BASELINE scan is malformed progressive (its
+    # single scan spans DC and AC): rejected, not misdecoded
     payload = bytearray(encode_jpeg(8, 8, bytes(64), qtable=[8] * 64))
     sof = payload.find(b"\xff\xc0")
     payload[sof + 1] = 0xC2
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg_pixels(bytes(payload))
+    # arithmetic coding stays the honest boundary
+    arith = bytearray(encode_jpeg(8, 8, bytes(64), qtable=[8] * 64))
+    arith[arith.find(b"\xff\xc0") + 1] = 0xC8
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(arith))
 
 
 def test_jpeg_probe_spark(spark):
@@ -860,15 +875,21 @@ def test_wav_pcm16_roundtrip_and_guards():
     assert rate == 16000 and got == s
     with _pytest.raises(ValueError):
         decode_wav_samples(b"OggS not a wav")
-    # stereo is the honest codec boundary
+    # stereo downmixes to the per-frame floor mean of the channels
+    inter = [100, 200, -100, 201, 32767, 32767, -5, 4]
+    rate, mono = decode_wav_samples(
+        encode_wav_pcm16(inter, sample_rate=44100, n_channels=2)
+    )
+    assert rate == 44100 and mono == [150, 50, 32767, -1]
+    # compressed audio stays the honest codec boundary
     import struct
 
-    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 16)  # ADPCM
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", 4) + bytes(4))
-    stereo = b"RIFF" + struct.pack("<I", len(body)) + body
+    adpcm = b"RIFF" + struct.pack("<I", len(body)) + body
     with _pytest.raises(NotImplementedError):
-        decode_wav_samples(stereo)
+        decode_wav_samples(adpcm)
 
 
 def test_audio_frame_features_square_waves(spark):
@@ -985,3 +1006,96 @@ def test_hamming_near_pairs_bands_and_verify(spark):
     assert (1, 4) not in got and (1, 5) not in got
     # structural recall: ANY 3-bit-distant pair shares a clean band
     assert (1, 3) in got
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    # progression changes transmission order, not coefficient values:
+    # decoded pixels must equal the baseline output bit for bit
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for w, h, ch, sub in [
+        (8, 8, 1, "444"),
+        (24, 17, 1, "444"),
+        (19, 13, 3, "444"),
+        (32, 24, 3, "420"),
+        (20, 10, 3, "422"),
+    ]:
+        raw = rng.randint(0, 256, w * h * ch).astype(np.uint8).tobytes()
+        for q in (90, 50):
+            base = decode_jpeg_pixels(
+                encode_jpeg(w, h, raw, quality=q, channels=ch, subsampling=sub)
+            )
+            prog = decode_jpeg_pixels(
+                encode_jpeg(
+                    w, h, raw, quality=q, channels=ch,
+                    subsampling=sub, progressive=True,
+                )
+            )
+            assert base == prog, (w, h, ch, sub, q)
+
+
+def test_jpeg_progressive_flat_tiles_integer_exact():
+    # flat 8x8 tiles with quantizer 8: every AC quantizes to 0, the DC
+    # path is integer-exact -> progressive decode returns the generating
+    # formula exactly (the q199 audit property, through SOF2)
+    w, h = 24, 16
+    raw = bytes(
+        (37 + 31 * ((y // 8) * 3 + x // 8)) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    got = decode_jpeg_pixels(
+        encode_jpeg(w, h, raw, qtable=[8] * 64, progressive=True)
+    )
+    assert got == (w, h, 1, raw)
+
+
+def test_jpeg_progressive_eobrun_and_zrl_paths():
+    # many all-zero-AC blocks around one detailed block force long EOBn
+    # runs (and refinement correction bits inside them); a lone bright
+    # pixel at the END of a block exercises ZRL chains in both scans
+    import numpy as np
+
+    base = np.full((40, 48), 128, dtype=np.uint8)
+    base[9, 10] = 255   # detail inside block (1,1)
+    base[39, 47] = 0    # last pixel of the last block: max zigzag run
+    raw = base.tobytes()
+    b = decode_jpeg_pixels(encode_jpeg(48, 40, raw, quality=85))
+    p = decode_jpeg_pixels(
+        encode_jpeg(48, 40, raw, quality=85, progressive=True)
+    )
+    assert b == p
+    # SOF2 marker really present
+    enc = encode_jpeg(48, 40, raw, quality=85, progressive=True)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+
+
+def test_jpeg_16bit_quant_table_decodes():
+    # DQT precision 1 (16-bit values): rewrite the 8-bit table of a
+    # flat-tile stream into a 16-bit one; pixels must be unchanged
+    import struct
+
+    w, h = 16, 8
+    raw = bytes((11 + 13 * (x // 8)) % 256 for y in range(h) for x in range(w))
+    enc = bytearray(encode_jpeg(w, h, raw, qtable=[8] * 64))
+    at = enc.find(b"\xff\xdb")
+    (size,) = struct.unpack(">H", enc[at + 2 : at + 4])
+    body = enc[at + 4 : at + 2 + size]
+    assert body[0] == 0x00
+    wide = bytes([0x10]) + b"".join(
+        struct.pack(">H", v) for v in body[1:65]
+    )
+    enc2 = (
+        bytes(enc[:at])
+        + b"\xff\xdb"
+        + struct.pack(">H", len(wide) + 2)
+        + wide
+        + bytes(enc[at + 2 + size :])
+    )
+    assert decode_jpeg_pixels(enc2) == (w, h, 1, raw)
