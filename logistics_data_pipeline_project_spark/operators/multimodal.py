@@ -172,42 +172,21 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
 _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
 
 
-def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL pixel decode of an 8-bit non-interlaced PNG — pure stdlib
-    (zlib inflate + the five scanline filters). Returns (width, height,
-    channels, raw) where ``raw`` is row-major unfiltered samples,
-    ``width*height*channels`` bytes. Raises ValueError for non-PNG or
-    the PNG features that genuinely need a codec library (16-bit,
-    palette, interlace)."""
-    import struct
-    import zlib
+#: Adam7 pass grid: (x offset, y offset, x step, y step) per pass.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    w, h = struct.unpack(">II", payload[16:24])
-    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
-    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
-        raise ValueError(
-            f"unsupported PNG (depth={bit_depth}, color={color_type}, "
-            f"interlace={interlace}): needs Pillow"
-        )
-    ch = _PNG_CHANNELS[color_type]
-    # walk chunks, concatenating IDAT
-    i, idat = 8, bytearray()
-    while i + 8 <= len(payload):
-        (size,) = struct.unpack(">I", payload[i : i + 4])
-        tag = payload[i + 4 : i + 8]
-        if tag == b"IDAT":
-            idat += payload[i + 8 : i + 8 + size]
-        elif tag == b"IEND":
-            break
-        i += 12 + size  # size + tag + crc
-    try:
-        stream = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        # corrupt/truncated IDAT must surface as the same capability
-        # error surface as any other undecodable payload
-        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+
+def _png_unfilter(stream: bytes, w: int, h: int, ch: int) -> bytearray:
+    """Undo the five PNG scanline filters over one (sub-)image whose
+    serialized form is ``h`` rows of 1 filter byte + ``w*ch`` samples."""
     stride = w * ch
     if len(stream) != h * (stride + 1):
         raise ValueError("PNG stream length mismatch")
@@ -242,14 +221,83 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"bad PNG filter byte {f}")
             raw[out_start + x] = v & 0xFF
         prev_row_start = out_start
+    return raw
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pixel decode of an 8-bit PNG, non-interlaced or Adam7
+    interlaced — pure stdlib (zlib inflate + the five scanline filters;
+    interlaced streams unfilter each of the 7 passes as its own
+    sub-image, per spec). Returns (width, height, channels, raw) where
+    ``raw`` is row-major unfiltered samples, ``width*height*channels``
+    bytes. Raises ValueError for non-PNG or the PNG features that
+    genuinely need a codec library (16-bit, palette)."""
+    import struct
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    w, h = struct.unpack(">II", payload[16:24])
+    bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
+    if bit_depth != 8 or interlace not in (0, 1) or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}): needs Pillow"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    # walk chunks, concatenating IDAT
+    i, idat = 8, bytearray()
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += payload[i + 8 : i + 8 + size]
+        elif tag == b"IEND":
+            break
+        i += 12 + size  # size + tag + crc
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # corrupt/truncated IDAT must surface as the same capability
+        # error surface as any other undecodable payload
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if interlace == 0:
+        return int(w), int(h), ch, bytes(_png_unfilter(stream, w, h, ch))
+    # Adam7: 7 independently-filtered sub-images, concatenated; empty
+    # passes (zero rows or columns) contribute no bytes at all
+    raw = bytearray(w * h * ch)
+    pos = 0
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        phh = (h - y0 + dy - 1) // dy
+        if pw <= 0 or phh <= 0:
+            continue
+        span = phh * (pw * ch + 1)
+        sub = _png_unfilter(stream[pos : pos + span], pw, phh, ch)
+        pos += span
+        for j in range(phh):
+            for k in range(pw):
+                src = (j * pw + k) * ch
+                dst = ((y0 + j * dy) * w + (x0 + k * dx)) * ch
+                raw[dst : dst + ch] = sub[src : src + ch]
+    if pos != len(stream):
+        raise ValueError("PNG stream length mismatch")
     return int(w), int(h), ch, bytes(raw)
 
 
-def encode_png(width: int, height: int, channels: int, raw: bytes) -> bytes:
-    """Encode row-major 8-bit samples as a standard non-interlaced PNG —
-    pure stdlib (filter 0 scanlines + zlib level 9, so the byte output
-    is deterministic for a given input). The inverse of
-    ``decode_png_pixels`` and the real re-encode leg of ``resize_images``."""
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    raw: bytes,
+    interlaced: bool = False,
+) -> bytes:
+    """Encode row-major 8-bit samples as a standard PNG — pure stdlib
+    (filter 0 scanlines + zlib level 9, so the byte output is
+    deterministic for a given input). ``interlaced=True`` serializes the
+    seven Adam7 passes (each its own filtered sub-image, per spec). The
+    inverse of ``decode_png_pixels`` and the real re-encode leg of
+    ``resize_images``."""
     import struct
     import zlib
     from binascii import crc32
@@ -268,12 +316,43 @@ def encode_png(width: int, height: int, channels: int, raw: bytes) -> bytes:
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+        ">IIBBBBB",
+        width,
+        height,
+        8,
+        _PNG_COLOR_TYPE[channels],
+        0,
+        0,
+        1 if interlaced else 0,
     )
     stride = width * channels
-    scanlines = b"".join(
-        b"\x00" + raw[y * stride : (y + 1) * stride] for y in range(height)
-    )
+    if not interlaced:
+        scanlines = b"".join(
+            b"\x00" + raw[y * stride : (y + 1) * stride] for y in range(height)
+        )
+    else:
+        parts = []
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            phh = (height - y0 + dy - 1) // dy
+            if pw <= 0 or phh <= 0:
+                continue
+            for j in range(phh):
+                y = y0 + j * dy
+                parts.append(b"\x00")
+                parts.append(
+                    b"".join(
+                        raw[
+                            (y * width + x0 + k * dx) * channels : (
+                                y * width + x0 + k * dx
+                            )
+                            * channels
+                            + channels
+                        ]
+                        for k in range(pw)
+                    )
+                )
+        scanlines = b"".join(parts)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -29,6 +29,7 @@ __all__ = [
     "min_window_fingerprint",
     "chunk_documents",
     "normalize_text",
+    "canonicalize_url",
     "STOPWORDS_EN",
     "LANG_MARKERS",
 ]
@@ -346,4 +347,38 @@ def word_bigrams(df, text_col: str, extra_cols: tuple = ()):
             F.col("__b.w1").alias("w1"),
             F.col("__b.w2").alias("w2"),
         )
+    )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an http(s) URL as ONE codegen column expression —
+    the normalization every crawl dedup runs before hashing (a page is
+    fetched under dozens of spellings; hashing raw URLs splits its
+    fetch/dedup history): scheme and host lowercase, default port
+    stripped (:80 http / :443 https), fragment dropped, query parameters
+    sorted bytewise ('&'-split — the standard order-insensitive key),
+    path preserved case-sensitively per RFC 3986. Pure
+    regexp/split/sort built-ins, so the canonical key is engine-portable
+    and DuckDB-replayable. Scale shape: zero shuffles — a projection
+    inside the scan; the dedup it feeds shuffles only the canonical
+    string."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
+    host = F.split(hostport, ":").getItem(0)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )

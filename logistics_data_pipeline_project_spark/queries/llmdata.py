@@ -8642,3 +8642,179 @@ def q222_jpeg_progressive_audit(spark: SparkSession, sf_dir: str):
         "first_px",
         "px_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — best-of-n selection (RLHF rejection sampling)
+# ---------------------------------------------------------------------------
+
+_BON_N = 8  # candidates per prompt
+_BON_MIN_MARGIN = 10_000  # clear-winner floor (score space is 0..999999)
+
+
+@register(
+    "q223_best_of_n_selection",
+    tags=("mixing", "A1", "W1"),
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id // {_BON_N} AS prompt_id, doc_id,
+    CAST(('0x' || substr(md5('bon:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 1000000 AS score
+  FROM documents
+), r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY prompt_id) AS n_cand
+  FROM c
+)
+SELECT a.prompt_id, a.doc_id AS winner_id, a.score AS best_score,
+  a.score - b.score AS margin, CAST(a.n_cand AS BIGINT) AS n_cand
+FROM r a JOIN r b ON a.prompt_id = b.prompt_id AND a.rn = 1 AND b.rn = 2
+WHERE a.score - b.score >= {_BON_MIN_MARGIN}
+""",
+)
+def q223_best_of_n_selection(spark: SparkSession, sf_dir: str):
+    """Best-of-n selection — RLHF rejection sampling's data-side step:
+    documents group into prompts of {n} candidates (prompt = doc_id //
+    {n}), each candidate carries a deterministic salted-md5 reward score
+    (stand-in for a reward model's output — RNG-free, partitioning-
+    stable, oracle-replayable per the q045 discipline), and each prompt
+    keeps its single best candidate ONLY when it beats the runner-up by
+    a clear margin (>= {m} of the 1e6 score space) — the standard
+    anti-noise guard before a best-of-n sample enters SFT data.  Scale
+    shape: ONE aggregation shuffle on prompt_id; winner and runner-up
+    fall out of a sort_array over the (bounded, n<={n}) candidate
+    structs — no window, no self-join, no second exchange; at 100 TB
+    the shuffle carries (prompt_id, score, id) triples only."""
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") - F.col("doc_id") % _BON_N).alias("g"),
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("bon:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        ).alias("score"),
+    )
+    agg = d.groupBy((F.col("g") / _BON_N).cast("long").alias("prompt_id")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score")).alias("ns"), F.col("doc_id").alias("d")
+                )
+            )
+        ).alias("l"),
+        F.count(F.lit(1)).alias("n_cand"),
+    )
+    return (
+        agg.filter(F.col("n_cand") >= 2)
+        .select(
+            "prompt_id",
+            F.col("l")[0]["d"].alias("winner_id"),
+            (-F.col("l")[0]["ns"]).alias("best_score"),
+            (F.col("l")[1]["ns"] - F.col("l")[0]["ns"]).alias("margin"),
+            "n_cand",
+        )
+        .filter(F.col("margin") >= _BON_MIN_MARGIN)
+    )
+
+
+q223_best_of_n_selection.__doc__ = q223_best_of_n_selection.__doc__.format(
+    n=_BON_N, m=_BON_MIN_MARGIN
+)
+
+
+# ---------------------------------------------------------------------------
+# q224 — URL canonicalization dedup (crawl fetch-history consolidation)
+# ---------------------------------------------------------------------------
+
+_URL_CASE_SQL = """CASE doc_id % 6
+  WHEN 0 THEN 'https://example' || b || '.com/p' || b || '?b=2&a=1'
+  WHEN 1 THEN 'HTTPS://EXAMPLE' || b || '.COM/p' || b || '?a=1&b=2'
+  WHEN 2 THEN 'https://example' || b || '.com:443/p' || b || '?b=2&a=1'
+  WHEN 3 THEN 'https://example' || b || '.com/p' || b || '?a=1&b=2#frag'
+  WHEN 4 THEN 'http://example' || b || '.com/p' || b || '?a=1&b=2'
+  ELSE 'https://example' || b || '.com/p' || b || ''
+END"""
+
+
+@register(
+    "q224_url_canonical_dedup",
+    tags=("dedup", "P8"),
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, {_URL_CASE_SQL} AS url
+  FROM (SELECT doc_id, CAST(doc_id // 6 AS VARCHAR) AS b FROM documents)
+), p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS hostport,
+    regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+), c AS (
+  SELECT doc_id,
+    scheme || '://' || string_split(hostport, ':')[1]
+    || CASE WHEN regexp_extract(hostport, ':(\\d+)$', 1) <> ''
+             AND NOT ((scheme = 'http'
+                       AND regexp_extract(hostport, ':(\\d+)$', 1) = '80')
+                   OR (scheme = 'https'
+                       AND regexp_extract(hostport, ':(\\d+)$', 1) = '443'))
+            THEN ':' || regexp_extract(hostport, ':(\\d+)$', 1) ELSE '' END
+    || path
+    || CASE WHEN query <> ''
+            THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+            ELSE '' END AS canonical_url
+  FROM p
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS dup_count,
+  MIN(doc_id) AS keeper_doc_id
+FROM c GROUP BY canonical_url
+""",
+)
+def q224_url_canonical_dedup(spark: SparkSession, sf_dir: str):
+    """URL-canonicalization dedup — the consolidation every crawl
+    pipeline runs before URL-level dedup and fetch-history joins: the
+    same page is referenced under many spellings (host case, default
+    ports, fragments, query-parameter order), and hashing raw URLs
+    splinters its identity.  Per document a URL variant is synthesized
+    in closed form (6 spellings per base page: canonical, upper-case
+    scheme+host, explicit :443, fragment-suffixed, http:// sibling, and
+    query-less — the last two are genuinely DIFFERENT resources and must
+    NOT merge), normalized by ``canonicalize_url`` (operators/text.py:
+    scheme/host lowercase, default port stripped, fragment dropped,
+    query params sorted; one codegen expression, zero Python), and
+    exact-deduped on the canonical key.  The oracle replays the parse
+    and normalization with DuckDB's independent regex engine.  Scale
+    shape: canonicalization rides the scan; the dedup is one shuffle on
+    the canonical string."""
+    from ..operators.text import canonicalize_url
+
+    b = F.col("doc_id").cast("long")
+    base = (b - b % 6) / 6
+    bstr = base.cast("long").cast("string")
+    v = (b % 6).cast("int")
+    host_l = F.concat(F.lit("example"), bstr, F.lit(".com"))
+    host_u = F.concat(F.lit("EXAMPLE"), bstr, F.lit(".COM"))
+    pth = F.concat(F.lit("/p"), bstr)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host_l, pth, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), host_u, pth, F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("https://"), host_l, F.lit(":443"), pth, F.lit("?b=2&a=1")))
+        .when(v == 3, F.concat(F.lit("https://"), host_l, pth, F.lit("?a=1&b=2#frag")))
+        .when(v == 4, F.concat(F.lit("http://"), host_l, pth, F.lit("?a=1&b=2")))
+        .otherwise(F.concat(F.lit("https://"), host_l, pth))
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", canonicalize_url(url).alias("canonical_url")
+    )
+    return d.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )

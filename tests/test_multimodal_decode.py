@@ -1099,3 +1099,21 @@ def test_jpeg_16bit_quant_table_decodes():
         + bytes(enc[at + 2 + size :])
     )
     assert decode_jpeg_pixels(enc2) == (w, h, 1, raw)
+
+
+def test_png_adam7_interlace_roundtrip():
+    # every channel count, odd sizes (empty later passes for tiny
+    # images), and a size where all 7 passes are non-empty
+    import hashlib
+
+    for w, h, ch in [(9, 9, 1), (3, 2, 3), (1, 1, 4), (16, 12, 2), (8, 1, 1)]:
+        raw = bytes(
+            hashlib.md5(f"{w}:{h}:{ch}:{i}".encode()).digest()[0]
+            for i in range(w * h * ch)
+        )
+        inter = encode_png(w, h, ch, raw, interlaced=True)
+        assert inter[28] == 1  # IHDR interlace flag really set
+        assert decode_png_pixels(inter) == (w, h, ch, raw)
+        plain = encode_png(w, h, ch, raw)
+        assert decode_png_pixels(plain) == (w, h, ch, raw)
+        assert inter != plain

@@ -1248,3 +1248,27 @@ def test_pq_edge_cases_guarded(spark):
     )
     with pytest.raises(ValueError, match="does not match codebooks"):
         pq_encode(six, "vec_id", "embedding", cb)
+
+
+def test_canonicalize_url_semantics(spark):
+    from logistics_data_pipeline_project_spark.operators.text import (
+        canonicalize_url,
+    )
+
+    cases = [
+        # (raw, canonical)
+        ("https://Ex.COM/Path?b=2&a=1#f", "https://ex.com/Path?a=1&b=2"),
+        ("HTTPS://EX.COM:443/p", "https://ex.com/p"),
+        ("http://ex.com:80/p?x=1", "http://ex.com/p?x=1"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),  # non-default kept
+        ("https://ex.com:80/p", "https://ex.com:80/p"),  # 80 not https default
+        ("https://ex.com/", "https://ex.com/"),
+        ("https://ex.com", "https://ex.com"),  # empty path preserved empty
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], "i long, u string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("u").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
