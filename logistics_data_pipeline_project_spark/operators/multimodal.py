@@ -226,12 +226,14 @@ def _png_unfilter(stream: bytes, w: int, h: int, ch: int) -> bytearray:
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL pixel decode of an 8-bit PNG, non-interlaced or Adam7
-    interlaced — pure stdlib (zlib inflate + the five scanline filters;
-    interlaced streams unfilter each of the 7 passes as its own
-    sub-image, per spec). Returns (width, height, channels, raw) where
-    ``raw`` is row-major unfiltered samples, ``width*height*channels``
-    bytes. Raises ValueError for non-PNG or the PNG features that
-    genuinely need a codec library (16-bit, palette)."""
+    interlaced, all five color types — pure stdlib (zlib inflate + the
+    five scanline filters; interlaced streams unfilter each of the 7
+    passes as its own sub-image; palette images resolve PLTE to RGB,
+    per spec). Returns (width, height, channels, raw) where ``raw`` is
+    row-major unfiltered samples, ``width*height*channels`` bytes.
+    Raises ValueError for non-PNG and NotImplementedError for the PNG
+    features that genuinely need a codec library (16-bit depth,
+    palette alpha via tRNS)."""
     import struct
     import zlib
 
@@ -239,30 +241,53 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG payload")
     w, h = struct.unpack(">II", payload[16:24])
     bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
-    if bit_depth != 8 or interlace not in (0, 1) or color_type not in _PNG_CHANNELS:
+    paletted = color_type == 3
+    if (
+        bit_depth != 8
+        or interlace not in (0, 1)
+        or (color_type not in _PNG_CHANNELS and not paletted)
+    ):
         raise ValueError(
             f"unsupported PNG (depth={bit_depth}, color={color_type}, "
             f"interlace={interlace}): needs Pillow"
         )
-    ch = _PNG_CHANNELS[color_type]
+    ch = 1 if paletted else _PNG_CHANNELS[color_type]
     # walk chunks, concatenating IDAT
-    i, idat = 8, bytearray()
+    i, idat, plte = 8, bytearray(), None
     while i + 8 <= len(payload):
         (size,) = struct.unpack(">I", payload[i : i + 4])
         tag = payload[i + 4 : i + 8]
         if tag == b"IDAT":
             idat += payload[i + 8 : i + 8 + size]
+        elif tag == b"PLTE":
+            plte = payload[i + 8 : i + 8 + size]
+        elif tag == b"tRNS" and paletted:
+            raise NotImplementedError("palette-alpha (tRNS) PNG unsupported")
         elif tag == b"IEND":
             break
         i += 12 + size  # size + tag + crc
+    if paletted and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing/bad PLTE")
     try:
         stream = zlib.decompress(bytes(idat))
     except zlib.error as e:
         # corrupt/truncated IDAT must surface as the same capability
         # error surface as any other undecodable payload
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+
+    def resolve(indices: bytes) -> tuple[int, bytes]:
+        if not paletted:
+            return ch, indices
+        rgb = bytearray(len(indices) * 3)
+        for k, ix in enumerate(indices):
+            if 3 * ix + 3 > len(plte):
+                raise ValueError("PNG palette index out of range")
+            rgb[3 * k : 3 * k + 3] = plte[3 * ix : 3 * ix + 3]
+        return 3, bytes(rgb)
+
     if interlace == 0:
-        return int(w), int(h), ch, bytes(_png_unfilter(stream, w, h, ch))
+        out_ch, raw0 = resolve(bytes(_png_unfilter(stream, w, h, ch)))
+        return int(w), int(h), out_ch, raw0
     # Adam7: 7 independently-filtered sub-images, concatenated; empty
     # passes (zero rows or columns) contribute no bytes at all
     raw = bytearray(w * h * ch)
@@ -282,7 +307,8 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 raw[dst : dst + ch] = sub[src : src + ch]
     if pos != len(stream):
         raise ValueError("PNG stream length mismatch")
-    return int(w), int(h), ch, bytes(raw)
+    out_ch, raw7 = resolve(bytes(raw))
+    return int(w), int(h), out_ch, raw7
 
 
 def encode_png(
@@ -291,18 +317,26 @@ def encode_png(
     channels: int,
     raw: bytes,
     interlaced: bool = False,
+    palette: bytes | None = None,
 ) -> bytes:
     """Encode row-major 8-bit samples as a standard PNG — pure stdlib
     (filter 0 scanlines + zlib level 9, so the byte output is
     deterministic for a given input). ``interlaced=True`` serializes the
-    seven Adam7 passes (each its own filtered sub-image, per spec). The
-    inverse of ``decode_png_pixels`` and the real re-encode leg of
-    ``resize_images``."""
+    seven Adam7 passes (each its own filtered sub-image, per spec).
+    ``palette`` (RGB triples, <=256 entries) switches to color type 3:
+    ``raw`` is then ``width*height`` palette indices and ``channels``
+    must be 1. The inverse of ``decode_png_pixels`` and the real
+    re-encode leg of ``resize_images``."""
     import struct
     import zlib
     from binascii import crc32
 
-    if channels not in _PNG_COLOR_TYPE:
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("palette PNG takes 1-channel indices")
+        if not palette or len(palette) % 3 or len(palette) > 768:
+            raise ValueError("palette must be 1..256 RGB triples")
+    elif channels not in _PNG_COLOR_TYPE:
         raise ValueError(f"unsupported channel count {channels}")
     if len(raw) != width * height * channels:
         raise ValueError("raw buffer size does not match dimensions")
@@ -320,7 +354,7 @@ def encode_png(
         width,
         height,
         8,
-        _PNG_COLOR_TYPE[channels],
+        3 if palette is not None else _PNG_COLOR_TYPE[channels],
         0,
         0,
         1 if interlaced else 0,
@@ -356,6 +390,7 @@ def encode_png(
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", palette) if palette is not None else b"")
         + chunk(b"IDAT", zlib.compress(scanlines, 9))
         + chunk(b"IEND", b"")
     )

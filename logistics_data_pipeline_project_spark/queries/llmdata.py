@@ -8818,3 +8818,66 @@ def q224_url_canonical_dedup(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("dup_count"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — per-domain document cap (crawl balance rule)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 10
+
+
+@register(
+    "q225_domain_doc_cap",
+    tags=("mixing", "W1"),
+    oracle=f"""
+WITH r AS (
+  SELECT source, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS dom_rank
+  FROM documents
+)
+SELECT source, doc_id, CAST(dom_rank AS INTEGER) AS dom_rank
+FROM r WHERE dom_rank <= {_DOMAIN_CAP}
+""",
+)
+def q225_domain_doc_cap(spark: SparkSession, sf_dir: str):
+    """Per-domain document cap — the crawl-balance rule (C4/RefinedWeb
+    lineage) that stops a handful of giant domains from dominating a
+    training mix: every source keeps at most {cap} documents, chosen by
+    a deterministic salted-md5 draw (RNG-free, partitioning-stable,
+    rerun-identical — the q045 sampling discipline), everything else is
+    dropped.  Scale shape: domains are FEW and HUGE, so a single
+    per-source window is one reducer swallowing a whole domain; instead
+    the cap runs in two phases — a per-(source, md5-bucket) local
+    top-{cap} window over 16-way-split partitions (the global top-{cap}
+    is provably inside the union of bucket top-{cap}s), then a final
+    window over <= 16*{cap} survivors per source.  The oracle replays
+    the single-window definition; both plans select the identical set,
+    which is the point of the two-phase rewrite."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))).alias(
+            "rk"
+        ),
+    )
+    # phase 1: bucket by the first rank-key hex char (16 ways); local cap
+    b = F.substring("rk", 1, 1)
+    w1 = Window.partitionBy("source", b).orderBy("rk", "doc_id")
+    pre = d.withColumn("__rn", F.row_number().over(w1)).filter(
+        F.col("__rn") <= _DOMAIN_CAP
+    )
+    # phase 2: exact global rank over the bounded survivor set
+    w2 = Window.partitionBy("source").orderBy("rk", "doc_id")
+    return (
+        pre.select("source", "doc_id", "rk")
+        .withColumn("dom_rank", F.row_number().over(w2))
+        .filter(F.col("dom_rank") <= _DOMAIN_CAP)
+        .select("source", "doc_id", F.col("dom_rank").cast("int").alias("dom_rank"))
+    )
+
+
+q225_domain_doc_cap.__doc__ = q225_domain_doc_cap.__doc__.format(cap=_DOMAIN_CAP)

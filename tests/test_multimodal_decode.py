@@ -1117,3 +1117,32 @@ def test_png_adam7_interlace_roundtrip():
         plain = encode_png(w, h, ch, raw)
         assert decode_png_pixels(plain) == (w, h, ch, raw)
         assert inter != plain
+
+
+def test_png_palette_roundtrip_and_guards():
+    import pytest as _pytest
+    import struct as _struct
+
+    w, h = 6, 5
+    idx = bytes((3 * i + 1) % 7 for i in range(w * h))
+    pal = bytes(v for i in range(7) for v in (i * 30, 255 - i * 30, i * 11))
+    png = encode_png(w, h, 1, idx, palette=pal)
+    gw, gh, ch, raw = decode_png_pixels(png)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert raw == bytes(b for i in idx for b in pal[3 * i : 3 * i + 3])
+    # palette + Adam7 compose
+    gw, gh, ch, raw2 = decode_png_pixels(
+        encode_png(w, h, 1, idx, palette=pal, interlaced=True)
+    )
+    assert raw2 == raw
+    # index past the palette is corrupt data, not a crash
+    bad = encode_png(w, h, 1, bytes([200]) * (w * h), palette=pal)
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bad)
+    # tRNS (palette alpha) is the honest boundary
+    png2 = bytearray(png)
+    at = png2.find(b"PLTE") - 4
+    trns = _struct.pack(">I", 1) + b"tRNS" + b"\x80" + b"\x00\x00\x00\x00"
+    png3 = bytes(png2[:at]) + trns + bytes(png2[at:])
+    with _pytest.raises(NotImplementedError):
+        decode_png_pixels(png3)
