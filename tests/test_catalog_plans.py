@@ -296,3 +296,56 @@ def test_catalog_wide_no_antipatterns(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_q220_image_hash_single_exchange(spark, sf_dir):
+    plan = _physical(REGISTRY["q220_image_dhash_audit"].fn(spark, sf_dir))
+    # one deliberate repartition spreads the CPU-bound codec work; the
+    # generate->decode->hash pipeline itself is narrow (payloads never
+    # shuffle)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("MapInPandas") == 2, plan  # generate + hash
+
+
+def test_q221_neardup_join_shuffles_fingerprints_not_pixels(spark, sf_dir):
+    plan = _physical(REGISTRY["q221_image_neardup_pairs"].fn(spark, sf_dir))
+    # the LSH candidate join is an equi-join on (band, val) — never a
+    # cartesian/nested-loop (at test scale the planner may broadcast one
+    # side; at corpus scale it hash-shuffles the same keys) — and the
+    # binary payload column must be consumed by the hash stage, never
+    # reaching any exchange
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    join_lines = [l for l in plan.splitlines() if "HashJoin" in l]
+    assert join_lines and all("band" in l and "val" in l for l in join_lines), plan
+    exchanges = [line for line in plan.splitlines() if "Exchange" in line]
+    assert exchanges and all("payload" not in line for line in exchanges), plan
+
+
+def test_q223_best_of_n_single_aggregation_exchange(spark, sf_dir):
+    plan = _physical(REGISTRY["q223_best_of_n_selection"].fn(spark, sf_dir))
+    # winner + runner-up fall out of ONE aggregation (sort_array over
+    # bounded candidate structs): exactly one exchange, no window, no
+    # self-join
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_q224_url_dedup_single_exchange(spark, sf_dir):
+    plan = _physical(REGISTRY["q224_url_canonical_dedup"].fn(spark, sf_dir))
+    # canonicalization is a pure projection riding the scan; the dedup
+    # group-by is the only shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q225_domain_cap_two_phase(spark, sf_dir):
+    plan = _physical(REGISTRY["q225_domain_doc_cap"].fn(spark, sf_dir))
+    # phase 1 hashes on (source, bucket), phase 2 on source — exactly two
+    # exchanges, the bucketed one first (no single-reducer-per-domain
+    # window over the raw corpus); Spark 4 additionally pushes the cap
+    # below both exchanges as Partial WindowGroupLimits, so each shuffle
+    # carries at most cap rows per (group, map partition)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    # earliest exchange (printed last) hashes on TWO keys: source + bucket
+    assert lines[-1].count("#") >= 2 and "source" in lines[-1], plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
