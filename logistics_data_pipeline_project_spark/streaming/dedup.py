@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import exact_dedup
+from ..operators.multimodal import dhash_images
 from ..plans.materialize import TableStore
 from .sketch import stream_sketch_rollup
 
@@ -63,6 +64,61 @@ def stream_exact_dedup(
         store,
         table,
         build=lambda b: exact_dedup(b, text_col, id_col),
+        merge=merge,
+        checkpoint_dir=checkpoint_dir,
+        available_now=available_now,
+    )
+
+
+def stream_perceptual_dedup(
+    source_stream: DataFrame,
+    store: TableStore,
+    table: str,
+    payload_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Perceptual image-dedup ledger over an unbounded crawl stream:
+    ``store[table]`` = ``(dhash_hi, dhash_lo, keeper_<id_col>,
+    dup_count)`` for every 64-bit difference hash ever seen
+    (operators/multimodal.py::dhash_images). Unlike the exact ledger's
+    content digest, the key is PERCEPTUAL: a re-encode, a format change
+    (PNG -> GIF), or a uniform brightness shift leaves the gradient-sign
+    fingerprint unchanged, so all those copies fold onto one row — which
+    is what image-crawl dedup actually needs (the same photo arrives
+    through dozens of thumbnailing proxies).
+
+    Same exactly-once posture as ``stream_exact_dedup``: the MIN/SUM
+    fold is associative+commutative (ledger == the batch dhash+groupBy
+    of full history under any slicing) and the committed batch id guards
+    foreachBatch replays. Decode happens inside the micro-batch's Arrow
+    stage; the ledger shuffle carries two 4-byte halves and counts —
+    pixels never shuffle, never persist."""
+    keeper = f"keeper_{id_col}"
+
+    def build(b: DataFrame) -> DataFrame:
+        fp = dhash_images(b, id_col, payload_col)
+        return fp.groupBy("dhash_hi", "dhash_lo").agg(
+            F.min("id").alias(keeper),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+
+    def merge(prev: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(new)
+            .groupBy("dhash_hi", "dhash_lo")
+            .agg(
+                F.min(keeper).alias(keeper),
+                F.sum("dup_count").alias("dup_count"),
+            )
+        )
+
+    return stream_sketch_rollup(
+        source_stream,
+        store,
+        table,
+        build=build,
         merge=merge,
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,

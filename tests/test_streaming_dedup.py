@@ -119,3 +119,106 @@ def test_stream_exact_dedup_replay_guard(spark, tmp_path):
     _drain(spark, landing, store, chk2)
     after = _ledger(store)
     assert all(after[h][1] == 2 * before[h][1] for h in before)
+
+
+# ---------------------------------------------------------------------------
+# perceptual (dHash) ledger: re-encodes and brightness shifts fold together
+# ---------------------------------------------------------------------------
+
+
+def _img_payloads():
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_gif,
+        encode_png,
+    )
+
+    w, h = 18, 16
+    base = [50 + ((7 * x + 11 * y) % 120) for y in range(h) for x in range(w)]
+    grad = bytes(base)
+    bright = bytes(v + 10 for v in base)  # uniform shift: same dHash
+    other = bytes(200 - ((5 * x * x + 3 * y) % 150) for y in range(h) for x in range(w))
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    return [
+        (1, encode_png(w, h, 1, grad)),
+        (2, encode_png(w, h, 1, bright)),   # perceptual dup of 1
+        (3, encode_gif(w, h, grad, pal)),   # format change: dup of 1
+        (4, encode_png(w, h, 1, other)),    # distinct
+        (5, encode_png(w, h, 1, grad)),     # byte-identical dup of 1
+    ]
+
+
+def test_stream_perceptual_dedup_folds_reencodes(spark, tmp_path):
+    import base64
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        dhash_images,
+    )
+    from logistics_data_pipeline_project_spark.streaming.dedup import (
+        stream_perceptual_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    rows = _img_payloads()
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    def write(name, subset):
+        with open(os.path.join(landing, name), "w") as f:
+            for i, payload in subset:
+                f.write(
+                    json.dumps(
+                        {"doc_id": i, "b64": base64.b64encode(payload).decode()}
+                    )
+                    + "\n"
+                )
+
+    def drain():
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id long, b64 string")
+            .load(landing)
+            .select("doc_id", F.unbase64("b64").alias("payload"))
+        )
+        q = stream_perceptual_dedup(
+            stream, store, "img_ledger", "payload", "doc_id", checkpoint_dir=chk
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    # out-of-order slicing: a dup (id 5) lands before its keeper (id 1)
+    write("b1.json", [rows[4], rows[3]])
+    drain()
+    write("b2.json", rows[:3])
+    drain()
+
+    got = {
+        (r["dhash_hi"], r["dhash_lo"]): (r["keeper_doc_id"], r["dup_count"])
+        for r in store.read("img_ledger").collect()
+    }
+    # batch equivalence: ledger == dhash+groupBy over full history
+    batch = spark.createDataFrame(rows, "doc_id long, payload binary")
+    want = {
+        (r["dhash_hi"], r["dhash_lo"]): (r["keeper_doc_id"], r["dup_count"])
+        for r in dhash_images(batch, "doc_id", "payload")
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.min("id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the perceptual point: 4 of the 5 images (brightness shift, GIF
+    # re-encode, byte-identical copy) share ONE fingerprint row
+    assert sorted(v for v in got.values()) == [(1, 4), (4, 1)]
+    # idempotent redrain
+    drain()
+    assert {
+        (r["dhash_hi"], r["dhash_lo"]): (r["keeper_doc_id"], r["dup_count"])
+        for r in store.read("img_ledger").collect()
+    } == want
