@@ -2651,7 +2651,12 @@ def dhash_reference(width: int, height: int, channels: int, raw: bytes) -> int:
     return val
 
 
-def dhash_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+def dhash_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    on_error: str = "fail",
+) -> DataFrame:
     """64-bit perceptual difference-hash (dHash) per image — the standard
     near-duplicate fingerprint for image corpora (crawl dedup a la
     LAION): decode (any supported format via ``decode_image_pixels``),
@@ -2667,9 +2672,18 @@ def dhash_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     bit_count(xor(hi))+bit_count(xor(lo)), and 16-bit LSH band keys fall
     out of plain shift+mask (operators/dedup.py::hamming_near_pairs).
 
+    ``on_error`` decides what a corrupt/unsupported payload does —
+    ``"fail"`` raises (audits, where every byte is accounted for),
+    ``"skip"`` drops the row, ``"tag"`` emits it with NULL hash columns
+    and the error class in ``err``. At crawl scale this is load-bearing:
+    one truncated file in 10^9 must quarantine, not kill a
+    1000-executor job. Good rows always carry ``err = NULL``.
+
     Scale shape: one Arrow-batched mapInPandas projection — payloads
-    never leave the UDF, the output row is 5 scalars; downstream dedup
+    never leave the UDF, the output row is 6 scalars; downstream dedup
     shuffles 8-byte fingerprints, never pixels."""
+    if on_error not in ("fail", "skip", "tag"):
+        raise ValueError("on_error must be 'fail', 'skip' or 'tag'")
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2677,9 +2691,25 @@ def dhash_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         for pdf in batches:
             out = []
             for _id, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, ch, raw = decode_image_pixels(
-                    bytes(payload) if payload is not None else b""
-                )
+                try:
+                    w, h, ch, raw = decode_image_pixels(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except Exception as e:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "tag":
+                        out.append(
+                            {
+                                "id": int(_id),
+                                "width": None,
+                                "height": None,
+                                "dhash_hi": None,
+                                "dhash_lo": None,
+                                "err": type(e).__name__,
+                            }
+                        )
+                    continue
                 a = (
                     np.frombuffer(raw, dtype=np.uint8)
                     .reshape(h, w, ch)
@@ -2701,10 +2731,16 @@ def dhash_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                         "height": h,
                         "dhash_hi": (val >> 32) & 0xFFFFFFFF,
                         "dhash_lo": val & 0xFFFFFFFF,
+                        "err": None,
                     }
                 )
+            # object dtype: a tagged batch mixes ints and None — pandas
+            # would otherwise coerce to float64/NaN, which Arrow refuses
+            # to safe-cast back to the integer schema
             yield pd.DataFrame(
-                out, columns=["id", "width", "height", "dhash_hi", "dhash_lo"]
+                out,
+                columns=["id", "width", "height", "dhash_hi", "dhash_lo", "err"],
+                dtype=object,
             )
 
     cols = df.select(
@@ -2713,5 +2749,8 @@ def dhash_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
     return cols.mapInPandas(
         hashes,
-        schema="id long, width int, height int, dhash_hi long, dhash_lo long",
+        schema=(
+            "id long, width int, height int, dhash_hi long, dhash_lo long,"
+            " err string"
+        ),
     )

@@ -8881,3 +8881,73 @@ def q225_domain_doc_cap(spark: SparkSession, sf_dir: str):
 
 
 q225_domain_doc_cap.__doc__ = q225_domain_doc_cap.__doc__.format(cap=_DOMAIN_CAP)
+
+
+# ---------------------------------------------------------------------------
+# q226 — corrupt-payload quarantine audit (decode never kills the job)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q226_decode_quarantine_audit",
+    tags=("multimodal", "P9"),
+    oracle=f"""
+WITH s AS (
+  SELECT d.doc_id, r.r, c.c,
+    {_DH_PX.format(g="d.doc_id", x="2 * c.c", y="2 * r.r")} AS v
+  FROM documents d, generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+  WHERE d.doc_id % 7 <> 0
+), {_DH_BITS_SQL}
+SELECT doc_id, 'ok' AS status, dhash_hi, dhash_lo FROM fp
+UNION ALL
+SELECT doc_id, 'quarantined' AS status,
+  CAST(NULL AS BIGINT) AS dhash_hi, CAST(NULL AS BIGINT) AS dhash_lo
+FROM documents WHERE doc_id % 7 = 0
+""",
+)
+def q226_decode_quarantine_audit(spark: SparkSession, sf_dir: str):
+    """Corrupt-payload quarantine — the failure mode that actually
+    matters at crawl scale: one truncated file in a billion must route
+    to a quarantine lane, never kill the 1000-executor job.  Per
+    document a PNG is synthesized (q220's closed-form pixels), then
+    every 7th payload is TRUNCATED to its first 10 bytes (a real partial
+    download); ``dhash_images(on_error='tag')`` decodes the rest and
+    tags the casualties with NULL hashes instead of raising.  The oracle
+    states both lanes in closed form — the good hashes must still be
+    bit-exact (corruption handling can't perturb the healthy path) and
+    exactly the doc_id % 7 == 0 rows are quarantined.  Scale shape:
+    identical to q220 — the try/except lives inside the Arrow batch;
+    no driver round-trip, no lost partition, no speculative retry
+    storm."""
+    from ..operators.multimodal import dhash_images
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_png
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                raw = bytes(
+                    _dhash_px(doc_id, x, y)
+                    for y in range(_DH_H)
+                    for x in range(_DH_W)
+                )
+                payload = encode_png(_DH_W, _DH_H, 1, raw)
+                if doc_id % 7 == 0:
+                    payload = payload[:10]  # partial download
+                out.append({"doc_id": doc_id, "payload": payload})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return dhash_images(gen_df, "doc_id", "payload", on_error="tag").select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("err").isNull(), F.lit("ok"))
+        .otherwise(F.lit("quarantined"))
+        .alias("status"),
+        "dhash_hi",
+        "dhash_lo",
+    )

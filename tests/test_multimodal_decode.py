@@ -1146,3 +1146,25 @@ def test_png_palette_roundtrip_and_guards():
     png3 = bytes(png2[:at]) + trns + bytes(png2[at:])
     with _pytest.raises(NotImplementedError):
         decode_png_pixels(png3)
+
+
+def test_dhash_images_on_error_modes(spark):
+    import pytest as _pytest
+
+    good = encode_png(9, 8, 1, bytes(range(72)))
+    rows = [(1, good), (2, b"\x89PNG\r\n\x1a\n trunc"), (3, None), (4, good)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    with _pytest.raises(Exception):
+        dhash_images(df, "id", "payload").collect()  # fail is the default
+    skipped = dhash_images(df, "id", "payload", on_error="skip").collect()
+    assert sorted(r["id"] for r in skipped) == [1, 4]
+    assert all(r["err"] is None for r in skipped)
+    tagged = {
+        r["id"]: (r["err"], r["dhash_hi"] is None)
+        for r in dhash_images(df, "id", "payload", on_error="tag").collect()
+    }
+    assert tagged[1] == (None, False) and tagged[4] == (None, False)
+    assert tagged[2][1] and tagged[3][1]  # quarantined rows carry no hash
+    assert tagged[2][0] == "ValueError"
+    with _pytest.raises(ValueError):
+        dhash_images(df, "id", "payload", on_error="explode")
