@@ -2551,6 +2551,7 @@ def audio_frame_features(
     id_col: str,
     payload_col: str,
     frame_len: int = 256,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Framed spectral features over PCM16 WAV payloads via Arrow-batched
     mapInPandas — the front half of every audio fingerprinting / VAD
@@ -2563,9 +2564,14 @@ def audio_frame_features(
     certify them exactly; the dominant bin is a numpy rFFT argmax whose
     margins are structural (a periodic tone's fundamental), not
     float-fragile.  Row explosion happens inside the Arrow batch —
-    samples never leave the UDF.  Scale shape: one narrow mapInPandas
-    pass; at 100 TB the frame rows (4 ints) are orders of magnitude
-    smaller than the audio they summarize."""
+    samples never leave the UDF.  ``on_error='skip'`` quarantines
+    corrupt/unsupported payloads by dropping them (the dhash_images
+    crawl-robustness contract) instead of failing the job.  Scale
+    shape: one narrow mapInPandas pass; at 100 TB the frame rows (4
+    ints) are orders of magnitude smaller than the audio they
+    summarize."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2573,9 +2579,14 @@ def audio_frame_features(
         for pdf in batches:
             out = []
             for _id, payload in zip(pdf[id_col], pdf[payload_col]):
-                _rate, samples = decode_wav_samples(
-                    bytes(payload) if payload is not None else b""
-                )
+                try:
+                    _rate, samples = decode_wav_samples(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    continue
                 arr = np.asarray(samples, dtype=np.int64)
                 n_frames = len(arr) // frame_len
                 for k in range(n_frames):

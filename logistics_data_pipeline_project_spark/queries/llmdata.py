@@ -8951,3 +8951,116 @@ def q226_decode_quarantine_audit(spark: SparkSession, sf_dir: str):
         "dhash_hi",
         "dhash_lo",
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — image duplicate-cluster resolution (dHash pairs -> transitive groups)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q227_image_dup_clusters",
+    tags=("multimodal", "dedup", "J8"),
+    oracle=f"""
+WITH RECURSIVE docs2 AS (
+  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+), s AS (
+  SELECT d.doc_id, r.r, c.c,
+    CASE WHEN d.v > 0 AND c.c = d.v AND r.r = d.v
+         THEN ({_DH_PX.format(g="d.g", x="2 * c.c", y="2 * r.r")} + 128) % 256
+         ELSE {_DH_PX.format(g="d.g", x="2 * c.c", y="2 * r.r")} END AS v
+  FROM docs2 d, generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+), {_DH_BITS_SQL},
+bands AS (
+  SELECT doc_id, dhash_hi, dhash_lo, b.band,
+    (CASE WHEN b.band < 2 THEN dhash_lo >> (b.band * 16)
+          ELSE dhash_hi >> ((b.band - 2) * 16) END) & 65535 AS val
+  FROM fp, (SELECT unnest(range(4)) AS band) b
+), e AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+      + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= {_DH_MAX_HAMMING}
+), sym AS (
+  SELECT id1 AS a, id2 AS b FROM e UNION ALL SELECT id2, id1 FROM e
+), cc AS (
+  SELECT doc_id AS id, doc_id AS lab FROM documents
+  UNION
+  SELECT s2.b, cc.lab FROM cc JOIN sym s2 ON s2.a = cc.id
+), lab AS (
+  SELECT id AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY id
+), cs AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, cs.cluster_size
+FROM lab l JOIN cs USING (cluster_id)
+""",
+)
+def q227_image_dup_clusters(spark: SparkSession, sf_dir: str):
+    """Image duplicate-CLUSTER resolution — q221's banded Hamming pairs
+    are only edges; crawl dedup ships transitive GROUPS with one keeper
+    (the q037 step, now over perceptual fingerprints): every variant
+    image is decoded and dHashed, near-dup pairs come from the 4x16-bit
+    band join + exact Hamming verify, and ``connected_components``
+    (adaptive union-find / min-label propagation) resolves them into
+    clusters — every document gets (cluster_id, cluster_size),
+    singletons included.  The star topology of a variant group
+    guarantees connectivity even when a variant-variant edge misses its
+    band (base->variant pairs differ by <= 2 bits, inside the
+    pigeonhole-recall radius).  The oracle replays the ENTIRE stack in
+    SQL: md5 pixels -> dHash bits -> bands -> Hamming edges -> a
+    RECURSIVE-CTE transitive closure with min-label fold.  Scale shape:
+    pixels stay in the Arrow stages; edges are 8-byte id pairs; the
+    component loop is one shuffle per round, O(diameter) rounds, with
+    superseded checkpoint rounds freed eagerly."""
+    from ..operators.dedup import connected_components, hamming_near_pairs
+    from ..operators.multimodal import dhash_images
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_png
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g, v = doc_id // 4, doc_id % 4
+                raw = bytearray(
+                    _dhash_px(g, x, y) for y in range(_DH_H) for x in range(_DH_W)
+                )
+                if v > 0:
+                    i = 2 * v * _DH_W + 2 * v
+                    raw[i] = (raw[i] + 128) % 256
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_png(_DH_W, _DH_H, 1, bytes(raw)),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    gen_df = docs.repartition(32, "doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    fp = dhash_images(gen_df, "doc_id", "payload")
+    pairs = hamming_near_pairs(
+        fp.select(F.col("id").alias("doc_id"), "dhash_hi", "dhash_lo"),
+        "doc_id",
+        max_hamming=_DH_MAX_HAMMING,
+    )
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select("id1", "id2"),
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -1168,3 +1168,17 @@ def test_dhash_images_on_error_modes(spark):
     assert tagged[2][0] == "ValueError"
     with _pytest.raises(ValueError):
         dhash_images(df, "id", "payload", on_error="explode")
+
+
+def test_audio_frame_features_on_error_skip(spark):
+    import pytest as _pytest
+
+    good = encode_wav_pcm16([100, -100] * 256)
+    rows = [(1, good), (2, b"OggS nope"), (3, good)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    with _pytest.raises(Exception):
+        audio_frame_features(df, "id", "payload").collect()
+    got = audio_frame_features(df, "id", "payload", on_error="skip").collect()
+    assert sorted({r["id"] for r in got}) == [1, 3]
+    with _pytest.raises(ValueError):
+        audio_frame_features(df, "id", "payload", on_error="tag")
