@@ -41,6 +41,10 @@ HEAVY = [
     "q175_dedup_aware_split",
     "q187_lsh_calibration",
     "q196_doc_record_linkage",
+    # image-dedup family (round 4): codec CPU is embarrassingly parallel,
+    # the LSH band join and component rounds are the scale risks
+    "q221_image_neardup_pairs",
+    "q227_image_dup_clusters",
 ]
 TABLES = ["documents", "embeddings", "orders"]
 KEY_OFF = 10_000_000
@@ -101,6 +105,40 @@ def _gen(spark, mult: int, out_dir: str) -> None:
         f.write(str(mult))
 
 
+def _time_point(mult: int, sf_dir: str) -> dict:
+    """Time the HEAVY list at one multiple in THIS process's session.
+    Called in a FRESH subprocess per multiple: a long-lived local[32]
+    JVM ages (heap growth -> multi-second full-GC pauses land inside
+    measured queries — observed: q037's x10 point read 14.8s inside a
+    25-min single-session sweep vs a stable ~5s fresh), and weak
+    scaling is only a fair comparison when every point sees the same
+    cold environment + identical sf0.001 warmup."""
+    spark = get_spark(
+        app_name=f"ldp-spark-bench-scale-x{mult}",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).agg({"id": "sum"}).collect()
+    # warm pass at the smallest SF: JVM/codegen/Arrow startup must not
+    # be charged to the point (bench.py methodology)
+    for q in HEAVY:
+        REGISTRY[q].fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for q in HEAVY:
+            t0 = time.perf_counter()
+            REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[q] = min(timings.get(q, dt), dt)
+            print(f"# x{mult} pass{_pass} {q}: {dt:.3f}s", file=sys.stderr)
+    spark.stop()
+    return {"total": round(sum(timings.values()), 3), "queries": timings}
+
+
 def main() -> None:
     mults = [1, 2, 5, 10]
     if "--mults" in sys.argv:
@@ -108,44 +146,40 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     scale_root = os.path.join(repo, ".scale")
 
-    # default local-mode driver heap is 1g — fine for the sf0.1 catalog
-    # bench, not for 10x volume in a single JVM; raise it for the curve
-    spark = get_spark(
-        app_name="ldp-spark-bench-scale",
-        extra_conf={"spark.driver.memory": "24g"},
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).agg({"id": "sum"}).collect()
-    # one warm pass at the smallest SF: JVM/codegen/Arrow startup must not
-    # be charged to the x1 point (bench.py methodology)
-    for q in HEAVY:
-        REGISTRY[q].fn(spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()
+    dirs: dict[int, str] = {
+        m: (BASE if m == 1 else os.path.join(scale_root, f"x{m}")) for m in mults
+    }
 
-    dirs: dict[int, str] = {}
-    for m in mults:
-        d = BASE if m == 1 else os.path.join(scale_root, f"x{m}")
-        if m != 1:
-            _gen(spark, m, d)
-        dirs[m] = d
+    if "--point" in sys.argv:  # subprocess mode: one multiple, one JSON line
+        m = int(sys.argv[sys.argv.index("--point") + 1])
+        print(json.dumps(_time_point(m, dirs[m])))
+        return
+
+    gen_needed = [m for m in mults if m != 1]
+    if gen_needed:
+        spark = get_spark(
+            app_name="ldp-spark-bench-scale-gen",
+            extra_conf={"spark.driver.memory": "24g"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for m in gen_needed:
+            _gen(spark, m, dirs[m])
+        spark.stop()
+
+    import subprocess
 
     points: dict[str, dict] = {}
     for m in mults:
-        timings: dict[str, float] = {}
-        for _pass in range(2):
-            for q in HEAVY:
-                t0 = time.perf_counter()
-                REGISTRY[q].fn(spark, dirs[m]).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = round(time.perf_counter() - t0, 3)
-                timings[q] = min(timings.get(q, dt), dt)
-                print(f"# x{m} pass{_pass} {q}: {dt:.3f}s", file=sys.stderr)
-        points[f"x{m}"] = {
-            "total": round(sum(timings.values()), 3),
-            "queries": timings,
-        }
+        # fresh subprocess per point: identical cold JVM for every
+        # multiple (see _time_point)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--point", str(m)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        sys.stderr.write(proc.stderr)
+        points[f"x{m}"] = json.loads(proc.stdout.strip().splitlines()[-1])
 
     base_q = points[f"x{mults[0]}"]["queries"]
     ratios = {
@@ -167,7 +201,6 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
-    spark.stop()
 
 
 if __name__ == "__main__":
