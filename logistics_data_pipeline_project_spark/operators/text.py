@@ -30,6 +30,7 @@ __all__ = [
     "chunk_documents",
     "normalize_text",
     "canonicalize_url",
+    "extract_html_text",
     "STOPWORDS_EN",
     "LANG_MARKERS",
 ]
@@ -382,3 +383,32 @@ def canonicalize_url(url: Column | str) -> Column:
         path,
         F.when(query != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
+
+
+def extract_html_text(html: Column | str) -> Column:
+    """Main-text extraction from HTML markup as ONE codegen expression —
+    the step every web-crawl pipeline runs before any quality/dedup
+    stage (the trafilatura-lite core): script and style blocks removed
+    whole (their text is code, not prose), comments removed, every
+    remaining tag stripped, the five standard entities decoded
+    (&lt; &gt; &quot; &#39; first, &amp; LAST — decoding &amp; earlier
+    would re-activate entity prefixes it guards, the classic
+    double-decode bug), whitespace collapsed and trimmed.  Pure
+    regexp_replace chain restricted to the portable subset (lazy
+    quantifiers, no dotall — RE2 and Java agree), so the extraction is
+    DuckDB-replayable.  Scale shape: zero shuffles — a projection
+    inside the scan."""
+    c = F.col(html) if isinstance(html, str) else html
+    c = F.regexp_replace(c, r"<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last, so freed prefixes don't re-decode
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

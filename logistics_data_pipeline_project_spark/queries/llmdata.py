@@ -9064,3 +9064,83 @@ def q227_image_dup_clusters(spark: SparkSession, sf_dir: str):
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — HTML main-text extraction audit (the crawl step before everything)
+# ---------------------------------------------------------------------------
+
+_HTML_WRAP_SQL = """'<html><head><style>p { color: red }</style>'
+    || '<script type="text/javascript">var x = 1 &amp;&amp; 2;</script></head>'
+    || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p class="main">'
+    || text || ' &amp; tail &lt;' || CAST(doc_id % 10 AS VARCHAR)
+    || '&gt; &quot;q&quot; &#39;s&#39;</p><!-- hidden '
+    || CAST(doc_id AS VARCHAR) || ' --></body></html>'"""
+
+
+@register(
+    "q228_html_text_extraction",
+    tags=("text", "P2"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+), x AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+              '<style[^>]*>.*?</style>', ' ', 'g'),
+            '<!--.*?-->', ' ', 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&amp;', '&'),
+      '\\s+', ' ', 'g')) AS extracted
+  FROM h
+)
+SELECT doc_id, CAST(length(extracted) AS BIGINT) AS n_chars,
+  md5(extracted) AS extract_hash
+FROM x
+""",
+)
+def q228_html_text_extraction(spark: SparkSession, sf_dir: str):
+    """HTML main-text extraction — the step a web crawl runs before ANY
+    quality, dedup or tokenize stage, and the first place silent
+    corruption enters a corpus: per document a deterministic HTML page
+    is synthesized (head with style+script whose text is CODE and must
+    vanish whole, headline, the document text inside a paragraph,
+    entity-encoded punctuation, an HTML comment), and
+    ``extract_html_text`` (operators/text.py) strips it back to prose —
+    script/style blocks first, then comments, then tags, then the five
+    standard entities (&amp; decoded LAST: decoding it earlier
+    re-activates entity prefixes it guards — the classic double-decode
+    bug this audit would catch), then whitespace collapse.  The result
+    is certified by md5 against DuckDB's independent regex engine, so
+    the regex subset is proven RE2/Java-portable, not assumed.  Scale
+    shape: a pure projection riding the scan — zero shuffles, zero
+    Python."""
+    from ..operators.text import extract_html_text
+
+    d = load(spark, sf_dir, "documents")
+    b = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><style>p { color: red }</style>'),
+        F.lit('<script type="text/javascript">var x = 1 &amp;&amp; 2;</script></head>'),
+        F.lit("<body><h1>Doc "),
+        b,
+        F.lit('</h1><p class="main">'),
+        F.col("text"),
+        F.lit(" &amp; tail &lt;"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit('&gt; &quot;q&quot; &#39;s&#39;</p><!-- hidden '),
+        b,
+        F.lit(" --></body></html>"),
+    )
+    extracted = extract_html_text(html)
+    return d.select(
+        "doc_id",
+        F.length(extracted).cast("long").alias("n_chars"),
+        F.md5(extracted).alias("extract_hash"),
+    )

@@ -1272,3 +1272,32 @@ def test_canonicalize_url_semantics(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_extract_html_text_semantics(spark):
+    from logistics_data_pipeline_project_spark.operators.text import (
+        extract_html_text,
+    )
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>ignore me</script>keep", "keep"),
+        ("<style>p{}</style>body", "body"),
+        ("a<!-- no -->b", "a b"),
+        # &amp; decoded LAST: '&amp;lt;' must become the literal '&lt;',
+        # never '<' (the double-decode bug)
+        ("x &amp;lt; y", "x &lt; y"),
+        ("&lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; done",
+         "<tag> \"q\" 's' & done"),
+        ("  lots   of\tspace  ", "lots of space"),
+        ("<script type='x'>a</script><p>b</p><script>c</script>d", "b d"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", extract_html_text("h").alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
