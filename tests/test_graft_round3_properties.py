@@ -190,3 +190,140 @@ def test_jpeg_flat_tiles_always_exact(vals, channels):
     )
     payload = encode_jpeg(w, h, raw, qtable=[8] * 64, channels=channels)
     assert decode_jpeg_pixels(payload) == (w, h, channels, raw)
+
+
+# ---------------------------------------------------------------------------
+# round-4 codec properties: progressive JPEG, Adam7 PNG, interlaced GIF,
+# palette PNG, multichannel WAV — all pure codec, no Spark
+# ---------------------------------------------------------------------------
+
+
+@prop
+@given(
+    dims=jpeg_dims,
+    seed=st.integers(0, 2**31 - 1),
+    channels=st.sampled_from([1, 3]),
+    sub=st.sampled_from(["444", "422", "420"]),
+    quality=st.sampled_from([50, 85, 95]),
+)
+def test_jpeg_progressive_always_equals_baseline(dims, seed, channels, sub, quality):
+    # progression reorders transmission, never values: ANY image/quality/
+    # subsampling must decode bit-identically through SOF2 and SOF0
+    import numpy as np
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    w, h = dims
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, h * w * channels).astype(np.uint8).tobytes()
+    kw = dict(quality=quality, channels=channels, subsampling=sub)
+    assert decode_jpeg_pixels(
+        encode_jpeg(w, h, img, progressive=True, **kw)
+    ) == decode_jpeg_pixels(encode_jpeg(w, h, img, **kw))
+
+
+@prop
+@given(
+    dims=st.tuples(st.integers(1, 23), st.integers(1, 17)),
+    seed=st.integers(0, 2**31 - 1),
+    channels=st.sampled_from([1, 2, 3, 4]),
+)
+def test_png_adam7_roundtrip_any_shape(dims, seed, channels):
+    import numpy as np
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    w, h = dims
+    rng = np.random.RandomState(seed)
+    raw = rng.randint(0, 256, h * w * channels).astype(np.uint8).tobytes()
+    assert decode_png_pixels(encode_png(w, h, channels, raw, interlaced=True)) == (
+        w, h, channels, raw
+    )
+
+
+@prop
+@given(
+    dims=st.tuples(st.integers(1, 19), st.integers(1, 15)),
+    seed=st.integers(0, 2**31 - 1),
+    interlaced=st.booleans(),
+    local_palette=st.booleans(),
+)
+def test_gif_interlace_local_palette_roundtrip_any_shape(
+    dims, seed, interlaced, local_palette
+):
+    import numpy as np
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    w, h = dims
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, 256, h * w).astype(np.uint8).tobytes()
+    pal = bytes(v for i in range(256) for v in (i, (i * 7) % 256, 255 - i))
+    got = decode_gif_pixels(
+        encode_gif(w, h, idx, pal, interlaced=interlaced, local_palette=local_palette)
+    )
+    assert got == (w, h, idx, pal)
+
+
+@prop
+@given(
+    n_frames=st.integers(1, 40),
+    n_channels=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_multichannel_downmix_is_floor_mean(n_frames, n_channels, seed):
+    import numpy as np
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(seed)
+    inter = rng.randint(-32768, 32768, n_frames * n_channels).tolist()
+    rate, mono = decode_wav_samples(
+        encode_wav_pcm16(inter, sample_rate=22050, n_channels=n_channels)
+    )
+    want = [
+        sum(inter[f * n_channels : (f + 1) * n_channels]) // n_channels
+        for f in range(n_frames)
+    ]
+    assert rate == 22050 and mono == want
+
+
+@prop
+@given(
+    dims=st.tuples(st.integers(9, 24), st.integers(8, 20)),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_dhash_reference_matches_any_gray_image(dims, seed):
+    # the pure-python reference and a straight re-derivation of the
+    # definition agree on arbitrary images (pins the sample-grid and
+    # bit-packing conventions independently of numpy)
+    import numpy as np
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        dhash_reference,
+    )
+
+    w, h = dims
+    rng = np.random.RandomState(seed)
+    raw = rng.randint(0, 256, h * w).astype(np.uint8).tobytes()
+    val = 0
+    for r in range(8):
+        y = r * h // 8
+        for cidx in range(8):
+            left = raw[y * w + cidx * w // 9]
+            right = raw[y * w + (cidx + 1) * w // 9]
+            if left < right:
+                val |= 1 << (r * 8 + cidx)
+    assert dhash_reference(w, h, 1, raw) == val
