@@ -9144,3 +9144,89 @@ def q228_html_text_extraction(spark: SparkSession, sf_dir: str):
         F.length(extracted).cast("long").alias("n_chars"),
         F.md5(extracted).alias("extract_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — stereo WAV downmix spectral audit (multichannel codec certified)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q229_audio_stereo_downmix_audit",
+    tags=("multimodal", "U1"),
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+    CAST(power(2, 1 + doc_id % 4) AS BIGINT) AS period,
+    200 + (doc_id % 3) * 200 AS a,
+    (doc_id % 5) * 200 AS b,
+    2 + doc_id % 3 AS n_frames
+  FROM documents
+), m AS (
+  SELECT doc_id, period, n_frames,
+    (a + b) // 2 AS hi, (b - a) // 2 AS lo
+  FROM p
+)
+SELECT m.doc_id,
+  CAST(k.k AS INTEGER) AS frame_index,
+  CAST({_AUDIO_FRAME} // 2 * (hi * hi + lo * lo) AS BIGINT) AS energy_sum,
+  CAST(greatest(abs(hi), abs(lo)) AS INTEGER) AS peak_abs,
+  CAST({_AUDIO_FRAME} // period AS INTEGER) AS dom_bin
+FROM m CROSS JOIN generate_series(0, 7) k(k)
+WHERE k.k < n_frames
+""",
+)
+def q229_audio_stereo_downmix_audit(spark: SparkSession, sf_dir: str):
+    """STEREO twin of the q219 audio audit — certifies the multichannel
+    WAV path end to end: per document a genuine 2-channel PCM16 RIFF
+    file is synthesized (left = square wave, amplitude 200+200*(doc%3),
+    period 2^(1+doc%4); right = constant bias 200*(doc%5) — both even,
+    so the per-frame floor-mean downmix is integer-exact), then
+    ``audio_frame_features`` re-parses the container, DOWNMIXES the
+    interleaved frames to mono (floor mean — decode_wav_samples), and
+    reports energy/peak/dominant-bin per frame.  The mono stream is a
+    square wave of amplitude a/2 riding a DC offset b/2: energy is
+    128*(hi^2+lo^2) in closed form, the DC lands in the excluded bin 0,
+    and the fundamental at bin N/P still strictly dominates — container
+    channel-count handling, interleave order, the downmix rounding
+    convention and the FFT all have to be right at once.  Scale shape:
+    identical to q219 — two iterator-mapInPandas stages, samples never
+    leave the UDFs."""
+    from ..operators.multimodal import audio_frame_features
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_wav_pcm16
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                period = 2 ** (1 + doc_id % 4)
+                a = 200 + (doc_id % 3) * 200
+                b = (doc_id % 5) * 200
+                n = _AUDIO_FRAME * (2 + doc_id % 3)
+                inter = []
+                for i in range(n):
+                    left = a if (i % period) < period // 2 else -a
+                    inter += [left, b]
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_wav_pcm16(inter, n_channels=2),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return audio_frame_features(
+        gen_df, "doc_id", "payload", frame_len=_AUDIO_FRAME
+    ).select(
+        F.col("id").alias("doc_id"),
+        "frame_index",
+        "energy_sum",
+        "peak_abs",
+        "dom_bin",
+    )
