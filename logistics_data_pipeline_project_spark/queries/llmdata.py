@@ -9230,3 +9230,58 @@ def q229_audio_stereo_downmix_audit(spark: SparkSession, sf_dir: str):
         "peak_abs",
         "dom_bin",
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — domain blocklist filter (crawl hygiene: the deny-list gate)
+# ---------------------------------------------------------------------------
+
+#: deny-listed registered domains (the operational shape: a small curated
+#: list distributed to every executor; real lists are 10^4-10^6 rows —
+#: still broadcast territory)
+_BLOCKED_DOMAINS = ("example3.com", "example7.com", "example11.com")
+
+
+@register(
+    "q230_domain_blocklist_filter",
+    tags=("mixing", "J6"),
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id,
+    'example' || CAST(doc_id % 13 AS VARCHAR) || '.com' AS domain
+  FROM documents
+), b AS (
+  SELECT unnest(['example3.com', 'example7.com', 'example11.com']) AS domain
+)
+SELECT u.domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(u.doc_id) AS first_doc_id
+FROM u LEFT JOIN b ON u.domain = b.domain
+WHERE b.domain IS NULL
+GROUP BY u.domain
+""",
+)
+def q230_domain_blocklist_filter(spark: SparkSession, sf_dir: str):
+    """Domain deny-list gate — the first hard filter of every crawl
+    pipeline (spam/adult/malware domain lists): each document's
+    registered domain (synthesized closed-form: example<doc_id%13>.com)
+    is checked against a curated blocklist and blocked domains drop
+    wholesale; survivors aggregate to per-domain counts.  Scale shape:
+    the blocklist is SMALL and the corpus is 100 TB — the filter is a
+    broadcast LEFT ANTI join (plan-asserted: no shuffle of the corpus
+    for the gate, one aggregation exchange for the counts), the exact
+    decontamination shape (q044) applied to domains.  The oracle
+    replays the anti join as LEFT JOIN ... IS NULL on DuckDB."""
+    blocked = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("example"), (F.col("doc_id") % 13).cast("string"), F.lit(".com")
+        ).alias("domain"),
+    )
+    kept = d.join(F.broadcast(blocked), "domain", "left_anti")
+    return kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

@@ -349,3 +349,10 @@ def test_q225_domain_cap_two_phase(spark, sf_dir):
     # earliest exchange (printed last) hashes on TWO keys: source + bucket
     assert lines[-1].count("#") >= 2 and "source" in lines[-1], plan
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_q230_blocklist_gate_is_broadcast_anti(spark, sf_dir):
+    plan = _physical(REGISTRY["q230_domain_blocklist_filter"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the corpus shuffles once, for the counts — never for the gate
+    assert plan.count("Exchange hashpartitioning") == 1, plan
