@@ -20,6 +20,8 @@ any later action fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 __all__ = [
@@ -27,6 +29,17 @@ __all__ = [
     "free_checkpoints",
     "checkpointed_write",
 ]
+
+# The pinned-id attribution diffs the JVM-GLOBAL persistent-RDD registry
+# around the checkpoint call; two concurrent checkpointers in one session
+# (e.g. two streaming queries both inside checkpointed_write, or a
+# parallel driver thread) would capture each other's ids and later free
+# blocks a live DataFrame's truncated lineage depends on
+# (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Serializing diff+checkpoint under
+# one process-wide lock makes the attribution exact; the critical section
+# is the checkpoint job itself, which these callers run back-to-back
+# anyway.
+_TRACK_LOCK = threading.Lock()
 
 
 def _persistent_ids(spark) -> set[int]:
@@ -39,12 +52,14 @@ def tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
 
     Only the eager form registers its blocks synchronously, so only it
     can be tracked; pass the ids to :func:`free_checkpoints` once a
-    successor round has been materialized.
+    successor round has been materialized. Thread-safe: the registry
+    diff and the checkpoint run atomically under a module lock.
     """
     spark = df.sparkSession
-    before = _persistent_ids(spark)
-    out = df.localCheckpoint(eager=True)
-    after = _persistent_ids(spark)
+    with _TRACK_LOCK:
+        before = _persistent_ids(spark)
+        out = df.localCheckpoint(eager=True)
+        after = _persistent_ids(spark)
     return out, sorted(after - before)
 
 

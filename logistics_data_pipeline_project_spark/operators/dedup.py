@@ -414,40 +414,54 @@ def connected_components(
     total = labels.agg(
         F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
-    for _ in range(max_iter):
-        nb_min = (
-            sym.join(labels, sym["__a"] == labels["id"])
-            .groupBy("__b")
-            .agg(F.min("component").alias("__nb_min"))
-        )
-        prev_ids = label_ids
-        labels, label_ids = tracked_local_checkpoint(
-            labels.join(nb_min, labels["id"] == nb_min["__b"], "left").select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("__nb_min", "component")
-                ).alias("component"),
+    # try/finally so the non-convergence raise (and any mid-loop failure)
+    # cannot leak sym's or the live round's pinned blocks — the exact
+    # O(session) leak the tracked-checkpoint machinery exists to prevent.
+    # On the success return, ``converged`` keeps the final labels pinned
+    # (the returned plan reads them); everything else is freed.
+    converged = False
+    try:
+        for _ in range(max_iter):
+            nb_min = (
+                sym.join(labels, sym["__a"] == labels["id"])
+                .groupBy("__b")
+                .agg(F.min("component").alias("__nb_min"))
             )
+            prev_ids = label_ids
+            labels, label_ids = tracked_local_checkpoint(
+                labels.join(nb_min, labels["id"] == nb_min["__b"], "left").select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("__nb_min", "component")
+                    ).alias("component"),
+                )
+            )
+            # the new round is materialized; its predecessor's pinned blocks
+            # are dead weight from here on — free them NOW instead of waiting
+            # for the 30-min periodic GC (O(rounds) leak, measured 4x rerun
+            # degradation at 10x volume before this)
+            free_checkpoints(spark_sess, prev_ids)
+            new_total = labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if new_total == total:
+                # anti-join against the (checkpointed) final labels, NOT
+                # ``touched``: touched's lineage runs through sym, whose
+                # blocks are freed in the finally — the result must not
+                # reference it
+                singletons = all_nodes.join(
+                    labels.select("id"), "id", "left_anti"
+                ).select("id", F.col("id").alias("component"))
+                converged = True
+                return labels.union(singletons)
+            total = new_total
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        # the new round is materialized; its predecessor's pinned blocks
-        # are dead weight from here on — free them NOW instead of waiting
-        # for the 30-min periodic GC (O(rounds) leak, measured 4x rerun
-        # degradation at 10x volume before this)
-        free_checkpoints(spark_sess, prev_ids)
-        new_total = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if new_total == total:
-            # anti-join against the (checkpointed) final labels, NOT
-            # ``touched``: touched's lineage runs through sym, whose
-            # blocks are freed below — the result must not reference it
-            singletons = all_nodes.join(
-                labels.select("id"), "id", "left_anti"
-            ).select("id", F.col("id").alias("component"))
-            free_checkpoints(spark_sess, sym_ids)
-            return labels.union(singletons)
-        total = new_total
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        free_checkpoints(spark_sess, sym_ids)
+        if not converged:
+            free_checkpoints(spark_sess, label_ids)
 
 
 _SIMHASH_BITS = 60  # stay inside a signed 64-bit long (2^60 << 2^63)

@@ -21,7 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["source_mix_sample", "ticket_sample_k"]
+__all__ = ["source_mix_sample", "ticket_sample_k", "domain_cap"]
 
 
 def _frac_threshold_hex(frac: float) -> str:
@@ -149,4 +149,57 @@ def ticket_sample_k(
         per_key.withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+    fanout_chars: int = 2,
+) -> DataFrame:
+    """Per-domain document cap (C4/RefinedWeb crawl-balance rule): each
+    ``source_col`` group keeps at most ``cap`` rows, chosen by a
+    deterministic salted-md5 draw (RNG-free, partitioning-stable,
+    rerun-identical — the same discipline as ``source_mix_sample``).
+    Output adds ``dom_rank`` (1..cap within the source, by draw order).
+
+    Semantically identical to one ``row_number() OVER (PARTITION BY
+    source ORDER BY md5(salt:id), id) <= cap`` window — which is the
+    definition the q225 oracle replays — but a single per-source window
+    is one reducer swallowing a whole domain, and crawl domains are NOT
+    balanced (one mega-domain can be half the corpus). So the cap runs
+    in two phases: a local top-``cap`` window per (source, first
+    ``fanout_chars`` hex chars of the rank key) — every global winner
+    also wins its own bucket, so the global top-``cap`` is provably
+    inside the union of the 16^fanout_chars bucket top-``cap``s — then
+    the exact window over the <= 16^fanout_chars * cap survivors per
+    source.  Spark additionally pushes each cap below its exchange as a
+    partial WindowGroupLimit (plan-asserted in test_catalog_plans), so
+    a shuffle carries at most ``cap`` rows per (group, map partition);
+    the default 256-way fan-out bounds the residual reducer sort to
+    ~maps*cap rows even when one domain is half the corpus (the skewed
+    fixture in test_ingest_scale_ops certifies the selection matches
+    the single-window definition under exactly that skew)."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    if not 1 <= fanout_chars <= 8:
+        raise ValueError("fanout_chars must be in 1..8")
+    d = df.withColumn(
+        "__rk",
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+    )
+    bucket = F.substring("__rk", 1, fanout_chars)
+    w1 = Window.partitionBy(source_col, bucket).orderBy("__rk", id_col)
+    pre = d.withColumn("__rn", F.row_number().over(w1)).filter(
+        F.col("__rn") <= cap
+    )
+    w2 = Window.partitionBy(source_col).orderBy("__rk", id_col)
+    return (
+        pre.drop("__rn")
+        .withColumn("dom_rank", F.row_number().over(w2))
+        .filter(F.col("dom_rank") <= cap)
+        .drop("__rk")
     )

@@ -365,14 +365,25 @@ def canonicalize_url(url: Column | str) -> Column:
     string."""
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
-    host = F.split(hostport, ":").getItem(0)
+    # authority = everything between :// and the first / ? #; userinfo
+    # ("user:pw@") is fetch-credential noise, never page identity — strip
+    # it before the host/port split (an unencoded '@' is illegal in the
+    # host, so the first '@' ends the userinfo)
+    authority = F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1)
+    hostport = F.lower(F.regexp_replace(authority, r"^[^@/]*@", ""))
+    # the port is the trailing ":digits" ONLY — an end-anchored strip, so
+    # a bracketed IPv6 host ("[::1]" / "[2001:db8::1]:8080") keeps its
+    # internal colons intact instead of being cut at the first one
+    host = F.regexp_replace(hostport, r":(\d+)$", "")
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     keep_port = (port != "") & ~(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
     )
-    path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    raw_path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    # RFC 3986 6.2.3: an empty path and "/" are the same resource for
+    # http(s) — coalesce so "https://a.com" and "https://a.com/" dedup
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
@@ -395,13 +406,18 @@ def extract_html_text(html: Column | str) -> Column:
     would re-activate entity prefixes it guards, the classic
     double-decode bug), whitespace collapsed and trimmed.  Pure
     regexp_replace chain restricted to the portable subset (lazy
-    quantifiers, no dotall — RE2 and Java agree), so the extraction is
-    DuckDB-replayable.  Scale shape: zero shuffles — a projection
-    inside the scan."""
+    quantifiers + inline ``(?is)`` flags — RE2 and Java agree on both),
+    so the extraction is DuckDB-replayable.  The block patterns carry
+    ``(?is)``: real crawl script/style/comment blocks span MANY lines
+    and arrive in any tag case (``<SCRIPT>``), and without dotall the
+    lazy ``.*?`` never crosses a newline, so the block body would leak
+    into the "main text" and contaminate every downstream quality/dedup
+    stage.  Scale shape: zero shuffles — a projection inside the
+    scan."""
     c = F.col(html) if isinstance(html, str) else html
-    c = F.regexp_replace(c, r"<script[^>]*>.*?</script>", " ")
-    c = F.regexp_replace(c, r"<style[^>]*>.*?</style>", " ")
-    c = F.regexp_replace(c, r"<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"<[^>]+>", " ")
     for ent, ch in (
         ("&lt;", "<"),

@@ -6022,3 +6022,136 @@ def q212_revenue_gini(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — deterministic sketch twin of q066 (the sketch path gets a
+# hash-matching oracle; q066 keeps the built-in HLL++/KLL estimators)
+# ---------------------------------------------------------------------------
+
+_Q233_K = 64
+_Q233_EDGES = geometric_edges(0.0078125, 512.0, bins_per_octave=2)
+
+
+def _q233_oracle() -> str:
+    k = _Q233_K
+    edges = _Q233_EDGES
+    arr = ", ".join(f"CAST('{e!r}' AS DOUBLE)" for e in edges)
+    m = len(edges)
+    rows = []
+    for j in range(m + 1):
+        lo = "CAST(NULL AS DOUBLE)" if j == 0 else f"CAST('{edges[j - 1]!r}' AS DOUBLE)"
+        hi = f"CAST('{edges[j]!r}' AS DOUBLE)" if j < m else "CAST(NULL AS DOUBLE)"
+        rows.append(f"({j}, {lo}, {hi})")
+
+    def est(q: str) -> str:
+        r = f"CAST(total AS DOUBLE) * CAST('{q}' AS DOUBLE)"
+        return (
+            f"MAX(CASE WHEN cum - cnt < {r} AND {r} <= cum THEN "
+            f"lo + (hi - lo) * (({r} - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) "
+            "END)"
+        )
+
+    users_est = (
+        f"CASE WHEN n < {k} THEN CAST(n AS DOUBLE) "
+        f"ELSE CAST('{float(k - 1)!r}' AS DOUBLE) / "
+        "(CAST(CAST(concat('0x', substr(hk, 1, 13)) AS BIGINT) AS DOUBLE) "
+        f"/ CAST('{float(2**52)!r}' AS DOUBLE)) END"
+    )
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type, md5('kmv:' || CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), rk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM d
+), kagg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(CASE WHEN rk = {k} THEN h END) AS hk
+  FROM rk WHERE rk <= {k} GROUP BY event_type
+), binned AS (
+  SELECT event_type,
+         CAST(len(list_filter([{arr}], b -> value >= b)) AS INTEGER) AS bin
+  FROM events
+), sk AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM sk
+), edges(bin, lo, hi) AS (VALUES {", ".join(rows)}),
+qs AS (
+  SELECT event_type,
+    {est("0.25")} AS p25_est,
+    {est("0.5")} AS p50_est,
+    {est("0.75")} AS p75_est,
+    CAST(MAX(total) AS BIGINT) AS n_events
+  FROM cum JOIN edges USING (bin)
+  GROUP BY event_type
+)
+SELECT q.event_type, q.n_events,
+  {users_est} AS users_est,
+  q.p25_est, q.p50_est, q.p75_est
+FROM qs q JOIN kagg k ON q.event_type = k.event_type
+"""
+
+
+from ..operators.sketch import kmv_estimate  # noqa: E402
+
+
+@register(
+    "q233_sketch_event_profile",
+    tags=("A2", "A3", "sketch", "approx"),
+    oracle=_q233_oracle(),
+)
+def q233_sketch_event_profile(spark: SparkSession, sf_dir: str):
+    """Deterministic twin of q066's approximate event profile — the SAME
+    questions (events per type, distinct users per type, value
+    quartiles) answered by the engine's own cross-engine-deterministic
+    sketches instead of Spark's built-in HLL++/KLL state: distinct
+    users from a bottom-{k} KMV theta sketch (hash-order string
+    comparisons, one exact 52-bit division — q139's machinery) and
+    quartiles from the mergeable geometric-histogram sketch (q135's
+    machinery; <=41% relative bin width at 2 bins/octave over the value
+    range).  q066 stays rows-only BY DESIGN (approx_count_distinct /
+    percentile_approx estimates are algorithm-specific and
+    error-bound-tested instead), but with this twin the sketch PATH
+    itself carries a hash-matching DuckDB oracle, so the driver
+    certifies the full profile shape end to end.  Scale shape: two
+    map-side-combined aggregates over the fact stream (KMV's grouped
+    distinct + the histogram fold), then window walks over
+    O(types x k + types x bins) sketch rows."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    ksk = kmv_sketch(ev, "user_id", k=_Q233_K, keys=("event_type",))
+    users = kmv_estimate(ksk, k=_Q233_K, keys=("event_type",), est_col="users_est")
+    # materialize the O(types x bins) sketch ONCE (q139's discipline):
+    # both the count rollup and the quantile walk read it, and without
+    # the checkpoint each would re-aggregate the fact stream
+    hsk = histogram_sketch(
+        ev, "value", _Q233_EDGES, keys=("event_type",)
+    ).localCheckpoint(eager=True)
+    quart = histogram_quantiles(
+        hsk,
+        _Q233_EDGES,
+        {"p25_est": 0.25, "p50_est": 0.5, "p75_est": 0.75},
+        keys=("event_type",),
+    )
+    counts = hsk.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_events")
+    )
+    return (
+        counts.join(users, "event_type")
+        .join(quart, "event_type")
+        .select(
+            "event_type", "n_events", "users_est", "p25_est", "p50_est", "p75_est"
+        )
+    )
+
+
+q233_sketch_event_profile.__doc__ = q233_sketch_event_profile.__doc__.replace(
+    "{k}", str(_Q233_K)
+)

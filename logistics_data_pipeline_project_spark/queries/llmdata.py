@@ -8734,13 +8734,15 @@ q223_best_of_n_selection.__doc__ = q223_best_of_n_selection.__doc__.format(
 # q224 — URL canonicalization dedup (crawl fetch-history consolidation)
 # ---------------------------------------------------------------------------
 
-_URL_CASE_SQL = """CASE doc_id % 6
+_URL_CASE_SQL = """CASE doc_id % 8
   WHEN 0 THEN 'https://example' || b || '.com/p' || b || '?b=2&a=1'
   WHEN 1 THEN 'HTTPS://EXAMPLE' || b || '.COM/p' || b || '?a=1&b=2'
   WHEN 2 THEN 'https://example' || b || '.com:443/p' || b || '?b=2&a=1'
   WHEN 3 THEN 'https://example' || b || '.com/p' || b || '?a=1&b=2#frag'
   WHEN 4 THEN 'http://example' || b || '.com/p' || b || '?a=1&b=2'
-  ELSE 'https://example' || b || '.com/p' || b || ''
+  WHEN 5 THEN 'https://example' || b || '.com/p' || b || ''
+  WHEN 6 THEN 'https://user:pw@example' || b || '.com/p' || b || '?a=1&b=2'
+  ELSE 'HTTPS://EXAMPLE' || b || '.COM:443'
 END"""
 
 
@@ -8750,24 +8752,25 @@ END"""
     oracle=f"""
 WITH u AS (
   SELECT doc_id, {_URL_CASE_SQL} AS url
-  FROM (SELECT doc_id, CAST(doc_id // 6 AS VARCHAR) AS b FROM documents)
+  FROM (SELECT doc_id, CAST(doc_id // 8 AS VARCHAR) AS b FROM documents)
 ), p AS (
   SELECT doc_id,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS hostport,
+    lower(regexp_replace(
+      regexp_extract(url, '^[^:]+://([^/?#]+)', 1), '^[^@/]*@', '')) AS hostport,
     regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path,
     regexp_extract(url, '\\?([^#]*)', 1) AS query
   FROM u
 ), c AS (
   SELECT doc_id,
-    scheme || '://' || string_split(hostport, ':')[1]
+    scheme || '://' || regexp_replace(hostport, ':(\\d+)$', '')
     || CASE WHEN regexp_extract(hostport, ':(\\d+)$', 1) <> ''
              AND NOT ((scheme = 'http'
                        AND regexp_extract(hostport, ':(\\d+)$', 1) = '80')
                    OR (scheme = 'https'
                        AND regexp_extract(hostport, ':(\\d+)$', 1) = '443'))
             THEN ':' || regexp_extract(hostport, ':(\\d+)$', 1) ELSE '' END
-    || path
+    || CASE WHEN path = '' THEN '/' ELSE path END
     || CASE WHEN query <> ''
             THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
             ELSE '' END AS canonical_url
@@ -8782,13 +8785,17 @@ def q224_url_canonical_dedup(spark: SparkSession, sf_dir: str):
     """URL-canonicalization dedup — the consolidation every crawl
     pipeline runs before URL-level dedup and fetch-history joins: the
     same page is referenced under many spellings (host case, default
-    ports, fragments, query-parameter order), and hashing raw URLs
-    splinters its identity.  Per document a URL variant is synthesized
-    in closed form (6 spellings per base page: canonical, upper-case
-    scheme+host, explicit :443, fragment-suffixed, http:// sibling, and
-    query-less — the last two are genuinely DIFFERENT resources and must
-    NOT merge), normalized by ``canonicalize_url`` (operators/text.py:
-    scheme/host lowercase, default port stripped, fragment dropped,
+    ports, fragments, query-parameter order, fetch credentials), and
+    hashing raw URLs splinters its identity.  Per document a URL variant
+    is synthesized in closed form (8 spellings per base page: canonical,
+    upper-case scheme+host, explicit :443, fragment-suffixed,
+    userinfo-prefixed 'user:pw@' — credential noise, never identity —
+    plus three that must NOT all merge: an http:// sibling and a
+    query-less sibling are genuinely DIFFERENT resources, and a bare
+    empty-path spelling canonicalizes to '/' per RFC 3986 6.2.3),
+    normalized by ``canonicalize_url`` (operators/text.py: scheme/host
+    lowercase, userinfo stripped, default port stripped end-anchored so
+    bracketed IPv6 hosts survive, empty path -> '/', fragment dropped,
     query params sorted; one codegen expression, zero Python), and
     exact-deduped on the canonical key.  The oracle replays the parse
     and normalization with DuckDB's independent regex engine.  Scale
@@ -8797,9 +8804,9 @@ def q224_url_canonical_dedup(spark: SparkSession, sf_dir: str):
     from ..operators.text import canonicalize_url
 
     b = F.col("doc_id").cast("long")
-    base = (b - b % 6) / 6
+    base = (b - b % 8) / 8
     bstr = base.cast("long").cast("string")
-    v = (b % 6).cast("int")
+    v = (b % 8).cast("int")
     host_l = F.concat(F.lit("example"), bstr, F.lit(".com"))
     host_u = F.concat(F.lit("EXAMPLE"), bstr, F.lit(".COM"))
     pth = F.concat(F.lit("/p"), bstr)
@@ -8809,7 +8816,9 @@ def q224_url_canonical_dedup(spark: SparkSession, sf_dir: str):
         .when(v == 2, F.concat(F.lit("https://"), host_l, F.lit(":443"), pth, F.lit("?b=2&a=1")))
         .when(v == 3, F.concat(F.lit("https://"), host_l, pth, F.lit("?a=1&b=2#frag")))
         .when(v == 4, F.concat(F.lit("http://"), host_l, pth, F.lit("?a=1&b=2")))
-        .otherwise(F.concat(F.lit("https://"), host_l, pth))
+        .when(v == 5, F.concat(F.lit("https://"), host_l, pth))
+        .when(v == 6, F.concat(F.lit("https://user:pw@"), host_l, pth, F.lit("?a=1&b=2")))
+        .otherwise(F.concat(F.lit("HTTPS://"), host_u, F.lit(":443")))
     )
     d = load(spark, sf_dir, "documents").select(
         "doc_id", canonicalize_url(url).alias("canonical_url")
@@ -8852,31 +8861,23 @@ def q225_domain_doc_cap(spark: SparkSession, sf_dir: str):
     dropped.  Scale shape: domains are FEW and HUGE, so a single
     per-source window is one reducer swallowing a whole domain; instead
     the cap runs in two phases — a per-(source, md5-bucket) local
-    top-{cap} window over 16-way-split partitions (the global top-{cap}
-    is provably inside the union of bucket top-{cap}s), then a final
-    window over <= 16*{cap} survivors per source.  The oracle replays
-    the single-window definition; both plans select the identical set,
-    which is the point of the two-phase rewrite."""
-    d = load(spark, sf_dir, "documents").select(
-        "source",
-        "doc_id",
-        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))).alias(
-            "rk"
-        ),
-    )
-    # phase 1: bucket by the first rank-key hex char (16 ways); local cap
-    b = F.substring("rk", 1, 1)
-    w1 = Window.partitionBy("source", b).orderBy("rk", "doc_id")
-    pre = d.withColumn("__rn", F.row_number().over(w1)).filter(
-        F.col("__rn") <= _DOMAIN_CAP
-    )
-    # phase 2: exact global rank over the bounded survivor set
-    w2 = Window.partitionBy("source").orderBy("rk", "doc_id")
-    return (
-        pre.select("source", "doc_id", "rk")
-        .withColumn("dom_rank", F.row_number().over(w2))
-        .filter(F.col("dom_rank") <= _DOMAIN_CAP)
-        .select("source", "doc_id", F.col("dom_rank").cast("int").alias("dom_rank"))
+    top-{cap} window over 256-way-split partitions (the global top-{cap}
+    is provably inside the union of bucket top-{cap}s — every global
+    winner wins its own bucket too), then a final window over <=
+    256*{cap} survivors per source.  256 ways (the first TWO rank-key
+    hex chars), not 16: crawl domains are not balanced, and a 1B-doc
+    mega-domain under a 16-way split still pushed ~62M rows through one
+    reducer sort — at 256 the worst single-reducer sort is ~4M rows of
+    (16-byte key, id), comfortably in-memory, while the phase-2
+    survivor set stays trivially small.  The oracle replays the
+    single-window definition; both plans select the identical set,
+    which is the point of the two-phase rewrite (the operator's skewed
+    fixture proves it when one domain is half the corpus)."""
+    from ..operators.mixing import domain_cap
+
+    d = load(spark, sf_dir, "documents").select("source", "doc_id")
+    return domain_cap(d, "source", "doc_id", _DOMAIN_CAP, salt="cap").select(
+        "source", "doc_id", F.col("dom_rank").cast("int").alias("dom_rank")
     )
 
 
@@ -9070,12 +9071,12 @@ def q227_image_dup_clusters(spark: SparkSession, sf_dir: str):
 # q228 — HTML main-text extraction audit (the crawl step before everything)
 # ---------------------------------------------------------------------------
 
-_HTML_WRAP_SQL = """'<html><head><style>p { color: red }</style>'
-    || '<script type="text/javascript">var x = 1 &amp;&amp; 2;</script></head>'
+_HTML_WRAP_SQL = """'<html><head><STYLE>p {' || chr(10) || '  color: red' || chr(10) || '}</STYLE>'
+    || '<SCRIPT type="text/javascript">' || chr(10) || 'var x = 1 &amp;&amp; 2;' || chr(10) || '</SCRIPT></head>'
     || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p class="main">'
     || text || ' &amp; tail &lt;' || CAST(doc_id % 10 AS VARCHAR)
-    || '&gt; &quot;q&quot; &#39;s&#39;</p><!-- hidden '
-    || CAST(doc_id AS VARCHAR) || ' --></body></html>'"""
+    || '&gt; &quot;q&quot; &#39;s&#39;</p><!-- hidden' || chr(10)
+    || CAST(doc_id AS VARCHAR) || chr(10) || '--></body></html>'"""
 
 
 @register(
@@ -9091,9 +9092,9 @@ WITH h AS (
         regexp_replace(
           regexp_replace(
             regexp_replace(
-              regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
-              '<style[^>]*>.*?</style>', ' ', 'g'),
-            '<!--.*?-->', ' ', 'g'),
+              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
           '<[^>]+>', ' ', 'g'),
         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
       '&amp;', '&'),
@@ -9126,17 +9127,17 @@ def q228_html_text_extraction(spark: SparkSession, sf_dir: str):
     d = load(spark, sf_dir, "documents")
     b = F.col("doc_id").cast("string")
     html = F.concat(
-        F.lit('<html><head><style>p { color: red }</style>'),
-        F.lit('<script type="text/javascript">var x = 1 &amp;&amp; 2;</script></head>'),
+        F.lit("<html><head><STYLE>p {\n  color: red\n}</STYLE>"),
+        F.lit('<SCRIPT type="text/javascript">\nvar x = 1 &amp;&amp; 2;\n</SCRIPT></head>'),
         F.lit("<body><h1>Doc "),
         b,
         F.lit('</h1><p class="main">'),
         F.col("text"),
         F.lit(" &amp; tail &lt;"),
         (F.col("doc_id") % 10).cast("string"),
-        F.lit('&gt; &quot;q&quot; &#39;s&#39;</p><!-- hidden '),
+        F.lit('&gt; &quot;q&quot; &#39;s&#39;</p><!-- hidden\n'),
         b,
-        F.lit(" --></body></html>"),
+        F.lit("\n--></body></html>"),
     )
     extracted = extract_html_text(html)
     return d.select(
@@ -9284,4 +9285,208 @@ def q230_domain_blocklist_filter(spark: SparkSession, sf_dir: str):
     return kept.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231 — FLAC decode audit (lossless codec certified against the WAV twin's
+# closed-form oracle; all four stereo decorrelations driver-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q231_audio_flac_decode_audit",
+    tags=("multimodal", "U1"),
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+    CAST(power(2, 1 + doc_id % 4) AS BIGINT) AS period,
+    200 + (doc_id % 3) * 200 AS a,
+    (doc_id % 5) * 200 AS b,
+    2 + doc_id % 3 AS n_frames
+  FROM documents
+), m AS (
+  SELECT doc_id, period, n_frames,
+    (a + b) // 2 AS hi, (b - a) // 2 AS lo
+  FROM p
+)
+SELECT m.doc_id,
+  CAST(k.k AS INTEGER) AS frame_index,
+  CAST({_AUDIO_FRAME} // 2 * (hi * hi + lo * lo) AS BIGINT) AS energy_sum,
+  CAST(greatest(abs(hi), abs(lo)) AS INTEGER) AS peak_abs,
+  CAST({_AUDIO_FRAME} // period AS INTEGER) AS dom_bin
+FROM m CROSS JOIN generate_series(0, 7) k(k)
+WHERE k.k < n_frames
+""",
+)
+def q231_audio_flac_decode_audit(spark: SparkSession, sf_dir: str):
+    """FLAC twin of the q229 stereo audit — certifies the pure-stdlib
+    FLAC decoder (operators/multimodal.py::decode_flac_samples: Rice
+    residuals, fixed predictors, frame walk) end to end: the SAME
+    stereo signal as q229 (left square wave, right constant bias) is
+    FLAC-encoded instead of WAV, with the stereo decorrelation mode
+    cycling by doc_id % 4 over ALL FOUR channel assignments
+    (independent / left-side / right-side / mid-side), decoded through
+    the magic-dispatching ``audio_frame_features`` path, downmixed and
+    frame-audited.  Because FLAC is LOSSLESS the oracle is q229's
+    closed-form energy/peak/bin formulas UNCHANGED — any Rice/predictor
+    /decorrelation bug shifts a sample and breaks the hash.  Scale
+    shape: identical to q229 — two iterator-mapInPandas stages,
+    samples never leave the UDFs."""
+    from ..operators.multimodal import audio_frame_features
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_flac
+
+        modes = ("independent", "left_side", "right_side", "mid_side")
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                period = 2 ** (1 + doc_id % 4)
+                a = 200 + (doc_id % 3) * 200
+                b = (doc_id % 5) * 200
+                n = _AUDIO_FRAME * (2 + doc_id % 3)
+                inter = []
+                for i in range(n):
+                    left = a if (i % period) < period // 2 else -a
+                    inter += [left, b]
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_flac(
+                            inter,
+                            n_channels=2,
+                            block_size=1024,
+                            stereo_mode=modes[doc_id % 4],
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return audio_frame_features(
+        gen_df, "doc_id", "payload", frame_len=_AUDIO_FRAME
+    ).select(
+        F.col("id").alias("doc_id"),
+        "frame_index",
+        "energy_sum",
+        "peak_abs",
+        "dom_bin",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232 — mixed-corpus codec triage (budget the decode BEFORE paying for it)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q232_media_codec_triage",
+    tags=("multimodal", "P9"),
+    oracle="""
+WITH lane AS (
+  SELECT doc_id, doc_id % 8 AS v FROM documents
+), cls AS (
+  SELECT doc_id,
+    CASE v WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+           WHEN 3 THEN 'wav' WHEN 4 THEN 'flac' WHEN 5 THEN 'mp3'
+           WHEN 6 THEN 'avi' ELSE 'unknown' END AS container,
+    CASE v WHEN 0 THEN 'png'
+           WHEN 1 THEN CASE WHEN doc_id % 16 = 1 THEN 'jpeg-arithmetic'
+                            ELSE 'jpeg-baseline' END
+           WHEN 2 THEN 'lzw' WHEN 3 THEN 'pcm16' WHEN 4 THEN 'flac'
+           WHEN 5 THEN 'mpeg-audio'
+           WHEN 6 THEN CASE WHEN doc_id % 16 = 6 THEN 'h264' ELSE 'mjpeg' END
+           ELSE 'unknown' END AS codec,
+    CASE v WHEN 0 THEN TRUE
+           WHEN 1 THEN doc_id % 16 <> 1
+           WHEN 2 THEN TRUE WHEN 3 THEN TRUE WHEN 4 THEN TRUE
+           WHEN 6 THEN doc_id % 16 <> 6
+           ELSE FALSE END AS decodable_here
+  FROM lane
+)
+SELECT container, codec, decodable_here,
+  CAST(COUNT(*) AS BIGINT) AS n_payloads,
+  MIN(doc_id) AS first_doc_id
+FROM cls GROUP BY container, codec, decodable_here
+""",
+)
+def q232_media_codec_triage(spark: SparkSession, sf_dir: str):
+    """Mixed-corpus codec TRIAGE — the pass a 100 TB crawl runs before
+    any decode job is budgeted: every payload is classified from magic/
+    header bytes alone (``sniff_media``, zero inflate/IDCT work) into
+    (container, codec, decodable-here), and the rollup tells the owner
+    what fraction this engine decodes today and what codec library the
+    remainder needs (the quarantine-lane sizing for q226).  Fixtures
+    cycle 8 lanes per doc_id%8 — real PNG / JPEG / GIF / WAV / FLAC
+    payloads from the module's own encoders, an MP3 frame header, a
+    real MJPEG AVI, and garbage — with every 16th JPEG patched to
+    arithmetic coding (SOF10) and every 16th AVI's fourcc to H264, so
+    both decodable and quarantine sub-lanes of the same container are
+    exercised.  The oracle states all lanes in closed form.  Scale
+    shape: one header-only map pass (bytes read per payload is O(100)
+    regardless of size), then a 5-column aggregate."""
+    from ..operators.multimodal import sniff_media
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import (
+            encode_avi_mjpeg,
+            encode_flac,
+            encode_gif,
+            encode_jpeg,
+            encode_png,
+            encode_wav_pcm16,
+        )
+
+        raw = bytes((7 * i) % 256 for i in range(72))
+        pal = bytes(v for i in range(256) for v in (i, i, 255 - i))
+        png = encode_png(9, 8, 1, raw)
+        jpg = encode_jpeg(9, 8, raw)
+        at = jpg.find(b"\xff\xc0")
+        jpg_arith = jpg[: at + 1] + b"\xca" + jpg[at + 2 :]
+        gif = encode_gif(9, 8, raw, pal)
+        wav = encode_wav_pcm16([100, -100] * 32)
+        flac = encode_flac([100, -100] * 32)
+        avi = encode_avi_mjpeg(9, 8, [jpg])
+        avi_h264 = avi.replace(b"MJPG", b"H264")
+        mp3 = b"\xff\xfb\x90\x00" + bytes(32)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                v = doc_id % 8
+                if v == 0:
+                    payload = png
+                elif v == 1:
+                    payload = jpg_arith if doc_id % 16 == 1 else jpg
+                elif v == 2:
+                    payload = gif
+                elif v == 3:
+                    payload = wav
+                elif v == 4:
+                    payload = flac
+                elif v == 5:
+                    payload = mp3
+                elif v == 6:
+                    payload = avi_h264 if doc_id % 16 == 6 else avi
+                else:
+                    payload = b"garbage " + str(doc_id).encode()
+                out.append({"doc_id": doc_id, "payload": payload})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return (
+        sniff_media(gen_df, "doc_id", "payload")
+        .groupBy("container", "codec", "decodable_here")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.min("id").alias("first_doc_id"),
+        )
     )

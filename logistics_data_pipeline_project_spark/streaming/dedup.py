@@ -78,6 +78,7 @@ def stream_perceptual_dedup(
     id_col: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    on_error: str = "skip",
 ) -> StreamingQuery:
     """Perceptual image-dedup ledger over an unbounded crawl stream:
     ``store[table]`` = ``(dhash_hi, dhash_lo, keeper_<id_col>,
@@ -94,11 +95,21 @@ def stream_perceptual_dedup(
     of full history under any slicing) and the committed batch id guards
     foreachBatch replays. Decode happens inside the micro-batch's Arrow
     stage; the ledger shuffle carries two 4-byte halves and counts —
-    pixels never shuffle, never persist."""
+    pixels never shuffle, never persist.
+
+    ``on_error`` follows the batch quarantine contract (one truncated
+    file in 10^9 must quarantine, not kill the streaming query) and so
+    defaults to ``'skip'`` here, NOT ``'fail'``: a corrupt payload is
+    dropped from the ledger fold instead of raising inside foreachBatch
+    and killing the query. ``'tag'`` also works — err-tagged rows carry
+    NULL hashes and are filtered before the fold so they can never form
+    a NULL-key ledger row; ``'fail'`` restores strict-audit behavior."""
     keeper = f"keeper_{id_col}"
 
     def build(b: DataFrame) -> DataFrame:
-        fp = dhash_images(b, id_col, payload_col)
+        fp = dhash_images(b, id_col, payload_col, on_error=on_error)
+        if on_error == "tag":
+            fp = fp.filter(F.col("err").isNull())
         return fp.groupBy("dhash_hi", "dhash_lo").agg(
             F.min("id").alias(keeper),
             F.count(F.lit(1)).alias("dup_count"),

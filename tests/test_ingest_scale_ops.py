@@ -146,3 +146,52 @@ def test_block_cosine_pandas_agrees_with_jvm_exact(spark, sf_dir):
         # ties; require same neighbor and near-identical score
         assert fnn == nn, (vid, fnn, nn)
         assert abs(fcos - cos) <= 1e-4, (vid, fcos, cos)
+
+
+def test_domain_cap_skewed_mega_domain(spark):
+    """The two-phase per-domain cap must select EXACTLY the rows the
+    single-window definition selects even when one domain is half the
+    corpus — the skew crawl domains actually have, and the shape the
+    256-way phase-1 fan-out exists for."""
+    from pyspark.sql import Window, functions as F
+
+    from logistics_data_pipeline_project_spark.operators.mixing import (
+        domain_cap,
+    )
+
+    # 4000 docs: 'mega' holds 50%, the rest spread over 20 small domains
+    rows = [
+        (i, "mega" if i % 2 == 0 else f"dom{i % 20}") for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r["source"], r["doc_id"], r["dom_rank"])
+        for r in domain_cap(df, "source", "doc_id", 7, salt="sk").collect()
+    }
+    w = Window.partitionBy("source").orderBy("__rk", "doc_id")
+    want = {
+        (r["source"], r["doc_id"], r["dom_rank"])
+        for r in df.withColumn(
+            "__rk",
+            F.md5(F.concat(F.lit("sk:"), F.col("doc_id").cast("string"))),
+        )
+        .withColumn("dom_rank", F.row_number().over(w))
+        .filter(F.col("dom_rank") <= 7)
+        .drop("__rk")
+        .collect()
+    }
+    assert got == want
+    # every domain capped at 7; the mega domain actually hit the cap
+    per_src = {}
+    for s, _i, _r in got:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert per_src["mega"] == 7
+    assert all(v <= 7 for v in per_src.values())
+    # stability: a repartitioned input selects the identical set
+    got2 = {
+        (r["source"], r["doc_id"], r["dom_rank"])
+        for r in domain_cap(
+            df.repartition(13), "source", "doc_id", 7, salt="sk"
+        ).collect()
+    }
+    assert got2 == got

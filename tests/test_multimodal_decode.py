@@ -1139,13 +1139,32 @@ def test_png_palette_roundtrip_and_guards():
     bad = encode_png(w, h, 1, bytes([200]) * (w * h), palette=pal)
     with _pytest.raises(ValueError):
         decode_png_pixels(bad)
-    # tRNS (palette alpha) is the honest boundary
+    # tRNS (palette alpha) resolves PLTE+tRNS to RGBA; entries past the
+    # tRNS table are opaque (255), per spec 11.3.2.1 — including when a
+    # crawler-injected tRNS precedes PLTE (parsers must be order-lenient)
     png2 = bytearray(png)
     at = png2.find(b"PLTE") - 4
-    trns = _struct.pack(">I", 1) + b"tRNS" + b"\x80" + b"\x00\x00\x00\x00"
-    png3 = bytes(png2[:at]) + trns + bytes(png2[at:])
-    with _pytest.raises(NotImplementedError):
-        decode_png_pixels(png3)
+    trns_chunk = _struct.pack(">I", 1) + b"tRNS" + b"\x80" + b"\x00\x00\x00\x00"
+    png3 = bytes(png2[:at]) + trns_chunk + bytes(png2[at:])
+    gw, gh, ch, raw_a = decode_png_pixels(png3)
+    assert (gw, gh, ch) == (w, h, 4)
+    assert raw_a == bytes(
+        b
+        for i in idx
+        for b in pal[3 * i : 3 * i + 3] + bytes([0x80 if i == 0 else 255])
+    )
+    # the encoder emits the same thing directly (incl. Adam7 compose)
+    trns_tbl = bytes([0x80])
+    assert decode_png_pixels(
+        encode_png(w, h, 1, idx, palette=pal, trns=trns_tbl)
+    ) == (w, h, 4, raw_a)
+    assert decode_png_pixels(
+        encode_png(w, h, 1, idx, palette=pal, trns=trns_tbl, interlaced=True)
+    ) == (w, h, 4, raw_a)
+    # a tRNS longer than the palette is corrupt data, not a crash
+    long_trns = _struct.pack(">I", 8) + b"tRNS" + b"\x80" * 8 + b"\x00" * 4
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bytes(png2[:at]) + long_trns + bytes(png2[at:]))
 
 
 def test_dhash_images_on_error_modes(spark):
@@ -1182,3 +1201,116 @@ def test_audio_frame_features_on_error_skip(spark):
     assert sorted({r["id"] for r in got}) == [1, 3]
     with _pytest.raises(ValueError):
         audio_frame_features(df, "id", "payload", on_error="tag")
+
+
+def test_flac_roundtrip_mono_signal_shapes():
+    """FLAC encode->decode is bit-lossless over every subframe family the
+    encoder emits (CONSTANT, FIXED 0-2 + Rice, VERBATIM) and across
+    block boundaries / partial final blocks."""
+    import hashlib
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    def h(i: int) -> int:
+        return (
+            int.from_bytes(hashlib.md5(f"fl:{i}".encode()).digest()[:2], "big")
+            - 32768
+        )
+
+    shapes = {
+        "const": [1234] * 700,
+        "square": [900 if (i % 8) < 4 else -900 for i in range(700)],
+        "ramp": [(-3000 + 9 * i) % 6000 - 3000 for i in range(700)],
+        "noise": [h(i) for i in range(700)],  # Rice loses -> VERBATIM
+        "tiny": [42],
+        "empty_pad": [0, 0, 0],
+    }
+    for name, s in shapes.items():
+        for bs in (192, 256, 4096):
+            payload = encode_flac(s, 8000, 1, block_size=bs)
+            rate, got = decode_flac_samples(payload)
+            assert rate == 8000 and got == s, (name, bs)
+
+
+def test_flac_stereo_decorrelations_equal_wav_twin():
+    """All four stereo channel assignments reconstruct PCM bit-identical
+    to the WAV twin's floor-mean downmix — lossless means EXACT."""
+    import hashlib
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_flac_samples,
+        decode_wav_samples,
+        encode_flac,
+        encode_wav_pcm16,
+    )
+
+    inter = [
+        int.from_bytes(hashlib.md5(f"st:{i}".encode()).digest()[:2], "big")
+        - 32768
+        for i in range(2 * 555)
+    ]
+    want = decode_wav_samples(encode_wav_pcm16(inter, 16000, 2))
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        got = decode_flac_samples(
+            encode_flac(inter, 16000, 2, block_size=256, stereo_mode=mode)
+        )
+        assert got == want, mode
+
+
+def test_flac_error_surfaces_and_dispatch():
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_audio_samples,
+        decode_flac_samples,
+        encode_flac,
+        encode_wav_pcm16,
+    )
+
+    s = [100, -100] * 400
+    flac = encode_flac(s, 8000, 1)
+    wav = encode_wav_pcm16(s, 8000, 1)
+    assert decode_audio_samples(flac) == decode_audio_samples(wav)
+    with _pytest.raises(ValueError):
+        decode_flac_samples(b"fLaC" + b"\x00" * 60)  # zero sample rate
+    with _pytest.raises(ValueError):
+        decode_flac_samples(flac[: len(flac) // 2])  # truncated mid-frame
+    with _pytest.raises(ValueError):
+        decode_audio_samples(b"total junk")
+    with _pytest.raises(NotImplementedError):
+        decode_audio_samples(b"\xff\xfb\x90\x00mp3 frame")
+    with _pytest.raises(NotImplementedError):
+        decode_audio_samples(b"\x00\x00\x00 ftypisom rest")
+
+
+def test_audio_frame_features_decodes_flac(spark):
+    """The framed-feature operator treats a mixed WAV+FLAC corpus as one
+    binary column (magic dispatch) and produces identical frames for
+    identical PCM."""
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_flac,
+        encode_wav_pcm16,
+    )
+
+    s = [500 if (i % 16) < 8 else -500 for i in range(512)]
+    rows = [
+        (1, encode_wav_pcm16(s, 8000, 1)),
+        (2, encode_flac(s, 8000, 1)),
+        (3, encode_flac([x for v in s for x in (v, v)], 8000, 2,
+                        stereo_mode="mid_side")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = audio_frame_features(df, "id", "payload", frame_len=256).collect()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r["id"], []).append(
+            (r["frame_index"], r["energy_sum"], r["peak_abs"], r["dom_bin"])
+        )
+    assert per_id[1] == per_id[2] == per_id[3]
+    assert len(per_id[1]) == 2

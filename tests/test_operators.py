@@ -1262,8 +1262,19 @@ def test_canonicalize_url_semantics(spark):
         ("http://ex.com:80/p?x=1", "http://ex.com/p?x=1"),
         ("http://ex.com:8080/p", "http://ex.com:8080/p"),  # non-default kept
         ("https://ex.com:80/p", "https://ex.com:80/p"),  # 80 not https default
+        # RFC 3986 6.2.3: empty path == "/" — the two spellings must
+        # canonicalize identically or the page's fetch history splits
         ("https://ex.com/", "https://ex.com/"),
-        ("https://ex.com", "https://ex.com"),  # empty path preserved empty
+        ("https://ex.com", "https://ex.com/"),
+        ("HTTPS://EX.COM:443", "https://ex.com/"),
+        # userinfo is credential noise, never page identity
+        ("https://user:pw@ex.com/p?a=1", "https://ex.com/p?a=1"),
+        ("https://user@Ex.COM:443/p", "https://ex.com/p"),
+        # bracketed IPv6 hosts: port strip is end-anchored, internal
+        # colons survive
+        ("https://[::1]:8080/p", "https://[::1]:8080/p"),
+        ("https://[::1]:443/p", "https://[::1]/p"),
+        ("http://[2001:DB8::1]/p?b=2&a=1", "http://[2001:db8::1]/p?a=1&b=2"),
     ]
     df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], "i long, u string")
     got = {
@@ -1291,6 +1302,13 @@ def test_extract_html_text_semantics(spark):
          "<tag> \"q\" 's' & done"),
         ("  lots   of\tspace  ", "lots of space"),
         ("<script type='x'>a</script><p>b</p><script>c</script>d", "b d"),
+        # real crawl HTML: multi-line blocks and upper/mixed tag case —
+        # without (?is) the lazy .*? never crosses the newline and the
+        # JS/CSS/comment body leaks into the "main text"
+        ("<SCRIPT>\nvar x = 1;\nvar y = 2;\n</SCRIPT>kept", "kept"),
+        ("<Style media='x'>\np {\n  color: red\n}\n</STYLE>ok", "ok"),
+        ("a<!-- line1\nline2\nline3 -->b", "a b"),
+        ("<sCrIpT>no</ScRiPt><p>yes</p>", "yes"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"

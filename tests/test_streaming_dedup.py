@@ -222,3 +222,69 @@ def test_stream_perceptual_dedup_folds_reencodes(spark, tmp_path):
         (r["dhash_hi"], r["dhash_lo"]): (r["keeper_doc_id"], r["dup_count"])
         for r in store.read("img_ledger").collect()
     } == want
+
+
+def test_stream_perceptual_dedup_quarantines_corrupt_payloads(spark, tmp_path):
+    """The quarantine contract holds ON THE STREAM: one truncated image in
+    a micro-batch must be dropped from the ledger fold (default
+    on_error='skip'), never raise inside foreachBatch and kill the
+    query — and the healthy rows in the same batch still fold exactly."""
+    import base64
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        dhash_images,
+    )
+    from logistics_data_pipeline_project_spark.streaming.dedup import (
+        stream_perceptual_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    rows = _img_payloads()
+    corrupt = [(6, rows[0][1][:10]), (7, b"not an image")]
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    with open(os.path.join(landing, "b1.json"), "w") as f:
+        for i, payload in rows + corrupt:
+            f.write(
+                json.dumps(
+                    {"doc_id": i, "b64": base64.b64encode(payload).decode()}
+                )
+                + "\n"
+            )
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, b64 string")
+        .load(landing)
+        .select("doc_id", F.unbase64("b64").alias("payload"))
+    )
+    q = stream_perceptual_dedup(
+        stream, store, "img_ledger_q", "payload", "doc_id", checkpoint_dir=chk
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    got = {
+        (r["dhash_hi"], r["dhash_lo"]): (r["keeper_doc_id"], r["dup_count"])
+        for r in store.read("img_ledger_q").collect()
+    }
+    batch = spark.createDataFrame(rows, "doc_id long, payload binary")
+    want = {
+        (r["dhash_hi"], r["dhash_lo"]): (r["keeper_doc_id"], r["dup_count"])
+        for r in dhash_images(batch, "doc_id", "payload")
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.min("id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .collect()
+    }
+    # corrupt rows vanished; healthy rows fold identically to batch
+    assert got == want
+    assert None not in {k[0] for k in got}

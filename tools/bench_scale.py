@@ -45,6 +45,11 @@ HEAVY = [
     # the LSH band join and component rounds are the scale risks
     "q221_image_neardup_pairs",
     "q227_image_dup_clusters",
+    # domain cap (round 5): replicas copy `source` unchanged, so every
+    # multiple grows per-source volume x k with a FIXED source count —
+    # exactly the mega-domain funnel the 256-way two-phase cap must
+    # absorb (a super-linear point here = a reducer swallowing a domain)
+    "q225_domain_doc_cap",
 ]
 TABLES = ["documents", "embeddings", "orders"]
 KEY_OFF = 10_000_000
