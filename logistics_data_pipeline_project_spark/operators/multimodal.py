@@ -89,11 +89,12 @@ __all__ = [
 
 
 def parse_image_header(payload: bytes) -> tuple[int, int] | None:
-    """(width, height) from the container header of a PNG, BMP, GIF, or
-    JPEG byte payload — pure stdlib, no Pillow. Returns None when the
-    payload is not one of those formats (or is truncated): dimensions
-    live in fixed header fields for all four, so this is a REAL decode
-    of the only image attributes `decode_media` promises.
+    """(width, height) from the container header of a PNG, BMP, GIF,
+    JPEG, or WebP (VP8/VP8L/VP8X) byte payload — pure stdlib, no
+    Pillow. Returns None when the payload is not one of those formats
+    (or is truncated): dimensions live in fixed header fields for all
+    five, so this is a REAL decode of the only image attributes
+    `decode_media` promises.
 
     PNG: IHDR is always the first chunk — width/height big-endian at
     bytes 16..24. BMP: BITMAPINFOHEADER little-endian int32 at 18..26
@@ -112,6 +113,23 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return int(w), int(h)
+    if len(payload) >= 30 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # WebP: dims live in the first chunk's bitstream header. VP8
+        # (lossy): 14-bit w/h after the 0x9d012a start code. VP8L
+        # (lossless): 14+14 bits packed after the 0x2f signature. VP8X
+        # (extended): 24-bit canvas w-1/h-1 after the flag bytes.
+        tag = payload[12:16]
+        if tag == b"VP8 " and payload[23:26] == b"\x9d\x01\x2a":
+            w, h = struct.unpack("<HH", payload[26:30])
+            return int(w & 0x3FFF), int(h & 0x3FFF)
+        if tag == b"VP8L" and payload[20] == 0x2F:
+            bits = struct.unpack("<I", payload[21:25])[0]
+            return int((bits & 0x3FFF) + 1), int(((bits >> 14) & 0x3FFF) + 1)
+        if tag == b"VP8X":
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return w, h
+        return None
     if len(payload) >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         while i + 1 < len(payload):
@@ -257,8 +275,14 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     Palette images resolve PLTE to RGB — or, when a tRNS chunk is
     present (palette alpha, common on the web), PLTE+tRNS to RGBA
     (entries beyond the tRNS table are fully opaque, per spec).
-    Raises ValueError for non-PNG and NotImplementedError for the PNG
-    features that genuinely need a codec library (16-bit depth)."""
+    16-bit-depth images decode exactly and reduce to 8 bits by the
+    high byte of each big-endian sample — the spec's own bit-depth
+    scaling for display (12.5: sample >> 8), so the raw contract stays
+    uniform 8-bit.  The unfilter needs no special case: PNG filters
+    operate on BYTES with a bpp left-neighbor distance (spec 9.2), so
+    a 16-bit row is the 8-bit algorithm with doubled 'channels'.
+    Raises ValueError for non-PNG payloads; 1/2/4-bit depths remain
+    the honest boundary."""
     import struct
     import zlib
 
@@ -268,7 +292,8 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     bit_depth, color_type, _comp, _filt, interlace = payload[24:29]
     paletted = color_type == 3
     if (
-        bit_depth != 8
+        bit_depth not in (8, 16)
+        or (bit_depth == 16 and paletted)  # illegal per spec 11.2.2
         or interlace not in (0, 1)
         or (color_type not in _PNG_CHANNELS and not paletted)
     ):
@@ -277,6 +302,8 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             f"interlace={interlace}): needs Pillow"
         )
     ch = 1 if paletted else _PNG_CHANNELS[color_type]
+    sample_bytes = bit_depth // 8
+    chb = ch * sample_bytes  # bytes per pixel = the filter unit
     # walk chunks, concatenating IDAT
     i, idat, plte, trns = 8, bytearray(), None, None
     while i + 8 <= len(payload):
@@ -302,16 +329,19 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         # error surface as any other undecodable payload
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
 
-    def resolve(indices: bytes) -> tuple[int, bytes]:
+    def resolve(samples: bytes) -> tuple[int, bytes]:
         # palette lookup as one numpy fancy-index gather, not a per-pixel
         # loop — same constant-factor discipline as the unfilter; with a
         # tRNS table the gather is over RGBA rows (alpha = tRNS entry,
-        # opaque past its end, per spec 11.3.2.1)
-        if not paletted:
-            return ch, indices
+        # opaque past its end, per spec 11.3.2.1). 16-bit images reduce
+        # to the high byte of each big-endian sample (spec 12.5).
         import numpy as np
 
-        idx = np.frombuffer(indices, dtype=np.uint8)
+        if sample_bytes == 2:
+            return ch, np.frombuffer(samples, dtype=np.uint8)[0::2].tobytes()
+        if not paletted:
+            return ch, samples
+        idx = np.frombuffer(samples, dtype=np.uint8)
         if idx.size and 3 * int(idx.max()) + 3 > len(plte):
             raise ValueError("PNG palette index out of range")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
@@ -323,25 +353,25 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         return 4, pal_a[idx].tobytes()
 
     if interlace == 0:
-        out_ch, raw0 = resolve(bytes(_png_unfilter(stream, w, h, ch)))
+        out_ch, raw0 = resolve(bytes(_png_unfilter(stream, w, h, chb)))
         return int(w), int(h), out_ch, raw0
     # Adam7: 7 independently-filtered sub-images, concatenated; empty
     # passes (zero rows or columns) contribute no bytes at all. Each
     # pass scatters into place with one strided numpy assignment.
     import numpy as np
 
-    raw = np.zeros((h, w, ch), dtype=np.uint8)
+    raw = np.zeros((h, w, chb), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in _PNG_ADAM7:
         pw = (w - x0 + dx - 1) // dx
         phh = (h - y0 + dy - 1) // dy
         if pw <= 0 or phh <= 0:
             continue
-        span = phh * (pw * ch + 1)
-        sub = _png_unfilter(stream[pos : pos + span], pw, phh, ch)
+        span = phh * (pw * chb + 1)
+        sub = _png_unfilter(stream[pos : pos + span], pw, phh, chb)
         pos += span
         raw[y0::dy, x0::dx, :] = np.frombuffer(bytes(sub), dtype=np.uint8).reshape(
-            phh, pw, ch
+            phh, pw, chb
         )
     if pos != len(stream):
         raise ValueError("PNG stream length mismatch")
@@ -1036,6 +1066,106 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, bytes, bytes]:
     raise ValueError("GIF contains no image frame")
 
 
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL BMP pixel decode — uncompressed (BI_RGB) 24-bit BGR and
+    8-bit palette BITMAPINFOHEADER files, the two shapes that actually
+    occur in crawls. Returns (width, height, 3, raw RGB) in top-down
+    row order regardless of the file's bottom-up/top-down storage
+    (negative height = top-down, per the DIB spec). Row padding to
+    4-byte boundaries is stripped; BGR flips to RGB — both as numpy
+    slice views, no per-pixel Python. Raises ValueError for non-BMP/
+    corrupt payloads and NotImplementedError for compressed (RLE) or
+    other depths."""
+    import struct
+
+    import numpy as np
+
+    p = payload or b""
+    if len(p) < 54 or p[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", p[10:14])
+    (dib_size,) = struct.unpack("<I", p[14:18])
+    if dib_size == 12:
+        raise NotImplementedError("BITMAPCOREHEADER BMP unsupported")
+    if dib_size < 40:
+        raise ValueError("bad BMP DIB header size")
+    w, h_signed = struct.unpack("<ii", p[18:26])
+    (bpp,) = struct.unpack("<H", p[28:30])
+    (compression,) = struct.unpack("<I", p[30:34])
+    (clr_used,) = struct.unpack("<I", p[46:50])
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    row_bytes = (w * (bpp // 8) + 3) & ~3
+    data = p[data_off : data_off + row_bytes * h]
+    if len(data) < row_bytes * h:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        return int(w), int(h), 3, np.ascontiguousarray(bgr[:, :, ::-1]).tobytes()
+    n_colors = clr_used or 256
+    pal_at = 14 + dib_size
+    pal = np.frombuffer(
+        p[pal_at : pal_at + 4 * n_colors], dtype=np.uint8
+    ).reshape(-1, 4)
+    if pal.shape[0] < n_colors:
+        raise ValueError("BMP palette truncated")
+    idx = rows[:, :w]
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("BMP palette index out of range")
+    rgb = pal[:, 2::-1][idx.ravel()]  # BGRA entries -> RGB gather
+    return int(w), int(h), 3, rgb.tobytes()
+
+
+def encode_bmp(
+    width: int,
+    height: int,
+    raw_rgb: bytes,
+    top_down: bool = False,
+) -> bytes:
+    """Encode row-major RGB as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, padded rows, bottom-up by default like every
+    real writer; ``top_down=True`` stores a negative height). Fixture
+    twin of ``decode_bmp_pixels``."""
+    import struct
+
+    import numpy as np
+
+    if len(raw_rgb) != width * height * 3:
+        raise ValueError("raw buffer size does not match dimensions")
+    row_bytes = (width * 3 + 3) & ~3
+    a = np.frombuffer(raw_rgb, dtype=np.uint8).reshape(height, width, 3)
+    rows = np.zeros((height, row_bytes), dtype=np.uint8)
+    rows[:, : width * 3] = a[:, :, ::-1].reshape(height, width * 3)
+    if not top_down:
+        rows = rows[::-1]
+    data = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        24,
+        0,
+        len(data),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    return header + info + data
+
+
 def gif_probe(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """REAL GIF pixel probe via mapInPandas: decodes the first frame
     through the variable-width LZW path and reports dimensions, the
@@ -1251,6 +1381,7 @@ def encode_jpeg(
     channels: int = 1,
     subsampling: str = "444",
     progressive: bool = False,
+    scan_split: bool = False,
 ) -> bytes:
     """REAL baseline JPEG encoder (ITU-T T.81, SOF0) for 8-bit grayscale
     (``channels=1``) or RGB via YCbCr (``channels=3``, interleaved
@@ -1361,7 +1492,32 @@ def encode_jpeg(
     zz = np.asarray(_JPEG_ZIGZAG)
     comp_ids = [1, 2, 3][:channels]
     scans_out: list[tuple[bytes, bytes]] = []  # (SOS body, entropy)
-    if not progressive:
+    if not progressive and scan_split and channels == 3:
+        # multi-scan sequential (T.81 B.2.3): one NON-interleaved scan
+        # per component over its REAL block grid (no MCU padding), own
+        # DC predictor chain per scan — the shape real encoders emit to
+        # bound per-scan memory, and the decoder's multi-scan path's
+        # fixture twin
+        ac_codes = _build_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+        for ci in range(channels):
+            writer = _BitWriter()
+            prev_dc = [0] * channels
+            fh, fv = factors[ci]
+            cw = (width * fh + hy - 1) // hy
+            chh = (height * fv + vy - 1) // vy
+            for by in range((chh + 7) // 8):
+                for bx in range((cw + 7) // 8):
+                    _jpeg_write_block(
+                        writer, quants[ci][by, bx], ci, prev_dc,
+                        zz, dc_codes, ac_codes,
+                    )
+            scans_out.append(
+                (
+                    bytes([1, comp_ids[ci], 0x00]) + b"\x00\x3f\x00",
+                    writer.flush(),
+                )
+            )
+    elif not progressive:
         ac_codes = _build_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
         writer = _BitWriter()
         prev_dc = [0] * channels
@@ -1700,6 +1856,34 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_seq_block(reader, row, dc_t, ac_t, prev_dc, si) -> None:
+    """Decode one FULL sequential data unit (DC difference + run/size
+    AC coefficients, T.81 F.2.2) into ``row`` — the block's 64-entry
+    zigzag-indexed coefficient slice. Shared by the single-interleaved-
+    scan baseline path and the multi-scan sequential path (per-scan DC
+    predictor chains, reset at restart intervals by the caller)."""
+    s = reader.read_huffman(dc_t)
+    diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+    prev_dc[si] += diff
+    row[0] = prev_dc[si]
+    k = 1
+    while k < 64:
+        sym = reader.read_huffman(ac_t)
+        if sym == 0x00:  # EOB
+            break
+        run, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if run != 15:
+                raise ValueError("bad JPEG AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        row[k] = _jpeg_extend(reader.read_bits(s), s)
+        k += 1
+
+
 def _jpeg_dc_unit(reader, row, bidx, dc_t, pred, si, ah, al) -> None:
     """Decode one block's DC for a progressive DC scan (T.81 G.2):
     first scan (Ah=0) runs the usual difference chain on the
@@ -1837,11 +2021,11 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             continue
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC1, 0xC3) or (
+        if marker == 0xC3 or (
             0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC)
         ):
             raise NotImplementedError(
-                "extended/lossless/hierarchical JPEG needs libjpeg"
+                "lossless/hierarchical/arithmetic JPEG needs libjpeg"
             )
         if marker == 0xCC or marker == 0xC8:
             raise NotImplementedError("arithmetic-coded JPEG unsupported")
@@ -1868,7 +2052,13 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 for k in range(64):
                     qt[_JPEG_ZIGZAG[k]] = zz_qt[k]
                 qtables[tq] = qt
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive.
+            # An 8-bit SOF1 stream is structurally identical to baseline
+            # (extended mode only ADDS 12-bit precision — rejected below —
+            # and 4 Huffman-table slots, which the table dicts already
+            # hold), so it decodes on the baseline path; libjpeg does the
+            # same (T.81 Annex F vs B.2.2 differ only in those limits).
             progressive = marker == 0xC2
             _prec, height, width, nf = struct.unpack(">BHHB", body[:6])
             if _prec != 8:
@@ -1990,58 +2180,63 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     ]
 
     if not progressive:
-        if len(scans) != 1 or len(scans[0]["sel"]) != len(comps):
-            raise NotImplementedError("multi-scan sequential JPEG unsupported")
-        scan = scans[0]
-        for _ci, dc_t, ac_t in scan["sel"]:
-            if dc_t is None or ac_t is None:
-                raise ValueError("JPEG missing Huffman table for scan")
-        per_segment = scan["dri"] if scan["dri"] else total_mcus
-        mcu = 0
-        for seg_bytes in scan["segments"]:
-            reader = _BitReader(seg_bytes)
-            prev_dc = [0] * len(comps)
-            for _ in range(min(per_segment, total_mcus - mcu)):
-                my, mx = divmod(mcu, mcux)
-                for si, (ci, dc_t, ac_t) in enumerate(scan["sel"]):
-                    comp = comps[ci]
-                    for vi in range(comp["v"]):
-                        for hi in range(comp["h"]):
-                            bidx = (my * comp["v"] + vi) * comp["bw"] + (
-                                mx * comp["h"] + hi
-                            )
-                            s = reader.read_huffman(dc_t)
-                            diff = (
-                                _jpeg_extend(reader.read_bits(s), s)
-                                if s
-                                else 0
-                            )
-                            prev_dc[si] += diff
-                            row = quant[ci][bidx]
-                            row[0] = prev_dc[si]
-                            k = 1
-                            while k < 64:
-                                sym = reader.read_huffman(ac_t)
-                                if sym == 0x00:  # EOB
-                                    break
-                                run, s = sym >> 4, sym & 0x0F
-                                if s == 0:
-                                    if run != 15:
-                                        raise ValueError("bad JPEG AC symbol")
-                                    k += 16  # ZRL
-                                    continue
-                                k += run
-                                if k > 63:
-                                    raise ValueError(
-                                        "JPEG AC run overflows block"
+        # Sequential streams may carry ONE interleaved scan (baseline's
+        # common shape) or SEVERAL scans each covering a disjoint
+        # component subset (T.81 B.2.3 "multi-scan sequential" — real
+        # encoders emit Y then Cb then Cr to cap per-scan buffer size).
+        # A multi-component scan walks the frame MCU grid; a single-
+        # component scan walks that component's REAL block raster
+        # (sw x sh, no MCU padding — same rule as progressive scans).
+        covered: list[int] = []
+        for scan in scans:
+            sel = scan["sel"]
+            for _ci, dc_t, ac_t in sel:
+                if dc_t is None or ac_t is None:
+                    raise ValueError("JPEG missing Huffman table for scan")
+            for ci, _d, _a in sel:
+                if ci in covered:
+                    raise ValueError("component in two sequential scans")
+                covered.append(ci)
+            interleaved = len(sel) > 1
+            total_units = (
+                total_mcus
+                if interleaved
+                else comps[sel[0][0]]["sw"] * comps[sel[0][0]]["sh"]
+            )
+            per_segment = scan["dri"] if scan["dri"] else total_units
+            unit = 0
+            for seg_bytes in scan["segments"]:
+                reader = _BitReader(seg_bytes)
+                prev_dc = [0] * len(sel)
+                for _ in range(min(per_segment, total_units - unit)):
+                    if interleaved:
+                        my, mx = divmod(unit, mcux)
+                        for si, (ci, dc_t, ac_t) in enumerate(sel):
+                            comp = comps[ci]
+                            for vi in range(comp["v"]):
+                                for hi in range(comp["h"]):
+                                    bidx = (
+                                        my * comp["v"] + vi
+                                    ) * comp["bw"] + (mx * comp["h"] + hi)
+                                    _jpeg_seq_block(
+                                        reader, quant[ci][bidx],
+                                        dc_t, ac_t, prev_dc, si,
                                     )
-                                row[k] = _jpeg_extend(reader.read_bits(s), s)
-                                k += 1
-                mcu += 1
-            if mcu >= total_mcus:
-                break
-        if mcu != total_mcus:
-            raise ValueError("JPEG entropy stream ended early")
+                    else:
+                        ci, dc_t, ac_t = sel[0]
+                        comp = comps[ci]
+                        by, bx = divmod(unit, comp["sw"])
+                        _jpeg_seq_block(
+                            reader, quant[ci][by * comp["bw"] + bx],
+                            dc_t, ac_t, prev_dc, 0,
+                        )
+                    unit += 1
+                if unit >= total_units:
+                    break
+            if unit != total_units:
+                raise ValueError("JPEG entropy stream ended early")
+        if sorted(covered) != list(range(len(comps))):
+            raise ValueError("sequential scans do not cover all components")
     else:
         # SOF2: every scan deposits one band/precision slice into the
         # shared coefficient planes (T.81 G.2); DC scans may interleave
@@ -3090,6 +3285,245 @@ def decode_audio_samples(payload: bytes) -> tuple[int, list[int]]:
     raise ValueError("unknown audio format")
 
 
+def _tiff_orientation(p: bytes, t: int) -> int:
+    """Orientation tag (0x0112) from a TIFF block starting at ``p[t:]``
+    — both byte orders; 1 when absent/truncated/invalid."""
+    import struct
+
+    order = p[t : t + 2]
+    if order not in (b"II", b"MM"):
+        return 1
+    e = "<" if order == b"II" else ">"
+    try:
+        (ifd_off,) = struct.unpack(e + "I", p[t + 4 : t + 8])
+        (n_entries,) = struct.unpack(e + "H", p[t + ifd_off : t + ifd_off + 2])
+        for k in range(n_entries):
+            at = t + ifd_off + 2 + 12 * k
+            tag, typ, _cnt = struct.unpack(e + "HHI", p[at : at + 8])
+            if tag == 0x0112 and typ == 3:  # SHORT
+                (val,) = struct.unpack(e + "H", p[at + 8 : at + 10])
+                return val if 1 <= val <= 8 else 1
+    except struct.error:
+        return 1
+    return 1
+
+
+def exif_orientation(payload: bytes) -> int:
+    """EXIF orientation (1..8) from a JPEG's APP1 segment or a PNG's
+    eXIf chunk — pure stdlib TIFF-IFD walk (both II and MM byte
+    orders), tag 0x0112.  Returns 1 (upright) when there is no
+    EXIF/orientation tag or the walk runs off the data: a missing tag
+    MEANS upright, and triage must never crash on truncated
+    metadata."""
+    import struct
+
+    p = payload or b""
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        i = 8
+        while i + 8 <= len(p):
+            (size,) = struct.unpack(">I", p[i : i + 4])
+            tag = p[i + 4 : i + 8]
+            if tag == b"eXIf":
+                return _tiff_orientation(p, i + 8)
+            if tag == b"IEND":
+                break
+            i += 12 + size
+        return 1
+    if p[:2] != b"\xff\xd8":
+        return 1
+    i = 2
+    while i + 4 <= len(p) and p[i] == 0xFF:
+        marker = p[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        (size,) = struct.unpack(">H", p[i + 2 : i + 4])
+        if size < 2:
+            break
+        if marker == 0xE1 and p[i + 4 : i + 10] == b"Exif\x00\x00":
+            return _tiff_orientation(p, i + 10)
+        i += 2 + size
+    return 1
+
+
+def orient_pixels(
+    raw: bytes, width: int, height: int, channels: int, orientation: int
+) -> tuple[int, int, bytes]:
+    """Apply the EXIF orientation transform that maps STORED pixels to
+    the UPRIGHT image — (new_width, new_height, upright_raw).  All 8
+    orientations, one numpy view manipulation each (flip/rot90/
+    transpose), so normalization costs a copy, not arithmetic.  This is
+    what image dedup needs BEFORE fingerprinting: a phone photo arrives
+    through the crawl in any of 8 orientations and must hash once."""
+    import numpy as np
+
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"bad EXIF orientation {orientation}")
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, channels)
+    # EXIF: row0/col0 of the STORED image sit at (visual top/left) =
+    # 1:TL 2:TR 3:BR 4:BL 5:LT 6:RT 7:RB 8:LB; invert to upright
+    if orientation == 2:
+        a = a[:, ::-1]
+    elif orientation == 3:
+        a = a[::-1, ::-1]
+    elif orientation == 4:
+        a = a[::-1, :]
+    elif orientation == 5:
+        a = a.transpose(1, 0, 2)
+    elif orientation == 6:
+        a = np.rot90(a, k=-1, axes=(0, 1))  # display = rotate stored CW
+    elif orientation == 7:
+        a = np.rot90(a.transpose(1, 0, 2), k=2, axes=(0, 1))
+    elif orientation == 8:
+        a = np.rot90(a, k=1, axes=(0, 1))  # display = rotate stored CCW
+    h2, w2 = a.shape[0], a.shape[1]
+    return int(w2), int(h2), np.ascontiguousarray(a).tobytes()
+
+
+def exif_tiff(orientation: int, byte_order: str = "II") -> bytes:
+    """Minimal TIFF block carrying ONE IFD0 entry (the orientation
+    SHORT) — goes verbatim into a PNG eXIf chunk, or wrapped by
+    ``exif_app1_segment`` for JPEG."""
+    import struct
+
+    e = "<" if byte_order == "II" else ">"
+    tiff = byte_order.encode() + struct.pack(e + "HI", 42, 8)
+    tiff += struct.pack(e + "H", 1)  # one IFD entry
+    tiff += struct.pack(e + "HHIHH", 0x0112, 3, 1, orientation, 0)
+    tiff += struct.pack(e + "I", 0)  # next IFD offset
+    return tiff
+
+
+def exif_app1_segment(orientation: int, byte_order: str = "II") -> bytes:
+    """Minimal valid EXIF APP1 segment (JPEG form of ``exif_tiff``) —
+    the fixture twin of ``exif_orientation``."""
+    import struct
+
+    body = b"Exif\x00\x00" + exif_tiff(orientation, byte_order)
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def png_exif_chunk(orientation: int, byte_order: str = "II") -> bytes:
+    """PNG eXIf chunk (PNG 1.5 extension) carrying the same minimal
+    TIFF block — insert after IHDR."""
+    import struct
+    from binascii import crc32
+
+    data = exif_tiff(orientation, byte_order)
+    return (
+        struct.pack(">I", len(data))
+        + b"eXIf"
+        + data
+        + struct.pack(">I", crc32(b"eXIf" + data) & 0xFFFFFFFF)
+    )
+
+
+#: MPEG audio Layer III bitrates (kbps) by version; index 0/15 invalid.
+_MP3_BITRATES = {
+    3: (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None),
+    2: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, None),
+    0: (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, None),
+}
+#: sample rates by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5); index 3 invalid.
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def mp3_stream_info(payload: bytes) -> tuple[int, int, int, int, bool]:
+    """Header-walk metadata for an MPEG Layer III stream — (sample_rate,
+    n_frames, duration_ms, kbps_avg, is_cbr) — WITHOUT decoding a single
+    sample: each frame header carries its own bitrate/rate/padding, so
+    frame length is closed-form ((spf/8)*bitrate/rate + padding, spf =
+    1152 MPEG1 / 576 MPEG2&2.5) and the walk just hops frame to frame,
+    summing samples.  An ID3v2 tag is skipped by its syncsafe size.
+    This is the audio twin of ``sniff_media``'s budgeting role: MP3
+    DECODE honestly needs a codec library, but duration/bitrate triage
+    of a 100 TB audio crawl does not — corpus hours and transcode cost
+    come straight off these headers.  duration_ms is exact integer
+    arithmetic (total_samples * 1000 // rate).  Raises ValueError for
+    payloads with no valid Layer III frame; trailing garbage ends the
+    walk (real streams end with tags/truncation, not an error)."""
+    p = payload or b""
+    i = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        size = (
+            ((p[6] & 0x7F) << 21)
+            | ((p[7] & 0x7F) << 14)
+            | ((p[8] & 0x7F) << 7)
+            | (p[9] & 0x7F)
+        )
+        i = 10 + size
+    n_frames = total_samples = kbps_sum = 0
+    rate = None
+    kbps_set: set[int] = set()
+    while i + 4 <= len(p):
+        if p[i] != 0xFF or (p[i + 1] & 0xE0) != 0xE0:
+            break
+        h1, h2 = p[i + 1], p[i + 2]
+        version = (h1 >> 3) & 0x3
+        layer = (h1 >> 1) & 0x3
+        if version == 1 or layer != 1:  # reserved version / not Layer III
+            break
+        br_idx, sr_idx = h2 >> 4, (h2 >> 2) & 0x3
+        padding = (h2 >> 1) & 1
+        kbps = _MP3_BITRATES[version][br_idx]
+        if kbps is None or sr_idx == 3:
+            break
+        sr = _MP3_RATES[version][sr_idx]
+        if rate is not None and sr != rate:
+            break  # rate switch mid-stream: treat as end of the stream
+        spf = 1152 if version == 3 else 576
+        # canonical frame length: floor(spf/8 * bitrate / rate) + padding
+        flen = (spf // 8) * (kbps * 1000) // sr + padding
+        if flen < 4:
+            break
+        n_frames += 1
+        total_samples += spf
+        kbps_sum += kbps
+        kbps_set.add(kbps)
+        rate = sr
+        i += flen
+    if not n_frames:
+        raise ValueError("no valid MPEG Layer III frame")
+    return (
+        int(rate),
+        n_frames,
+        total_samples * 1000 // rate,
+        kbps_sum // n_frames,
+        len(kbps_set) == 1,
+    )
+
+
+def encode_mp3_headers(
+    n_frames: int,
+    sample_rate: int = 44100,
+    kbps_pattern: Sequence[int] = (128,),
+) -> bytes:
+    """Synthesize a structurally valid MPEG-1 Layer III frame SEQUENCE —
+    correct sync/bitrate/rate/length headers with zeroed audio payload
+    (silence would need a real encoder; the header walk never reads
+    payload bytes).  The fixture twin of ``mp3_stream_info``:
+    ``kbps_pattern`` cycles per frame, so a single-entry pattern builds
+    a CBR stream and a multi-entry one a VBR stream.  Frame length =
+    144 * bitrate / rate (MPEG1 L3, no padding)."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    br_index = {k: i for i, k in enumerate(_MP3_BITRATES[3]) if k}
+    out = bytearray()
+    for f in range(n_frames):
+        kbps = kbps_pattern[f % len(kbps_pattern)]
+        h2 = (br_index[kbps] << 4) | (sr_idx << 2)
+        flen = 144 * (kbps * 1000) // sample_rate
+        frame = bytearray(flen)
+        frame[0:4] = bytes([0xFF, 0xFB, h2, 0x00])  # MPEG1, Layer III, no CRC
+        out += frame
+    return bytes(out)
+
+
 def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
     """Classify one media payload from its magic/header bytes alone —
     (container, codec, decodable_here, reason) — WITHOUT decoding any
@@ -3107,7 +3541,7 @@ def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
         if len(p) < 29:
             return "png", "png", False, "truncated header"
         depth, color, _c, _f, interlace = p[24:29]
-        if depth != 8:
+        if depth not in (8, 16) or (depth == 16 and color == 3):
             return "png", "png", False, f"{depth}-bit depth needs Pillow"
         if interlace not in (0, 1):
             return "png", "png", False, "bad interlace method"
@@ -3116,6 +3550,16 @@ def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
         return "png", "png", True, ""
     if p[:6] in (b"GIF87a", b"GIF89a"):
         return "gif", "lzw", True, ""
+    if p[:2] == b"BM" and len(p) >= 34:
+        import struct as _struct
+
+        (bpp,) = _struct.unpack("<H", p[28:30])
+        (comp,) = _struct.unpack("<I", p[30:34])
+        if comp != 0:
+            return "bmp", f"rle{comp}", False, "compressed BMP"
+        if bpp not in (8, 24):
+            return "bmp", f"rgb{bpp}", False, f"{bpp}-bit BMP"
+        return "bmp", f"rgb{bpp}", True, ""
     if p[:2] == b"\xff\xd8":
         i = 2
         while i + 4 <= len(p):
@@ -3129,10 +3573,14 @@ def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
                 return "jpeg", "jpeg-arithmetic", False, "arithmetic coding"
             if m == 0xC3:
                 return "jpeg", "jpeg-lossless", False, "lossless mode"
-            if m in (0xC1, 0xC5, 0xC6, 0xC7):
-                return "jpeg", "jpeg-extended", False, "extended/hierarchical"
-            if m in (0xC0, 0xC2):
-                kind = "jpeg-baseline" if m == 0xC0 else "jpeg-progressive"
+            if m in (0xC5, 0xC6, 0xC7):
+                return "jpeg", "jpeg-hierarchical", False, "hierarchical mode"
+            if m in (0xC0, 0xC1, 0xC2):
+                kind = {
+                    0xC0: "jpeg-baseline",
+                    0xC1: "jpeg-extended",
+                    0xC2: "jpeg-progressive",
+                }[m]
                 if i + 9 >= len(p):
                     return "jpeg", kind, False, "truncated SOF"
                 prec, nf = p[i + 4], p[i + 9]
@@ -3165,6 +3613,12 @@ def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
                 return "wav", f"fmt{fmt_code}", False, "compressed WAV"
             i += 8 + size + (size & 1)
         return "wav", "unknown", False, "missing fmt chunk"
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        tag = p[12:16]
+        codec = {b"VP8 ": "vp8", b"VP8L": "vp8l", b"VP8X": "vp8x"}.get(
+            tag, "unknown"
+        )
+        return "webp", codec, False, "WebP needs libwebp"
     if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
         # walk LIST trees for the first video stream header's handler
         def walk(lo: int, hi: int) -> str | None:
@@ -3354,6 +3808,8 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         return w, h, 3, pal.reshape(-1, 3)[idx].tobytes()
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg_pixels(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp_pixels(payload)
     raise ValueError("unknown image format")
 
 
@@ -3383,6 +3839,7 @@ def dhash_images(
     id_col: str,
     payload_col: str,
     on_error: str = "fail",
+    normalize_orientation: bool = False,
 ) -> DataFrame:
     """64-bit perceptual difference-hash (dHash) per image — the standard
     near-duplicate fingerprint for image corpora (crawl dedup a la
@@ -3406,6 +3863,13 @@ def dhash_images(
     one truncated file in 10^9 must quarantine, not kill a
     1000-executor job. Good rows always carry ``err = NULL``.
 
+    ``normalize_orientation=True`` reads the payload's EXIF orientation
+    (JPEG APP1 / PNG eXIf) and rotates/flips the decoded pixels upright
+    BEFORE hashing — a phone photo arrives through the crawl in any of
+    8 orientations and must fingerprint ONCE (dHash is not rotation-
+    invariant, so without this every sideways copy escapes dedup). The
+    reported width/height are post-normalization (visual) dims.
+
     Scale shape: one Arrow-batched mapInPandas projection — payloads
     never leave the UDF, the output row is 6 scalars; downstream dedup
     shuffles 8-byte fingerprints, never pixels."""
@@ -3419,9 +3883,12 @@ def dhash_images(
             out = []
             for _id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    w, h, ch, raw = decode_image_pixels(
-                        bytes(payload) if payload is not None else b""
-                    )
+                    pb = bytes(payload) if payload is not None else b""
+                    w, h, ch, raw = decode_image_pixels(pb)
+                    if normalize_orientation:
+                        o = exif_orientation(pb)
+                        if o != 1:
+                            w, h, raw = orient_pixels(raw, w, h, ch, o)
                 except Exception as e:
                     if on_error == "fail":
                         raise

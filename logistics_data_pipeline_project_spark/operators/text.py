@@ -31,6 +31,8 @@ __all__ = [
     "normalize_text",
     "canonicalize_url",
     "extract_html_text",
+    "frequent_window_scrub",
+    "normalize_unicode",
     "STOPWORDS_EN",
     "LANG_MARKERS",
 ]
@@ -428,3 +430,160 @@ def extract_html_text(html: Column | str) -> Column:
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def frequent_window_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_df: int = 3,
+) -> DataFrame:
+    """Cross-document repeated-span SCRUB — the generalization of
+    line-level dedup (CCNet/RefinedWeb) and of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" exact
+    substring dedup: any ``window``-token span that occurs in at least
+    ``min_df`` DISTINCT documents is boilerplate/spam by definition
+    (navigation chrome, cookie banners, SEO footers arrive verbatim on
+    thousands of pages), and every token covered by any such span is
+    removed; what survives is the document's unique prose.  Returns
+    (id, kept_text, n_tokens, n_scrubbed).
+
+    Dataflow (all DataFrame ops, DuckDB-replayable):
+      1. windows: per doc, md5 of each consecutive ``window``-token
+         slice — one generate+transform projection, rows explode inside
+         the engine, never the driver;
+      2. document frequency per window hash (count DISTINCT doc) — one
+         shuffle of (16-byte hash, id);
+      3. frequent-window occurrences mark their covered token POSITIONS
+         (explode of a ``window``-long sequence per hit — hits are the
+         rare case by construction);
+      4. tokens left-anti join covered positions, reassemble with
+         sort_array(collect_list(struct(pos, token))) per doc.
+    Scale shape: two hash shuffles (window hash, then doc id); the
+    reassembly state is bounded by document length; nothing is
+    all-pairs — the span "join" between documents happens through the
+    window-hash aggregate, exactly like MinHash bands."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2 (1 would scrub everything)")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.col(text_col), " ").alias("__t"),
+    )
+    wins = toks.select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__t) - {window}),"
+                f" i -> struct(i AS start,"
+                f" md5(concat_ws(' ', slice(__t, i + 1, {window}))) AS wh))"
+            )
+        ).alias("__w"),
+    ).filter(F.size("__t") >= window).select(
+        "__id", F.col("__w.start").alias("start"), F.col("__w.wh").alias("wh")
+    )
+    freq = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("__id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("wh")
+    )
+    covered = (
+        wins.join(freq, "wh")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    pos_tokens = toks.select(
+        "__id",
+        F.posexplode("__t").alias("pos", "tok"),
+    )
+    kept = pos_tokens.join(covered, ["__id", "pos"], "left_anti")
+    n_tok = toks.select("__id", F.size("__t").alias("n_tokens"))
+    out = (
+        kept.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        n_tok.join(out, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_scrubbed"),
+        )
+    )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "text_nfc",
+    form: str = "NFC",
+    strip_accents: bool = False,
+) -> DataFrame:
+    """Unicode normalization as a dedup-key projection — the fix for the
+    web's OTHER invisible duplicate axis: the same word arrives both
+    PRECOMPOSED ('é' U+00E9) and DECOMPOSED ('e' + U+0301), plus
+    fullwidth/compatibility variants, and byte-level hashing splits
+    them.  Adds ``out_col`` = the ``form``-normalized (optionally
+    accent-stripped: NFD + combining-mark removal) text.
+
+    Spark has no built-in Unicode normalization, so this is an
+    Arrow-batched pandas transform over ``unicodedata`` (vectorized via
+    pandas .str, never per-row Python UDF); DuckDB normalizes with
+    utf8proc (``nfc_normalize`` / ``strip_accents``), so the q238
+    oracle is a genuine CROSS-IMPLEMENTATION differential of the
+    normalization itself, not a replay of the same library.  Scale
+    shape: one mapInPandas projection riding the scan — zero
+    shuffles; the dedup downstream shuffles the normalized key."""
+    import pandas as _pd  # noqa: F401
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"bad normalization form {form}")
+    cols = df.columns
+
+    def norm(batches):
+        import unicodedata
+
+        def one(s: str) -> str:
+            if s is None:
+                return None
+            if strip_accents:
+                decomposed = unicodedata.normalize("NFD", s)
+                s = "".join(
+                    ch
+                    for ch in decomposed
+                    if unicodedata.category(ch) != "Mn"
+                )
+            return unicodedata.normalize(form, s)
+
+        for pdf in batches:
+            pdf[out_col] = pdf[text_col].map(one)
+            yield pdf
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(norm, schema=f"{schema}, `{out_col}` string").select(
+        *cols, out_col
+    )

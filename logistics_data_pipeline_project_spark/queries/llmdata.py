@@ -621,9 +621,13 @@ def q066_approx_event_profile(spark: SparkSession, sf_dir: str):
     (approx_count_distinct, rsd=1%) and KLL-style value quantiles
     (percentile_approx). These are the 100 TB substitutes for q08/q12's
     exact COUNT(DISTINCT)/AVG — fixed-size sketch state, one shuffle,
-    mergeable across partitions. Rows-only: sketch estimates are
-    algorithm-specific, so no cross-engine hash; tests bound the error
-    against the exact values instead."""
+    mergeable across partitions. Rows-only BY DESIGN (the catalog's
+    only such query): approx_count_distinct / percentile_approx
+    estimates are algorithm-specific, so no cross-engine hash exists;
+    tests bound the error against the exact values instead, and q233
+    answers the SAME profile with the engine's own deterministic
+    KMV + histogram sketches under a hash-matching oracle — the sketch
+    path itself is differentially certified there."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -9489,4 +9493,462 @@ def q232_media_codec_triage(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).alias("n_payloads"),
             F.min("id").alias("first_doc_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q234 — MP3 header-walk triage (audio-corpus hours/bitrate without a codec)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q234_mp3_stream_triage",
+    tags=("multimodal", "P9"),
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+    [44100, 48000, 32000][(doc_id % 3) + 1] AS sr,
+    3 + doc_id % 5 AS n_frames,
+    doc_id % 2 = 0 AS cbr
+  FROM documents
+)
+SELECT doc_id,
+  CAST(sr AS INTEGER) AS sample_rate,
+  CAST(n_frames AS INTEGER) AS n_frames,
+  CAST(n_frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN cbr THEN 128
+       ELSE (96 * ((n_frames + 1) // 2) + 192 * (n_frames // 2)) // n_frames
+       END AS INTEGER) AS kbps_avg,
+  cbr AS is_cbr
+FROM p
+""",
+)
+def q234_mp3_stream_triage(spark: SparkSession, sf_dir: str):
+    """MP3 header-walk triage — the audio-corpus budgeting question
+    ('how many hours, at what bitrate, CBR or VBR?') answered WITHOUT a
+    codec library: MPEG Layer III frame headers each carry their own
+    bitrate/rate, so frame length is closed-form and
+    ``mp3_stream_info`` (operators/multimodal.py) hops header to
+    header summing samples — decode stays an honest NotImplementedError
+    (q226 quarantine), but triage of a 100 TB audio crawl needs none.
+    Fixtures synthesize structurally valid MPEG-1 L3 frame sequences
+    per document (even doc_ids CBR 128k, odd VBR alternating 96/192k,
+    sample rate cycling 44.1/48/32 kHz, 3-7 frames); the oracle states
+    rate, frame count, exact integer duration, floor-average bitrate
+    and the CBR flag in closed form.  Scale shape: one Arrow map pass
+    reading O(frames) HEADER bytes per payload, no shuffle."""
+    from ..operators.multimodal import mp3_stream_info
+
+    def triage(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_mp3_headers
+
+        rates = (44100, 48000, 32000)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = encode_mp3_headers(
+                    3 + doc_id % 5,
+                    rates[doc_id % 3],
+                    (128,) if doc_id % 2 == 0 else (96, 192),
+                )
+                sr, n, dur, avg, cbr = mp3_stream_info(payload)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": sr,
+                        "n_frames": n,
+                        "duration_ms": dur,
+                        "kbps_avg": avg,
+                        "is_cbr": cbr,
+                    }
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_ms",
+                    "kbps_avg",
+                    "is_cbr",
+                ],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        triage,
+        schema=(
+            "doc_id long, sample_rate int, n_frames int, "
+            "duration_ms long, kbps_avg int, is_cbr boolean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235 — silence-trim audit (audio corpus prep: cut dead air, keep speech)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q235_audio_silence_trim",
+    tags=("multimodal", "A4"),
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+    doc_id % 3 AS n_lead,
+    doc_id % 2 AS n_tail,
+    200 + (doc_id % 3) * 100 AS a
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_lead + 2 + n_tail AS BIGINT) AS n_frames,
+  CAST(n_lead AS INTEGER) AS first_voiced,
+  CAST(n_lead + 1 AS INTEGER) AS last_voiced,
+  CAST(2 AS BIGINT) AS kept_frames,
+  CAST((n_lead + n_tail) * ({_AUDIO_FRAME} * 1000 // 8000) AS BIGINT)
+    AS trimmed_ms,
+  CAST(2 * {_AUDIO_FRAME} * a * a AS BIGINT) AS voiced_energy
+FROM p
+""",
+)
+def q235_audio_silence_trim(spark: SparkSession, sf_dir: str):
+    """Silence-trim audit — the audio-corpus prep step that cuts dead
+    air before training (leading/trailing silence is free tokens-worth
+    of nothing): per document a WAV is synthesized with doc_id%3 silent
+    lead frames and doc_id%2 silent tail frames around a 2-frame square
+    -wave body, ``audio_frame_features`` frames it, and a plain
+    conditional aggregation finds the first/last voiced frame (energy >
+    0), the kept span, the trimmed milliseconds and the voiced energy —
+    COMPOSED from the existing framed-feature operator, no new decode
+    path (the operator-reuse shape a real pipeline wants: VAD-style
+    trimming is a query over frame features, not a codec change).  The
+    oracle states every bound in closed form.  Scale shape: one Arrow
+    map pass then one hash aggregate over 4-int frame rows."""
+    from ..operators.multimodal import audio_frame_features
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_wav_pcm16
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_lead, n_tail = doc_id % 3, doc_id % 2
+                a = 200 + (doc_id % 3) * 100
+                body = [
+                    a if (i % 4) < 2 else -a for i in range(2 * _AUDIO_FRAME)
+                ]
+                samples = (
+                    [0] * (n_lead * _AUDIO_FRAME)
+                    + body
+                    + [0] * (n_tail * _AUDIO_FRAME)
+                )
+                out.append(
+                    {"doc_id": doc_id, "payload": encode_wav_pcm16(samples)}
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    fr = audio_frame_features(gen_df, "doc_id", "payload", frame_len=_AUDIO_FRAME)
+    voiced = F.col("energy_sum") > 0
+    return fr.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min(F.when(voiced, F.col("frame_index"))).alias("first_voiced"),
+        F.max(F.when(voiced, F.col("frame_index"))).alias("last_voiced"),
+        F.sum(voiced.cast("long")).alias("kept_frames"),
+        (
+            (F.count(F.lit(1)) - F.sum(voiced.cast("long")))
+            * (_AUDIO_FRAME * 1000 // 8000)
+        ).alias("trimmed_ms"),
+        F.sum(F.when(voiced, F.col("energy_sum")).otherwise(F.lit(0))).alias(
+            "voiced_energy"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236 — EXIF-orientation-normalized perceptual fingerprint (8 rotations of
+# one photo must hash ONCE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q236_image_orientation_dedup",
+    tags=("multimodal", "dedup"),
+    oracle=f"""
+WITH s AS (
+  SELECT d.doc_id, r.r, c.c,
+    {_DH_PX.format(g="d.doc_id // 8", x="2 * c.c", y="2 * r.r")} AS v
+  FROM documents d, generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+), {_DH_BITS_SQL}
+SELECT doc_id,
+  CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+  CAST({_DH_W} AS INTEGER) AS width,
+  CAST({_DH_H} AS INTEGER) AS height,
+  dhash_hi, dhash_lo
+FROM fp
+""",
+)
+def q236_image_orientation_dedup(spark: SparkSession, sf_dir: str):
+    """EXIF-orientation-normalized perceptual fingerprint — the crawl
+    reality dHash alone cannot handle: the same phone photo arrives in
+    any of the 8 EXIF orientations (camera sensor data + a rotation
+    tag), dHash is not rotation-invariant, so without normalization
+    every sideways copy escapes image dedup.  Per document: the group's
+    upright 18x16 image (md5 closed-form pixels, group = doc_id // 8)
+    is stored PRE-TRANSFORMED into orientation 1 + doc_id % 8 (flips /
+    rotations / transposes — genuinely different bytes AND different
+    dims for orientations 5-8), a PNG eXIf chunk carries the
+    orientation tag (byte order alternating II/MM by doc parity, both
+    TIFF orders exercised), and ``dhash_images(normalize_orientation=
+    True)`` parses the tag, restores upright pixels, and hashes.  The
+    oracle states the UPRIGHT hash in closed form for every doc —
+    all 8 orientations of a group must produce the identical
+    fingerprint and the visual (post-rotation) dims, or normalization
+    is broken.  Scale shape: identical to q220 — one Arrow map pass,
+    8-byte fingerprints shuffle, pixels never do."""
+    from ..operators.multimodal import dhash_images
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_png, png_exif_chunk
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g, o = doc_id // 8, 1 + doc_id % 8
+                upright = _np.frombuffer(
+                    bytes(
+                        _dhash_px(g, x, y)
+                        for y in range(_DH_H)
+                        for x in range(_DH_W)
+                    ),
+                    dtype=_np.uint8,
+                ).reshape(_DH_H, _DH_W)
+                # store the image AS THE CAMERA WOULD: the inverse of the
+                # upright-restoring transform in orient_pixels
+                if o == 1:
+                    a = upright
+                elif o == 2:
+                    a = upright[:, ::-1]
+                elif o == 3:
+                    a = upright[::-1, ::-1]
+                elif o == 4:
+                    a = upright[::-1, :]
+                elif o == 5:
+                    a = upright.transpose(1, 0)
+                elif o == 6:
+                    a = _np.rot90(upright, k=1)
+                elif o == 7:
+                    a = _np.rot90(upright.transpose(1, 0), k=2)
+                else:
+                    a = _np.rot90(upright, k=-1)
+                hh, ww = a.shape
+                png = encode_png(ww, hh, 1, _np.ascontiguousarray(a).tobytes())
+                payload = (
+                    png[:33]
+                    + png_exif_chunk(o, "II" if doc_id % 2 == 0 else "MM")
+                    + png[33:]
+                )
+                out.append({"doc_id": doc_id, "payload": payload})
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return dhash_images(
+        gen_df, "doc_id", "payload", normalize_orientation=True
+    ).select(
+        F.col("id").alias("doc_id"),
+        (1 + F.col("id") % 8).cast("int").alias("orientation"),
+        "width",
+        "height",
+        "dhash_hi",
+        "dhash_lo",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237 — cross-document repeated-span scrub (exact substring dedup, the
+# line-dedup generalization)
+# ---------------------------------------------------------------------------
+
+_Q237_TAIL = (
+    "limited time offer click here to unsubscribe"
+    " from our newsletter mailing list"
+)
+_Q237_W = 8
+_Q237_MIN_DF = 3
+
+
+@register(
+    "q237_repeated_span_scrub",
+    tags=("dedup", "text", "W3"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 <> 2 THEN text || ' {_Q237_TAIL}' ELSE text END
+      AS text
+  FROM documents
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM d
+), w0 AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(0, len(toks) - {_Q237_W})) AS start
+  FROM t WHERE len(toks) >= {_Q237_W}
+), w AS (
+  SELECT doc_id, start,
+    md5(array_to_string(toks[start + 1 : start + {_Q237_W}], ' ')) AS wh
+  FROM w0
+), f AS (
+  SELECT wh FROM w GROUP BY wh
+  HAVING COUNT(DISTINCT doc_id) >= {_Q237_MIN_DF}
+), cov AS (
+  SELECT DISTINCT w.doc_id, w.start + j.j AS pos
+  FROM w JOIN f USING (wh), generate_series(0, {_Q237_W - 1}) j(j)
+), pt0 AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS pos
+  FROM t
+), pt AS (
+  SELECT doc_id, pos, toks[pos + 1] AS tok FROM pt0
+), kept AS (
+  SELECT pt.doc_id, pt.pos, pt.tok
+  FROM pt LEFT JOIN cov ON pt.doc_id = cov.doc_id AND pt.pos = cov.pos
+  WHERE cov.pos IS NULL
+), agg AS (
+  SELECT doc_id,
+    string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(a.kept_text, '') AS kept_text,
+  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_scrubbed
+FROM t LEFT JOIN agg a USING (doc_id)
+""",
+)
+def q237_repeated_span_scrub(spark: SparkSession, sf_dir: str):
+    """Cross-document repeated-SPAN scrub — exact substring dedup in the
+    Lee et al. ("Deduplicating Training Data Makes Language Models
+    Better") / CCNet-line-dedup family: any {w}-token window occurring
+    in >= {df} distinct documents is boilerplate BY CONSTRUCTION
+    (cookie banners, nav chrome, SEO footers arrive verbatim on
+    thousands of pages — no curated list needed, corpus frequency IS
+    the detector), and every token covered by such a window is removed.
+    Two thirds of the fixture docs carry an injected 12-token spam tail
+    whose interior windows are corpus-frequent; the scrub must excise
+    exactly the covered tokens and reassemble the surviving prose in
+    order.  The oracle replays the full dataflow (window hashes -> df
+    filter -> covered positions -> ordered reassembly) on DuckDB.
+    Scale shape (operators/text.py::frequent_window_scrub): two hash
+    shuffles — (window-hash) for document frequency, (doc) for
+    reassembly; cross-document span matching happens through the hash
+    AGGREGATE, never an all-pairs join; reassembly state is bounded by
+    document length."""
+    from ..operators.text import frequent_window_scrub
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 != 2,
+            F.concat(F.col("text"), F.lit(f" {_Q237_TAIL}")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return frequent_window_scrub(
+        d, "doc_id", "text", window=_Q237_W, min_df=_Q237_MIN_DF
+    )
+
+
+q237_repeated_span_scrub.__doc__ = q237_repeated_span_scrub.__doc__.format(
+    w=_Q237_W, df=_Q237_MIN_DF
+)
+
+
+# ---------------------------------------------------------------------------
+# q238 — Unicode-normalized dedup (precomposed vs decomposed is ONE page)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q238_unicode_normalized_dedup",
+    tags=("dedup", "text", "P3"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'r' || chr(233) || 'sum' || chr(233) || ' of caf'
+        || chr(233) || ' page ' || CAST(doc_id // 4 AS VARCHAR)
+      WHEN 1 THEN 're' || chr(769) || 'sume' || chr(769) || ' of cafe'
+        || chr(769) || ' page ' || CAST(doc_id // 4 AS VARCHAR)
+      WHEN 2 THEN chr(65) || chr(778) || 'ngstro' || chr(776)
+        || 'm page ' || CAST(doc_id // 4 AS VARCHAR)
+      ELSE chr(197) || 'ngstr' || chr(246) || 'm page '
+        || CAST(doc_id // 4 AS VARCHAR)
+    END AS text
+  FROM documents
+), n AS (
+  SELECT doc_id, nfc_normalize(text) AS text_nfc,
+    strip_accents(nfc_normalize(text)) AS text_ascii
+  FROM v
+)
+SELECT md5(text_nfc) AS nfc_hash,
+  MIN(text_ascii) AS ascii_form,
+  CAST(COUNT(*) AS BIGINT) AS dup_count,
+  MIN(doc_id) AS keeper_doc_id
+FROM n GROUP BY md5(text_nfc)
+""",
+)
+def q238_unicode_normalized_dedup(spark: SparkSession, sf_dir: str):
+    """Unicode-normalized dedup — the web's invisible duplicate axis:
+    the same page arrives PRECOMPOSED ('é' U+00E9) from one CMS and
+    DECOMPOSED ('e'+U+0301) from another, and byte-level hashing splits
+    its identity exactly like un-canonicalized URLs (q224).  Fixture
+    docs cycle 4 spellings in 2 NFC-equivalence pairs per page group
+    (precomposed vs combining-mark 'résumé of café', and
+    A+ring/o+diaeresis vs 'Ångström' — note pair 2's variants are NOT
+    byte-equal but ARE NFC-equal, while 'ö' vs the accent-stripped 'o'
+    keeps groups 2/3 APART until strip_accents folds them in the
+    ascii_form column).  ``normalize_unicode`` (operators/text.py,
+    Arrow-batched unicodedata — Spark has no Unicode normalization
+    built-in) computes NFC and accent-stripped forms; dedup groups on
+    md5(NFC).  The oracle normalizes with DuckDB's utf8proc — a genuine
+    CROSS-IMPLEMENTATION differential of two independent Unicode
+    libraries, not a replay.  Scale shape: normalization rides the scan
+    in one mapInPandas projection; the dedup is one shuffle on the
+    16-byte canonical hash."""
+    from ..operators.text import normalize_unicode
+
+    b = F.col("doc_id").cast("long")
+    g = (b / 4).cast("long").cast("string")
+    v = (b % 4).cast("int")
+    # NOTE: the v=1/v=2 literals below genuinely contain DECOMPOSED
+    # combining marks (U+0301/U+030A/U+0308) while v=0/v=3 are
+    # precomposed — visually identical, byte-different (check with
+    # ascii()); that difference is the entire point of the fixture
+    text = (
+        F.when(v == 0, F.concat(F.lit("résumé of café page "), g))
+        .when(v == 1, F.concat(F.lit("résumé of café page "), g))
+        .when(v == 2, F.concat(F.lit("Ångström page "), g))
+        .otherwise(F.concat(F.lit("Ångström page "), g))
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    n = normalize_unicode(d, "text", out_col="text_nfc", form="NFC")
+    n = normalize_unicode(
+        n, "text_nfc", out_col="text_ascii", form="NFC", strip_accents=True
+    )
+    return n.groupBy(F.md5("text_nfc").alias("nfc_hash")).agg(
+        F.min("text_ascii").alias("ascii_form"),
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("doc_id").alias("keeper_doc_id"),
     )

@@ -134,3 +134,64 @@ def stream_perceptual_dedup(
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,
     )
+
+
+def stream_codec_triage(
+    source_stream: DataFrame,
+    store: TableStore,
+    table: str,
+    payload_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Codec-census LEDGER over an unbounded media crawl stream:
+    ``store[table]`` = ``(container, codec, decodable_here, reason,
+    n_payloads, first_<id_col>)`` for everything the stream has ever
+    delivered — the streaming twin of the q232 batch triage, so the
+    crawl owner watches decode-budget composition shift in flight
+    (a new proxy starts emitting WebP; an MP3 flood arrives) instead
+    of discovering it in the nightly batch.
+
+    Same exactly-once posture as ``stream_exact_dedup``: sniffing is a
+    header-only map inside the micro-batch (``sniff_media`` never
+    raises — garbage is a lane, not an error, so no on_error knob is
+    needed), the fold (SUM of counts, MIN of first id) is associative
+    and commutative, and the committed batch id guards foreachBatch
+    replays — the ledger equals the batch triage of full history under
+    any slicing.  Scale shape: per batch the shuffle carries a handful
+    of 5-column lane rows, never payloads."""
+    from ..operators.multimodal import sniff_media
+
+    first = f"first_{id_col}"
+    keys = ["container", "codec", "decodable_here", "reason"]
+
+    def build(b: DataFrame) -> DataFrame:
+        return (
+            sniff_media(b, id_col, payload_col)
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_payloads"),
+                F.min("id").alias(first),
+            )
+        )
+
+    def merge(prev: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(new)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_payloads").alias("n_payloads"),
+                F.min(first).alias(first),
+            )
+        )
+
+    return stream_sketch_rollup(
+        source_stream,
+        store,
+        table,
+        build=build,
+        merge=merge,
+        checkpoint_dir=checkpoint_dir,
+        available_now=available_now,
+    )

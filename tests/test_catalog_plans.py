@@ -356,3 +356,27 @@ def test_q230_blocklist_gate_is_broadcast_anti(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     # the corpus shuffles once, for the counts — never for the gate
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q232_codec_triage_single_map_pass(spark, sf_dir):
+    plan = _physical(REGISTRY["q232_media_codec_triage"].fn(spark, sf_dir))
+    # header sniffing rides one Arrow map stage; the only exchange is
+    # the tiny 5-column rollup
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_q234_mp3_triage_zero_shuffle_after_gen(spark, sf_dir):
+    plan = _physical(REGISTRY["q234_mp3_stream_triage"].fn(spark, sf_dir))
+    # per-doc triage is a pure map: the only exchange is the fixture
+    # generator's repartition, never a data shuffle or join
+    assert "Join" not in plan and "Sort" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_q236_orientation_dedup_map_then_project(spark, sf_dir):
+    plan = _physical(REGISTRY["q236_image_orientation_dedup"].fn(spark, sf_dir))
+    # decode+normalize+hash confined to Arrow stages: no join, no agg
+    # exchange — fingerprints come out as a projection
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

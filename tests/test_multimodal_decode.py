@@ -1314,3 +1314,361 @@ def test_audio_frame_features_decodes_flac(spark):
         )
     assert per_id[1] == per_id[2] == per_id[3]
     assert len(per_id[1]) == 2
+
+
+def test_png_16bit_decode_reduces_high_byte():
+    """16-bit PNGs decode exactly and reduce to the high byte of each
+    big-endian sample (spec 12.5) across all five filters, every
+    non-palette color type, and Adam7 — the filters' bpp unit doubles,
+    nothing else changes (spec 9.2)."""
+    import random
+    import zlib as _zlib
+    from binascii import crc32
+
+    rng = random.Random(11)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    for ch, ctype in [(1, 0), (2, 4), (3, 2), (4, 6)]:
+        w, h = 7, 6
+        vals = [rng.randint(0, 65535) for _ in range(w * h * ch)]
+        raw16 = b"".join(struct.pack(">H", v) for v in vals)
+        stride, bpp = w * ch * 2, ch * 2
+        stream = bytearray()
+        prev = bytes(stride)
+        for y in range(h):
+            row = raw16[y * stride : (y + 1) * stride]
+            f = y % 5
+            stream.append(f)
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    v = row[x]
+                elif f == 1:
+                    v = row[x] - a
+                elif f == 2:
+                    v = row[x] - b
+                elif f == 3:
+                    v = row[x] - ((a + b) >> 1)
+                else:
+                    p0 = a + b - c
+                    pa, pb, pc = abs(p0 - a), abs(p0 - b), abs(p0 - c)
+                    v = row[x] - (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                stream.append(v & 0xFF)
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png_pixels(png) == (w, h, ch, bytes(v >> 8 for v in vals))
+    # 16-bit palette is illegal per spec 11.2.2 -> honest rejection
+    import pytest as _pytest
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(bytes(10)))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bad)
+
+
+def test_jpeg_sof1_extended_sequential_decodes_as_baseline():
+    """An 8-bit SOF1 (extended sequential) stream is structurally
+    baseline — flipping the SOF marker must not change a single pixel."""
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    raw = bytes((5 * i) % 256 for i in range(24 * 16))
+    base = encode_jpeg(24, 16, raw, quality=90)
+    at = base.find(b"\xff\xc0")
+    sof1 = base[: at + 1] + b"\xc1" + base[at + 2 :]
+    assert decode_jpeg_pixels(sof1) == decode_jpeg_pixels(base)
+    # color + subsampled variant too
+    rgb = bytes((3 * i) % 256 for i in range(32 * 16 * 3))
+    basec = encode_jpeg(32, 16, rgb, channels=3, subsampling="420")
+    at = basec.find(b"\xff\xc0")
+    sof1c = basec[: at + 1] + b"\xc1" + basec[at + 2 :]
+    assert decode_jpeg_pixels(sof1c) == decode_jpeg_pixels(basec)
+
+
+def test_parse_image_header_webp_variants():
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 40) + b"WEBP" + b"VP8 "
+        + struct.pack("<I", 24) + b"\x00" * 3 + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 240) + bytes(14)
+    )
+    assert parse_image_header(vp8) == (320, 240)
+    bits = 99 | (149 << 14)
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8L"
+        + struct.pack("<I", 12) + b"\x2f" + struct.pack("<I", bits) + bytes(10)
+    )
+    assert parse_image_header(vp8l) == (100, 150)
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8X"
+        + struct.pack("<I", 10) + bytes(4)
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little") + bytes(4)
+    )
+    assert parse_image_header(vp8x) == (640, 480)
+    # a WEBP RIFF that is not a known bitstream tag stays None
+    junk = b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"XXXX" + bytes(20)
+    assert parse_image_header(junk) is None
+
+
+def test_sniff_media_payload_all_lanes():
+    """Triage classification mirrors the decoders' real capability
+    boundaries — every (container, codec, decodable, reason) lane."""
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_flac,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_wav_pcm16,
+        encode_y4m,
+        sniff_media_payload as S,
+    )
+
+    raw9 = bytes(range(72))
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    jpg = encode_jpeg(9, 8, raw9)
+    at = jpg.find(b"\xff\xc0")
+
+    def m(marker: int) -> bytes:
+        return jpg[: at + 1] + bytes([marker]) + jpg[at + 2 :]
+
+    assert S(encode_png(9, 8, 1, raw9)) == ("png", "png", True, "")
+    assert S(encode_gif(9, 8, raw9, pal)) == ("gif", "lzw", True, "")
+    assert S(jpg) == ("jpeg", "jpeg-baseline", True, "")
+    assert S(m(0xC1)) == ("jpeg", "jpeg-extended", True, "")
+    assert S(m(0xC2))[1:3] == ("jpeg-progressive", True)
+    assert S(m(0xC3)) == ("jpeg", "jpeg-lossless", False, "lossless mode")
+    assert S(m(0xCA)) == ("jpeg", "jpeg-arithmetic", False, "arithmetic coding")
+    assert S(m(0xC5)) == ("jpeg", "jpeg-hierarchical", False, "hierarchical mode")
+    assert S(encode_wav_pcm16([1, 2])) == ("wav", "pcm16", True, "")
+    assert S(encode_flac([1, 2])) == ("flac", "flac", True, "")
+    assert S(encode_y4m(4, 4, [bytes(16)])) == ("y4m", "rawvideo", True, "")
+    assert S(encode_avi_mjpeg(9, 8, [jpg])) == ("avi", "mjpeg", True, "")
+    avi_h264 = encode_avi_mjpeg(9, 8, [jpg]).replace(b"MJPG", b"H264")
+    assert S(avi_h264) == ("avi", "h264", False, "inter-coded video needs pyav")
+    assert S(b"\xff\xfb\x90\x00x")[0] == "mp3"
+    assert S(b"ID3\x04xxxx")[0] == "mp3"
+    assert S(b"\x00\x00\x00 ftypisom" + bytes(8)) == (
+        "mp4", "isom", False, "MP4/AAC needs a codec library",
+    )
+    assert S(b"\x1a\x45\xdf\xa3x")[0] == "mkv"
+    assert S(b"OggSx")[0] == "ogg"
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8L"
+        + struct.pack("<I", 12) + b"\x2f" + bytes(14)
+    )
+    assert S(vp8l) == ("webp", "vp8l", False, "WebP needs libwebp")
+    assert S(b"garbage") == ("unknown", "unknown", False, "unrecognized magic")
+    assert S(b"") == ("unknown", "unknown", False, "unrecognized magic")
+    # 16-bit PNG is decodable now; sub-byte depths are not
+    p16 = bytearray(encode_png(9, 8, 1, raw9))
+    p16[24] = 16
+    assert S(bytes(p16)) == ("png", "png", True, "")
+    p4 = bytearray(encode_png(9, 8, 1, raw9))
+    p4[24] = 4
+    assert S(bytes(p4)) == ("png", "png", False, "4-bit depth needs Pillow")
+
+
+def test_jpeg_multiscan_sequential_matches_single_scan():
+    """Multi-scan sequential JPEG (one non-interleaved SOS per
+    component, T.81 B.2.3 — the shape encoders emit to bound per-scan
+    memory) must decode pixel-identical to the same image's single
+    interleaved scan, across subsampling modes and non-MCU-aligned
+    sizes (the real grid vs padded grid distinction)."""
+    import random
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = random.Random(77)
+    for w, h, sub in [(24, 16, "444"), (32, 16, "420"), (20, 12, "422"),
+                      (9, 7, "444"), (17, 13, "420")]:
+        raw = bytes(rng.randint(0, 255) for _ in range(w * h * 3))
+        single = encode_jpeg(w, h, raw, channels=3, subsampling=sub)
+        multi = encode_jpeg(
+            w, h, raw, channels=3, subsampling=sub, scan_split=True
+        )
+        assert multi.count(b"\xff\xda") == 3
+        assert decode_jpeg_pixels(multi) == decode_jpeg_pixels(single)
+    # a stream whose scans do NOT cover every component is corrupt data
+    import pytest as _pytest
+
+    partial = encode_jpeg(
+        24, 16, bytes(24 * 16 * 3), channels=3, scan_split=True
+    )
+    # drop the last scan (find the 3rd SOS, truncate there + EOI)
+    third = partial.find(b"\xff\xda", partial.find(b"\xff\xda", partial.find(b"\xff\xda") + 2) + 2)
+    with _pytest.raises(ValueError, match="cover all components"):
+        decode_jpeg_pixels(partial[:third] + b"\xff\xd9")
+
+
+def test_mp3_stream_info_header_walk():
+    """MP3 triage reads ONLY frame headers: frame length is closed-form
+    from bitrate/rate, so CBR/VBR, exact integer duration and average
+    bitrate come without a codec library."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_mp3_headers,
+        mp3_stream_info,
+    )
+
+    assert mp3_stream_info(encode_mp3_headers(10, 44100, (128,))) == (
+        44100, 10, 10 * 1152 * 1000 // 44100, 128, True,
+    )
+    sr, n, dur, avg, cbr = mp3_stream_info(
+        encode_mp3_headers(9, 48000, (96, 192, 320))
+    )
+    assert (sr, n, cbr) == (48000, 9, False)
+    assert avg == (96 + 192 + 320) * 3 // 9
+    assert dur == 9 * 1152 * 1000 // 48000
+    # ID3v2 prefix skipped by its syncsafe size
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + bytes(20)
+    assert mp3_stream_info(id3 + encode_mp3_headers(4, 32000, (64,)))[:2] == (
+        32000, 4,
+    )
+    # trailing tag/garbage ends the walk instead of raising
+    assert mp3_stream_info(
+        encode_mp3_headers(3, 44100, (128,)) + b"TAGjunk"
+    )[1] == 3
+    with _pytest.raises(ValueError):
+        mp3_stream_info(b"not an mp3")
+    with _pytest.raises(ValueError):
+        mp3_stream_info(b"")
+
+
+def test_exif_orientation_parse_and_normalize():
+    """EXIF orientation: APP1 (JPEG) and eXIf (PNG) parse in both TIFF
+    byte orders; orient_pixels inverts all 8 storage transforms back to
+    the upright image (differential against the EXIF 'row0/col0 sit at'
+    coordinate table, not against itself)."""
+    import numpy as np
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_jpeg,
+        encode_png,
+        exif_app1_segment,
+        exif_orientation,
+        orient_pixels,
+        png_exif_chunk,
+    )
+
+    H, W, ch = 5, 7, 3
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (H, W, ch), dtype=np.uint8)
+    MAP = {
+        1: lambda r, c: (r, c),
+        2: lambda r, c: (r, W - 1 - c),
+        3: lambda r, c: (H - 1 - r, W - 1 - c),
+        4: lambda r, c: (H - 1 - r, c),
+        5: lambda r, c: (c, r),
+        6: lambda r, c: (c, H - 1 - r),
+        7: lambda r, c: (W - 1 - c, H - 1 - r),
+        8: lambda r, c: (W - 1 - c, r),
+    }
+    for o, f in MAP.items():
+        U = np.zeros((H, W, ch) if o <= 4 else (W, H, ch), np.uint8)
+        for r in range(H):
+            for c in range(W):
+                y, x = f(r, c)
+                U[y][x] = a[r][c]
+        w2, h2, raw2 = orient_pixels(a.tobytes(), W, H, ch, o)
+        got = np.frombuffer(raw2, np.uint8).reshape(h2, w2, ch)
+        assert (h2, w2) == U.shape[:2] and (got == U).all(), o
+
+    jpg = encode_jpeg(9, 8, bytes(range(72)))
+    png = encode_png(9, 8, 1, bytes(range(72)))
+    for order in ("II", "MM"):
+        for o in range(1, 9):
+            assert exif_orientation(
+                jpg[:2] + exif_app1_segment(o, order) + jpg[2:]
+            ) == o
+            tagged = png[:33] + png_exif_chunk(o, order) + png[33:]
+            assert exif_orientation(tagged) == o
+            # a foreign ancillary chunk must not disturb pixel decode
+            assert decode_png_pixels(tagged) == (9, 8, 1, bytes(range(72)))
+    # absent/garbage/truncated metadata all mean upright, never a crash
+    assert exif_orientation(jpg) == 1
+    assert exif_orientation(png) == 1
+    assert exif_orientation(b"junk") == 1
+    assert exif_orientation(b"") == 1
+    assert (
+        exif_orientation(jpg[:2] + exif_app1_segment(6)[:14] + jpg[2:]) == 1
+    )
+
+
+def test_bmp_pixel_codec_roundtrip_and_guards():
+    """Uncompressed 24-bit and 8-bit-palette BMP decode through the same
+    dispatcher as PNG/GIF/JPEG: bottom-up AND top-down storage, row
+    padding, BGR->RGB, BGRA palette gather — plus honest walls for RLE
+    and exotic depths."""
+    import random
+
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_image_pixels,
+        encode_bmp,
+        sniff_media_payload as S,
+    )
+
+    rng = random.Random(6)
+    for w, h, td in [(7, 5, False), (8, 3, True), (1, 1, False), (13, 9, True)]:
+        raw = bytes(rng.randint(0, 255) for _ in range(w * h * 3))
+        b = encode_bmp(w, h, raw, top_down=td)
+        assert decode_bmp_pixels(b) == (w, h, 3, raw), (w, h, td)
+        assert decode_image_pixels(b) == (w, h, 3, raw)
+        assert S(b) == ("bmp", "rgb24", True, "")
+    # 8-bit palette, bottom-up, padded rows, BGRA entries
+    w, h = 6, 4
+    idx = bytes(rng.randint(0, 255) for _ in range(w * h))
+    pal = bytes(rng.randint(0, 255) for _ in range(256 * 4))
+    row_bytes = (w + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        rows += idx[y * w : (y + 1) * w] + bytes(row_bytes - w)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 0, 0, 256, 0
+    )
+    hdr = b"BM" + struct.pack("<IHHI", 54 + 1024 + len(rows), 0, 0, 54 + 1024)
+    bmp8 = hdr + info + pal + bytes(rows)
+    want = b"".join(
+        bytes([pal[4 * i + 2], pal[4 * i + 1], pal[4 * i]]) for i in idx
+    )
+    assert decode_bmp_pixels(bmp8) == (w, h, 3, want)
+    assert S(bmp8) == ("bmp", "rgb8", True, "")
+    rle = bytearray(encode_bmp(4, 4, bytes(48)))
+    rle[30] = 1
+    with _pytest.raises(NotImplementedError):
+        decode_bmp_pixels(bytes(rle))
+    assert S(bytes(rle)) == ("bmp", "rle1", False, "compressed BMP")
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(b"BM" + bytes(60))  # zeroed DIB = corrupt
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(encode_bmp(4, 4, bytes(48))[:40])  # truncated

@@ -1319,3 +1319,42 @@ def test_extract_html_text_semantics(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_frequent_window_scrub_semantics(spark):
+    """Hand-computed expectation: a 4-token span shared by 3 docs is
+    scrubbed (corpus frequency >= min_df), unique prose survives in
+    order, short docs pass through untouched, and a doc that is PURE
+    boilerplate scrubs to empty."""
+    from logistics_data_pipeline_project_spark.operators.text import (
+        frequent_window_scrub,
+    )
+
+    spam = "click here to unsubscribe"
+    rows = [
+        (1, f"alpha beta gamma {spam} delta"),
+        (2, f"one two {spam} three four"),
+        (3, f"{spam}"),
+        (4, "totally unique prose nothing shared here"),
+        (5, "tiny doc"),  # shorter than the window: no windows, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["kept_text"], r["n_tokens"], r["n_scrubbed"])
+        for r in frequent_window_scrub(
+            df, "doc_id", "text", window=4, min_df=3
+        ).collect()
+    }
+    assert got[1] == ("alpha beta gamma delta", 8, 4)
+    assert got[2] == ("one two three four", 8, 4)
+    assert got[3] == ("", 4, 4)  # pure boilerplate -> empty, not a crash
+    assert got[4] == ("totally unique prose nothing shared here", 6, 0)
+    assert got[5] == ("tiny doc", 2, 0)
+    # determinism under repartitioning
+    got2 = {
+        r["doc_id"]: (r["kept_text"], r["n_tokens"], r["n_scrubbed"])
+        for r in frequent_window_scrub(
+            df.repartition(7), "doc_id", "text", window=4, min_df=3
+        ).collect()
+    }
+    assert got2 == got

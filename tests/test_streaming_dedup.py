@@ -288,3 +288,98 @@ def test_stream_perceptual_dedup_quarantines_corrupt_payloads(spark, tmp_path):
     # corrupt rows vanished; healthy rows fold identically to batch
     assert got == want
     assert None not in {k[0] for k in got}
+
+
+def test_stream_codec_triage_ledger_equals_batch(spark, tmp_path):
+    """The streaming codec census must equal the batch triage of the
+    full history under out-of-order slicing, and replays must not
+    double-count (exactly-once fold)."""
+    import base64
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_flac,
+        encode_png,
+        encode_wav_pcm16,
+        sniff_media,
+    )
+    from logistics_data_pipeline_project_spark.streaming.dedup import (
+        stream_codec_triage,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, encode_png(9, 8, 1, bytes(range(72)))),
+        (2, encode_wav_pcm16([1, -1] * 8)),
+        (3, b"\xff\xfb\x90\x00mp3"),
+        (4, encode_png(9, 8, 1, bytes(72))),
+        (5, b"garbage"),
+        (6, encode_flac([1, -1] * 8)),
+        (7, None),
+    ]
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    def write(name, subset):
+        with open(os.path.join(landing, name), "w") as f:
+            for i, payload in subset:
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": i,
+                            "b64": base64.b64encode(payload or b"").decode(),
+                        }
+                    )
+                    + "\n"
+                )
+
+    def drain():
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id long, b64 string")
+            .load(landing)
+            .select("doc_id", F.unbase64("b64").alias("payload"))
+        )
+        q = stream_codec_triage(
+            stream, store, "codec_census", "payload", "doc_id",
+            checkpoint_dir=chk,
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    write("b1.json", rows[3:])
+    drain()
+    write("b2.json", rows[:3])
+    drain()
+
+    def as_map(df):
+        return {
+            (r["container"], r["codec"], r["decodable_here"], r["reason"]): (
+                r["n_payloads"], r["first_doc_id"],
+            )
+            for r in df.collect()
+        }
+
+    got = as_map(store.read("codec_census"))
+    batch = spark.createDataFrame(
+        [(i, p or b"") for i, p in rows], "doc_id long, payload binary"
+    )
+    want = as_map(
+        sniff_media(batch, "doc_id", "payload")
+        .groupBy("container", "codec", "decodable_here", "reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.min("id").alias("first_doc_id"),
+        )
+    )
+    assert got == want
+    # both PNGs folded onto one lane; the unknown lane caught garbage+None
+    assert got[("png", "png", True, "")][0] == 2
+    assert got[("unknown", "unknown", False, "unrecognized magic")][0] == 2
+    # idempotent redrain
+    drain()
+    assert as_map(store.read("codec_census")) == want

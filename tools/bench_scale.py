@@ -157,7 +157,10 @@ def main() -> None:
 
     if "--point" in sys.argv:  # subprocess mode: one multiple, one JSON line
         m = int(sys.argv[sys.argv.index("--point") + 1])
-        print(json.dumps(_time_point(m, dirs[m])))
+        # compute the dir directly: the parent passes only --point, so m
+        # need not be in the (default) mults list
+        d = BASE if m == 1 else os.path.join(scale_root, f"x{m}")
+        print(json.dumps(_time_point(m, d)))
         return
 
     gen_needed = [m for m in mults if m != 1]
