@@ -640,6 +640,14 @@ def prefix_filter_jaccard_pairs(
     J ≥ num/den ⇔ (num+den)·inter ≥ num·(sa+sb) — no float thresholds,
     so candidate sets and results are engine-identical. Returns
     (id1, id2, inter_size, size1, size2, jaccard).
+
+    Known improvement candidate (not yet applied — the host was too
+    noisy to verify the win this round): the self-join evaluates the
+    ``pref`` subtree (token explode + df join + two windows) twice and
+    ``sets`` twice more; eagerly materializing ``pref``/``sets`` once
+    (q139's localCheckpoint discipline) would cut 2-3 re-evaluations of
+    the token pipeline per invocation. Semantics are unaffected either
+    way — everything here is deterministic.
     """
     num, den = threshold_num, threshold_den
     if n <= 1:

@@ -33,6 +33,7 @@ __all__ = [
     "extract_html_text",
     "frequent_window_scrub",
     "normalize_unicode",
+    "meta_robots_flags",
     "STOPWORDS_EN",
     "LANG_MARKERS",
 ]
@@ -586,4 +587,41 @@ def normalize_unicode(
     )
     return df.mapInPandas(norm, schema=f"{schema}, `{out_col}` string").select(
         *cols, out_col
+    )
+
+
+def meta_robots_flags(html: Column | str) -> Column:
+    """(noindex, nofollow) flags from an HTML page's ``<meta
+    name="robots">`` tag — the in-page half of crawl compliance (the
+    robots.txt half is a per-domain fetch-time concern; the meta tag
+    travels WITH the document, so corpus builds must re-check it):
+    pages marked noindex asked to be left out of indexes/corpora and a
+    compliant pipeline drops them.  Handles either attribute order
+    (name-first or content-first), any case, single or double quotes,
+    and token lists like "noindex, nofollow" with directive-boundary
+    matching (so 'noindexing' as page text never false-positives).
+    Pure (?is) regexp built-ins — RE2/Java-portable, DuckDB-replayable.
+    Returns a struct column (noindex boolean, nofollow boolean); pages
+    with no robots meta are (false, false) = indexable, per the
+    robots-exclusion default.  Scale shape: a projection riding the
+    scan — zero shuffles, zero Python."""
+    c = F.col(html) if isinstance(html, str) else html
+    name_first = (
+        r"(?is)<meta[^>]*name\s*=\s*['\x22]robots['\x22][^>]*"
+        r"content\s*=\s*['\x22]([^'\x22>]*)['\x22]"
+    )
+    content_first = (
+        r"(?is)<meta[^>]*content\s*=\s*['\x22]([^'\x22>]*)['\x22][^>]*"
+        r"name\s*=\s*['\x22]robots['\x22]"
+    )
+    directives = F.lower(
+        F.when(F.regexp_extract(c, name_first, 1) != "",
+               F.regexp_extract(c, name_first, 1))
+        .otherwise(F.regexp_extract(c, content_first, 1))
+    )
+    def has(d: str) -> Column:
+        return directives.rlike(rf"(^|[,\s]){d}([,\s]|$)")
+    return F.struct(
+        (has("noindex") | has("none")).alias("noindex"),
+        (has("nofollow") | has("none")).alias("nofollow"),
     )

@@ -9960,3 +9960,95 @@ def q238_unicode_normalized_dedup(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("dup_count"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — meta-robots compliance gate (the in-page half of crawl consent)
+# ---------------------------------------------------------------------------
+
+_Q239_NAME_FIRST = (
+    r"(?is)<meta[^>]*name\s*=\s*['\x22]robots['\x22][^>]*"
+    r"content\s*=\s*['\x22]([^'\x22>]*)['\x22]"
+)
+_Q239_CONTENT_FIRST = (
+    r"(?is)<meta[^>]*content\s*=\s*['\x22]([^'\x22>]*)['\x22][^>]*"
+    r"name\s*=\s*['\x22]robots['\x22]"
+)
+
+
+@register(
+    "q239_meta_robots_gate",
+    tags=("text", "P9"),
+    oracle=r"""
+WITH h AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN '<html><head><title>t</title></head><body>plain</body></html>'
+      WHEN 1 THEN '<html><head><meta name="robots" content="noindex"></head><body>x</body></html>'
+      WHEN 2 THEN '<html><head><META CONTENT=''noindex, nofollow'' NAME=''robots''></head><body>x</body></html>'
+      WHEN 3 THEN '<html><head><meta name="robots" content="nofollow"></head><body>x</body></html>'
+      WHEN 4 THEN '<html><head><meta name="robots" content="none"></head><body>x</body></html>'
+      ELSE '<html><head><meta name="robots" content="index, follow"></head><body>about noindexing pages</body></html>'
+    END AS html
+  FROM documents
+), d AS (
+  SELECT doc_id,
+    lower(CASE
+      WHEN regexp_extract(html,
+        '(?is)<meta[^>]*name\s*=\s*[''\x22]robots[''\x22][^>]*content\s*=\s*[''\x22]([^''\x22>]*)[''\x22]', 1) <> ''
+      THEN regexp_extract(html,
+        '(?is)<meta[^>]*name\s*=\s*[''\x22]robots[''\x22][^>]*content\s*=\s*[''\x22]([^''\x22>]*)[''\x22]', 1)
+      ELSE regexp_extract(html,
+        '(?is)<meta[^>]*content\s*=\s*[''\x22]([^''\x22>]*)[''\x22][^>]*name\s*=\s*[''\x22]robots[''\x22]', 1)
+    END) AS dirs
+  FROM h
+), f AS (
+  SELECT doc_id,
+    (regexp_matches(dirs, '(^|[,\s])noindex([,\s]|$)')
+     OR regexp_matches(dirs, '(^|[,\s])none([,\s]|$)')) AS noindex,
+    (regexp_matches(dirs, '(^|[,\s])nofollow([,\s]|$)')
+     OR regexp_matches(dirs, '(^|[,\s])none([,\s]|$)')) AS nofollow
+  FROM d
+)
+SELECT noindex, nofollow,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(doc_id) AS first_doc_id
+FROM f GROUP BY noindex, nofollow
+""",
+)
+def q239_meta_robots_gate(spark: SparkSession, sf_dir: str):
+    """Meta-robots compliance gate — the in-page half of crawl consent
+    (robots.txt travels per domain; the robots META tag travels WITH
+    the document, so every corpus rebuild must re-check it): pages
+    declaring noindex asked to be left out of indexes/corpora and a
+    compliant pipeline drops them wholesale.  Fixture pages cycle 6
+    shapes: no tag, noindex, a content-FIRST uppercase single-quoted
+    'noindex, nofollow' (attribute order and quoting are free in real
+    HTML), nofollow only, the 'none' shorthand (= noindex + nofollow),
+    and a trap page whose BODY says 'noindexing' under an explicit
+    'index, follow' tag — directive-boundary matching must not
+    false-positive on it.  ``meta_robots_flags`` (operators/text.py) is
+    one (?is)-regex codegen projection; the oracle replays it on
+    DuckDB's RE2.  Scale shape: a projection riding the scan, then one
+    4-row rollup — zero Python, one tiny shuffle."""
+    from ..operators.text import meta_robots_flags
+
+    b = F.col("doc_id") % 6
+    html = (
+        F.when(b == 0, F.lit("<html><head><title>t</title></head><body>plain</body></html>"))
+        .when(b == 1, F.lit('<html><head><meta name="robots" content="noindex"></head><body>x</body></html>'))
+        .when(b == 2, F.lit("<html><head><META CONTENT='noindex, nofollow' NAME='robots'></head><body>x</body></html>"))
+        .when(b == 3, F.lit('<html><head><meta name="robots" content="nofollow"></head><body>x</body></html>'))
+        .when(b == 4, F.lit('<html><head><meta name="robots" content="none"></head><body>x</body></html>'))
+        .otherwise(F.lit('<html><head><meta name="robots" content="index, follow"></head><body>about noindexing pages</body></html>'))
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", meta_robots_flags(html).alias("__r")
+    )
+    return d.groupBy(
+        F.col("__r.noindex").alias("noindex"),
+        F.col("__r.nofollow").alias("nofollow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

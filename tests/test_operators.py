@@ -1358,3 +1358,38 @@ def test_frequent_window_scrub_semantics(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_meta_robots_flags_semantics(spark):
+    from logistics_data_pipeline_project_spark.operators.text import (
+        meta_robots_flags,
+    )
+
+    cases = [
+        ("<html><body>no tag</body></html>", (False, False)),
+        ('<meta name="robots" content="noindex">', (True, False)),
+        ("<META NAME='robots' CONTENT='NOFOLLOW'>", (False, True)),
+        # content before name; mixed separators
+        ("<meta content='noindex,nofollow' name='robots'>", (True, True)),
+        ('<meta content="noindex nofollow" name="robots">', (True, True)),
+        # 'none' shorthand = both
+        ('<meta name="robots" content="none">', (True, True)),
+        # explicit allow
+        ('<meta name="robots" content="index, follow">', (False, False)),
+        # directive-boundary: substrings must not match
+        ('<meta name="robots" content="noindexing">', (False, False)),
+        ('<meta name="robots" content="nonessential">', (False, False)),
+        # body text never counts
+        ("<p>please noindex this</p>", (False, False)),
+        # multi-line tag, extra attributes
+        ('<meta id="x"\n   name="robots"\n   content="noindex">', (True, False)),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r["i"]: (r["f"]["noindex"], r["f"]["nofollow"])
+        for r in df.select("i", meta_robots_flags("h").alias("f")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
