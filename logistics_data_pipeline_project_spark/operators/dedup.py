@@ -641,13 +641,13 @@ def prefix_filter_jaccard_pairs(
     so candidate sets and results are engine-identical. Returns
     (id1, id2, inter_size, size1, size2, jaccard).
 
-    Known improvement candidate (not yet applied — the host was too
-    noisy to verify the win this round): the self-join evaluates the
-    ``pref`` subtree (token explode + df join + two windows) twice and
-    ``sets`` twice more; eagerly materializing ``pref``/``sets`` once
-    (q139's localCheckpoint discipline) would cut 2-3 re-evaluations of
-    the token pipeline per invocation. Semantics are unaffected either
-    way — everything here is deterministic.
+    Shared-subtree reuse: without checkpoints the self-join evaluates
+    the ``pref`` subtree (token explode + df join + two windows) twice
+    and ``sets`` twice more, so the token pipeline ran up to 5x per
+    invocation. ``tok``/``pref``/``sets`` are lazily localCheckpointed
+    (q175's discipline — materialize once on first action, every
+    consumer reads the cached blocks); semantics are unaffected —
+    everything here is deterministic.
     """
     num, den = threshold_num, threshold_den
     if n <= 1:
@@ -661,6 +661,9 @@ def prefix_filter_jaccard_pairs(
         tok = word_shingles(df, text_col, id_col, n=n).withColumnRenamed(
             "shingle", "token"
         )
+    # tok feeds the df aggregate, the ranked join probe AND the sets
+    # aggregate — checkpoint so the explode runs once, not three times
+    tok = tok.localCheckpoint(eager=False)
     # global document frequency per element — Zipf-small relative to the
     # corpus, broadcast back (same stance as q55's df table)
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -677,6 +680,9 @@ def prefix_filter_jaccard_pairs(
         F.col("pos")
         <= F.col("sz") - F.expr(f"({num} * sz + {den} - 1) DIV {den}") + F.lit(1)
     )
+    # both sides of the self-join below are THIS frame — checkpoint so
+    # the df-join + double-window pipeline materializes once
+    pref = pref.localCheckpoint(eager=False)
     a, b = pref.alias("a"), pref.alias("b")
     # length filter (Arasu et al.): J ≥ t ⇒ t·max(sa,sb) ≤ min(sa,sb),
     # so size-incompatible collisions drop inside the join before the
@@ -714,6 +720,8 @@ def prefix_filter_jaccard_pairs(
         F.sort_array(F.collect_set("token")).alias("toks"),
         F.count(F.lit(1)).alias("sz"),
     )
+    # probed twice (id1 side, id2 side) — materialize the set table once
+    sets = sets.localCheckpoint(eager=False)
     s1 = sets.select(
         F.col(id_col).alias("id1"),
         F.col("toks").alias("t1"),

@@ -3550,9 +3550,15 @@ def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
         return "png", "png", True, ""
     if p[:6] in (b"GIF87a", b"GIF89a"):
         return "gif", "lzw", True, ""
-    if p[:2] == b"BM" and len(p) >= 34:
+    if p[:2] == b"BM":
         import struct as _struct
 
+        # decode_bmp_pixels reads the full 54-byte file+DIB header, so
+        # triage must draw the decodable_here line at the same boundary
+        # (a 34..53-byte payload parses bpp/compression but the decoder
+        # would still raise on the missing offset/size fields)
+        if len(p) < 54:
+            return "bmp", "bmp", False, "truncated header"
         (bpp,) = _struct.unpack("<H", p[28:30])
         (comp,) = _struct.unpack("<I", p[30:34])
         if comp != 0:

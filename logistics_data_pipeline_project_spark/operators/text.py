@@ -473,7 +473,12 @@ def frequent_window_scrub(
         F.col(id_col).alias("__id"),
         F.split(F.col(text_col), " ").alias("__t"),
     )
-    wins = toks.select(
+    # the size guard runs BEFORE the window-building transform so that
+    # sequence(0, size - window) is never evaluated on a too-short doc
+    # (size < window would make it a descending sequence and the slice
+    # lambda a runtime error) — correct by construction instead of by
+    # optimizer pushdown
+    wins = toks.filter(F.size("__t") >= window).select(
         "__id",
         F.explode(
             F.expr(
@@ -482,9 +487,16 @@ def frequent_window_scrub(
                 f" md5(concat_ws(' ', slice(__t, i + 1, {window}))) AS wh))"
             )
         ).alias("__w"),
-    ).filter(F.size("__t") >= window).select(
+    ).select(
         "__id", F.col("__w.start").alias("start"), F.col("__w.wh").alias("wh")
     )
+    # `wins` (the per-token window-hash explode — the dominant cost)
+    # feeds BOTH the document-frequency aggregate and the covered-join
+    # probe; without a checkpoint Spark evaluates the explode twice.
+    # Lazy localCheckpoint materializes it once on first action and both
+    # consumers read the cached blocks (same discipline as the q175
+    # component subtree — measured 2.3x there at 20x data).
+    wins = wins.localCheckpoint(eager=False)
     freq = (
         wins.groupBy("wh")
         .agg(F.count_distinct("__id").alias("df"))
@@ -590,6 +602,44 @@ def normalize_unicode(
     )
 
 
+# The robots name attribute: quotes optional and independently optional on
+# each side (mismatched quotes are accepted — harmless over-acceptance),
+# \b so name=robotsxyz never matches.
+_ROBOTS_NAME = r"name\s*=\s*['\x22]?robots\b['\x22]?"
+# Six content-extraction patterns: {name-first, content-first} x
+# {double-quoted, single-quoted, unquoted}, tried in that order and the
+# first NON-EMPTY extract wins.  Quoted values exclude only the closing
+# quote and '>' — so a double-quoted value may contain single quotes and
+# vice versa; unquoted values (valid HTML: <meta name=robots
+# content=noindex>) run to whitespace/quote/'>' and exclude '/' so a
+# self-closing <... content=noindex/> yields 'noindex', not 'noindex/'
+# (directive tokens never contain '/').  No backreferences — every
+# pattern is RE2-compatible, so DuckDB replays them verbatim.
+_META_ROBOTS_PATTERNS = (
+    rf"(?is)<meta[^>]*{_ROBOTS_NAME}[^>]*content\s*=\s*\x22([^\x22>]*)\x22",
+    rf"(?is)<meta[^>]*{_ROBOTS_NAME}[^>]*content\s*=\s*'([^'>]*)'",
+    rf"(?is)<meta[^>]*{_ROBOTS_NAME}[^>]*content\s*=\s*([^'\x22>\s/]+)",
+    rf"(?is)<meta[^>]*content\s*=\s*\x22([^\x22>]*)\x22[^>]*{_ROBOTS_NAME}",
+    rf"(?is)<meta[^>]*content\s*=\s*'([^'>]*)'[^>]*{_ROBOTS_NAME}",
+    rf"(?is)<meta[^>]*content\s*=\s*([^'\x22>\s/]+)[^>]*{_ROBOTS_NAME}",
+)
+
+
+def meta_robots_directives_sql(col_sql: str) -> str:
+    """The DuckDB-SQL twin of :func:`meta_robots_flags`'s directive
+    extraction — a first-non-empty CASE chain over the SAME pattern
+    constants (single quotes doubled for the SQL literal), so the q239
+    oracle replays byte-identical regexes on RE2 rather than a
+    hand-maintained copy that could drift."""
+    branches = "\n      ".join(
+        f"WHEN regexp_extract({col_sql}, '{p.replace(chr(39), chr(39) * 2)}', 1)"
+        f" <> '' THEN regexp_extract({col_sql},"
+        f" '{p.replace(chr(39), chr(39) * 2)}', 1)"
+        for p in _META_ROBOTS_PATTERNS
+    )
+    return f"lower(CASE\n      {branches}\n      ELSE '' END)"
+
+
 def meta_robots_flags(html: Column | str) -> Column:
     """(noindex, nofollow) flags from an HTML page's ``<meta
     name="robots">`` tag — the in-page half of crawl compliance (the
@@ -597,28 +647,23 @@ def meta_robots_flags(html: Column | str) -> Column:
     travels WITH the document, so corpus builds must re-check it):
     pages marked noindex asked to be left out of indexes/corpora and a
     compliant pipeline drops them.  Handles either attribute order
-    (name-first or content-first), any case, single or double quotes,
-    and token lists like "noindex, nofollow" with directive-boundary
-    matching (so 'noindexing' as page text never false-positives).
-    Pure (?is) regexp built-ins — RE2/Java-portable, DuckDB-replayable.
-    Returns a struct column (noindex boolean, nofollow boolean); pages
-    with no robots meta are (false, false) = indexable, per the
-    robots-exclusion default.  Scale shape: a projection riding the
-    scan — zero shuffles, zero Python."""
+    (name-first or content-first), any case, double/single/UNQUOTED
+    attribute values (``<meta name=robots content=noindex>`` is valid
+    HTML), values containing the other quote character, and token lists
+    like "noindex, nofollow" with directive-boundary matching (so
+    'noindexing' as page text never false-positives).  Pure (?is)
+    regexp built-ins — RE2/Java-portable, DuckDB-replayable via
+    :func:`meta_robots_directives_sql`.  Returns a struct column
+    (noindex boolean, nofollow boolean); pages with no robots meta are
+    (false, false) = indexable, per the robots-exclusion default.
+    Scale shape: a projection riding the scan — zero shuffles, zero
+    Python."""
     c = F.col(html) if isinstance(html, str) else html
-    name_first = (
-        r"(?is)<meta[^>]*name\s*=\s*['\x22]robots['\x22][^>]*"
-        r"content\s*=\s*['\x22]([^'\x22>]*)['\x22]"
-    )
-    content_first = (
-        r"(?is)<meta[^>]*content\s*=\s*['\x22]([^'\x22>]*)['\x22][^>]*"
-        r"name\s*=\s*['\x22]robots['\x22]"
-    )
-    directives = F.lower(
-        F.when(F.regexp_extract(c, name_first, 1) != "",
-               F.regexp_extract(c, name_first, 1))
-        .otherwise(F.regexp_extract(c, content_first, 1))
-    )
+    directives = F.lit("")
+    for p in reversed(_META_ROBOTS_PATTERNS):
+        ext = F.regexp_extract(c, p, 1)
+        directives = F.when(ext != "", ext).otherwise(directives)
+    directives = F.lower(directives)
     def has(d: str) -> Column:
         return directives.rlike(rf"(^|[,\s]){d}([,\s]|$)")
     return F.struct(

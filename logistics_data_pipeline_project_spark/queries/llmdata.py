@@ -38,6 +38,7 @@ from ..operators.text import (
     bpe_ish_tokens,
     chunk_documents,
     language_id,
+    meta_robots_directives_sql,
     min_window_fingerprint,
     quality_score,
     stopword_ratio,
@@ -6268,6 +6269,10 @@ def q194_duplicate_span_coverage(spark: SparkSession, sf_dir: str):
             )
         ).alias("pos0", "gram_hash"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram_hash")
+    # `win` (the window-hash explode — the dominant cost) feeds both the
+    # df aggregate and the semi-join probe; checkpoint so it runs once
+    # (q175/q237 shared-subtree discipline)
+    win = win.localCheckpoint(eager=False)
     dup = (
         win.groupBy("gram_hash")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -9982,25 +9987,19 @@ _Q239_CONTENT_FIRST = (
     oracle=r"""
 WITH h AS (
   SELECT doc_id,
-    CASE doc_id % 6
+    CASE doc_id % 8
       WHEN 0 THEN '<html><head><title>t</title></head><body>plain</body></html>'
       WHEN 1 THEN '<html><head><meta name="robots" content="noindex"></head><body>x</body></html>'
       WHEN 2 THEN '<html><head><META CONTENT=''noindex, nofollow'' NAME=''robots''></head><body>x</body></html>'
       WHEN 3 THEN '<html><head><meta name="robots" content="nofollow"></head><body>x</body></html>'
       WHEN 4 THEN '<html><head><meta name="robots" content="none"></head><body>x</body></html>'
+      WHEN 5 THEN '<html><head><meta name=robots content=nofollow/></head><body>x</body></html>'
+      WHEN 6 THEN '<html><head><meta name="robots" content="it''s fine, noindex"></head><body>x</body></html>'
       ELSE '<html><head><meta name="robots" content="index, follow"></head><body>about noindexing pages</body></html>'
     END AS html
   FROM documents
 ), d AS (
-  SELECT doc_id,
-    lower(CASE
-      WHEN regexp_extract(html,
-        '(?is)<meta[^>]*name\s*=\s*[''\x22]robots[''\x22][^>]*content\s*=\s*[''\x22]([^''\x22>]*)[''\x22]', 1) <> ''
-      THEN regexp_extract(html,
-        '(?is)<meta[^>]*name\s*=\s*[''\x22]robots[''\x22][^>]*content\s*=\s*[''\x22]([^''\x22>]*)[''\x22]', 1)
-      ELSE regexp_extract(html,
-        '(?is)<meta[^>]*content\s*=\s*[''\x22]([^''\x22>]*)[''\x22][^>]*name\s*=\s*[''\x22]robots[''\x22]', 1)
-    END) AS dirs
+  SELECT doc_id, __DIRS__ AS dirs
   FROM h
 ), f AS (
   SELECT doc_id,
@@ -10014,32 +10013,39 @@ SELECT noindex, nofollow,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   MIN(doc_id) AS first_doc_id
 FROM f GROUP BY noindex, nofollow
-""",
+""".replace("__DIRS__", meta_robots_directives_sql("html")),
 )
 def q239_meta_robots_gate(spark: SparkSession, sf_dir: str):
     """Meta-robots compliance gate — the in-page half of crawl consent
     (robots.txt travels per domain; the robots META tag travels WITH
     the document, so every corpus rebuild must re-check it): pages
     declaring noindex asked to be left out of indexes/corpora and a
-    compliant pipeline drops them wholesale.  Fixture pages cycle 6
+    compliant pipeline drops them wholesale.  Fixture pages cycle 8
     shapes: no tag, noindex, a content-FIRST uppercase single-quoted
     'noindex, nofollow' (attribute order and quoting are free in real
     HTML), nofollow only, the 'none' shorthand (= noindex + nofollow),
-    and a trap page whose BODY says 'noindexing' under an explicit
-    'index, follow' tag — directive-boundary matching must not
-    false-positive on it.  ``meta_robots_flags`` (operators/text.py) is
+    an UNQUOTED self-closing '<meta name=robots content=nofollow/>'
+    (valid HTML the quoted-only regex silently passed), a double-quoted
+    value containing a single quote BEFORE the directive ("it's fine,
+    noindex" — a same-class value terminator would truncate the extract
+    and lose the directive), and a trap page whose BODY says
+    'noindexing' under an explicit 'index, follow' tag —
+    directive-boundary matching must not false-positive on it.
+    ``meta_robots_flags`` (operators/text.py) is
     one (?is)-regex codegen projection; the oracle replays it on
     DuckDB's RE2.  Scale shape: a projection riding the scan, then one
     4-row rollup — zero Python, one tiny shuffle."""
     from ..operators.text import meta_robots_flags
 
-    b = F.col("doc_id") % 6
+    b = F.col("doc_id") % 8
     html = (
         F.when(b == 0, F.lit("<html><head><title>t</title></head><body>plain</body></html>"))
         .when(b == 1, F.lit('<html><head><meta name="robots" content="noindex"></head><body>x</body></html>'))
         .when(b == 2, F.lit("<html><head><META CONTENT='noindex, nofollow' NAME='robots'></head><body>x</body></html>"))
         .when(b == 3, F.lit('<html><head><meta name="robots" content="nofollow"></head><body>x</body></html>'))
         .when(b == 4, F.lit('<html><head><meta name="robots" content="none"></head><body>x</body></html>'))
+        .when(b == 5, F.lit("<html><head><meta name=robots content=nofollow/></head><body>x</body></html>"))
+        .when(b == 6, F.lit('<html><head><meta name="robots" content="it\'s fine, noindex"></head><body>x</body></html>'))
         .otherwise(F.lit('<html><head><meta name="robots" content="index, follow"></head><body>about noindexing pages</body></html>'))
     )
     d = load(spark, sf_dir, "documents").select(

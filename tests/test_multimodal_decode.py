@@ -1672,3 +1672,9 @@ def test_bmp_pixel_codec_roundtrip_and_guards():
         decode_bmp_pixels(b"BM" + bytes(60))  # zeroed DIB = corrupt
     with _pytest.raises(ValueError):
         decode_bmp_pixels(encode_bmp(4, 4, bytes(48))[:40])  # truncated
+    # triage boundary == decoder boundary: a 34..53-byte BMP parses
+    # bpp/compression but decode_bmp_pixels needs the full 54-byte
+    # header, so sniff must NOT claim it decodable here
+    short = encode_bmp(4, 4, bytes(48))[:40]
+    assert S(short) == ("bmp", "bmp", False, "truncated header")
+    assert S(b"BM" + bytes(10)) == ("bmp", "bmp", False, "truncated header")

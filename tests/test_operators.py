@@ -1383,6 +1383,22 @@ def test_meta_robots_flags_semantics(spark):
         ("<p>please noindex this</p>", (False, False)),
         # multi-line tag, extra attributes
         ('<meta id="x"\n   name="robots"\n   content="noindex">', (True, False)),
+        # UNQUOTED attribute values (valid HTML) — both attrs, either order
+        ("<meta name=robots content=noindex>", (True, False)),
+        ("<meta content=nofollow name=robots>", (False, True)),
+        # unquoted + self-closing: '/' is not part of the directive
+        ("<meta name=robots content=nofollow/>", (False, True)),
+        # unquoted comma list (unquoted values can't contain spaces)
+        ("<meta name=robots content=noindex,nofollow>", (True, True)),
+        # mixed quoting: quoted name, unquoted content and vice versa
+        ('<meta name="robots" content=noindex>', (True, False)),
+        ("<meta name=robots content='noindex'>", (True, False)),
+        # value containing the OTHER quote char before the directive —
+        # a same-class terminator would truncate and lose the directive
+        ('<meta name="robots" content="it\'s fine, noindex">', (True, False)),
+        ("<meta name='robots' content='say \"no\", nofollow'>", (False, True)),
+        # unquoted name must not prefix-match a longer attribute value
+        ("<meta name=robotsxyz content=noindex>", (False, False)),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
@@ -1393,3 +1409,46 @@ def test_meta_robots_flags_semantics(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_meta_robots_directives_sql_matches_spark():
+    """The DuckDB twin (meta_robots_directives_sql) extracts the same
+    directive string the Spark regexes do, over every unit case above —
+    the cross-engine guarantee q239's oracle leans on."""
+    import duckdb
+
+    from logistics_data_pipeline_project_spark.operators.text import (
+        _META_ROBOTS_PATTERNS,
+        meta_robots_directives_sql,
+    )
+    import re
+
+    cases = [
+        "<html><body>no tag</body></html>",
+        '<meta name="robots" content="noindex">',
+        "<META NAME='robots' CONTENT='NOFOLLOW'>",
+        "<meta content='noindex,nofollow' name='robots'>",
+        "<meta name=robots content=noindex>",
+        "<meta content=nofollow name=robots>",
+        "<meta name=robots content=nofollow/>",
+        '<meta name="robots" content="it\'s fine, noindex">',
+        "<meta name='robots' content='say \"no\", nofollow'>",
+        "<meta name=robotsxyz content=noindex>",
+        '<meta id="x"\n   name="robots"\n   content="noindex">',
+    ]
+
+    def py_extract(h: str) -> str:
+        for p in _META_ROBOTS_PATTERNS:
+            m = re.search(p.replace("(?is)", ""), h, re.I | re.S)
+            if m and m.group(1):
+                return m.group(1).lower()
+        return ""
+
+    con = duckdb.connect()
+    for h in cases:
+        lit = "'" + h.replace("'", "''") + "'"
+        (got,) = con.execute(
+            "SELECT " + meta_robots_directives_sql(lit)
+        ).fetchone()
+        assert got == py_extract(h), (h, got, py_extract(h))
+    con.close()

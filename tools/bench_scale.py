@@ -41,7 +41,15 @@ HEAVY = [
     "q165_hashed_ngram_perceptron",
     "q175_dedup_aware_split",
     "q187_lsh_calibration",
+    # round 6: three of the seven slowest catalog queries, previously
+    # asserted-not-measured. q194/q237 are window-hash explodes + df
+    # aggregates (the q127 shape, now checkpoint-shared); q231 is the
+    # pure-Python FLAC decode (volume-proportional codec CPU — its
+    # curve certifies the mapInPandas stages, not the decoder math)
+    "q194_duplicate_span_coverage",
     "q196_doc_record_linkage",
+    "q231_audio_flac_decode_audit",
+    "q237_repeated_span_scrub",
     # image-dedup family (round 4): codec CPU is embarrassingly parallel,
     # the LSH band join and component rounds are the scale risks
     "q221_image_neardup_pairs",
