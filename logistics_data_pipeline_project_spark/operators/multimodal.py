@@ -2793,12 +2793,25 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
 
 
 class _FlacBitReader:
-    """MSB-first bit reader over bytes (the FLAC bit order)."""
+    """MSB-first bit reader over bytes (the FLAC bit order).
 
-    __slots__ = ("data", "pos", "bit")
+    ``_bits``/``_ones`` optionally hold a whole-payload numpy bit cache
+    (np.unpackbits + positions of set bits, computed ONCE per decode in
+    decode_flac_samples) that the vectorized residual/verbatim readers
+    index directly; the serial read()/read_unary() path stays the
+    source of truth for headers and warmups."""
+
+    __slots__ = ("data", "pos", "bit", "_bits", "_ones")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data, self.pos, self.bit = data, pos, 0
+        self._bits = self._ones = None
+
+    def bitpos(self) -> int:
+        return self.pos * 8 + self.bit
+
+    def seek_bit(self, b: int) -> None:
+        self.pos, self.bit = b >> 3, b & 7
 
     def read(self, n: int) -> int:
         v = 0
@@ -3083,9 +3096,101 @@ _FLAC_SAMPLE_RATES = {
 }
 
 
-def _flac_read_residual(
-    br: _FlacBitReader, n: int, order: int
-) -> list[int]:
+def _flac_bit_cache(payload: bytes):
+    """Whole-payload numpy bit cache: (bit array MSB-first, positions of
+    set bits) — computed once per decode, shared by every frame reader."""
+    import numpy as np
+
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+    return bits, np.flatnonzero(bits).astype(np.int64)
+
+
+def _read_fixed_np(br: _FlacBitReader, cnt: int, width: int):
+    """``cnt`` unsigned ``width``-bit codes at the reader's bit cursor as
+    one strided gather + matmul (int64), advancing the cursor — the
+    vectorized twin of ``cnt`` br.read(width) calls."""
+    import numpy as np
+
+    if cnt == 0 or width == 0:
+        return np.zeros(cnt, dtype=np.int64)
+    bits = br._bits
+    b0 = br.bitpos()
+    if b0 + cnt * width > len(bits):
+        raise ValueError("FLAC bitstream truncated")
+    idx = b0 + np.arange(cnt, dtype=np.int64)[:, None] * width + np.arange(width)
+    vals = bits[idx] @ (np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64))
+    br.seek_bit(b0 + cnt * width)
+    return vals
+
+
+def _rice_partition_np(br: _FlacBitReader, cnt: int, k: int):
+    """Decode ``cnt`` Rice(k) codes (zigzag applied) vectorized.
+
+    The bitstream is serial by spec, but the code BOUNDARIES form a
+    successor chain over the payload's set-bit positions: code i ends at
+    terminator one t_i, and t_{i+1} = first one >= t_i + 1 + k.  One
+    searchsorted builds the whole successor function; pointer doubling
+    extracts the cnt-step path in O(log cnt) vector passes (each code
+    consumes 1 terminator + <= k remainder ones, so the window slice
+    ones[j0 : j0 + cnt*(k+1) + 1] provably contains the path).  Quotients
+    are then term - start deltas, remainders one strided gather — no
+    per-sample Python."""
+    import numpy as np
+
+    if cnt == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits, ones = br._bits, br._ones
+    b0 = br.bitpos()
+    j0 = int(np.searchsorted(ones, b0))
+    if k == 0:
+        # pure unary: every bit is a code bit, terminators are simply the
+        # next cnt set bits
+        term = ones[j0 : j0 + cnt]
+        if len(term) < cnt:
+            raise ValueError("FLAC bitstream truncated")
+        starts = np.empty(cnt, dtype=np.int64)
+        starts[0] = b0
+        starts[1:] = term[:-1] + 1
+        u = term - starts
+        br.seek_bit(int(term[-1]) + 1)
+    else:
+        w = ones[j0 : j0 + cnt * (k + 1) + 1]
+        L = len(w)
+        if L == 0:
+            raise ValueError("FLAC bitstream truncated")
+        nxt = np.searchsorted(w, w + 1 + k).astype(np.int64)
+        f = np.append(nxt, L)  # sentinel node L: ran past the stream
+        path = np.empty(cnt, dtype=np.int64)
+        path[0] = 0
+        filled = 1
+        while filled < cnt:
+            take = min(filled, cnt - filled)
+            path[filled : filled + take] = f[path[:take]]
+            filled += take
+            if filled < cnt:
+                f = f[f]  # double the jump length
+        if int(path.max()) >= L:
+            raise ValueError("FLAC bitstream truncated")
+        term = w[path]
+        if int(term[-1]) + 1 + k > len(bits):
+            raise ValueError("FLAC bitstream truncated")
+        starts = np.empty(cnt, dtype=np.int64)
+        starts[0] = b0
+        starts[1:] = term[:-1] + 1 + k
+        q = term - starts
+        if int(q.max()) >= (1 << (62 - k)):
+            raise ValueError("FLAC Rice quotient overflow")
+        rem = bits[term[:, None] + 1 + np.arange(k)] @ (
+            np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64)
+        )
+        u = (q << k) | rem
+        br.seek_bit(int(term[-1]) + 1 + k)
+    return (u >> 1) ^ -(u & 1)
+
+
+def _flac_read_residual(br: _FlacBitReader, n: int, order: int):
+    import numpy as np
+
     method = br.read(2)
     if method > 1:
         raise ValueError("reserved FLAC residual method")
@@ -3094,7 +3199,7 @@ def _flac_read_residual(
     po = br.read(4)
     if n % (1 << po):
         raise ValueError("bad FLAC partition order")
-    res: list[int] = []
+    res = []
     for p in range(1 << po):
         cnt = (n >> po) - (order if p == 0 else 0)
         if cnt < 0:
@@ -3102,16 +3207,27 @@ def _flac_read_residual(
         k = br.read(pbits)
         if k == escape:
             raw = br.read(5)
-            res.extend(br.read_signed(raw) if raw else 0 for _ in range(cnt))
+            if raw == 0:
+                res.append(np.zeros(cnt, dtype=np.int64))
+            else:
+                v = _read_fixed_np(br, cnt, raw)
+                half = np.int64(1) << (raw - 1)
+                res.append(np.where(v >= half, v - (half << 1), v))
         else:
-            for _ in range(cnt):
-                q = br.read_unary()
-                u = (q << k) | (br.read(k) if k else 0)
-                res.append((u >> 1) ^ -(u & 1))
-    return res
+            res.append(_rice_partition_np(br, cnt, k))
+    return np.concatenate(res) if res else np.zeros(0, dtype=np.int64)
 
 
-def _flac_read_subframe(br: _FlacBitReader, n: int, bps: int) -> list[int]:
+def _flac_read_subframe(br: _FlacBitReader, n: int, bps: int):
+    """One subframe as an int64 numpy array.  FIXED reconstruction is
+    ``order``-fold cumulative integration (the order-o fixed predictor's
+    residual is exactly the o-th forward difference, so x rebuilds as o
+    cumsums seeded by the warmup's difference pyramid — no per-sample
+    loop); VERBATIM is one strided gather; the LPC recurrence is
+    genuinely sequential (arbitrary-coefficient IIR) and stays a Python
+    loop over the already-vectorized residuals."""
+    import numpy as np
+
     if br.read(1):
         raise ValueError("bad FLAC subframe padding bit")
     stype = br.read(6)
@@ -3120,17 +3236,24 @@ def _flac_read_subframe(br: _FlacBitReader, n: int, bps: int) -> list[int]:
         wasted = br.read_unary() + 1
         bps -= wasted
     if stype == 0:  # CONSTANT
-        x = [br.read_signed(bps)] * n
+        x = np.full(n, br.read_signed(bps), dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        x = [br.read_signed(bps) for _ in range(n)]
+        v = _read_fixed_np(br, n, bps)
+        half = np.int64(1) << (bps - 1)
+        x = np.where(v >= half, v - (half << 1), v)
     elif 8 <= stype <= 12:  # FIXED
         order = stype - 8
-        x = [br.read_signed(bps) for _ in range(order)]
+        warm = np.array(
+            [br.read_signed(bps) for _ in range(order)], dtype=np.int64
+        )
         res = _flac_read_residual(br, n, order)
-        coef = _FLAC_FIXED_COEF[order]
-        for i, r in enumerate(res):
-            j = i + order
-            x.append(r + sum(c * x[j - 1 - t] for t, c in enumerate(coef)))
+        # residual = Δ^order x  ⇒  x = order-fold cumsum of res, each
+        # level seeded by Δ^{j-1}x at index order-1 from the warmup
+        # (int64 is safe: every intermediate IS a Δ^j x value, bounded
+        # by ~2^{bps+j})
+        for j in range(order, 0, -1):
+            res = np.int64(np.diff(warm, j - 1)[-1]) + np.cumsum(res)
+        x = np.concatenate([warm, res]) if order else res
     elif stype >= 32:  # LPC
         order = (stype & 31) + 1
         x = [br.read_signed(bps) for _ in range(order)]
@@ -3142,14 +3265,15 @@ def _flac_read_subframe(br: _FlacBitReader, n: int, bps: int) -> list[int]:
             raise ValueError("negative FLAC LPC shift")
         coef = [br.read_signed(prec) for _ in range(order)]
         res = _flac_read_residual(br, n, order)
-        for i, r in enumerate(res):
+        for i in range(len(res)):
             j = i + order
             pred = sum(c * x[j - 1 - t] for t, c in enumerate(coef)) >> shift
-            x.append(r + pred)
+            x.append(int(res[i]) + pred)
+        x = np.array(x, dtype=np.int64)
     else:
         raise ValueError(f"reserved FLAC subframe type {stype}")
     if wasted:
-        x = [v << wasted for v in x]
+        x = x << wasted
     return x
 
 
@@ -3190,10 +3314,14 @@ def decode_flac_samples(payload: bytes) -> tuple[int, list[int]]:
         raise ValueError("FLAC missing STREAMINFO")
     if bps != 16:
         raise NotImplementedError("only 16-bit FLAC decodes here")
-    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    import numpy as np
+
+    bit_cache = _flac_bit_cache(payload)
+    chans: list[list] = [[] for _ in range(n_channels)]
     decoded = 0
     while pos < len(payload) and (not total or decoded < total):
         br = _FlacBitReader(payload, pos)
+        br._bits, br._ones = bit_cache
         if br.read(14) != 0x3FFE:
             raise ValueError("bad FLAC frame sync")
         br.read(1)
@@ -3235,15 +3363,12 @@ def decode_flac_samples(payload: bytes) -> tuple[int, list[int]]:
             c0 = _flac_read_subframe(br, bs, fbps + extra0)
             c1 = _flac_read_subframe(br, bs, fbps + extra1)
             if asgn == 8:  # left-side
-                subs = [c0, [l - s for l, s in zip(c0, c1)]]
+                subs = [c0, c0 - c1]
             elif asgn == 9:  # right-side
-                subs = [[r + s for s, r in zip(c0, c1)], c1]
+                subs = [c1 + c0, c1]
             else:  # mid-side
-                lr = [(m << 1) | (s & 1) for m, s in zip(c0, c1)]
-                subs = [
-                    [(t + s) >> 1 for t, s in zip(lr, c1)],
-                    [(t - s) >> 1 for t, s in zip(lr, c1)],
-                ]
+                lr = (c0 << 1) | (c1 & 1)
+                subs = [(lr + c1) >> 1, (lr - c1) >> 1]
         else:
             raise ValueError("reserved FLAC channel assignment")
         if nch != n_channels:
@@ -3251,18 +3376,23 @@ def decode_flac_samples(payload: bytes) -> tuple[int, list[int]]:
         br.align()
         br.read(16)  # frame CRC-16
         for c in range(n_channels):
-            chans[c].extend(subs[c])
+            chans[c].append(subs[c])
         decoded += bs
         pos = br.pos
     if total and decoded < total:
         raise ValueError("FLAC stream shorter than STREAMINFO total")
-    if total:
-        chans = [c[:total] for c in chans]
-    if n_channels == 1:
-        return int(rate), chans[0]
-    return int(rate), [
-        sum(f) // n_channels for f in zip(*chans)
+    full = [
+        np.concatenate(c) if c else np.zeros(0, dtype=np.int64) for c in chans
     ]
+    if total:
+        full = [c[:total] for c in full]
+    if n_channels == 1:
+        return int(rate), full[0].tolist()
+    # floor-mean downmix (int64 // floors toward -inf, same as Python)
+    mix = full[0]
+    for c in full[1:]:
+        mix = mix + c
+    return int(rate), (mix // n_channels).tolist()
 
 
 def decode_audio_samples(payload: bytes) -> tuple[int, list[int]]:
