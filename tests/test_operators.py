@@ -1452,3 +1452,122 @@ def test_meta_robots_directives_sql_matches_spark():
         ).fetchone()
         assert got == py_extract(h), (h, got, py_extract(h))
     con.close()
+
+
+def test_tracked_checkpoint_concurrent_attribution(spark):
+    """Regression for the checkpoint-attribution race (round-5 ADVICE #2
+    fix, operators/checkpoints.py:42): the pinned-id bookkeeping diffs
+    the JVM-GLOBAL persistent-RDD registry, so two concurrent
+    checkpointers without the module lock could each capture the
+    OTHER's ids and later free blocks a live truncated lineage depends
+    on (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next action).  Drives
+    4 threads x 4 rounds of tracked_local_checkpoint through one
+    barrier-aligned burst and asserts (a) every attribution is
+    non-empty, (b) no RDD id is attributed to two threads, and (c)
+    after freeing EVERY other thread's ids, each surviving thread's
+    checkpointed frames still act correctly — the exact failure mode
+    the lock exists to prevent."""
+    import threading
+
+    from logistics_data_pipeline_project_spark.operators.checkpoints import (
+        free_checkpoints,
+        tracked_local_checkpoint,
+    )
+
+    n_threads, n_rounds = 4, 4
+    results: dict[int, list] = {t: [] for t in range(n_threads)}
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(n_threads)
+
+    def work(t: int) -> None:
+        try:
+            barrier.wait(timeout=60)
+            for r in range(n_rounds):
+                df = spark.range(1000).selectExpr(
+                    "id", f"id * {t + 2} + {r} as v"
+                )
+                ck, ids = tracked_local_checkpoint(df)
+                results[t].append((ck, ids))
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=work, args=(t,)) for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+
+    # (a) eager checkpoints always pin blocks -> non-empty attribution
+    for t in range(n_threads):
+        assert len(results[t]) == n_rounds
+        for _, ids in results[t]:
+            assert ids, f"thread {t} got an empty attribution"
+    # (b) exact attribution: no id claimed by two checkpoint calls
+    flat = [i for t in results for _, ids in results[t] for i in ids]
+    assert len(flat) == len(set(flat)), "ids attributed to multiple threads"
+
+    # (c) free everything thread 0 pinned; threads 1..3's frames must
+    # still be actionable (mis-attribution would have put THEIR block
+    # ids in thread 0's lists and this collect would raise)
+    free_checkpoints(spark, [i for _, ids in results[0] for i in ids])
+    for t in range(1, n_threads):
+        for r, (ck, _) in enumerate(results[t]):
+            got = ck.agg(F.sum("v")).collect()[0][0]
+            assert got == sum(i * (t + 2) + r for i in range(1000))
+    # cleanup: drop the remaining pins so later tests see a clean slate
+    free_checkpoints(
+        spark,
+        [i for t in range(1, n_threads) for _, ids in results[t] for i in ids],
+    )
+
+
+def test_checkpointed_write_concurrent_streams(spark, tmp_path):
+    """Two concurrent checkpointed_write calls (the two-streaming-query
+    shape from the round-5 verdict's ask #6): both writes must land
+    their own data and free their own blocks — no cross-freeing, no
+    leftover pins, no CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
+    import threading
+
+    from logistics_data_pipeline_project_spark.operators.checkpoints import (
+        checkpointed_write,
+    )
+    from logistics_data_pipeline_project_spark.plans.materialize import TableStore
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite("a", spark.range(100).selectExpr("id", "id * 2 as v"))
+    store.overwrite("b", spark.range(100).selectExpr("id", "id * 3 as v"))
+    base = n_persistent()
+    barrier = threading.Barrier(2)
+    errors: list[BaseException] = []
+
+    def bump(table: str) -> None:
+        try:
+            barrier.wait(timeout=60)
+            checkpointed_write(
+                store.read(table).withColumn("v", F.col("v") + 1),
+                lambda ck: store.overwrite(table, ck),
+            )
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=bump, args=(t,)) for t in ("a", "b")
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert n_persistent() == base, "a concurrent write leaked its pins"
+    assert store.read("a").agg(F.sum("v")).collect()[0][0] == sum(
+        2 * i + 1 for i in range(100)
+    )
+    assert store.read("b").agg(F.sum("v")).collect()[0][0] == sum(
+        3 * i + 1 for i in range(100)
+    )
