@@ -3654,6 +3654,219 @@ def encode_mp3_headers(
     return bytes(out)
 
 
+def _skip_id3v2(p: bytes) -> int:
+    """Byte offset of the first post-ID3v2 byte (0 if no tag): the tag
+    size is syncsafe-encoded in bytes 6..9 and excludes the 10-byte
+    tag header itself."""
+    if p[:3] == b"ID3" and len(p) >= 10:
+        return 10 + (
+            ((p[6] & 0x7F) << 21)
+            | ((p[7] & 0x7F) << 14)
+            | ((p[8] & 0x7F) << 7)
+            | (p[9] & 0x7F)
+        )
+    return 0
+
+
+def mp3_vbr_info(payload: bytes) -> tuple[str, int, int, int, int]:
+    """FIRST-FRAME-ONLY VBR-header triage for an MPEG Layer III stream —
+    (tag, declared_frames, declared_bytes, duration_ms, kbps_avg) where
+    ``tag`` is 'xing' / 'info' / 'vbri' / 'none'.  Real-crawl MP3s are
+    mostly VBR, and ``mp3_stream_info``'s per-frame walk reads O(file)
+    header bytes; VBR encoders instead write the stream's exact frame
+    and byte totals into the FIRST frame (LAME/Xing in the side-info
+    gap — 'Xing' for VBR, 'Info' for CBR — and Fraunhofer at the fixed
+    +32 offset as 'VBRI'), so a 100 TB crawl can budget corpus hours
+    from ~200 bytes per file.  Offsets follow the public LAME tag spec:
+    Xing sits after the side info (MPEG1: 17 bytes mono / 32 otherwise;
+    MPEG2/2.5: 9 / 17), VBRI always at header+4+32.  duration_ms =
+    frames * samples_per_frame * 1000 // rate (exact integers),
+    kbps_avg = bytes * 8 // duration_ms.  A missing frames/bytes field
+    (its flag bit unset) zeroes the derived stats rather than guessing.
+    Raises ValueError when no valid Layer III first frame exists;
+    returns ('none', 0, 0, 0, 0) for a tagless (plain CBR) stream —
+    the caller falls back to the full walk."""
+    import struct
+
+    p = payload or b""
+    i = _skip_id3v2(p)
+    if i + 4 > len(p) or p[i] != 0xFF or (p[i + 1] & 0xE0) != 0xE0:
+        raise ValueError("no valid MPEG Layer III frame")
+    h1, h2, h3 = p[i + 1], p[i + 2], p[i + 3]
+    version = (h1 >> 3) & 0x3
+    layer = (h1 >> 1) & 0x3
+    br_idx, sr_idx = h2 >> 4, (h2 >> 2) & 0x3
+    if (
+        version == 1
+        or layer != 1
+        or sr_idx == 3
+        or _MP3_BITRATES[version][br_idx] is None
+    ):
+        raise ValueError("no valid MPEG Layer III frame")
+    rate = _MP3_RATES[version][sr_idx]
+    spf = 1152 if version == 3 else 576
+    mono = (h3 >> 6) == 3
+    if version == 3:
+        side = 17 if mono else 32
+    else:
+        side = 9 if mono else 17
+    frames = nbytes = 0
+    tag = "none"
+    at = i + 4 + side
+    word = p[at : at + 4]
+    if word in (b"Xing", b"Info"):
+        tag = "xing" if word == b"Xing" else "info"
+        if at + 8 <= len(p):
+            (flags,) = struct.unpack(">I", p[at + 4 : at + 8])
+            pos = at + 8
+            if flags & 1 and pos + 4 <= len(p):
+                (frames,) = struct.unpack(">I", p[pos : pos + 4])
+                pos += 4
+            if flags & 2 and pos + 4 <= len(p):
+                (nbytes,) = struct.unpack(">I", p[pos : pos + 4])
+    elif p[i + 4 + 32 : i + 4 + 36] == b"VBRI":
+        tag = "vbri"
+        at = i + 4 + 32
+        if at + 18 <= len(p):
+            (nbytes,) = struct.unpack(">I", p[at + 10 : at + 14])
+            (frames,) = struct.unpack(">I", p[at + 14 : at + 18])
+    duration_ms = frames * spf * 1000 // rate if frames else 0
+    kbps = nbytes * 8 // duration_ms if duration_ms and nbytes else 0
+    return tag, frames, nbytes, duration_ms, kbps
+
+
+def encode_mp3_vbr_header(
+    declared_frames: int,
+    declared_bytes: int,
+    sample_rate: int = 44100,
+    tag: bytes = b"Xing",
+    mono: bool = False,
+) -> bytes:
+    """Synthesize the FIRST frame of a VBR MPEG-1 L3 stream carrying a
+    Xing/Info (side-info offset) or VBRI (+32 fixed offset) header with
+    the given declared frame/byte totals — the fixture twin of
+    ``mp3_vbr_info``.  The frame is a structurally valid 128 kbps
+    MPEG-1 header (the tag frame's OWN bitrate is arbitrary by spec);
+    payload past the tag stays zeroed."""
+    import struct
+
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    br_index = {k: i for i, k in enumerate(_MP3_BITRATES[3]) if k}
+    h2 = (br_index[128] << 4) | (sr_idx << 2)
+    h3 = 0xC0 if mono else 0x00  # channel mode in bits 6..7
+    flen = 144 * 128000 // sample_rate
+    frame = bytearray(flen)
+    frame[0:4] = bytes([0xFF, 0xFB, h2, h3])
+    if tag in (b"Xing", b"Info"):
+        at = 4 + (17 if mono else 32)
+        frame[at : at + 4] = tag
+        frame[at + 4 : at + 8] = struct.pack(">I", 3)  # frames | bytes
+        frame[at + 8 : at + 12] = struct.pack(">I", declared_frames)
+        frame[at + 12 : at + 16] = struct.pack(">I", declared_bytes)
+    elif tag == b"VBRI":
+        at = 4 + 32
+        frame[at : at + 4] = tag
+        frame[at + 4 : at + 6] = struct.pack(">H", 1)  # version
+        frame[at + 6 : at + 8] = struct.pack(">H", 0)  # delay
+        frame[at + 8 : at + 10] = struct.pack(">H", 0)  # quality
+        frame[at + 10 : at + 14] = struct.pack(">I", declared_bytes)
+        frame[at + 14 : at + 18] = struct.pack(">I", declared_frames)
+    else:
+        raise ValueError(f"unknown VBR tag {tag!r}")
+    return bytes(frame)
+
+
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+)
+_ADTS_PROFILES = ("main", "lc", "ssr", "ltp")
+
+
+def adts_stream_info(
+    payload: bytes,
+) -> tuple[int, int, int, int, str, int]:
+    """Header-walk metadata for an AAC ADTS stream — (sample_rate,
+    n_frames, duration_ms, kbps_avg, profile, channels) — without
+    decoding a sample: each ADTS frame header (7 bytes, 9 with CRC)
+    carries its profile, sampling-frequency index, channel config and
+    its OWN 13-bit frame length, so the walk hops frame to frame
+    summing 1024 * (raw_data_blocks + 1) samples each.  The AAC twin
+    of ``mp3_stream_info`` (real crawls are full of .aac/.ts audio):
+    DECODE honestly needs a codec library, but duration/bitrate triage
+    does not.  duration_ms and kbps_avg are exact integer arithmetic
+    (kbps_avg = stream_bytes * 8 // duration_ms).  Raises ValueError
+    for payloads with no valid ADTS frame; trailing garbage or a
+    mid-stream parameter switch ends the walk."""
+    p = payload or b""
+    i = 0
+    n_frames = total_samples = total_bytes = 0
+    rate = profile = channels = None
+    while i + 7 <= len(p):
+        if p[i] != 0xFF or (p[i + 1] & 0xF6) != 0xF0:
+            break
+        prof_idx = p[i + 2] >> 6
+        sr_idx = (p[i + 2] >> 2) & 0xF
+        if sr_idx >= len(_ADTS_RATES):
+            break
+        ch = ((p[i + 2] & 0x1) << 2) | (p[i + 3] >> 6)
+        flen = ((p[i + 3] & 0x3) << 11) | (p[i + 4] << 3) | (p[i + 5] >> 5)
+        hdr = 7 if (p[i + 1] & 0x1) else 9  # protection_absent=0 adds CRC
+        if flen < hdr:
+            break
+        sr = _ADTS_RATES[sr_idx]
+        if rate is not None and (sr, prof_idx, ch) != (rate, profile, channels):
+            break  # parameter switch: treat as end of the stream
+        rdb = p[i + 6] & 0x3
+        n_frames += 1
+        total_samples += 1024 * (rdb + 1)
+        total_bytes += flen
+        rate, profile, channels = sr, prof_idx, ch
+        i += flen
+    if not n_frames:
+        raise ValueError("no valid ADTS frame")
+    duration_ms = total_samples * 1000 // rate
+    kbps = total_bytes * 8 // duration_ms if duration_ms else 0
+    return (
+        int(rate),
+        n_frames,
+        duration_ms,
+        kbps,
+        _ADTS_PROFILES[profile],
+        channels,
+    )
+
+
+def encode_adts_headers(
+    n_frames: int,
+    sample_rate: int = 44100,
+    profile: str = "lc",
+    channels: int = 2,
+    payload_len: int = 13,
+    raw_data_blocks: int = 0,
+) -> bytes:
+    """Synthesize a structurally valid AAC ADTS frame sequence — correct
+    sync/profile/rate/channel/length headers with zeroed AAC payload
+    (the header walk never reads payload bytes).  The fixture twin of
+    ``adts_stream_info``: frame length = 7-byte header + payload_len,
+    samples per frame = 1024 * (raw_data_blocks + 1)."""
+    sr_idx = _ADTS_RATES.index(sample_rate)
+    prof_idx = _ADTS_PROFILES.index(profile)
+    flen = 7 + payload_len
+    out = bytearray()
+    for _ in range(n_frames):
+        frame = bytearray(flen)
+        frame[0] = 0xFF
+        frame[1] = 0xF1  # MPEG-4, layer 00, protection_absent=1
+        frame[2] = (prof_idx << 6) | (sr_idx << 2) | ((channels >> 2) & 0x1)
+        frame[3] = ((channels & 0x3) << 6) | ((flen >> 11) & 0x3)
+        frame[4] = (flen >> 3) & 0xFF
+        frame[5] = ((flen & 0x7) << 5) | 0x1F
+        frame[6] = 0xFC | (raw_data_blocks & 0x3)
+        out += frame
+    return bytes(out)
+
+
 def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
     """Classify one media payload from its magic/header bytes alone —
     (container, codec, decodable_here, reason) — WITHOUT decoding any
@@ -3787,7 +4000,26 @@ def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
                 return "flac", "flac", False, f"{bps}-bit depth"
         return "flac", "flac", True, ""
     if p[:3] == b"ID3" or (len(p) > 1 and p[0] == 0xFF and p[1] & 0xE0 == 0xE0):
-        return "mp3", "mpeg-audio", False, "MP3 needs a codec library"
+        j = _skip_id3v2(p)
+        q = p[j : j + 3]
+        if len(q) > 1 and q[0] == 0xFF and (q[1] & 0xF6) == 0xF0:
+            # ADTS sync is 12 bits + layer 00 (MP3 layers are 01/10/11,
+            # so AAC must be split out before the MPEG-audio catch)
+            prof = _ADTS_PROFILES[q[2] >> 6] if len(q) > 2 else "unknown"
+            return (
+                "aac",
+                f"aac-adts-{prof}",
+                False,
+                "AAC needs a codec library (header triage available)",
+            )
+        # first-frame Xing/Info/VBRI triage distinguishes the VBR lane
+        # (exact declared duration available without walking the file)
+        try:
+            tag = mp3_vbr_info(p)[0]
+        except ValueError:
+            tag = "none"
+        codec = "mpeg-audio-vbr" if tag in ("xing", "vbri") else "mpeg-audio"
+        return "mp3", codec, False, "MP3 needs a codec library"
     if p[4:8] == b"ftyp":
         brand = p[8:12].decode("latin-1", "replace").strip()
         return "mp4", brand.lower(), False, "MP4/AAC needs a codec library"

@@ -10058,3 +10058,145 @@ def q239_meta_robots_gate(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — AAC/ADTS + VBR-MP3 triage (the audio formats real crawls actually
+# carry: .aac/.ts ADTS streams and Xing/VBRI-tagged VBR MP3s)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q240_adts_vbr_audio_triage",
+    tags=("multimodal", "P9"),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 4 AS lane,
+    [48000, 44100, 32000][(doc_id % 3) + 1] AS asr,
+    [44100, 48000, 32000][(doc_id % 3) + 1] AS msr,
+    2 + doc_id % 5 AS anf,
+    17 + doc_id % 7 AS aflen,
+    CASE WHEN doc_id % 2 = 0 THEN 'lc' ELSE 'main' END AS aprof,
+    500 + doc_id % 100 AS xf,
+    160000 + (doc_id % 50) * 1000 AS xb,
+    300 + doc_id % 77 AS vf,
+    120000 + (doc_id % 41) * 999 AS vb
+  FROM documents
+)
+SELECT doc_id,
+  CASE lane WHEN 0 THEN 'aac-adts' WHEN 1 THEN 'mp3-xing'
+            WHEN 2 THEN 'mp3-vbri' ELSE 'mp3-none' END AS kind,
+  CASE lane WHEN 0 THEN aprof WHEN 1 THEN 'xing'
+            WHEN 2 THEN 'vbri' ELSE 'none' END AS detail,
+  CAST(CASE WHEN lane = 0 THEN asr ELSE msr END AS INTEGER) AS sample_rate,
+  CAST(CASE lane WHEN 0 THEN anf WHEN 1 THEN xf
+            WHEN 2 THEN vf ELSE 0 END AS BIGINT) AS n_frames,
+  CAST(CASE lane WHEN 0 THEN anf * 1024 * 1000 // asr
+            WHEN 1 THEN xf * 1152 * 1000 // msr
+            WHEN 2 THEN vf * 1152 * 1000 // msr
+            ELSE 0 END AS BIGINT) AS duration_ms,
+  CAST(CASE lane WHEN 0 THEN anf * aflen * 8 // (anf * 1024 * 1000 // asr)
+            WHEN 1 THEN xb * 8 // (xf * 1152 * 1000 // msr)
+            WHEN 2 THEN vb * 8 // (vf * 1152 * 1000 // msr)
+            ELSE 0 END AS INTEGER) AS kbps_avg
+FROM p
+""",
+)
+def q240_adts_vbr_audio_triage(spark: SparkSession, sf_dir: str):
+    """AAC/ADTS + VBR-MP3 triage — closing the two audio-triage gaps a
+    real 100 TB crawl hits first: (a) raw .aac / transport-stream audio
+    is ADTS-framed, and each 7-byte header carries profile/rate/
+    channels plus its own 13-bit frame length, so ``adts_stream_info``
+    (operators/multimodal.py) walks headers summing 1024 samples per
+    raw-data-block; (b) most real-world MP3s are VBR, where the frame
+    walk of q234 reads O(file) bytes but the LAME/Xing or Fraunhofer
+    VBRI header in the FIRST frame declares the stream's exact frame
+    and byte totals — ``mp3_vbr_info`` reads ~200 bytes and reports
+    exact duration and average bitrate.  Fixtures cycle 4 lanes: an
+    ADTS stream (rate x profile x frame-count varied), a Xing-tagged
+    VBR first frame, a VBRI-tagged first frame, and a tagless CBR
+    stream that must triage as 'none' (no false-positive tags —
+    the caller's signal to fall back to the q234 full walk).  The
+    oracle states every lane's rate / frames / exact integer duration
+    / floor bitrate in closed form.  Scale shape: one Arrow map pass
+    reading O(200) header bytes per payload, no shuffle."""
+    from ..operators.multimodal import adts_stream_info, mp3_vbr_info
+
+    def triage(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import (
+            encode_adts_headers,
+            encode_mp3_headers,
+            encode_mp3_vbr_header,
+        )
+
+        arates = (48000, 44100, 32000)
+        mrates = (44100, 48000, 32000)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                lane = doc_id % 4
+                if lane == 0:
+                    payload = encode_adts_headers(
+                        2 + doc_id % 5,
+                        arates[doc_id % 3],
+                        "lc" if doc_id % 2 == 0 else "main",
+                        channels=2,
+                        payload_len=10 + doc_id % 7,
+                    )
+                    sr, n, dur, kbps, prof, _ch = adts_stream_info(payload)
+                    row = ("aac-adts", prof, sr, n, dur, kbps)
+                else:
+                    if lane == 1:
+                        payload = encode_mp3_vbr_header(
+                            500 + doc_id % 100,
+                            160000 + (doc_id % 50) * 1000,
+                            mrates[doc_id % 3],
+                            b"Xing",
+                        )
+                    elif lane == 2:
+                        payload = encode_mp3_vbr_header(
+                            300 + doc_id % 77,
+                            120000 + (doc_id % 41) * 999,
+                            mrates[doc_id % 3],
+                            b"VBRI",
+                        )
+                    else:
+                        payload = encode_mp3_headers(2, mrates[doc_id % 3])
+                    tag, n, _nb, dur, kbps = mp3_vbr_info(payload)
+                    sr = mrates[doc_id % 3]
+                    row = (f"mp3-{tag}", tag, sr, n, dur, kbps)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "kind": row[0],
+                        "detail": row[1],
+                        "sample_rate": row[2],
+                        "n_frames": row[3],
+                        "duration_ms": row[4],
+                        "kbps_avg": row[5],
+                    }
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "kind",
+                    "detail",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_ms",
+                    "kbps_avg",
+                ],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        triage,
+        schema=(
+            "doc_id long, kind string, detail string, sample_rate int, "
+            "n_frames long, duration_ms long, kbps_avg int"
+        ),
+    )

@@ -1678,3 +1678,98 @@ def test_bmp_pixel_codec_roundtrip_and_guards():
     short = encode_bmp(4, 4, bytes(48))[:40]
     assert S(short) == ("bmp", "bmp", False, "truncated header")
     assert S(b"BM" + bytes(10)) == ("bmp", "bmp", False, "truncated header")
+
+
+def test_adts_stream_info_header_walk():
+    """AAC/ADTS triage reads ONLY frame headers: the 13-bit frame length
+    hops frame to frame, samples = 1024 * (raw_data_blocks + 1), and
+    duration/bitrate are exact integer arithmetic."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        adts_stream_info,
+        encode_adts_headers,
+    )
+
+    a = encode_adts_headers(5, 48000, "lc", 2, payload_len=20)
+    dur = 5 * 1024 * 1000 // 48000
+    assert adts_stream_info(a) == (48000, 5, dur, 5 * 27 * 8 // dur, "lc", 2)
+    # raw_data_blocks multiplies samples per frame
+    b = encode_adts_headers(3, 44100, "main", 1, payload_len=10,
+                            raw_data_blocks=1)
+    sr, n, d, _k, prof, ch = adts_stream_info(b)
+    assert (sr, n, d, prof, ch) == (44100, 3, 3 * 2048 * 1000 // 44100,
+                                    "main", 1)
+    # a mid-stream parameter switch ends the walk (two streams glued)
+    mix = encode_adts_headers(2, 48000) + encode_adts_headers(2, 44100)
+    assert adts_stream_info(mix)[1] == 2
+    # trailing garbage ends the walk, never raises
+    assert adts_stream_info(encode_adts_headers(4) + b"garbage")[1] == 4
+    for bad in (b"", b"junk", b"\xff\xfb\x90\x00"):  # last is MP3, not ADTS
+        with _pytest.raises(ValueError):
+            adts_stream_info(bad)
+
+
+def test_mp3_vbr_header_triage():
+    """First-frame Xing/Info/VBRI triage: declared frame/byte totals ->
+    exact duration + bitrate from ~200 bytes, independent of stream
+    length; tagless CBR streams report 'none' (fall back to the full
+    q234 walk); offsets respect channel-mode-dependent side info."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_mp3_headers,
+        encode_mp3_vbr_header,
+        mp3_vbr_info,
+    )
+
+    x = encode_mp3_vbr_header(500, 160000, 44100, b"Xing")
+    dur = 500 * 1152 * 1000 // 44100
+    assert mp3_vbr_info(x) == ("xing", 500, 160000, dur, 160000 * 8 // dur)
+    # mono moves the Xing offset (17-byte side info, not 32)
+    m = encode_mp3_vbr_header(200, 320000, 48000, b"Info", mono=True)
+    assert mp3_vbr_info(m)[:3] == ("info", 200, 320000)
+    v = encode_mp3_vbr_header(300, 120000, 32000, b"VBRI")
+    dv = 300 * 1152 * 1000 // 32000
+    assert mp3_vbr_info(v) == ("vbri", 300, 120000, dv, 120000 * 8 // dv)
+    # plain CBR: no tag, zeros, caller falls back to mp3_stream_info
+    assert mp3_vbr_info(encode_mp3_headers(4, 44100)) == ("none", 0, 0, 0, 0)
+    # ID3v2 prefix is skipped by its syncsafe size
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    assert mp3_vbr_info(id3 + x)[0] == "xing"
+    for bad in (b"", b"xx", b"not an mp3"):
+        with _pytest.raises(ValueError):
+            mp3_vbr_info(bad)
+
+
+def test_sniff_media_aac_and_vbr_lanes():
+    """Triage separates ADTS AAC (12-bit sync + layer 00) from MPEG
+    audio (layers 01/10/11) BEFORE the generic catch, survives ID3v2
+    prefixes on both, and tags VBR MP3s from their first frame —
+    while the q232 fixture lane (bare CBR header) is untouched."""
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_adts_headers,
+        encode_mp3_headers,
+        encode_mp3_vbr_header,
+        sniff_media_payload as S,
+    )
+
+    a = encode_adts_headers(2, 44100, "lc", 2)
+    assert S(a) == (
+        "aac", "aac-adts-lc", False,
+        "AAC needs a codec library (header triage available)",
+    )
+    assert S(encode_adts_headers(1, 48000, "main", 1))[1] == "aac-adts-main"
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    assert S(id3 + a)[0] == "aac"
+    x = encode_mp3_vbr_header(500, 160000, 44100, b"Xing")
+    assert S(x)[:2] == ("mp3", "mpeg-audio-vbr")
+    assert S(id3 + x)[:2] == ("mp3", "mpeg-audio-vbr")
+    v = encode_mp3_vbr_header(300, 120000, 32000, b"VBRI")
+    assert S(v)[:2] == ("mp3", "mpeg-audio-vbr")
+    # Info = CBR by LAME convention -> not the vbr lane
+    i = encode_mp3_vbr_header(200, 320000, 48000, b"Info")
+    assert S(i)[:2] == ("mp3", "mpeg-audio")
+    assert S(encode_mp3_headers(3, 44100))[:2] == ("mp3", "mpeg-audio")
+    # the exact q232 fixture byte string keeps its lane
+    assert S(b"\xff\xfb\x90\x00" + bytes(32))[:2] == ("mp3", "mpeg-audio")
