@@ -553,6 +553,7 @@ def normalize_unicode(
     out_col: str = "text_nfc",
     form: str = "NFC",
     strip_accents: bool = False,
+    casefold: bool = False,
 ) -> DataFrame:
     """Unicode normalization as a dedup-key projection — the fix for the
     web's OTHER invisible duplicate axis: the same word arrives both
@@ -566,9 +567,21 @@ def normalize_unicode(
     pandas .str, never per-row Python UDF); DuckDB normalizes with
     utf8proc (``nfc_normalize`` / ``strip_accents``), so the q238
     oracle is a genuine CROSS-IMPLEMENTATION differential of the
-    normalization itself, not a replay of the same library.  Scale
-    shape: one mapInPandas projection riding the scan — zero
-    shuffles; the dedup downstream shuffles the normalized key."""
+    normalization itself, not a replay of the same library.
+
+    ``casefold=True`` adds Unicode FULL case folding after the
+    normalization and re-normalizes (the NFKC_Casefold closure, minus
+    default-ignorable removal): case variants are the next invisible
+    duplicate axis after composition forms — Gopher/CCNet-style
+    pipelines casefold before hashing — and full folding also merges
+    what lowercasing cannot (German 'STRASSE'/'straße' -> 'strasse',
+    final sigma 'ς' -> 'σ'), so with form='NFKC' the key collapses
+    fullwidth, ligature AND case variants at once (q241's gate).
+    Re-normalizing matters: folding can reorder composition (e.g.
+    'İ' U+0130 folds to 'i' + U+0307), so fold-then-normalize keeps
+    the key canonical.  Scale shape: one mapInPandas projection riding
+    the scan — zero shuffles; the dedup downstream shuffles the
+    normalized key."""
     import pandas as _pd  # noqa: F401
 
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
@@ -588,7 +601,10 @@ def normalize_unicode(
                     for ch in decomposed
                     if unicodedata.category(ch) != "Mn"
                 )
-            return unicodedata.normalize(form, s)
+            s = unicodedata.normalize(form, s)
+            if casefold:
+                s = unicodedata.normalize(form, s.casefold())
+            return s
 
         for pdf in batches:
             pdf[out_col] = pdf[text_col].map(one)

@@ -10200,3 +10200,86 @@ def q240_adts_vbr_audio_triage(spark: SparkSession, sf_dir: str):
             "n_frames long, duration_ms long, kbps_avg int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — NFKC-casefold dedup (case + compatibility variants are ONE page)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q241_casefold_dedup",
+    tags=("dedup", "text", "P3"),
+    oracle="""
+WITH v AS (
+  SELECT doc_id, doc_id % 8 AS lane, CAST(doc_id // 8 AS VARCHAR) AS g
+  FROM documents
+), f AS (
+  SELECT doc_id, lane,
+    CASE WHEN lane <= 2 THEN 'data pipeline page ' || g
+         WHEN lane <= 4 THEN 'fine print page ' || g
+         WHEN lane <= 6 THEN 'strasse page ' || g
+         ELSE chr(229) || 'ngstr' || chr(246) || 'm page ' || g
+    END AS text_cf
+  FROM v
+)
+SELECT md5(text_cf) AS cf_hash,
+  MIN(text_cf) AS canonical_form,
+  CAST(COUNT(*) AS BIGINT) AS dup_count,
+  CAST(COUNT(DISTINCT lane) AS BIGINT) AS n_variants,
+  MIN(doc_id) AS keeper_doc_id
+FROM f GROUP BY md5(text_cf)
+""",
+)
+def q241_casefold_dedup(spark: SparkSession, sf_dir: str):
+    """NFKC-casefold dedup — after composition forms (q238), CASE and
+    COMPATIBILITY variants are the web's next invisible duplicate axis:
+    the same page arrives shouting-uppercase from one mirror, fullwidth
+    from a CJK CMS, with typographic ligatures from a PDF extractor —
+    and Gopher/CCNet-style pipelines casefold before hashing for
+    exactly this reason.  Fixture docs cycle 8 spellings in 4
+    fold-equivalence groups per page group: {'Data Pipeline', 'DATA
+    PIPELINE', fullwidth 'Ｄａｔａ Ｐｉｐｅｌｉｎｅ'} (NFKC folds
+    fullwidth to ASCII, casefold merges case — 3 byte-distinct docs,
+    one key), {'ﬁne print' with the U+FB01 ligature, 'FINE PRINT'},
+    {'straße', 'STRASSE'} (FULL case folding maps ß -> ss, which mere
+    lowercasing cannot — the lane that separates casefold from
+    lower()), and precomposed 'Ångström' as a merge-with-nothing
+    control.  ``normalize_unicode(..., form='NFKC', casefold=True)``
+    (operators/text.py) computes the key; dedup groups on md5(key);
+    n_variants counts byte-distinct fixture lanes merged per key.  The
+    oracle states every folded key in CLOSED FORM (what NFKC+casefold
+    must produce, codepoint for codepoint — DuckDB's lower() cannot
+    replay full folding, so the expected strings ARE the assertion).
+    Scale shape: folding rides the scan in one mapInPandas projection;
+    the dedup is one shuffle on the 16-byte canonical hash."""
+    from ..operators.text import normalize_unicode
+
+    b = F.col("doc_id").cast("long")
+    g = (b / 8).cast("long").cast("string")
+    lane = (b % 8).cast("int")
+    # NOTE: lane 2 is GENUINELY fullwidth (U+FF24 etc.), lane 3 carries
+    # the U+FB01 ligature, lane 5 the sharp s — byte-distinct spellings
+    # of their groupmates; that difference is the fixture's point
+    text = (
+        F.when(lane == 0, F.concat(F.lit("Data Pipeline page "), g))
+        .when(lane == 1, F.concat(F.lit("DATA PIPELINE PAGE "), g))
+        .when(lane == 2, F.concat(F.lit("Ｄａｔａ Ｐｉｐｅｌｉｎｅ page "), g))
+        .when(lane == 3, F.concat(F.lit("ﬁne print page "), g))
+        .when(lane == 4, F.concat(F.lit("FINE PRINT PAGE "), g))
+        .when(lane == 5, F.concat(F.lit("straße page "), g))
+        .when(lane == 6, F.concat(F.lit("STRASSE page "), g))
+        .otherwise(F.concat(F.lit("Ångström page "), g))
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", lane.alias("lane"), text.alias("text")
+    )
+    n = normalize_unicode(
+        d, "text", out_col="text_cf", form="NFKC", casefold=True
+    )
+    return n.groupBy(F.md5("text_cf").alias("cf_hash")).agg(
+        F.min("text_cf").alias("canonical_form"),
+        F.count(F.lit(1)).alias("dup_count"),
+        F.countDistinct("lane").alias("n_variants"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )

@@ -1571,3 +1571,42 @@ def test_checkpointed_write_concurrent_streams(spark, tmp_path):
     assert store.read("b").agg(F.sum("v")).collect()[0][0] == sum(
         3 * i + 1 for i in range(100)
     )
+
+
+def test_normalize_unicode_casefold_semantics(spark):
+    """NFKC+casefold dedup keys (q241's operator): FULL case folding
+    merges what lowercasing cannot (sharp s, final sigma), NFKC folds
+    compatibility variants (fullwidth, ligatures), the fold
+    re-normalizes to stay canonical (U+0130 decomposes under folding),
+    and the whole projection is idempotent."""
+    from logistics_data_pipeline_project_spark.operators.text import (
+        normalize_unicode,
+    )
+
+    rows = [
+        (1, "STRASSE"),
+        (2, "straße"),          # full folding: ß -> ss
+        (3, "ΟΔΟΣ"),
+        (4, "οδοσ"),            # non-final σ spelling...
+        (5, "οδος"),       # ...merges with the final-sigma ς spelling
+        (6, "Ｆｕｌｌ"),        # fullwidth -> ascii under NFKC
+        (7, "ﬁx"),              # U+FB01 ligature -> 'fi'
+        (8, "FIX"),
+        (9, "İstanbul"),   # İ folds to i + U+0307 (recomposed NFKC)
+        (10, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = normalize_unicode(df, "text", out_col="k", form="NFKC",
+                            casefold=True)
+    got = {r["doc_id"]: r["k"] for r in out.collect()}
+    assert got[1] == got[2] == "strasse"
+    assert got[3] == got[4] == got[5] == "οδοσ"
+    assert got[6] == "full"
+    assert got[7] == got[8] == "fix"
+    import unicodedata
+    assert got[9] == unicodedata.normalize("NFKC", "i̇stanbul")
+    assert got[10] is None
+    # idempotent: folding the folded key is a no-op
+    again = normalize_unicode(out, "k", out_col="k2", form="NFKC",
+                              casefold=True)
+    assert all(r["k"] == r["k2"] for r in again.collect() if r["k"])
