@@ -3837,6 +3837,180 @@ def adts_stream_info(
     )
 
 
+def _ogg_crc_table() -> list[int]:
+    # Ogg page CRC (RFC 3533 A.1): CRC-32 poly 0x04C11DB7, NOT reflected,
+    # init 0, xorout 0 — different from zlib.crc32 on all three counts
+    tbl = []
+    for b in range(256):
+        r = b << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+        tbl.append(r)
+    return tbl
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    r = 0
+    for byte in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _OGG_CRC[(r >> 24) ^ byte]
+    return r
+
+
+_OGG_ID_MAGIC = (
+    (b"\x01vorbis", "vorbis"),
+    (b"OpusHead", "opus"),
+    (b"\x7fFLAC", "flac-ogg"),
+    (b"\x80theora", "theora"),
+    (b"Speex   ", "speex"),
+)
+
+
+def ogg_stream_info(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Page-walk metadata for an Ogg stream — (codec, channels,
+    sample_rate, duration_ms, n_pages) — without decoding a sample:
+    the BOS page's first packet is the codec identification header
+    (Vorbis I: channels at +11, rate LE32 at +12; Opus RFC 7845:
+    channels at +9, pre-skip LE16 at +10, output clock fixed 48 kHz),
+    and every page carries an absolute granule POSITION, so total
+    duration is just the last page's granule over the clock rate
+    (minus pre-skip for Opus).  The Ogg twin of ``mp3_stream_info`` /
+    ``adts_stream_info``: voice corpora arrive overwhelmingly as Ogg
+    Opus, and hour-budgeting them needs page headers only.  Each
+    page's CRC (RFC 3533's non-reflected 0x04C11DB7, which zlib does
+    NOT compute) is verified — a corrupt page ends the walk at the
+    last good granule rather than mis-reporting duration.  Walks only
+    the FIRST bitstream serial (the audio stream in the common
+    single-stream files); other serials' pages are skipped.  Raises
+    ValueError when no valid BOS page exists; codecs without a parsed
+    clock (flac-ogg/theora/speex) report rate 0 and duration 0 —
+    identification is still the triage signal."""
+    p = payload or b""
+    codec, channels, rate, pre_skip = "unknown", 0, 0, 0
+    serial = None
+    granule = 0
+    n_pages = 0
+    i = 0
+    while i + 27 <= len(p):
+        if p[i : i + 4] != b"OggS" or p[i + 4] != 0:
+            break
+        nseg = p[i + 26]
+        head_end = i + 27 + nseg
+        if head_end > len(p):
+            break
+        body_len = sum(p[i + 27 : head_end])
+        page_end = head_end + body_len
+        if page_end > len(p):
+            break
+        crc_stored = int.from_bytes(p[i + 22 : i + 26], "little")
+        crc_real = _ogg_crc(
+            p[i : i + 22] + b"\x00\x00\x00\x00" + p[i + 26 : page_end]
+        )
+        if crc_stored != crc_real:
+            break  # corrupt page: stop at the last good granule
+        page_serial = int.from_bytes(p[i + 14 : i + 18], "little")
+        if serial is None:
+            if not p[i + 5] & 0x02:  # first page must be BOS
+                break
+            serial = page_serial
+            pkt = p[head_end:page_end]
+            for magic, name in _OGG_ID_MAGIC:
+                if pkt[: len(magic)] == magic:
+                    codec = name
+                    break
+            if codec == "vorbis" and len(pkt) >= 16:
+                channels = pkt[11]
+                rate = int.from_bytes(pkt[12:16], "little")
+            elif codec == "opus" and len(pkt) >= 12:
+                channels = pkt[9]
+                pre_skip = pkt[10] | (pkt[11] << 8)
+                rate = 48000  # Opus granules always count 48 kHz samples
+        if page_serial == serial:
+            n_pages += 1
+            g = int.from_bytes(p[i + 6 : i + 14], "little", signed=True)
+            if g > granule:
+                granule = g
+        i = page_end
+    if serial is None:
+        raise ValueError("no valid Ogg BOS page")
+    samples = max(granule - pre_skip, 0)
+    duration_ms = samples * 1000 // rate if rate else 0
+    return codec, channels, rate, duration_ms, n_pages
+
+
+def encode_ogg_pages(
+    codec: str,
+    n_data_pages: int,
+    samples_per_page: int,
+    sample_rate: int = 48000,
+    channels: int = 2,
+    pre_skip: int = 312,
+    serial: int = 0x1234,
+) -> bytes:
+    """Synthesize a structurally valid Ogg page sequence — real page
+    headers, real RFC 3533 CRCs, a real Vorbis/Opus identification
+    packet on the BOS page, zeroed audio payload on the data pages
+    (decoding would need a codec; the page walk never reads payload
+    past the id header).  The fixture twin of ``ogg_stream_info``:
+    data page k carries absolute granule (k+1) * samples_per_page
+    (+ pre_skip for Opus, whose granules include the skipped priming),
+    and the last page sets EOS."""
+    import struct
+
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)
+            + bytes([channels])
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<iii", 0, 128000, 0)
+            + bytes([0xB8, 0x01])  # blocksizes + framing bit
+        )
+    elif codec == "opus":
+        ident = (
+            b"OpusHead"
+            + bytes([1, channels])
+            + struct.pack("<H", pre_skip)
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<h", 0)
+            + bytes([0])
+        )
+    elif codec == "flac-ogg":
+        ident = b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 1) + b"fLaC"
+    else:
+        raise ValueError(f"unknown ogg codec {codec!r}")
+
+    def page(seq: int, granule: int, body: bytes, htype: int) -> bytes:
+        nseg = (len(body) + 254) // 255 if body else 1
+        segs = bytearray()
+        rem = len(body)
+        for _ in range(nseg - 1):
+            segs.append(255)
+            rem -= 255
+        segs.append(rem)
+        head = (
+            b"OggS\x00"
+            + bytes([htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", serial)
+            + struct.pack("<I", seq)
+            + b"\x00\x00\x00\x00"
+            + bytes([nseg])
+            + bytes(segs)
+        )
+        crc = _ogg_crc(head + body)
+        return head[:22] + struct.pack("<I", crc) + head[26:] + body
+
+    base = pre_skip if codec == "opus" else 0
+    out = bytearray(page(0, 0, ident, 0x02))
+    for k in range(n_data_pages):
+        htype = 0x04 if k == n_data_pages - 1 else 0x00
+        out += page(k + 1, base + (k + 1) * samples_per_page, bytes(50), htype)
+    return bytes(out)
+
+
 def encode_adts_headers(
     n_frames: int,
     sample_rate: int = 44100,
@@ -4026,7 +4200,19 @@ def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
     if p[:4] == b"\x1a\x45\xdf\xa3":
         return "mkv", "unknown", False, "Matroska/WebM needs a codec library"
     if p[:4] == b"OggS":
-        return "ogg", "unknown", False, "Ogg needs a codec library"
+        # the BOS page's first packet names the codec (header triage
+        # via ogg_stream_info reads duration off granule positions)
+        codec = "unknown"
+        if len(p) > 27:
+            pkt = p[27 + p[26] :]
+            for magic, name in _OGG_ID_MAGIC:
+                if pkt[: len(magic)] == magic:
+                    codec = name
+                    break
+        reason = "Ogg needs a codec library"
+        if codec in ("vorbis", "opus"):
+            reason += " (header triage available)"
+        return "ogg", codec, False, reason
     return "unknown", "unknown", False, "unrecognized magic"
 
 

@@ -10283,3 +10283,109 @@ def q241_casefold_dedup(spark: SparkSession, sf_dir: str):
         F.countDistinct("lane").alias("n_variants"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q242 — Ogg Vorbis/Opus page-walk triage (voice corpora arrive as Ogg Opus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q242_ogg_opus_triage",
+    tags=("multimodal", "P9"),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 3 AS lane, doc_id // 3 AS g FROM documents
+)
+SELECT doc_id,
+  CASE lane WHEN 0 THEN 'vorbis' WHEN 1 THEN 'opus'
+            ELSE 'flac-ogg' END AS codec,
+  CAST(CASE WHEN lane <= 1 THEN 1 + g % 2 ELSE 0 END AS INTEGER) AS channels,
+  CAST(CASE lane WHEN 0 THEN [44100, 48000, 32000][(g % 3) + 1]
+            WHEN 1 THEN 48000 ELSE 0 END AS INTEGER) AS sample_rate,
+  CAST(CASE lane
+        WHEN 0 THEN (2 + g % 4) * (1024 * (1 + g % 3)) * 1000
+                    // [44100, 48000, 32000][(g % 3) + 1]
+        WHEN 1 THEN (3 + g % 3) * 960 * 1000 // 48000
+        ELSE 0 END AS BIGINT) AS duration_ms,
+  CAST(CASE lane WHEN 0 THEN 3 + g % 4 WHEN 1 THEN 4 + g % 3
+            ELSE 3 END AS BIGINT) AS n_pages
+FROM p
+""",
+)
+def q242_ogg_opus_triage(spark: SparkSession, sf_dir: str):
+    """Ogg Vorbis/Opus page-walk triage — the container voice corpora
+    actually arrive in (podcast/speech crawls are overwhelmingly Ogg
+    Opus): every Ogg page header carries an absolute granule POSITION,
+    so total duration is the last page's granule over the codec clock
+    (Vorbis: rate from the BOS identification header; Opus: fixed
+    48 kHz minus the declared pre-skip) — ``ogg_stream_info``
+    (operators/multimodal.py) walks page headers only, verifying each
+    page's RFC 3533 CRC (non-reflected 0x04C11DB7 — deliberately NOT
+    zlib's) so a corrupt page truncates rather than corrupts the
+    stats.  Fixtures cycle 3 lanes — a Vorbis stream (rate/channels/
+    page-count/samples-per-page varied per doc group), an Opus stream
+    (pre-skip excluded from duration), and a FLAC-in-Ogg stream that
+    identifies but reports no clock — all with REAL page CRCs from the
+    module's own encoder.  The oracle states codec, channels, clock,
+    exact integer duration and page count in closed form.  Scale
+    shape: one Arrow map pass reading O(pages) header bytes per
+    payload, no shuffle."""
+    from ..operators.multimodal import ogg_stream_info
+
+    def triage(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import encode_ogg_pages
+
+        rates = (44100, 48000, 32000)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                lane, g = doc_id % 3, doc_id // 3
+                if lane == 0:
+                    payload = encode_ogg_pages(
+                        "vorbis",
+                        2 + g % 4,
+                        1024 * (1 + g % 3),
+                        rates[g % 3],
+                        1 + g % 2,
+                    )
+                elif lane == 1:
+                    payload = encode_ogg_pages(
+                        "opus",
+                        3 + g % 3,
+                        960,
+                        channels=1 + g % 2,
+                        pre_skip=312 + g % 100,
+                    )
+                else:
+                    payload = encode_ogg_pages("flac-ogg", 2, 4096)
+                codec, ch, sr, dur, np_ = ogg_stream_info(payload)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "codec": codec,
+                        "channels": ch,
+                        "sample_rate": sr,
+                        "duration_ms": dur,
+                        "n_pages": np_,
+                    }
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "codec", "channels",
+                    "sample_rate", "duration_ms", "n_pages",
+                ],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        triage,
+        schema=(
+            "doc_id long, codec string, channels int, sample_rate int, "
+            "duration_ms long, n_pages long"
+        ),
+    )

@@ -1773,3 +1773,76 @@ def test_sniff_media_aac_and_vbr_lanes():
     assert S(encode_mp3_headers(3, 44100))[:2] == ("mp3", "mpeg-audio")
     # the exact q232 fixture byte string keeps its lane
     assert S(b"\xff\xfb\x90\x00" + bytes(32))[:2] == ("mp3", "mpeg-audio")
+
+
+def test_ogg_stream_info_page_walk():
+    """Ogg triage reads ONLY page headers: codec from the BOS packet
+    magic, duration from the last valid page's granule position
+    (Vorbis at the declared rate, Opus at the fixed 48 kHz clock minus
+    pre-skip), and every page's RFC 3533 CRC (non-reflected 0x04C11DB7,
+    init/xorout 0 — NOT zlib's) gates the walk: a corrupt page stops
+    it at the last good granule instead of mis-reporting duration."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        _ogg_crc,
+        encode_ogg_pages,
+        ogg_stream_info,
+    )
+
+    # independent bitwise CRC implementation pins the table-driven one
+    def crc_ref(data: bytes) -> int:
+        r = 0
+        for byte in data:
+            r ^= byte << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) \
+                    & 0xFFFFFFFF
+        return r
+
+    for blob in (b"", b"123456789", bytes(range(256))):
+        assert _ogg_crc(blob) == crc_ref(blob)
+
+    v = encode_ogg_pages("vorbis", 3, 1024, 44100, 2)
+    assert ogg_stream_info(v) == (
+        "vorbis", 2, 44100, 3 * 1024 * 1000 // 44100, 4,
+    )
+    # Opus granules include the priming pre-skip; duration excludes it
+    o = encode_ogg_pages("opus", 5, 960, channels=1, pre_skip=312)
+    assert ogg_stream_info(o) == ("opus", 1, 48000, 5 * 960 * 1000 // 48000, 6)
+    # identification-only codecs report no clock
+    f = encode_ogg_pages("flac-ogg", 2, 4096)
+    assert ogg_stream_info(f)[:1] + ogg_stream_info(f)[2:4] == ("flac-ogg", 0, 0)
+    # a flipped byte fails that page's CRC -> duration from last GOOD page
+    bad = bytearray(v)
+    second = bad.index(b"OggS", 4)
+    third = bad.index(b"OggS", second + 4)
+    bad[third + 30] ^= 0xFF
+    assert ogg_stream_info(bytes(bad)) == (
+        "vorbis", 2, 44100, 1024 * 1000 // 44100, 2,
+    )
+    # truncation mid-page ends the walk; garbage raises
+    assert ogg_stream_info(v[: len(v) - 10])[4] == 3
+    for junk in (b"", b"OggS but junk", b"not ogg"):
+        with _pytest.raises(ValueError):
+            ogg_stream_info(junk)
+
+
+def test_sniff_media_ogg_codec_lanes():
+    """The Ogg sniff lane names the codec from the BOS packet so the
+    triage census can split vorbis/opus (triage-able: duration off
+    granules) from codecs this engine only identifies."""
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_ogg_pages,
+        sniff_media_payload as S,
+    )
+
+    assert S(encode_ogg_pages("vorbis", 1, 1024, 44100)) == (
+        "ogg", "vorbis", False,
+        "Ogg needs a codec library (header triage available)",
+    )
+    assert S(encode_ogg_pages("opus", 1, 960))[1] == "opus"
+    assert S(encode_ogg_pages("flac-ogg", 1, 10)) == (
+        "ogg", "flac-ogg", False, "Ogg needs a codec library",
+    )
+    assert S(b"OggSx") == ("ogg", "unknown", False, "Ogg needs a codec library")
