@@ -62,24 +62,48 @@ HEAVY = [
 ]
 TABLES = ["documents", "embeddings", "orders"]
 KEY_OFF = 10_000_000
-# Full-alphabet + digit rotation per replica (1:1 translate — length-
-# preserving, deterministic). Earlier versions rotated only vowels, then
-# vowels+5 consonants: any token made of OTHER characters was INVARIANT
-# across replicas, so a rare-but-invariant token/shingle appeared in all
-# k replicas and generated C(k,2) cross-replica candidate pairs — a k^2
-# term invisible at x10 (measured: it pushed q127's prefix-filter join
-# super-linear between x10 and x20 while every within-replica cost
-# stayed linear). Letters rotate with period 26 and digits with period
-# 10, so all replicas k < 20 get distinct mappings and only punctuation-
-# only tokens remain shared — weak scaling now measures the OPERATOR,
-# not the fixture.
+# Per-replica AFFINE character permutation (1:1 translate — length-
+# preserving, deterministic). History: earlier versions rotated only
+# vowels, then vowels+5 consonants: any token made of OTHER characters
+# was INVARIANT across replicas, so a rare-but-invariant token/shingle
+# appeared in all k replicas and generated C(k,2) cross-replica
+# candidate pairs — a k^2 term invisible at x10 (measured: it pushed
+# q127's prefix-filter join super-linear between x10 and x20 while
+# every within-replica cost stayed linear). Full-alphabet ROTATION
+# fixed that for k < 20 but has period 26 (k and k±26 share the whole
+# letter map) and its digit twin had period 10 (k and k+10 shared ALL
+# digits, so pure-number tokens were invariant between those replica
+# pairs). The affine map c_i -> c_{(a*i+b) mod n} generalizes rotation
+# (a=1 IS rotation, so replicas k < 26 produce byte-identical data to
+# the old scheme): two DISTINCT affine maps over Z_n agree on at most
+# gcd(a_j - a_k, n) <= 2 characters, so any token with 3+ distinct
+# letters (or 3+ distinct digits) is never shared between replicas.
+# Letters: a cycles the 12 units of Z_26 once per 26 replicas; digits:
+# a cycles the 4 units of Z_10 once per 10 replicas — all (a, b) pairs
+# distinct for k < 312 (letters) / k < 40 (digits), far past any
+# multiple this harness runs. Only punctuation-only and short repeated-
+# character tokens can remain shared — weak scaling measures the
+# OPERATOR, not the fixture.
 _AZ = "abcdefghijklmnopqrstuvwxyz"
 _DG = "0123456789"
+_UNITS26 = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+_UNITS10 = (1, 3, 7, 9)
+# data-layout version: bump when _replica's mapping changes so stale
+# .scale/x*/ shards regenerate (checked against the _DONE marker)
+_FIXTURE_V = "v2"
 
 
-def _rot(s: str, k: int) -> str:
-    k %= len(s)
-    return s[k:] + s[:k]
+def _affine(s: str, a: int, b: int) -> str:
+    n = len(s)
+    return "".join(s[(a * i + b) % n] for i in range(n))
+
+
+def _letter_map(k: int) -> str:
+    return _affine(_AZ, _UNITS26[(k // 26) % len(_UNITS26)], k % 26)
+
+
+def _digit_map(k: int) -> str:
+    return _affine(_DG, _UNITS10[(k // 10) % len(_UNITS10)], k % 10)
 
 
 def _replica(df, table: str, k: int):
@@ -89,7 +113,7 @@ def _replica(df, table: str, k: int):
         return df.select(
             (F.col("doc_id") + k * KEY_OFF).alias("doc_id"),
             F.translate(
-                "text", _AZ + _DG, _rot(_AZ, k % 26) + _rot(_DG, k % 10)
+                "text", _AZ + _DG, _letter_map(k) + _digit_map(k)
             ).alias("text"),
             "lang",
             "source",
@@ -111,8 +135,14 @@ def _replica(df, table: str, k: int):
 
 
 def _gen(spark, mult: int, out_dir: str) -> None:
-    if os.path.isfile(os.path.join(out_dir, "_DONE")):
-        return
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.isfile(done):
+        with open(done) as f:
+            content = f.read()
+        # v2 changed digit maps only for replicas k >= 10, so pre-v2
+        # shards below that replica count are still byte-identical
+        if content.startswith(_FIXTURE_V) or (mult <= 10 and ":" not in content):
+            return
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         src = spark.read.parquet(f"{BASE}/{t}.parquet")
@@ -122,7 +152,7 @@ def _gen(spark, mult: int, out_dir: str) -> None:
             df = df.unionByName(p)
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
     with open(os.path.join(out_dir, "_DONE"), "w") as f:
-        f.write(str(mult))
+        f.write(f"{_FIXTURE_V}:{mult}")
 
 
 def _time_point(mult: int, sf_dir: str) -> dict:
@@ -222,7 +252,7 @@ def main() -> None:
         "mults": mults,
         "points": points,
         "ratio_vs_x1": ratios,
-        "design": "weak-scaling: k independent key-offset, full-alphabet+digit-rotated sf0.1 shards (replicas share no keys and no letter/digit tokens)",
+        "design": "weak-scaling: k independent key-offset sf0.1 shards under per-replica affine letter/digit permutations (distinct maps agree on <=2 chars, so replicas share no keys and no 3+-distinct-char tokens)",
     }
     out = os.path.join(repo, "bench_history", "SCALE_CURVE.json")
     with open(out, "w") as f:
