@@ -4018,20 +4018,23 @@ def encode_adts_headers(
     channels: int = 2,
     payload_len: int = 13,
     raw_data_blocks: int = 0,
+    with_crc: bool = False,
 ) -> bytes:
     """Synthesize a structurally valid AAC ADTS frame sequence — correct
     sync/profile/rate/channel/length headers with zeroed AAC payload
     (the header walk never reads payload bytes).  The fixture twin of
-    ``adts_stream_info``: frame length = 7-byte header + payload_len,
-    samples per frame = 1024 * (raw_data_blocks + 1)."""
+    ``adts_stream_info``: frame length = 7-byte header (9 with
+    ``with_crc``: protection_absent=0 adds a 16-bit CRC field) +
+    payload_len, samples per frame = 1024 * (raw_data_blocks + 1)."""
     sr_idx = _ADTS_RATES.index(sample_rate)
     prof_idx = _ADTS_PROFILES.index(profile)
-    flen = 7 + payload_len
+    flen = (9 if with_crc else 7) + payload_len
     out = bytearray()
     for _ in range(n_frames):
         frame = bytearray(flen)
         frame[0] = 0xFF
-        frame[1] = 0xF1  # MPEG-4, layer 00, protection_absent=1
+        # MPEG-4, layer 00; low bit = protection_absent (0 -> CRC runs)
+        frame[1] = 0xF0 if with_crc else 0xF1
         frame[2] = (prof_idx << 6) | (sr_idx << 2) | ((channels >> 2) & 0x1)
         frame[3] = ((channels & 0x3) << 6) | ((flen >> 11) & 0x3)
         frame[4] = (flen >> 3) & 0xFF
@@ -4039,6 +4042,296 @@ def encode_adts_headers(
         frame[6] = 0xFC | (raw_data_blocks & 0x3)
         out += frame
     return bytes(out)
+
+
+def mp4_stream_info(
+    payload: bytes,
+) -> tuple[str, int, int, int, str, str]:
+    """Box-walk metadata for an ISO-BMFF (MP4/MOV/M4A) file — (brand,
+    duration_ms, timescale, n_tracks, video_codec, audio_codec) —
+    without touching a media sample: ISO/IEC 14496-12 files are a tree
+    of length-prefixed boxes, so the walk reads ftyp's major brand,
+    mvhd's timescale+duration (version 0: 32-bit at +12/+16; version 1:
+    64-bit at +20/+24), and per trak the hdlr handler type (vide/soun)
+    plus the first stsd sample-entry fourcc (avc1/hev1/mp4a/...).  The
+    video twin of the audio header walks: a 100 TB video crawl budgets
+    transcode hours and codec-library needs from O(1 KB) of moov
+    headers, never the mdat payload.  duration_ms is exact integer
+    arithmetic (duration * 1000 // timescale).  Raises ValueError when
+    no ftyp box leads the file; a missing moov (the
+    streaming-unfriendly 'moov at end, file truncated' case) reports
+    zero duration/tracks — identification is still the triage signal."""
+    import struct
+
+    p = payload or b""
+
+    def boxes(lo: int, hi: int):
+        j = lo
+        while j + 8 <= hi:
+            (size,) = struct.unpack(">I", p[j : j + 4])
+            fourcc = p[j + 4 : j + 8]
+            body = j + 8
+            if size == 1:
+                if j + 16 > hi:
+                    return
+                (size,) = struct.unpack(">Q", p[j + 8 : j + 16])
+                body = j + 16
+            elif size == 0:
+                size = hi - j
+            if size < 8 or j + size > hi:
+                return
+            yield fourcc, body, j + size
+            j += size
+
+    def child(lo: int, hi: int, fourcc: bytes):
+        for fc, b, e in boxes(lo, hi):
+            if fc == fourcc:
+                return b, e
+        return None
+
+    top = list(boxes(0, len(p)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("no leading ftyp box")
+    brand = p[top[0][1] : top[0][1] + 4].decode("latin-1").strip().lower()
+    timescale = duration = 0
+    n_tracks = 0
+    video_codec = audio_codec = ""
+    moov = child(0, len(p), b"moov")
+    if moov:
+        mv = child(*moov, b"mvhd")
+        if mv:
+            b = mv[0]
+            ver = p[b]
+            if ver == 1 and b + 32 <= mv[1]:
+                (timescale,) = struct.unpack(">I", p[b + 20 : b + 24])
+                (duration,) = struct.unpack(">Q", p[b + 24 : b + 32])
+            elif ver == 0 and b + 20 <= mv[1]:
+                (timescale,) = struct.unpack(">I", p[b + 12 : b + 16])
+                (duration,) = struct.unpack(">I", p[b + 16 : b + 20])
+        for fc, b, e in boxes(*moov):
+            if fc != b"trak":
+                continue
+            n_tracks += 1
+            mdia = child(b, e, b"mdia")
+            if not mdia:
+                continue
+            hd = child(*mdia, b"hdlr")
+            handler = p[hd[0] + 8 : hd[0] + 12] if hd else b""
+            minf = child(*mdia, b"minf")
+            stbl = child(*minf, b"stbl") if minf else None
+            stsd = child(*stbl, b"stsd") if stbl else None
+            codec = ""
+            if stsd and stsd[0] + 16 <= stsd[1]:
+                # stsd: version/flags(4) + entry_count(4) + first
+                # sample entry (size(4) + fourcc(4))
+                codec = (
+                    p[stsd[0] + 12 : stsd[0] + 16]
+                    .decode("latin-1")
+                    .strip()
+                    .lower()
+                )
+            if handler == b"vide" and not video_codec:
+                video_codec = codec
+            elif handler == b"soun" and not audio_codec:
+                audio_codec = codec
+    duration_ms = duration * 1000 // timescale if timescale else 0
+    return brand, duration_ms, timescale, n_tracks, video_codec, audio_codec
+
+
+def encode_mp4_boxes(
+    brand: str = "isom",
+    duration: int = 0,
+    timescale: int = 1000,
+    tracks: Sequence[tuple[str, str]] = (),
+    mvhd_version: int = 0,
+) -> bytes:
+    """Synthesize a structurally valid ISO-BMFF box tree — real ftyp /
+    moov / mvhd / trak / mdia / hdlr / minf / stbl / stsd nesting with
+    correct length prefixes and an empty mdat (the box walk never reads
+    samples).  The fixture twin of ``mp4_stream_info``: ``tracks`` is a
+    sequence of (handler, codec_fourcc) like ('vide', 'avc1')."""
+    import struct
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    ftyp = box(b"ftyp", brand.encode("latin-1").ljust(4)[:4] + struct.pack(">I", 0))
+    if mvhd_version == 1:
+        mvhd_body = (
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", duration)
+            + bytes(80)
+        )
+    else:
+        mvhd_body = (
+            b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", timescale)
+            + struct.pack(">I", duration)
+            + bytes(80)
+        )
+    kids = [box(b"mvhd", mvhd_body)]
+    for handler, codec in tracks:
+        entry = struct.pack(">I", 16) + codec.encode("latin-1").ljust(4)[:4] + bytes(8)
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        hdlr = box(
+            b"hdlr",
+            bytes(8) + handler.encode("latin-1").ljust(4)[:4] + bytes(13),
+        )
+        mdia = box(b"mdia", hdlr + minf)
+        kids.append(box(b"trak", mdia))
+    return ftyp + box(b"moov", b"".join(kids)) + box(b"mdat", b"")
+
+
+def _ebml_vint(p: bytes, i: int, strip_marker: bool) -> tuple[int, int]:
+    """Parse one EBML variable-length integer at offset ``i`` ->
+    (value, next_offset).  The first byte's leading-zero count gives
+    the width; element IDs keep the marker bit (matroska convention),
+    sizes strip it.  Raises ValueError on truncation/zero byte."""
+    if i >= len(p) or p[i] == 0:
+        raise ValueError("bad EBML varint")
+    first = p[i]
+    width = 8 - first.bit_length() + 1
+    if i + width > len(p):
+        raise ValueError("truncated EBML varint")
+    v = first & (0xFF >> width) if strip_marker else first
+    for b in p[i + 1 : i + width]:
+        v = (v << 8) | b
+    return v, i + width
+
+
+def mkv_stream_info(payload: bytes) -> tuple[str, int, int, str, str]:
+    """EBML-walk metadata for a Matroska/WebM file — (doctype,
+    duration_ms, n_tracks, video_codec, audio_codec) — without reading
+    a media block: EBML is a tree of (varint id, varint size, body)
+    elements, so the walk reads the header's DocType ('webm' vs
+    'matroska'), Segment>Info's TimestampScale (ns per tick, default
+    1,000,000) and float Duration (ticks), and per TrackEntry the
+    TrackType (1 video / 2 audio) and CodecID ('V_VP9', 'A_OPUS', ...).
+    WebM is the other half of the crawl video story next to MP4 —
+    duration_ms = int(Duration * scale_ns // 1e6) in exact integer
+    arithmetic once Duration's float is read.  Raises ValueError
+    without a leading EBML header; a missing Segment/Info reports zero
+    duration — identification is still the triage signal."""
+    import struct
+
+    p = payload or b""
+    if p[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("no EBML header")
+
+    def walk(lo: int, hi: int):
+        j = lo
+        while j < hi:
+            try:
+                eid, k = _ebml_vint(p, j, strip_marker=False)
+                size, body = _ebml_vint(p, k, strip_marker=True)
+            except ValueError:
+                return
+            end = body + size
+            if end > hi:
+                return
+            yield eid, body, end
+            j = end
+
+    doctype = "unknown"
+    scale_ns = 1_000_000
+    dur_ticks = 0.0
+    n_tracks = 0
+    video_codec = audio_codec = ""
+    for eid, b, e in walk(0, len(p)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for i2, b2, e2 in walk(b, e):
+                if i2 == 0x4282:  # DocType
+                    doctype = p[b2:e2].decode("latin-1").rstrip("\x00")
+        elif eid == 0x18538067:  # Segment
+            for i2, b2, e2 in walk(b, e):
+                if i2 == 0x1549A966:  # Info
+                    for i3, b3, e3 in walk(b2, e2):
+                        if i3 == 0x2AD7B1:  # TimestampScale (uint)
+                            scale_ns = int.from_bytes(p[b3:e3], "big")
+                        elif i3 == 0x4489:  # Duration (float 4/8)
+                            raw = p[b3:e3]
+                            dur_ticks = struct.unpack(
+                                ">f" if len(raw) == 4 else ">d", raw
+                            )[0]
+                elif i2 == 0x1654AE6B:  # Tracks
+                    for i3, b3, e3 in walk(b2, e2):
+                        if i3 != 0xAE:  # TrackEntry
+                            continue
+                        n_tracks += 1
+                        ttype, codec = 0, ""
+                        for i4, b4, e4 in walk(b3, e3):
+                            if i4 == 0x83:
+                                ttype = int.from_bytes(p[b4:e4], "big")
+                            elif i4 == 0x86:
+                                codec = (
+                                    p[b4:e4].decode("latin-1").rstrip("\x00")
+                                )
+                        if ttype == 1 and not video_codec:
+                            video_codec = codec
+                        elif ttype == 2 and not audio_codec:
+                            audio_codec = codec
+    duration_ms = int(dur_ticks * scale_ns) // 1_000_000 if dur_ticks else 0
+    return doctype, duration_ms, n_tracks, video_codec, audio_codec
+
+
+def encode_mkv_elements(
+    doctype: str = "webm",
+    duration_ticks: float = 0.0,
+    timestamp_scale: int = 1_000_000,
+    tracks: Sequence[tuple[int, str]] = (),
+) -> bytes:
+    """Synthesize a structurally valid EBML/Matroska element tree —
+    real varint ids/sizes for EBML>DocType, Segment>Info
+    (TimestampScale + float64 Duration) and Segment>Tracks>TrackEntry
+    (TrackType + CodecID).  The fixture twin of ``mkv_stream_info``:
+    ``tracks`` is a sequence of (track_type, codec_id) like
+    (1, 'V_VP9')."""
+    import struct
+
+    def vint_size(n: int) -> bytes:
+        # encode size in the fewest bytes with the marker bit
+        for width in range(1, 9):
+            if n < (1 << (7 * width)) - 1:
+                v = n | (1 << (7 * width))
+                return v.to_bytes(width, "big")
+        raise ValueError("size too large")
+
+    def elem(eid: int, body: bytes) -> bytes:
+        return (
+            eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+            + vint_size(len(body))
+            + body
+        )
+
+    header = elem(
+        0x1A45DFA3,
+        elem(0x4282, doctype.encode("latin-1")),
+    )
+    info_kids = elem(
+        0x2AD7B1,
+        timestamp_scale.to_bytes(
+            max((timestamp_scale.bit_length() + 7) // 8, 1), "big"
+        ),
+    )
+    if duration_ticks:
+        info_kids += elem(0x4489, struct.pack(">d", duration_ticks))
+    seg_kids = elem(0x1549A966, info_kids)
+    if tracks:
+        entries = b"".join(
+            elem(
+                0xAE,
+                elem(0x83, bytes([ttype]))
+                + elem(0x86, codec.encode("latin-1")),
+            )
+            for ttype, codec in tracks
+        )
+        seg_kids += elem(0x1654AE6B, entries)
+    return header + elem(0x18538067, seg_kids)
 
 
 def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
@@ -4196,9 +4489,24 @@ def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:
         return "mp3", codec, False, "MP3 needs a codec library"
     if p[4:8] == b"ftyp":
         brand = p[8:12].decode("latin-1", "replace").strip()
-        return "mp4", brand.lower(), False, "MP4/AAC needs a codec library"
+        return (
+            "mp4",
+            brand.lower(),
+            False,
+            "MP4/AAC needs a codec library (header triage available)",
+        )
     if p[:4] == b"\x1a\x45\xdf\xa3":
-        return "mkv", "unknown", False, "Matroska/WebM needs a codec library"
+        # the EBML DocType splits WebM from generic Matroska
+        try:
+            doctype = mkv_stream_info(p)[0]
+        except ValueError:
+            doctype = "unknown"
+        return (
+            "mkv",
+            doctype,
+            False,
+            "Matroska/WebM needs a codec library (header triage available)",
+        )
     if p[:4] == b"OggS":
         # the BOS page's first packet names the codec (header triage
         # via ogg_stream_info reads duration off granule positions)

@@ -34,6 +34,9 @@ __all__ = [
     "frequent_window_scrub",
     "normalize_unicode",
     "meta_robots_flags",
+    "parse_robots_txt",
+    "robots_rules",
+    "robots_gate",
     "STOPWORDS_EN",
     "LANG_MARKERS",
 ]
@@ -685,4 +688,158 @@ def meta_robots_flags(html: Column | str) -> Column:
     return F.struct(
         (has("noindex") | has("none")).alias("noindex"),
         (has("nofollow") | has("none")).alias("nofollow"),
+    )
+
+
+def parse_robots_txt(text: str, user_agent: str = "*") -> list[tuple[bool, str]]:
+    """Parse one robots.txt body into the rule list that applies to
+    ``user_agent`` -> [(allow, path_pattern), ...] per RFC 9309: '#'
+    comments strip, fields are case-insensitive, consecutive
+    ``User-agent`` lines form one group header, and the MOST SPECIFIC
+    group wins — all groups naming this agent (case-insensitive token
+    match) if any exist, else all ``*`` groups; other groups' rules do
+    NOT apply (the classic crawler bug is merging the ``*`` group's
+    ``Disallow: /`` into a bot-specific group).  Unknown fields
+    (Crawl-delay, Sitemap, ...) are ignored; an empty Disallow value
+    is a no-op per the RFC.  Pure function — :func:`robots_rules`
+    distributes it with Arrow batches."""
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_header = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            if not in_header:
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = [], []
+                in_header = True
+            agents.append(value.lower())
+        else:
+            in_header = False
+            if field in ("allow", "disallow") and value:
+                rules.append((field == "allow", value))
+    if agents:
+        groups.append((agents, rules))
+    specific = [r for a, rs in groups if ua in a for r in rs]
+    if any(ua in a for a, _ in groups):
+        return specific
+    return [r for a, rs in groups if "*" in a for r in rs]
+
+
+def _robots_like(rule: str) -> str:
+    """RFC 9309 path pattern -> SQL LIKE pattern (escape char '!'):
+    '*' is a wildcard, a trailing '$' anchors the end, everything else
+    is literal prefix match (no trailing '%' only when anchored)."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append("%")
+        elif ch in ("%", "_", "!"):
+            out.append("!" + ch)
+        else:
+            out.append(ch)
+    pat = "".join(out)
+    if not anchored and not pat.endswith("%"):
+        pat += "%"
+    return pat
+
+
+def robots_rules(
+    robots_df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    user_agent: str = "*",
+) -> DataFrame:
+    """Distribute :func:`parse_robots_txt` over a (domain, robots.txt)
+    table -> (domain, allow, rule_len, like_pat): one Arrow-batched
+    pass; ``rule_len`` is the RFC's specificity (octets of the raw
+    pattern, '$' included) and ``like_pat`` the engine-portable LIKE
+    translation ('*'->'%', trailing '$' anchors, '!' escapes).  The
+    rule table is robots-txt-sized (KBs per domain), broadcastable —
+    the whole point of gating 100 TB of pages against it."""
+
+    def parse(batches):
+        import pandas as _pd
+
+        cols = ["domain", "allow", "rule_len", "like_pat"]
+        for pdf in batches:
+            out = []
+            for domain, text in zip(pdf[domain_col], pdf[text_col]):
+                for allow, rule in parse_robots_txt(
+                    text if text is not None else "", user_agent
+                ):
+                    out.append(
+                        {
+                            "domain": domain,
+                            "allow": allow,
+                            "rule_len": len(rule),
+                            "like_pat": _robots_like(rule),
+                        }
+                    )
+            yield _pd.DataFrame(out, columns=cols)
+
+    return robots_df.select(
+        F.col(domain_col), F.col(text_col)
+    ).mapInPandas(
+        parse,
+        schema="domain string, allow boolean, rule_len int, like_pat string",
+    )
+
+
+def robots_gate(
+    pages_df: DataFrame,
+    rules_df: DataFrame,
+    id_col: str,
+    url_col: str,
+) -> DataFrame:
+    """Crawl-consent gate, domain half (q239 is the in-page half):
+    decide ``allowed`` per page under RFC 9309 LONGEST-MATCH — among
+    the page domain's rules whose pattern matches the URL path, the
+    longest wins and Allow beats Disallow on ties; no matching rule
+    (or no robots.txt at all) means allowed.  Dataflow: extract
+    domain + path from the URL (codegen regex), LEFT join the
+    BROADCAST rule table on domain (the corpus never shuffles for the
+    gate — same stance as the q230 blocklist), score every matching
+    rule as ``rule_len * 2 + allow`` (one integer encodes both
+    precedence keys), and one groupBy-max per page decides.  Returns
+    (id, domain, path, allowed).  Engine-portable: LIKE-with-ESCAPE
+    matching and integer max replay verbatim on DuckDB (q245).  Scale
+    shape: one broadcast join + one aggregate on the page id — rule
+    fan-out is bounded by rules-per-domain (KBs), never page count."""
+    u = F.col(url_col)
+    pages = pages_df.select(
+        F.col(id_col),
+        F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1)).alias("domain"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(u, r"^[^:]+://[^/?#]+([^#]*)", 1), F.lit("")),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    joined = pages.join(F.broadcast(rules_df), "domain", "left").withColumn(
+        "score",
+        F.when(
+            F.expr("path LIKE like_pat ESCAPE '!'"),
+            F.col("rule_len") * 2 + F.col("allow").cast("int"),
+        ),
+    )
+    return (
+        joined.groupBy(id_col, "domain", "path")
+        .agg(F.max("score").alias("best"))
+        .select(
+            id_col,
+            "domain",
+            "path",
+            (F.col("best").isNull() | (F.col("best") % 2 == 1)).alias(
+                "allowed"
+            ),
+        )
     )

@@ -10389,3 +10389,378 @@ def q242_ogg_opus_triage(spark: SparkSession, sf_dir: str):
             "duration_ms long, n_pages long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q243 — MP4/Matroska container triage (the other half of crawl video next
+# to MJPEG-AVI: box/EBML walks, never a media sample)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q243_video_container_triage",
+    tags=("multimodal", "P9"),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 4 AS lane, doc_id // 4 AS g FROM documents
+)
+SELECT doc_id,
+  CASE WHEN lane <= 1 THEN 'mp4' ELSE 'mkv' END AS container,
+  CASE lane WHEN 0 THEN 'isom' WHEN 1 THEN 'm4a'
+            WHEN 2 THEN 'webm' ELSE 'matroska' END AS detail,
+  CAST(CASE lane WHEN 0 THEN (10 + g % 20) * 1000
+            WHEN 1 THEN (30 + g % 60) * 1000
+            WHEN 2 THEN 60000 + g % 1000
+            ELSE (8000 + g % 100) // 2 END AS BIGINT) AS duration_ms,
+  CAST(CASE lane WHEN 0 THEN 2 WHEN 1 THEN 1
+            WHEN 2 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+  CASE lane WHEN 0 THEN CASE WHEN g % 2 = 0 THEN 'avc1' ELSE 'hev1' END
+            WHEN 1 THEN ''
+            WHEN 2 THEN CASE WHEN g % 2 = 0 THEN 'V_VP9' ELSE 'V_AV1' END
+            ELSE 'V_MPEG4/ISO/AVC' END AS video_codec,
+  CASE lane WHEN 0 THEN 'mp4a' WHEN 1 THEN 'mp4a'
+            WHEN 2 THEN 'A_OPUS' ELSE '' END AS audio_codec
+FROM p
+""",
+)
+def q243_video_container_triage(spark: SparkSession, sf_dir: str):
+    """MP4 + Matroska/WebM container triage — the two containers crawl
+    VIDEO actually arrives in (next to the decodable MJPEG-AVI lane of
+    q214): ISO-BMFF is a tree of length-prefixed boxes, so
+    ``mp4_stream_info`` (operators/multimodal.py) reads ftyp's brand,
+    mvhd's timescale+duration (32-bit v0 AND 64-bit v1 layouts), and
+    per trak the hdlr handler + first stsd sample-entry fourcc;
+    Matroska is an EBML varint tree, so ``mkv_stream_info`` reads
+    DocType, Info's float Duration x TimestampScale, and per-track
+    TrackType/CodecID.  Together with q240/q242 this closes the
+    container-triage matrix: every major crawl media container now
+    yields duration + codec identification from O(1 KB) of headers,
+    which is how a 100 TB video crawl budgets transcode hours and
+    codec-library needs BEFORE provisioning decoders.  Fixtures cycle
+    4 lanes — isom movie (avc1|hev1 + mp4a, v0 mvhd), m4a audio-only,
+    WebM (V_VP9|V_AV1 + A_OPUS at default timestamp scale), matroska
+    (AVC at a NON-default 500 microsecond scale — the rescale case) —
+    all with structurally real box/EBML nesting from the module's own
+    encoders.  The oracle states brand/doctype, exact integer duration,
+    track counts and codec ids in closed form.  Scale shape: one Arrow
+    map pass reading O(1 KB) header bytes per payload, no shuffle."""
+    from ..operators.multimodal import mkv_stream_info, mp4_stream_info
+
+    def triage(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import (
+            encode_mkv_elements,
+            encode_mp4_boxes,
+        )
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                lane, g = doc_id % 4, doc_id // 4
+                if lane <= 1:
+                    if lane == 0:
+                        payload = encode_mp4_boxes(
+                            "isom",
+                            (10 + g % 20) * 90000,
+                            90000,
+                            [
+                                ("vide", "avc1" if g % 2 == 0 else "hev1"),
+                                ("soun", "mp4a"),
+                            ],
+                        )
+                    else:
+                        payload = encode_mp4_boxes(
+                            "m4a",
+                            (30 + g % 60) * 44100,
+                            44100,
+                            [("soun", "mp4a")],
+                            mvhd_version=1,
+                        )
+                    brand, dur, _ts, nt, vc, ac = mp4_stream_info(payload)
+                    row = ("mp4", brand, dur, nt, vc, ac)
+                else:
+                    if lane == 2:
+                        payload = encode_mkv_elements(
+                            "webm",
+                            float(60000 + g % 1000),
+                            1_000_000,
+                            [
+                                (1, "V_VP9" if g % 2 == 0 else "V_AV1"),
+                                (2, "A_OPUS"),
+                            ],
+                        )
+                    else:
+                        payload = encode_mkv_elements(
+                            "matroska",
+                            float(8000 + g % 100),
+                            500_000,
+                            [(1, "V_MPEG4/ISO/AVC")],
+                        )
+                    doctype, dur, nt, vc, ac = mkv_stream_info(payload)
+                    row = ("mkv", doctype, dur, nt, vc, ac)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "container": row[0],
+                        "detail": row[1],
+                        "duration_ms": row[2],
+                        "n_tracks": row[3],
+                        "video_codec": row[4],
+                        "audio_codec": row[5],
+                    }
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "container", "detail", "duration_ms",
+                    "n_tracks", "video_codec", "audio_codec",
+                ],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        triage,
+        schema=(
+            "doc_id long, container string, detail string, duration_ms long, "
+            "n_tracks int, video_codec string, audio_codec string"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244 — WARC crawl census (Common Crawl's own container, record triage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q244_warc_crawl_census",
+    tags=("multimodal", "S3", "P9"),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 3 AS k, doc_id % 50 AS m FROM documents
+), rows_ AS (
+  SELECT doc_id, k, m, gs.generate_series AS j
+  FROM p, generate_series(0, 4) gs
+  WHERE gs.generate_series < p.k
+), resp AS (
+  SELECT *, [200, 404, 301][((doc_id + j) % 3) + 1] AS s FROM rows_
+)
+SELECT * FROM (
+  SELECT doc_id, 0 AS rec_index, 'warcinfo' AS rec_type,
+    '' AS target_uri, CAST(19 AS BIGINT) AS content_length,
+    0 AS http_status, 'application/warc-fields' AS mime
+  FROM p
+  UNION ALL
+  SELECT doc_id, CAST(1 + 2 * j AS INTEGER), 'request',
+    'http://d' || m || '.example.com/p' || j, CAST(22 AS BIGINT), 0,
+    'application/http'
+  FROM rows_
+  UNION ALL
+  SELECT doc_id, CAST(2 + 2 * j AS INTEGER), 'response',
+    'http://d' || m || '.example.com/p' || j,
+    CAST(35 + CASE WHEN s = 200 THEN 9 ELSE 10 END
+         + 10 + (doc_id + j) % 20 AS BIGINT),
+    CAST(s AS INTEGER),
+    CASE WHEN s = 200 THEN 'text/html' ELSE 'text/plain' END
+  FROM resp
+)
+""",
+)
+def q244_warc_crawl_census(spark: SparkSession, sf_dir: str):
+    """WARC crawl census — the container the web actually ships in:
+    Common Crawl publishes per-record-gzipped WARC (ISO 28500), and
+    every corpus build starts by walking records before extraction
+    (q228) / hygiene (q239) can run.  ``warc_triage``
+    (sources/warc.py) explodes each payload into records by walking
+    gzip MEMBERS (zlib unused_data, the CC skip-without-inflate
+    convention) and WARC named-field headers, pulling the HTTP status
+    and payload Content-Type out of response bodies' own HTTP heads —
+    the (status, MIME) mix is the first budgeting question a 100 TB
+    crawl answers.  Fixtures synthesize per doc a real .warc.gz: one
+    warcinfo + 2-4 request/response pairs with status cycling
+    200/404/301, fixed-width status phrases and deterministic payload
+    sizes so every record's Content-Length is closed-form.  The oracle
+    states all records (type, URI, exact length, status, MIME).  Scale
+    shape: one Arrow map pass reading O(header) bytes per record, no
+    shuffle."""
+    from ..sources.warc import warc_triage
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..sources.warc import encode_warc_records
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                k, m = 2 + doc_id % 3, doc_id % 50
+                recs = [
+                    {
+                        "rec_type": "warcinfo",
+                        "content_type": "application/warc-fields",
+                        "body": b"software: ldp-spark",
+                    }
+                ]
+                for j in range(k):
+                    uri = f"http://d{m}.example.com/p{j}"
+                    recs.append(
+                        {
+                            "rec_type": "request",
+                            "target_uri": uri,
+                            "content_type": "application/http;msgtype=request",
+                            "body": b"GET /page HTTP/1.1\r\n\r\n",
+                        }
+                    )
+                    s = (200, 404, 301)[(doc_id + j) % 3]
+                    phrase = {200: "OK", 404: "NF", 301: "MV"}[s]
+                    mime = "text/html" if s == 200 else "text/plain"
+                    body = (
+                        f"HTTP/1.1 {s} {phrase}\r\nContent-Type: {mime}"
+                        f"\r\n\r\n".encode()
+                        + b"c" * (10 + (doc_id + j) % 20)
+                    )
+                    recs.append(
+                        {
+                            "rec_type": "response",
+                            "target_uri": uri,
+                            "content_type": "application/http;msgtype=response",
+                            "body": body,
+                        }
+                    )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_warc_records(recs, gzip_members=True),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    gen_df = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return warc_triage(gen_df, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"),
+        "rec_index",
+        "rec_type",
+        "target_uri",
+        "content_length",
+        "http_status",
+        "mime",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q245 — robots.txt gate (RFC 9309 longest-match: the domain half of crawl
+# consent, next to q239's in-page meta-robots half)
+# ---------------------------------------------------------------------------
+
+_Q245_TPL_A = (
+    "# site with a bot-specific policy\n"
+    "User-agent: ldp-bot\n"
+    "Disallow: /private/*\n"
+    "Allow: /private/ok$\n"
+    "Crawl-delay: 2\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+_Q245_TPL_C = (
+    "User-agent: *\n"
+    "Disallow: /tmp\n"
+    "Allow: /tmp/keep*\n"
+)
+
+
+@register(
+    "q245_robots_txt_gate",
+    tags=("text", "P9", "J1"),
+    oracle="""
+WITH pages AS (
+  SELECT doc_id, doc_id % 20 AS m, (doc_id % 20) % 4 AS tpl,
+         doc_id % 6 AS lane
+  FROM documents
+), pg AS (
+  SELECT doc_id, tpl, 'd' || m || '.example.com' AS domain,
+    CASE lane WHEN 0 THEN '/index.html' WHEN 1 THEN '/private/page1'
+         WHEN 2 THEN '/private/ok' WHEN 3 THEN '/tmp/file'
+         WHEN 4 THEN '/tmp/keep/x' ELSE '/private/okay' END AS path
+  FROM pages
+), rules AS (
+  SELECT * FROM (VALUES
+    (0, false, 10, '/private/%'),
+    (0, true, 12, '/private/ok'),
+    (2, false, 4, '/tmp%'),
+    (2, true, 10, '/tmp/keep%')
+  ) AS t(rtpl, allow, rule_len, pat)
+), scored AS (
+  SELECT pg.doc_id, pg.domain, pg.path,
+    MAX(CASE WHEN pg.path LIKE r.pat ESCAPE '!'
+         THEN r.rule_len * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END
+        END) AS best
+  FROM pg LEFT JOIN rules r
+    ON r.rtpl = CASE WHEN pg.tpl = 1 THEN 0 ELSE pg.tpl END
+  GROUP BY pg.doc_id, pg.domain, pg.path
+)
+SELECT doc_id, domain, path,
+  best IS NULL OR best % 2 = 1 AS allowed
+FROM scored
+""",
+)
+def q245_robots_txt_gate(spark: SparkSession, sf_dir: str):
+    """robots.txt gate — the DOMAIN half of crawl consent (q239's
+    meta-robots tag is the in-page half): pages must clear their
+    domain's robots rules under RFC 9309 LONGEST-MATCH semantics —
+    the longest matching path pattern wins and Allow beats Disallow on
+    ties; no match (or no robots.txt) means allowed.
+    ``parse_robots_txt`` (operators/text.py) implements the grouping
+    rules honestly — consecutive User-agent lines share a group, the
+    bot-specific group EXCLUDES the ``*`` group (the classic crawler
+    bug is merging them: template A's ``*`` group says Disallow /, and
+    a merged parse would deny every page), unknown fields ignored,
+    empty Disallow a no-op.  ``robots_gate`` then decides per page via
+    one BROADCAST rule join + one integer max (score = rule_len * 2 +
+    allow encodes both precedence keys).  Fixture lanes exercise the
+    wildcard ('/private/*' matches '/private/page1'), the '$' anchor
+    ('/private/ok' allowed but '/private/okay' denied), prefix rules,
+    tie-breaking by length, and robots-free domains.  The oracle
+    replays the LIKE matching + max scoring on DuckDB against a
+    closed-form rule table.  Scale shape: rules are KBs per domain and
+    broadcast; the page corpus never shuffles for the gate — one
+    aggregate on the page id decides."""
+    from ..operators.text import robots_gate, robots_rules
+
+    b = F.col("doc_id").cast("long")
+    m = (b % 20).cast("int")
+    lane = (b % 6).cast("int")
+    path = (
+        F.when(lane == 0, F.lit("/index.html"))
+        .when(lane == 1, F.lit("/private/page1"))
+        .when(lane == 2, F.lit("/private/ok"))
+        .when(lane == 3, F.lit("/tmp/file"))
+        .when(lane == 4, F.lit("/tmp/keep/x"))
+        .otherwise(F.lit("/private/okay"))
+    )
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://d"), m, F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    robots = (
+        docs.select(m.alias("m"))
+        .distinct()
+        .filter(F.col("m") % 4 != 3)  # tpl-3 domains publish no robots
+        .select(
+            F.concat(F.lit("d"), F.col("m"), F.lit(".example.com")).alias(
+                "domain"
+            ),
+            F.when(F.col("m") % 4 <= 1, F.lit(_Q245_TPL_A))
+            .otherwise(F.lit(_Q245_TPL_C))
+            .alias("robots_txt"),
+        )
+    )
+    rules = robots_rules(robots, "domain", "robots_txt", user_agent="ldp-bot")
+    return robots_gate(pages, rules, "doc_id", "url")

@@ -1,3 +1,4 @@
+from .warc import encode_warc_records, parse_warc_records, warc_triage
 from .readers import (
     has_pending_files,
     read_csv_stage,
@@ -12,4 +13,7 @@ __all__ = [
     "read_json_stage",
     "read_seed_csv",
     "with_file_metadata",
+    "encode_warc_records",
+    "parse_warc_records",
+    "warc_triage",
 ]

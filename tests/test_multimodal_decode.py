@@ -1471,7 +1471,8 @@ def test_sniff_media_payload_all_lanes():
     assert S(b"\xff\xfb\x90\x00x")[0] == "mp3"
     assert S(b"ID3\x04xxxx")[0] == "mp3"
     assert S(b"\x00\x00\x00 ftypisom" + bytes(8)) == (
-        "mp4", "isom", False, "MP4/AAC needs a codec library",
+        "mp4", "isom", False,
+        "MP4/AAC needs a codec library (header triage available)",
     )
     assert S(b"\x1a\x45\xdf\xa3x")[0] == "mkv"
     assert S(b"OggSx")[0] == "ogg"
@@ -1705,6 +1706,14 @@ def test_adts_stream_info_header_walk():
     assert adts_stream_info(mix)[1] == 2
     # trailing garbage ends the walk, never raises
     assert adts_stream_info(encode_adts_headers(4) + b"garbage")[1] == 4
+    # protection_absent=0: 9-byte headers (16-bit CRC field) walk the
+    # same — only the per-frame byte total (hence kbps) differs
+    c7 = adts_stream_info(encode_adts_headers(5, 48000, "lc", 2, 20))
+    c9 = adts_stream_info(
+        encode_adts_headers(5, 48000, "lc", 2, 20, with_crc=True)
+    )
+    assert c9[:3] == c7[:3] and c9[4:] == c7[4:]
+    assert c9[3] == 5 * 29 * 8 // (5 * 1024 * 1000 // 48000)
     for bad in (b"", b"junk", b"\xff\xfb\x90\x00"):  # last is MP3, not ADTS
         with _pytest.raises(ValueError):
             adts_stream_info(bad)
@@ -1846,3 +1855,113 @@ def test_sniff_media_ogg_codec_lanes():
         "ogg", "flac-ogg", False, "Ogg needs a codec library",
     )
     assert S(b"OggSx") == ("ogg", "unknown", False, "Ogg needs a codec library")
+
+
+def test_mp4_box_walk_triage():
+    """ISO-BMFF triage reads ONLY the box tree: ftyp brand, mvhd
+    timescale/duration (both 32-bit v0 and 64-bit v1 layouts), per-trak
+    handler type and first stsd sample-entry fourcc — never a media
+    sample; duration is exact integer arithmetic."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_mp4_boxes,
+        mp4_stream_info,
+    )
+
+    m = encode_mp4_boxes("isom", 90000, 1000, [("vide", "avc1"), ("soun", "mp4a")])
+    assert mp4_stream_info(m) == ("isom", 90000, 1000, 2, "avc1", "mp4a")
+    # version-1 mvhd: 64-bit duration at the shifted offsets
+    m1 = encode_mp4_boxes("mp42", 123456789, 90000, [("vide", "hev1")],
+                          mvhd_version=1)
+    assert mp4_stream_info(m1) == (
+        "mp42", 123456789 * 1000 // 90000, 90000, 1, "hev1", "",
+    )
+    # audio-only M4A
+    assert mp4_stream_info(
+        encode_mp4_boxes("m4a", 44100 * 60, 44100, [("soun", "mp4a")])
+    ) == ("m4a", 60000, 44100, 1, "", "mp4a")
+    # ftyp without moov (truncated streaming file): identification only
+    assert mp4_stream_info(encode_mp4_boxes("isom"))[3] == 0
+    for bad in (b"", b"garbage12345", b"\x00\x00\x00\x08mdat"):
+        with _pytest.raises(ValueError):
+            mp4_stream_info(bad)
+
+
+def test_mkv_ebml_walk_triage():
+    """Matroska/WebM triage walks real EBML varints: DocType from the
+    header, Duration (float ticks) x TimestampScale (ns) from
+    Segment>Info, TrackType/CodecID per TrackEntry; a non-default
+    timestamp scale rescales duration exactly."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_mkv_elements,
+        mkv_stream_info,
+        sniff_media_payload as S,
+    )
+
+    k = encode_mkv_elements("webm", 12345.0, 1_000_000,
+                            [(1, "V_VP9"), (2, "A_OPUS")])
+    assert mkv_stream_info(k) == ("webm", 12345, 2, "V_VP9", "A_OPUS")
+    k2 = encode_mkv_elements("matroska", 5000.0, 500_000,
+                             [(1, "V_MPEG4/ISO/AVC")])
+    assert mkv_stream_info(k2) == ("matroska", 2500, 1, "V_MPEG4/ISO/AVC", "")
+    assert mkv_stream_info(encode_mkv_elements("webm")) == ("webm", 0, 0, "", "")
+    with _pytest.raises(ValueError):
+        mkv_stream_info(b"nope")
+    # sniff names the doctype; bare magic stays unknown
+    assert S(k)[:2] == ("mkv", "webm")
+    assert S(k2)[:2] == ("mkv", "matroska")
+    assert S(b"\x1a\x45\xdf\xa3x")[:2] == ("mkv", "unknown")
+
+
+def test_warc_record_walk():
+    """WARC triage (sources/warc.py) walks records header-only: version
+    line + named fields + Content-Length body per ISO 28500, HTTP
+    status/payload-MIME lifted from response bodies' own HTTP heads,
+    per-record gzip members (the Common Crawl .warc.gz convention)
+    concatenated transparently, truncation tolerated mid-walk."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        encode_warc_records,
+        parse_warc_records,
+    )
+
+    html = b"<html><body>hello</body></html>"
+    recs = [
+        {"rec_type": "warcinfo", "content_type": "application/warc-fields",
+         "body": b"software: test\r\n"},
+        {"rec_type": "request", "target_uri": "http://example.com/",
+         "content_type": "application/http;msgtype=request",
+         "body": b"GET / HTTP/1.1\r\nHost: example.com\r\n\r\n"},
+        {"rec_type": "response", "target_uri": "http://example.com/",
+         "content_type": "application/http;msgtype=response",
+         "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                 b"charset=utf-8\r\nServer: x\r\n\r\n" + html},
+        {"rec_type": "response", "target_uri": "http://example.com/missing",
+         "content_type": "application/http;msgtype=response",
+         "body": b"HTTP/1.1 404 Not Found\r\nContent-Type: "
+                 b"text/plain\r\n\r\nnope"},
+    ]
+    for gz in (False, True):
+        got = parse_warc_records(encode_warc_records(recs, gzip_members=gz))
+        assert [r["rec_type"] for r in got] == [
+            "warcinfo", "request", "response", "response",
+        ]
+        # envelope MIME for non-HTTP records; payload MIME for responses
+        assert got[0]["mime"] == "application/warc-fields"
+        assert got[1]["http_status"] == 0
+        assert got[2]["http_status"] == 200
+        assert got[2]["mime"] == "text/html"  # charset param stripped
+        assert got[3]["http_status"] == 404
+        assert got[3]["mime"] == "text/plain"
+    # a truncated tail record drops; the parsed prefix survives (both
+    # plain and mid-gzip-member truncation)
+    blob = encode_warc_records(recs)
+    assert len(parse_warc_records(blob[:-30])) == 3
+    gzblob = encode_warc_records(recs, gzip_members=True)
+    assert len(parse_warc_records(gzblob[:-10])) >= 3
+    with _pytest.raises(ValueError):
+        parse_warc_records(b"not a warc")

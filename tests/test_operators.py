@@ -1610,3 +1610,85 @@ def test_normalize_unicode_casefold_semantics(spark):
     again = normalize_unicode(out, "k", out_col="k2", form="NFKC",
                               casefold=True)
     assert all(r["k"] == r["k2"] for r in again.collect() if r["k"])
+
+
+def test_parse_robots_txt_group_semantics():
+    """RFC 9309 grouping: consecutive User-agent lines share a group;
+    a bot-specific group EXCLUDES the * group (merging them is the
+    classic crawler bug — template A's * group disallows everything);
+    comments/unknown fields ignored; empty Disallow is a no-op."""
+    from logistics_data_pipeline_project_spark.operators.text import (
+        _robots_like,
+        parse_robots_txt,
+    )
+
+    a = (
+        "# policy\n"
+        "User-agent: ldp-bot\n"
+        "Disallow: /private/*\n"
+        "Allow: /private/ok$\n"
+        "Crawl-delay: 2\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    assert parse_robots_txt(a, "ldp-bot") == [
+        (False, "/private/*"), (True, "/private/ok$"),
+    ]
+    assert parse_robots_txt(a, "LDP-Bot") == parse_robots_txt(a, "ldp-bot")
+    assert parse_robots_txt(a, "otherbot") == [(False, "/")]
+    b = "User-Agent: A\nUser-agent: B\nDisallow:\nDISALLOW: /x\n"
+    assert parse_robots_txt(b, "b") == [(False, "/x")]
+    assert parse_robots_txt(b, "c") == []
+    assert parse_robots_txt("", "any") == []
+    # LIKE translation: wildcard, anchor, escape
+    assert _robots_like("/private/*") == "/private/%"
+    assert _robots_like("/private/ok$") == "/private/ok"
+    assert _robots_like("/a%b_c!d") == "/a!%b!_c!!d%"
+
+
+def test_robots_gate_longest_match(spark):
+    """The q245 operator end-to-end on handpicked pages: longest match
+    wins, Allow beats Disallow on equal length, '$' anchors exactly,
+    unknown domains default to allowed."""
+    from logistics_data_pipeline_project_spark.operators.text import (
+        robots_gate,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: ldp-bot\nDisallow: /private/*\n"
+                "Allow: /private/ok$\n\nUser-agent: *\nDisallow: /\n",
+            ),
+            ("b.com", "User-agent: *\nDisallow: /tmp\nAllow: /tmp/keep*\n"),
+            # equal-length tie: Allow wins
+            ("c.com", "User-agent: *\nDisallow: /abc\nAllow: /abd\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = robots_rules(robots, "domain", "robots_txt", user_agent="ldp-bot")
+    pages = spark.createDataFrame(
+        [
+            (1, "http://a.com/index.html"),
+            (2, "http://a.com/private/page1"),
+            (3, "http://a.com/private/ok"),
+            (4, "http://a.com/private/okay"),
+            (5, "http://b.com/tmp/file"),
+            (6, "http://b.com/tmp/keep/x"),
+            (7, "http://norobots.com/anything"),
+            (8, "http://A.COM/private/page1"),  # host case-folds
+            (9, "http://a.com"),  # empty path -> '/'
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in robots_gate(pages, rules, "id", "url").collect()
+    }
+    assert got == {
+        1: True, 2: False, 3: True, 4: False, 5: False,
+        6: True, 7: True, 8: False, 9: True,
+    }
