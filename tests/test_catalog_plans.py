@@ -380,3 +380,12 @@ def test_q236_orientation_dedup_map_then_project(spark, sf_dir):
     # exchange — fingerprints come out as a projection
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_q245_robots_gate_is_broadcast_join(spark, sf_dir):
+    plan = _physical(REGISTRY["q245_robots_txt_gate"].fn(spark, sf_dir))
+    # the rule table (KBs per domain) broadcasts; the page corpus never
+    # sort-merge-joins for the consent gate — same stance as the q230
+    # blocklist — and one aggregate on the page id decides
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
