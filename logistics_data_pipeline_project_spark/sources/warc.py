@@ -178,7 +178,12 @@ def encode_warc_records(
     return b"".join(out)
 
 
-def warc_triage(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+def warc_triage(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    on_error: str = "fail",
+) -> DataFrame:
     """Explode a corpus of (optionally .gz) WARC payloads into one row
     per record — (id, rec_index, rec_type, target_uri, content_length,
     http_status, mime) — via one Arrow-batched mapInPandas pass: the
@@ -186,7 +191,15 @@ def warc_triage(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     extraction, and the natural upstream of q224 (URL canonicalization),
     q228 (main-text extraction) and q239 (robots gate).  Scale shape: a
     pure map pass reading O(header) bytes per record, no shuffle; a
-    truncated tail record drops rather than failing the partition."""
+    truncated tail record drops rather than failing the partition.
+
+    ``on_error`` (the q226 quarantine convention): 'fail' raises on a
+    non-WARC payload (batch audits want the loud failure), 'skip'
+    drops it, 'tag' emits one quarantine row (rec_type='invalid') so
+    the streaming census counts garbage as a lane instead of killing
+    the query."""
+    if on_error not in ("fail", "skip", "tag"):
+        raise ValueError(f"bad on_error {on_error!r}")
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -201,9 +214,26 @@ def warc_triage(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
         for pdf in batches:
             out = []
             for _id, payload in zip(pdf[id_col], pdf[payload_col]):
-                recs = parse_warc_records(
-                    bytes(payload) if payload is not None else b""
-                )
+                try:
+                    recs = parse_warc_records(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "tag":
+                        out.append(
+                            {
+                                "id": int(_id),
+                                "rec_index": 0,
+                                "rec_type": "invalid",
+                                "target_uri": "",
+                                "content_length": 0,
+                                "http_status": 0,
+                                "mime": "",
+                            }
+                        )
+                    continue
                 for ix, r in enumerate(recs):
                     out.append(
                         {

@@ -195,3 +195,67 @@ def stream_codec_triage(
         checkpoint_dir=checkpoint_dir,
         available_now=available_now,
     )
+
+
+def stream_warc_census(
+    source_stream: DataFrame,
+    store: TableStore,
+    table: str,
+    payload_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """WARC-census LEDGER over an unbounded crawl stream:
+    ``store[table]`` = ``(rec_type, http_status, mime, n_records,
+    total_bytes, first_<id_col>)`` for every WARC record the stream has
+    ever delivered — the streaming twin of the q244 batch census, so
+    the crawl owner watches the (status, MIME) mix shift in flight
+    (a domain starts 404ing; a PDF flood arrives) instead of
+    discovering it in the nightly batch.
+
+    Same exactly-once posture as ``stream_codec_triage``: record
+    walking is a header-only map inside the micro-batch
+    (``warc_triage(on_error='tag')`` turns garbage into an 'invalid'
+    lane instead of an exception), the fold (SUM of counts/bytes, MIN
+    of first id) is associative and commutative, and the committed
+    batch id guards foreachBatch replays — the ledger equals the batch
+    census of full history under any slicing.  Scale shape: per batch
+    the shuffle carries a handful of 6-column lane rows, never
+    payloads."""
+    from ..sources.warc import warc_triage
+
+    first = f"first_{id_col}"
+    keys = ["rec_type", "http_status", "mime"]
+
+    def build(b: DataFrame) -> DataFrame:
+        return (
+            warc_triage(b, id_col, payload_col, on_error="tag")
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.sum("content_length").alias("total_bytes"),
+                F.min("id").alias(first),
+            )
+        )
+
+    def merge(prev: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(new)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_records").alias("n_records"),
+                F.sum("total_bytes").alias("total_bytes"),
+                F.min(first).alias(first),
+            )
+        )
+
+    return stream_sketch_rollup(
+        source_stream,
+        store,
+        table,
+        build=build,
+        merge=merge,
+        checkpoint_dir=checkpoint_dir,
+        available_now=available_now,
+    )

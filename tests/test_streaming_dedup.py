@@ -383,3 +383,114 @@ def test_stream_codec_triage_ledger_equals_batch(spark, tmp_path):
     # idempotent redrain
     drain()
     assert as_map(store.read("codec_census")) == want
+
+
+def test_stream_warc_census_ledger_equals_batch(spark, tmp_path):
+    """The streaming WARC census must equal the batch census of the
+    full history under out-of-order slicing, count garbage as the
+    'invalid' lane instead of dying (on_error='tag'), and fold
+    exactly-once across restarts."""
+    import base64
+
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        encode_warc_records,
+        warc_triage,
+    )
+    from logistics_data_pipeline_project_spark.streaming.dedup import (
+        stream_warc_census,
+    )
+    from pyspark.sql import functions as F
+
+    def warc(status, mime, n_pad):
+        body = (
+            f"HTTP/1.1 {status} XX\r\nContent-Type: {mime}\r\n\r\n".encode()
+            + b"c" * n_pad
+        )
+        return encode_warc_records(
+            [
+                {"rec_type": "warcinfo",
+                 "content_type": "application/warc-fields",
+                 "body": b"software: t"},
+                {"rec_type": "response", "target_uri": "http://x/",
+                 "content_type": "application/http;msgtype=response",
+                 "body": body},
+            ],
+            gzip_members=True,
+        )
+
+    rows = [
+        (1, warc(200, "text/html", 5)),
+        (2, warc(404, "text/plain", 9)),
+        (3, b"not a warc at all"),
+        (4, warc(200, "text/html", 21)),
+        (5, None),
+    ]
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    def write(name, subset):
+        with open(os.path.join(landing, name), "w") as f:
+            for i, payload in subset:
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": i,
+                            "b64": base64.b64encode(payload or b"").decode(),
+                        }
+                    )
+                    + "\n"
+                )
+
+    def drain():
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id long, b64 string")
+            .load(landing)
+            .select("doc_id", F.unbase64("b64").alias("payload"))
+        )
+        q = stream_warc_census(
+            stream, store, "warc_census", "payload", "doc_id",
+            checkpoint_dir=chk,
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    write("b1.json", rows[2:])
+    drain()
+    write("b2.json", rows[:2])
+    drain()
+
+    def as_map(df):
+        return {
+            (r["rec_type"], r["http_status"], r["mime"]): (
+                r["n_records"], r["total_bytes"], r["first_doc_id"],
+            )
+            for r in df.collect()
+        }
+
+    got = as_map(store.read("warc_census"))
+    batch = spark.createDataFrame(
+        [(i, p or b"") for i, p in rows], "doc_id long, payload binary"
+    )
+    want = as_map(
+        warc_triage(batch, "doc_id", "payload", on_error="tag")
+        .groupBy("rec_type", "http_status", "mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("content_length").alias("total_bytes"),
+            F.min("id").alias("first_doc_id"),
+        )
+    )
+    assert got == want
+    # both 200 text/html responses folded; garbage + None hit 'invalid'
+    assert got[("response", 200, "text/html")][0] == 2
+    assert got[("invalid", 0, "")] == (2, 0, 3)
+    assert got[("warcinfo", 0, "application/warc-fields")][0] == 3
+    # idempotent redrain
+    drain()
+    assert as_map(store.read("warc_census")) == want
