@@ -28,6 +28,8 @@ __all__ = [
     "tracked_local_checkpoint",
     "free_checkpoints",
     "checkpointed_write",
+    "persistent_rdd_ids",
+    "release_residual_checkpoints",
 ]
 
 # The pinned-id attribution diffs the JVM-GLOBAL persistent-RDD registry
@@ -73,6 +75,38 @@ def free_checkpoints(spark, ids: list[int]) -> None:
         rdd = jmap.get(int(i))
         if rdd is not None:
             rdd.unpersist(False)
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Snapshot of the context's persistent-RDD registry — where
+    ``localCheckpoint`` blocks (eager AND lazy, once materialized)
+    live until unpersisted or GC'd."""
+    return _persistent_ids(spark)
+
+
+def release_residual_checkpoints(spark, baseline: set[int]) -> list[int]:
+    """Unpersist every persistent RDD not in ``baseline``; returns the
+    ids freed.
+
+    This is the HARNESS-side discipline for one-shot catalog queries:
+    several of them lazily localCheckpoint a shared subtree (q127's
+    tok/pref/sets, q237's window hashes, BPE's word table, ...) whose
+    ids can't be tracked at creation — lazy checkpoints only register
+    blocks when first computed, inside the CALLER's action — and whose
+    release therefore rides Python GC + the ContextCleaner's weak-ref
+    queue (a JVM GC away, up to spark.cleaner.periodicGC.interval =
+    30 min). A long-lived session driving the full 245-query catalog
+    would accumulate every query's pinned blocks between GCs; calling
+    this between queries (bench.py, tests/driver_sim.py) keeps the
+    registry flat. Only safe once the previous query's result has been
+    fully consumed — freeing a checkpoint a live plan still depends on
+    fails later actions with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, which
+    is why this is NOT wired into the queries() callables themselves
+    (a driver running them concurrently would free in-flight blocks).
+    """
+    stale = sorted(_persistent_ids(spark) - set(baseline))
+    free_checkpoints(spark, stale)
+    return stale
 
 
 def checkpointed_write(df: DataFrame, write_fn) -> None:

@@ -85,6 +85,11 @@ __all__ = [
     "resize_images",
     "MEDIA_FEATURE_SCHEMA",
     "FRAME_SCHEMA",
+    "parse_avc_sps",
+    "encode_avc_sps",
+    "parse_avcc",
+    "encode_avcc",
+    "video_stream_params",
 ]
 
 
@@ -3852,11 +3857,59 @@ def _ogg_crc_table() -> list[int]:
 _OGG_CRC = _ogg_crc_table()
 
 
-def _ogg_crc(data: bytes) -> int:
+def _ogg_crc_bytewise(data: bytes) -> int:
+    # The textbook table walk: O(bytes) of INTERPRETER work. Kept as
+    # the independent reference implementation the fast path is
+    # cross-checked against (test_multimodal_decode.py) and as the
+    # fallback if numpy is ever absent.
     r = 0
     for byte in data:
         r = ((r << 8) & 0xFFFFFFFF) ^ _OGG_CRC[(r >> 24) ^ byte]
     return r
+
+
+# bit-reverse-within-byte table for the reflection identity below
+_REV8 = None
+
+
+def _rev32(r: int) -> int:
+    r = ((r & 0x55555555) << 1) | ((r >> 1) & 0x55555555)
+    r = ((r & 0x33333333) << 2) | ((r >> 2) & 0x33333333)
+    r = ((r & 0x0F0F0F0F) << 4) | ((r >> 4) & 0x0F0F0F0F)
+    r = ((r & 0x00FF00FF) << 8) | ((r >> 8) & 0x00FF00FF)
+    return ((r << 16) | (r >> 16)) & 0xFFFFFFFF
+
+
+def _ogg_crc(data: bytes) -> int:
+    """RFC 3533 page CRC at C speed via the CRC reflection identity:
+    a non-reflected CRC over polynomial P with init/xorout 0 equals
+    the bit-reverse of the reflected CRC over the bit-reversed
+    polynomial computed on byte-wise bit-reversed input — and zlib's
+    polynomial 0xEDB88320 IS 0x04C11DB7 bit-reversed. Passing
+    0xFFFFFFFF as zlib.crc32's running value cancels its internal
+    pre-inversion (init 0) and the final ^0xFFFFFFFF undoes its
+    post-inversion (xorout 0). One numpy table gather + one zlib call:
+    ~20x the bytewise table walk, so verifying every page of a
+    multi-MB Ogg payload no longer dominates the triage cost
+    (ADVICE r6). Cross-checked against ``_ogg_crc_bytewise`` in the
+    test suite."""
+    global _REV8
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is baked in
+        return _ogg_crc_bytewise(data)
+    import zlib
+
+    if _REV8 is None:
+        t = np.arange(256, dtype=np.uint16)
+        rev = np.zeros(256, dtype=np.uint8)
+        for _ in range(8):
+            rev = (rev << 1) | (t & 1).astype(np.uint8)
+            t >>= 1
+        _REV8 = rev
+    arr = np.frombuffer(data, dtype=np.uint8)
+    raw = zlib.crc32(_REV8[arr].tobytes(), 0xFFFFFFFF) ^ 0xFFFFFFFF
+    return _rev32(raw)
 
 
 _OGG_ID_MAGIC = (
@@ -3880,8 +3933,12 @@ def ogg_stream_info(payload: bytes) -> tuple[str, int, int, int, int]:
     ``adts_stream_info``: voice corpora arrive overwhelmingly as Ogg
     Opus, and hour-budgeting them needs page headers only.  Each
     page's CRC (RFC 3533's non-reflected 0x04C11DB7, which zlib does
-    NOT compute) is verified — a corrupt page ends the walk at the
-    last good granule rather than mis-reporting duration.  Walks only
+    NOT compute directly — see ``_ogg_crc``'s reflection identity for
+    how it is still computed AT zlib speed) is verified over the full
+    page, so the walk's metadata read is O(pages) header bytes but the
+    integrity gate touches every payload byte at C speed — a corrupt
+    page ends the walk at the last good granule rather than
+    mis-reporting duration.  Walks only
     the FIRST bitstream serial (the audio stream in the common
     single-stream files); other serials' pages are skipped.  Raises
     ValueError when no valid BOS page exists; codecs without a parsed
@@ -4144,12 +4201,17 @@ def encode_mp4_boxes(
     timescale: int = 1000,
     tracks: Sequence[tuple[str, str]] = (),
     mvhd_version: int = 0,
+    video_avcc: bytes | None = None,
 ) -> bytes:
     """Synthesize a structurally valid ISO-BMFF box tree — real ftyp /
     moov / mvhd / trak / mdia / hdlr / minf / stbl / stsd nesting with
     correct length prefixes and an empty mdat (the box walk never reads
     samples).  The fixture twin of ``mp4_stream_info``: ``tracks`` is a
-    sequence of (handler, codec_fourcc) like ('vide', 'avc1')."""
+    sequence of (handler, codec_fourcc) like ('vide', 'avc1').  With
+    ``video_avcc``, 'vide' tracks get a full 78-byte VisualSampleEntry
+    (ISO 14496-12 §12.1.3) carrying that AVCDecoderConfigurationRecord
+    as an ``avcC`` child box — the fixture twin of
+    :func:`video_stream_params`."""
     import struct
 
     def box(fourcc: bytes, body: bytes) -> bytes:
@@ -4174,7 +4236,39 @@ def encode_mp4_boxes(
         )
     kids = [box(b"mvhd", mvhd_body)]
     for handler, codec in tracks:
-        entry = struct.pack(">I", 16) + codec.encode("latin-1").ljust(4)[:4] + bytes(8)
+        if handler == "vide" and video_avcc is not None:
+            # real VisualSampleEntry: 6 reserved + data_ref_index,
+            # 16 pre_defined/reserved, width/height (declared from the
+            # SPS), 72dpi fixed-point resolutions, frame_count 1,
+            # 32-byte compressorname, depth 24, pre_defined -1, then
+            # the avcC configuration box as a child
+            try:
+                _, _, vw, vh = parse_avcc(video_avcc)
+            except ValueError:
+                vw = vh = 0
+            entry_body = (
+                bytes(6)
+                + struct.pack(">H", 1)
+                + bytes(16)
+                + struct.pack(">HH", vw, vh)
+                + struct.pack(">II", 0x00480000, 0x00480000)
+                + bytes(4)
+                + struct.pack(">H", 1)
+                + bytes(32)
+                + struct.pack(">Hh", 24, -1)
+                + box(b"avcC", video_avcc)
+            )
+            entry = (
+                struct.pack(">I", 8 + len(entry_body))
+                + codec.encode("latin-1").ljust(4)[:4]
+                + entry_body
+            )
+        else:
+            entry = (
+                struct.pack(">I", 16)
+                + codec.encode("latin-1").ljust(4)[:4]
+                + bytes(8)
+            )
         stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
         stbl = box(b"stbl", stsd)
         minf = box(b"minf", stbl)
@@ -4255,9 +4349,16 @@ def mkv_stream_info(payload: bytes) -> tuple[str, int, int, str, str]:
                             scale_ns = int.from_bytes(p[b3:e3], "big")
                         elif i3 == 0x4489:  # Duration (float 4/8)
                             raw = p[b3:e3]
-                            dur_ticks = struct.unpack(
-                                ">f" if len(raw) == 4 else ">d", raw
-                            )[0]
+                            # EBML floats are exactly 4 or 8 octets; a
+                            # crafted/malformed size would make
+                            # struct.unpack raise struct.error, which
+                            # is NOT a ValueError subclass and would
+                            # escape sniff_media_payload's garbage-lane
+                            # guard — leave dur_ticks at 0 instead
+                            if len(raw) in (4, 8):
+                                dur_ticks = struct.unpack(
+                                    ">f" if len(raw) == 4 else ">d", raw
+                                )[0]
                 elif i2 == 0x1654AE6B:  # Tracks
                     for i3, b3, e3 in walk(b2, e2):
                         if i3 != 0xAE:  # TrackEntry
@@ -4290,7 +4391,11 @@ def encode_mkv_elements(
     (TimestampScale + float64 Duration) and Segment>Tracks>TrackEntry
     (TrackType + CodecID).  The fixture twin of ``mkv_stream_info``:
     ``tracks`` is a sequence of (track_type, codec_id) like
-    (1, 'V_VP9')."""
+    (1, 'V_VP9').  Longer tuples extend a TrackEntry for the
+    :func:`video_stream_params` fixtures: (type, codec, codec_private)
+    adds a CodecPrivate element (an avcC for V_MPEG4/ISO/AVC), and
+    (type, codec, codec_private_or_None, pixel_width, pixel_height)
+    adds a Video element with declared dimensions."""
     import struct
 
     def vint_size(n: int) -> bytes:
@@ -4322,16 +4427,391 @@ def encode_mkv_elements(
         info_kids += elem(0x4489, struct.pack(">d", duration_ticks))
     seg_kids = elem(0x1549A966, info_kids)
     if tracks:
-        entries = b"".join(
-            elem(
-                0xAE,
-                elem(0x83, bytes([ttype]))
-                + elem(0x86, codec.encode("latin-1")),
+        entries = b""
+        for spec in tracks:
+            ttype, codec = spec[0], spec[1]
+            kids = elem(0x83, bytes([ttype])) + elem(
+                0x86, codec.encode("latin-1")
             )
-            for ttype, codec in tracks
-        )
+            if len(spec) >= 3 and spec[2]:
+                kids += elem(0x63A2, spec[2])  # CodecPrivate
+            if len(spec) >= 5:
+                pw, ph = int(spec[3]), int(spec[4])
+                kids += elem(
+                    0xE0,  # Video
+                    elem(0xB0, pw.to_bytes(max((pw.bit_length() + 7) // 8, 1), "big"))
+                    + elem(0xBA, ph.to_bytes(max((ph.bit_length() + 7) // 8, 1), "big")),
+                )
+            entries += elem(0xAE, kids)
         seg_kids += elem(0x1654AE6B, entries)
     return header + elem(0x18538067, seg_kids)
+
+
+# ---------------------------------------------------------------------------
+# H.264/AVC decoder-configuration triage: avcC + SPS (ISO 14496-15 /
+# ITU-T H.264 §7.3.2.1). The container walks above answer "how long /
+# which codec"; the SPS answers the crawl operator's next daily
+# question — "how many PIXELS am I about to decode" — from a few
+# hundred bytes of decoder configuration, before any sample data.
+# ---------------------------------------------------------------------------
+
+_AVC_HIGH_PROFILES = frozenset(
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+)
+# SubWidthC/SubHeightC per chroma_format_idc (H.264 table 6-1)
+_AVC_SUBWH = {1: (2, 2), 2: (2, 1), 3: (1, 1)}
+
+
+class _Bits:
+    """MSB-first bit reader with Exp-Golomb (H.264 §9.1). Raises
+    ValueError past the end — truncated SPS is garbage-lane material."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte, bit = self.pos >> 3, 7 - (self.pos & 7)
+            if byte >= len(self.d):
+                raise ValueError("truncated bitstream")
+            v = (v << 1) | ((self.d[byte] >> bit) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("bad exp-golomb")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _strip_emulation(rbsp: bytes) -> bytes:
+    # 00 00 03 -> 00 00 (the 03 is the emulation-prevention byte)
+    if b"\x00\x00\x03" not in rbsp:
+        return rbsp
+    out = bytearray()
+    i = 0
+    while i < len(rbsp):
+        if rbsp[i : i + 3] == b"\x00\x00\x03":
+            out += b"\x00\x00"
+            i += 3
+        else:
+            out.append(rbsp[i])
+            i += 1
+    return bytes(out)
+
+
+def parse_avc_sps(nal: bytes) -> tuple[int, int, int, int]:
+    """Decode one H.264 sequence parameter set NAL ->
+    (profile_idc, level_idc, width, height) — the full §7.3.2.1 parse:
+    high-profile chroma/bit-depth block (with scaling-list skip),
+    pic_order_cnt_type 0/1/2, and the frame-cropping rectangle in
+    chroma crop units, which is how 1080p lives in 68 macroblock rows
+    (1088 coded - 8 cropped).  ``nal`` starts at the NAL header byte
+    (type must be 7); emulation-prevention bytes are stripped first.
+    Raises ValueError on anything malformed — callers lane it."""
+    if not nal or (nal[0] & 0x1F) != 7:
+        raise ValueError("not an SPS NAL")
+    b = _Bits(_strip_emulation(nal[1:]))
+    profile_idc = b.u(8)
+    b.u(8)  # constraint flags + reserved
+    level_idc = b.u(8)
+    b.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in _AVC_HIGH_PROFILES:
+        chroma_format_idc = b.ue()
+        if chroma_format_idc == 3:
+            b.u(1)  # separate_colour_plane_flag
+        b.ue()  # bit_depth_luma_minus8
+        b.ue()  # bit_depth_chroma_minus8
+        b.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if b.u(1):  # seq_scaling_matrix_present_flag
+            for i in range(12 if chroma_format_idc == 3 else 8):
+                if b.u(1):  # seq_scaling_list_present_flag[i]
+                    size = 16 if i < 6 else 64
+                    last, nxt = 8, 8
+                    for _ in range(size):
+                        if nxt:
+                            nxt = (last + b.se() + 256) % 256
+                        last = last if nxt == 0 else nxt
+    b.ue()  # log2_max_frame_num_minus4
+    poc_type = b.ue()
+    if poc_type == 0:
+        b.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        b.u(1)  # delta_pic_order_always_zero_flag
+        b.se()  # offset_for_non_ref_pic
+        b.se()  # offset_for_top_to_bottom_field
+        for _ in range(b.ue()):  # num_ref_frames_in_pic_order_cnt_cycle
+            b.se()
+    b.ue()  # max_num_ref_frames
+    b.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pw_mbs = b.ue() + 1
+    ph_units = b.ue() + 1
+    frame_mbs_only = b.u(1)
+    if not frame_mbs_only:
+        b.u(1)  # mb_adaptive_frame_field_flag
+    b.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if b.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = b.ue(), b.ue(), b.ue(), b.ue()
+    if chroma_format_idc == 0:
+        cux, cuy = 1, 2 - frame_mbs_only
+    else:
+        sw, shc = _AVC_SUBWH.get(chroma_format_idc, (2, 2))
+        cux, cuy = sw, shc * (2 - frame_mbs_only)
+    width = pw_mbs * 16 - cux * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * ph_units * 16 - cuy * (crop_t + crop_b)
+    if width <= 0 or height <= 0:
+        raise ValueError("SPS crop exceeds coded size")
+    return profile_idc, level_idc, width, height
+
+
+def encode_avc_sps(
+    width: int,
+    height: int,
+    profile_idc: int = 100,
+    level_idc: int = 40,
+) -> bytes:
+    """Synthesize a structurally valid H.264 SPS NAL for the given
+    display dimensions — real Exp-Golomb coding, 4:2:0 chroma, frame
+    cropping when a dimension is not a macroblock multiple, RBSP stop
+    bit, emulation-prevention bytes.  The fixture twin of
+    :func:`parse_avc_sps` (same policy as every encode_*/parse_* pair
+    in this module).  4:2:0 crop units are 2 px, so dimensions must be
+    even."""
+    if width <= 0 or height <= 0 or width % 2 or height % 2:
+        raise ValueError("dimensions must be positive and even (4:2:0)")
+    bits: list[int] = []
+
+    def u(v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def ue(v: int) -> None:
+        code = v + 1
+        n = code.bit_length()
+        u(0, n - 1)
+        u(code, n)
+
+    u(profile_idc, 8)
+    u(0, 8)  # constraint flags + reserved_zero
+    u(level_idc, 8)
+    ue(0)  # seq_parameter_set_id
+    if profile_idc in _AVC_HIGH_PROFILES:
+        ue(1)  # chroma_format_idc = 4:2:0
+        ue(0)  # bit_depth_luma_minus8
+        ue(0)  # bit_depth_chroma_minus8
+        u(0, 1)  # qpprime_y_zero_transform_bypass_flag
+        u(0, 1)  # seq_scaling_matrix_present_flag
+    ue(0)  # log2_max_frame_num_minus4
+    ue(2)  # pic_order_cnt_type (2: no further fields)
+    ue(1)  # max_num_ref_frames
+    u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    pw_mbs = (width + 15) // 16
+    ph_units = (height + 15) // 16
+    ue(pw_mbs - 1)
+    ue(ph_units - 1)
+    u(1, 1)  # frame_mbs_only_flag
+    u(1, 1)  # direct_8x8_inference_flag
+    crop_r = (pw_mbs * 16 - width) // 2  # CropUnitX = 2 (4:2:0)
+    crop_b = (ph_units * 16 - height) // 2  # CropUnitY = 2 (frame_mbs_only)
+    if crop_r or crop_b:
+        u(1, 1)
+        ue(0)
+        ue(crop_r)
+        ue(0)
+        ue(crop_b)
+    else:
+        u(0, 1)
+    u(0, 1)  # vui_parameters_present_flag
+    u(1, 1)  # rbsp_stop_one_bit
+    while len(bits) % 8:
+        bits.append(0)
+    rbsp = bytearray()
+    for i in range(0, len(bits), 8):
+        rbsp.append(int("".join(map(str, bits[i : i + 8])), 2))
+    # emulation prevention: 00 00 {00,01,02,03} -> 00 00 03 xx
+    out = bytearray([0x67])  # nal_ref_idc=3, nal_unit_type=7 (SPS)
+    zeros = 0
+    for byte in rbsp:
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def encode_avcc(sps_nals: Sequence[bytes]) -> bytes:
+    """AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4.1) wrapping
+    the given SPS NALs, zero PPS — what an ``avcC`` box / Matroska
+    CodecPrivate carries."""
+    if not sps_nals:
+        raise ValueError("need at least one SPS")
+    first = sps_nals[0]
+    out = bytearray(
+        [1, first[1], first[2], first[3], 0xFC | 3, 0xE0 | len(sps_nals)]
+    )
+    for nal in sps_nals:
+        out += len(nal).to_bytes(2, "big") + nal
+    out.append(0)  # numOfPictureParameterSets
+    return bytes(out)
+
+
+def parse_avcc(data: bytes) -> tuple[int, int, int, int]:
+    """Parse an AVCDecoderConfigurationRecord -> the first SPS's
+    (profile_idc, level_idc, width, height).  Raises ValueError on a
+    bad record or no SPS."""
+    if len(data) < 7 or data[0] != 1:
+        raise ValueError("not an avcC record")
+    n_sps = data[5] & 0x1F
+    if not n_sps:
+        raise ValueError("avcC with no SPS")
+    ln = int.from_bytes(data[6:8], "big")
+    nal = data[8 : 8 + ln]
+    if len(nal) < ln:
+        raise ValueError("truncated SPS in avcC")
+    return parse_avc_sps(nal)
+
+
+def video_stream_params(payload: bytes) -> tuple[str, str, int, int, int, int]:
+    """Pixel-level triage for containerized video — (container, codec,
+    width, height, profile_idc, level_idc) — from decoder-configuration
+    headers only: for MP4, the video trak's stsd AVC sample entry's
+    ``avcC`` box (ISO 14496-15) holds the SPS, whose §7.3.2.1 parse
+    yields exact display dimensions (frame cropping included) +
+    profile/level; for Matroska, the same avcC lives in the
+    V_MPEG4/ISO/AVC TrackEntry's CodecPrivate, and non-AVC tracks fall
+    back to the declared Video>PixelWidth/PixelHeight elements
+    (profile/level 0 — VP9/AV1 configuration parsing is an honest
+    boundary, not guessed).  Completes the triage matrix the container
+    walks (mp4_stream_info/mkv_stream_info) start: duration + codec +
+    PIXELS, all before any sample decode.  Raises ValueError on
+    non-video payloads — quarantine-lane material (q226)."""
+    import struct
+
+    p = payload or b""
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+
+        def boxes(lo: int, hi: int):
+            j = lo
+            while j + 8 <= hi:
+                (size,) = struct.unpack(">I", p[j : j + 4])
+                fourcc = p[j + 4 : j + 8]
+                body = j + 8
+                if size == 1:
+                    if j + 16 > hi:
+                        return
+                    (size,) = struct.unpack(">Q", p[j + 8 : j + 16])
+                    body = j + 16
+                elif size == 0:
+                    size = hi - j
+                if size < 8 or j + size > hi:
+                    return
+                yield fourcc, body, j + size
+                j += size
+
+        def child(lo: int, hi: int, fourcc: bytes):
+            for fc, b, e in boxes(lo, hi):
+                if fc == fourcc:
+                    return b, e
+            return None
+
+        moov = child(0, len(p), b"moov")
+        if not moov:
+            raise ValueError("no moov box")
+        for fc, b, e in boxes(*moov):
+            if fc != b"trak":
+                continue
+            mdia = child(b, e, b"mdia")
+            if not mdia:
+                continue
+            hd = child(*mdia, b"hdlr")
+            if not hd or p[hd[0] + 8 : hd[0] + 12] != b"vide":
+                continue
+            minf = child(*mdia, b"minf")
+            stbl = child(*minf, b"stbl") if minf else None
+            stsd = child(*stbl, b"stsd") if stbl else None
+            if not stsd or stsd[0] + 16 > stsd[1]:
+                continue
+            entry_lo = stsd[0] + 8  # past version/flags + entry_count
+            (esize,) = struct.unpack(">I", p[entry_lo : entry_lo + 4])
+            codec = (
+                p[entry_lo + 4 : entry_lo + 8].decode("latin-1").strip().lower()
+            )
+            entry_hi = min(entry_lo + esize, stsd[1])
+            # child boxes start after the 78-byte VisualSampleEntry body
+            cfg = child(entry_lo + 8 + 78, entry_hi, b"avcC")
+            if cfg:
+                prof, lvl, w, h = parse_avcc(p[cfg[0] : cfg[1]])
+                return "mp4", codec, w, h, prof, lvl
+            # declared dims at fixed VisualSampleEntry offsets
+            if entry_lo + 8 + 28 <= entry_hi:
+                w, h = struct.unpack(
+                    ">HH", p[entry_lo + 8 + 24 : entry_lo + 8 + 28]
+                )
+                return "mp4", codec, w, h, 0, 0
+            return "mp4", codec, 0, 0, 0, 0
+        raise ValueError("no video trak")
+    if p[:4] == b"\x1a\x45\xdf\xa3":
+
+        def walk(lo: int, hi: int):
+            j = lo
+            while j < hi:
+                try:
+                    eid, k = _ebml_vint(p, j, strip_marker=False)
+                    size, body = _ebml_vint(p, k, strip_marker=True)
+                except ValueError:
+                    return
+                end = body + size
+                if end > hi:
+                    return
+                yield eid, body, end
+                j = end
+
+        for eid, b, e in walk(0, len(p)):
+            if eid != 0x18538067:  # Segment
+                continue
+            for i2, b2, e2 in walk(b, e):
+                if i2 != 0x1654AE6B:  # Tracks
+                    continue
+                for i3, b3, e3 in walk(b2, e2):
+                    if i3 != 0xAE:  # TrackEntry
+                        continue
+                    ttype, codec, priv = 0, "", b""
+                    pw = ph = 0
+                    for i4, b4, e4 in walk(b3, e3):
+                        if i4 == 0x83:
+                            ttype = int.from_bytes(p[b4:e4], "big")
+                        elif i4 == 0x86:
+                            codec = (
+                                p[b4:e4].decode("latin-1").rstrip("\x00")
+                            )
+                        elif i4 == 0x63A2:  # CodecPrivate
+                            priv = p[b4:e4]
+                        elif i4 == 0xE0:  # Video
+                            for i5, b5, e5 in walk(b4, e4):
+                                if i5 == 0xB0:
+                                    pw = int.from_bytes(p[b5:e5], "big")
+                                elif i5 == 0xBA:
+                                    ph = int.from_bytes(p[b5:e5], "big")
+                    if ttype != 1:
+                        continue
+                    if codec == "V_MPEG4/ISO/AVC" and priv:
+                        prof, lvl, w, h = parse_avcc(priv)
+                        return "mkv", codec, w, h, prof, lvl
+                    return "mkv", codec, pw, ph, 0, 0
+        raise ValueError("no video TrackEntry")
+    raise ValueError("not an MP4/Matroska payload")
 
 
 def sniff_media_payload(payload: bytes) -> tuple[str, str, bool, str]:

@@ -748,7 +748,17 @@ def _robots_like(rule: str) -> str:
         else:
             out.append(ch)
     pat = "".join(out)
-    if not anchored and not pat.endswith("%"):
+    # Append the implicit prefix wildcard unless the pattern already
+    # ends in an UNESCAPED '%' (i.e. the rule ended with '*'). A rule
+    # ending in a literal '%' (a percent-encoded path like '/a%')
+    # escapes to '...!%' — that '%' is literal, so the wildcard is
+    # still required or the rule would wrongly end-anchor. (A '*'
+    # preceded by a literal '!' yields '...!!%', which this test
+    # misreads as escaped — the extra '%' appended then is harmless:
+    # LIKE '%%' matches exactly what '%' does.)
+    if not anchored and not (
+        pat.endswith("%") and not pat.endswith("!%")
+    ):
         pat += "%"
     return pat
 

@@ -10329,8 +10329,11 @@ def q242_ogg_opus_triage(spark: SparkSession, sf_dir: str):
     identifies but reports no clock — all with REAL page CRCs from the
     module's own encoder.  The oracle states codec, channels, clock,
     exact integer duration and page count in closed form.  Scale
-    shape: one Arrow map pass reading O(pages) header bytes per
-    payload, no shuffle."""
+    shape: one Arrow map pass, no shuffle; the METADATA read is
+    O(pages) header bytes, and the CRC gate necessarily touches every
+    payload byte — at C speed (numpy bit-reverse gather + one zlib
+    call via the CRC reflection identity), not as an interpreter
+    loop, so verification stays a small fraction of the scan cost."""
     from ..operators.multimodal import ogg_stream_info
 
     def triage(batches):
@@ -10573,18 +10576,19 @@ def q244_warc_crawl_census(spark: SparkSession, sf_dir: str):
     Common Crawl publishes per-record-gzipped WARC (ISO 28500), and
     every corpus build starts by walking records before extraction
     (q228) / hygiene (q239) can run.  ``warc_triage``
-    (sources/warc.py) explodes each payload into records by walking
-    gzip MEMBERS (zlib unused_data, the CC skip-without-inflate
-    convention) and WARC named-field headers, pulling the HTTP status
-    and payload Content-Type out of response bodies' own HTTP heads —
-    the (status, MIME) mix is the first budgeting question a 100 TB
-    crawl answers.  Fixtures synthesize per doc a real .warc.gz: one
-    warcinfo + 2-4 request/response pairs with status cycling
-    200/404/301, fixed-width status phrases and deterministic payload
-    sizes so every record's Content-Length is closed-form.  The oracle
-    states all records (type, URI, exact length, status, MIME).  Scale
-    shape: one Arrow map pass reading O(header) bytes per record, no
-    shuffle."""
+    (sources/warc.py) explodes each payload into records by STREAMING
+    the gzip members (bounded inflate quanta; body bytes discarded as
+    they stream, so memory is O(header + 64 KiB) per record, never
+    O(inflated file)) and walking WARC named-field headers, pulling
+    the HTTP status and payload Content-Type out of response bodies'
+    own HTTP heads — the (status, MIME) mix is the first budgeting
+    question a 100 TB crawl answers.  Fixtures synthesize per doc a
+    real .warc.gz: one warcinfo + 2-4 request/response pairs with
+    status cycling 200/404/301, fixed-width status phrases and
+    deterministic payload sizes so every record's Content-Length is
+    closed-form.  The oracle states all records (type, URI, exact
+    length, status, MIME).  Scale shape: one Arrow map pass retaining
+    O(header) memory per record, no shuffle."""
     from ..sources.warc import warc_triage
 
     def gen(batches):
@@ -10764,3 +10768,130 @@ def q245_robots_txt_gate(spark: SparkSession, sf_dir: str):
     )
     rules = robots_rules(robots, "domain", "robots_txt", user_agent="ldp-bot")
     return robots_gate(pages, rules, "doc_id", "url")
+
+
+# ---------------------------------------------------------------------------
+# q246 — video pixel-dimension triage (avcC/SPS decode-config parse)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q246_video_dimension_triage",
+    tags=("multimodal", "P9"),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 3 AS lane, doc_id // 3 AS g FROM documents
+)
+SELECT doc_id,
+  CASE lane WHEN 0 THEN 'mp4' ELSE 'mkv' END AS container,
+  CASE lane WHEN 0 THEN 'avc1' WHEN 1 THEN 'V_MPEG4/ISO/AVC'
+            ELSE 'V_VP9' END AS codec,
+  CAST([640, 1280, 1920, 854, 426][(g % 5) + 1] AS INTEGER) AS width,
+  CAST([360, 720, 1080, 480, 240][(g % 5) + 1] AS INTEGER) AS height,
+  CAST(CASE WHEN lane <= 1 THEN [66, 77, 100][(g % 3) + 1]
+            ELSE 0 END AS INTEGER) AS profile_idc,
+  CAST(CASE WHEN lane <= 1 THEN [30, 31, 40, 41, 51][(g % 5) + 1]
+            ELSE 0 END AS INTEGER) AS level_idc,
+  CAST(([640, 1280, 1920, 854, 426][(g % 5) + 1]
+        * [360, 720, 1080, 480, 240][(g % 5) + 1]) AS BIGINT) AS n_pixels
+FROM p
+""",
+)
+def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
+    """Video PIXEL triage — the header-walk question q243 leaves open:
+    the container says avc1/V_MPEG4 and how long, but a 100 TB crawl
+    budgets DECODE cost by pixels, and those live in the H.264 SPS
+    inside the decoder configuration (MP4: the stsd sample entry's
+    ``avcC`` box, ISO 14496-15; Matroska: the TrackEntry CodecPrivate).
+    ``video_stream_params`` (operators/multimodal.py) parses the full
+    SPS (§7.3.2.1: Exp-Golomb, high-profile chroma block with
+    scaling-list skip, frame cropping — 1080p is coded as 68 macroblock
+    rows and CROPPED to 1080, so reading the declared mb counts alone
+    is wrong by 8 rows) for exact width/height/profile/level; non-AVC
+    Matroska tracks (VP9 lane) fall back to the declared
+    Video>PixelWidth/PixelHeight elements with profile/level 0 — an
+    honest boundary, not a guess.  Fixtures cycle 3 lanes x 5
+    resolutions (two of which, 854x480 and 426x240, require real crop
+    arithmetic) x 3 profiles (66 baseline skips the chroma block, 100
+    high includes it) x 5 levels, every payload synthesized by the
+    module's own encode_avc_sps/encode_avcc/container encoders and
+    parsed back through the real bit-reader.  The oracle states all
+    fields in closed form.  Scale shape: one Arrow map pass reading
+    O(decoder-config) bytes per payload — a few hundred — no shuffle."""
+    from ..operators.multimodal import video_stream_params
+
+    _dims = [(640, 360), (1280, 720), (1920, 1080), (854, 480), (426, 240)]
+    _profiles = [66, 77, 100]
+    _levels = [30, 31, 40, 41, 51]
+
+    def triage(batches):
+        import pandas as _pd
+
+        from ..operators.multimodal import (
+            encode_avc_sps,
+            encode_avcc,
+            encode_mkv_elements,
+            encode_mp4_boxes,
+        )
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                lane, g = doc_id % 3, doc_id // 3
+                w, h = _dims[g % 5]
+                if lane <= 1:
+                    avcc = encode_avcc(
+                        [encode_avc_sps(w, h, _profiles[g % 3], _levels[g % 5])]
+                    )
+                    if lane == 0:
+                        payload = encode_mp4_boxes(
+                            "isom",
+                            (10 + g % 20) * 90000,
+                            90000,
+                            [("vide", "avc1"), ("soun", "mp4a")],
+                            video_avcc=avcc,
+                        )
+                    else:
+                        payload = encode_mkv_elements(
+                            "matroska",
+                            float(8000 + g % 100),
+                            500_000,
+                            [(1, "V_MPEG4/ISO/AVC", avcc)],
+                        )
+                else:
+                    payload = encode_mkv_elements(
+                        "webm",
+                        float(60000 + g % 1000),
+                        1_000_000,
+                        [(1, "V_VP9", None, w, h), (2, "A_OPUS")],
+                    )
+                cont, codec, vw, vh, prof, lvl = video_stream_params(payload)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "container": cont,
+                        "codec": codec,
+                        "width": vw,
+                        "height": vh,
+                        "profile_idc": prof,
+                        "level_idc": lvl,
+                        "n_pixels": vw * vh,
+                    }
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "container", "codec", "width", "height",
+                    "profile_idc", "level_idc", "n_pixels",
+                ],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").repartition(32, "doc_id")
+    return docs.mapInPandas(
+        triage,
+        schema=(
+            "doc_id long, container string, codec string, width int, "
+            "height int, profile_idc int, level_idc int, n_pixels long"
+        ),
+    )

@@ -7,16 +7,30 @@ can run.
 This module is header-only by design, like the media triage family
 (``sniff_media`` / ``mp3_stream_info`` / ``mp4_stream_info``): a WARC
 record is a ``WARC/1.x`` named-field block plus a ``Content-Length``
-body, so record type / target URI / HTTP status / payload MIME cost
-O(header) bytes per record regardless of body size, and a 100 TB crawl
-can census itself (responses vs requests vs metadata, status mix, MIME
-mix, payload volume) from record headers alone.
+body, so record type / target URI / HTTP status / payload MIME RETAIN
+O(header + 64 KiB HTTP head) bytes per record regardless of body size,
+and a 100 TB crawl can census itself (responses vs requests vs
+metadata, status mix, MIME mix, payload volume) from record headers
+alone. Honest cost accounting: gzip gives no way to find a member's
+end without inflating it, so CPU is O(file bytes) of C-speed inflate —
+the claim is about MEMORY (body bytes are discarded as they stream
+past, never buffered).
 
 Gzip handling follows the Common Crawl convention: each record is its
-own gzip MEMBER, so members concatenate into one .warc.gz and a reader
-can skip record-by-record without inflating the whole file;
-``parse_warc_records`` walks members via ``zlib.decompressobj``'s
-``unused_data`` (stdlib-only) and accepts plain uncompressed WARC too.
+own gzip MEMBER, so members concatenate into one .warc.gz. The walk is
+STREAMING and memory-bounded: gzip members inflate through
+``zlib.decompressobj`` in bounded quanta (``_IN_CHUNK`` compressed in,
+``_OUT_CHUNK`` inflated out), record headers and at most
+``_HTTP_HEAD_MAX`` bytes of body are retained to parse the HTTP status
+line and payload Content-Type, and the remaining body bytes are
+DISCARDED as they stream past — peak memory is O(largest record header
++ 64 KiB), never O(inflated file) (a real 1 GB .warc.gz inflates
+4–5x; 32 concurrent tasks of whole-file inflation would exhaust a
+128 GiB host, which is why the walk must stream). Plain uncompressed
+WARC is accepted too. A corrupt gzip member (bad deflate stream or
+CRC) raises ValueError so ``warc_triage``'s quarantine lanes can
+route it; a merely TRUNCATED tail member keeps the records already
+parsed, matching how real crawl files actually end.
 
 Reference parity: the reference engine has no crawl-ingestion surface
 (its sources are REST landing + CSV/JSON stages, SURVEY.md §2.1); this
@@ -40,55 +54,105 @@ __all__ = [
 
 _CRLF = b"\r\n"
 
+# Inflate quanta: how many compressed bytes are fed per decompress call
+# and how many inflated bytes it may emit per call. Together they bound
+# the walk's transient allocations regardless of member or file size.
+_IN_CHUNK = 1 << 18  # 256 KiB compressed in
+_OUT_CHUNK = 1 << 20  # 1 MiB inflated out
+# Bytes of record body retained to parse the HTTP status line + headers
+# (RFC 9110 gives no hard cap; every real server's head fits well under
+# 64 KiB — nginx/Apache default limits are 8-16 KiB).
+_HTTP_HEAD_MAX = 1 << 16
 
-def _split_members(payload: bytes) -> list[bytes]:
-    """Inflate a concatenation of gzip members into the raw byte
-    stream (one inflate pass; members are how CC frames records, but
-    record boundaries come from WARC Content-Length, not from member
-    boundaries, so the streams just concatenate)."""
+
+def _iter_inflated(payload: bytes) -> Iterator[bytes]:
+    """Yield the inflated byte stream of a concatenation of gzip
+    members in bounded chunks, never materializing more than
+    ``_IN_CHUNK + _OUT_CHUNK`` at once (members are how CC frames
+    records, but record boundaries come from WARC Content-Length, not
+    member boundaries, so the inflated streams just concatenate).
+    Non-gzip input is yielded as-is. A corrupt member (bad deflate
+    data / bad CRC) raises ValueError — quarantine-lane material
+    (q226 convention) — while a merely truncated tail member ends the
+    stream with what inflated."""
     import zlib
 
-    out = []
-    rest = payload
-    while rest[:2] == b"\x1f\x8b":
+    if payload[:2] != b"\x1f\x8b":
+        # Plain WARC: chunk it so the record walker's rolling buffer
+        # (which skips body bytes) never holds more than head + chunk.
+        for i in range(0, len(payload), _OUT_CHUNK):
+            yield payload[i : i + _OUT_CHUNK]
+        return
+    mv = memoryview(payload)
+    pos, n = 0, len(payload)
+    while pos < n and mv[pos] == 0x1F and mv[pos + 1 : pos + 2] == b"\x8b":
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
-        out.append(d.flush())
+        try:
+            while not d.eof:
+                if d.unconsumed_tail:
+                    data = d.unconsumed_tail
+                else:
+                    if pos >= n:
+                        break  # truncated member: keep what inflated
+                    data = bytes(mv[pos : pos + _IN_CHUNK])
+                    pos += len(data)
+                out = d.decompress(data, _OUT_CHUNK)
+                if out:
+                    yield out
+            # Capture the leftover-input length BEFORE flush(): when eof
+            # lands in a max_length-limited decompress call, CPython
+            # leaves the remainder in BOTH unconsumed_tail and
+            # unused_data, and flush() then appends the tail into
+            # unused_data AGAIN — reading it after flush double-counts
+            # and the rewind below would re-walk the next member's
+            # bytes as garbage.
+            leftover = len(d.unused_data)
+            tail = d.flush()
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member: {exc}") from exc
+        if tail:
+            yield tail
         if not d.eof:
-            break  # truncated member: keep what inflated
-        rest = d.unused_data
-    return out if out else [payload]
+            return
+        # Bytes fed past this member's end belong to the next member;
+        # rewind — bounded by _IN_CHUNK, so this never re-copies the file.
+        pos -= leftover
 
 
-def parse_warc_records(payload: bytes) -> list[dict]:
-    """Walk the WARC records of one (optionally per-member-gzipped)
-    payload -> list of dicts with keys ``rec_type``, ``target_uri``,
-    ``content_length``, ``http_status``, ``mime``.
+def _iter_warc_records(chunks: Iterator[bytes]) -> Iterator[dict]:
+    """Record walk over an inflated-chunk stream. Retains only the
+    record's header block plus at most ``_HTTP_HEAD_MAX`` body bytes;
+    the rest of each body is skipped chunk-by-chunk without buffering,
+    so memory stays O(largest header + 64 KiB) whatever the file or
+    record size."""
+    buf = bytearray()
+    it = iter(chunks)
+    eof = False
 
-    Per ISO 28500: a record is a version line (``WARC/1.0`` or 1.1), a
-    named-field block terminated by an empty line, ``Content-Length``
-    octets of body, then two CRLFs.  Field names are case-insensitive.
-    For ``response``/``request`` records the body opens with an HTTP
-    message, so the status code and the HTTP ``Content-Type`` (the
-    PAYLOAD's MIME, the one corpus builders filter on — not the WARC
-    envelope's) parse from the body's own header block; other record
-    types report status 0 and the envelope ``Content-Type``.
+    def fill(target: int) -> None:
+        nonlocal eof
+        while not eof and len(buf) < target:
+            try:
+                buf.extend(next(it))
+            except StopIteration:
+                eof = True
 
-    Tolerant by the same rule as the media walks: a malformed or
-    truncated record ends the walk with the records already parsed
-    (real .warc.gz files end in truncation, not exceptions); a payload
-    with no leading WARC version line raises ValueError."""
-    p = b"".join(_split_members(payload or b""))
-    if not p.startswith(b"WARC/"):
+    fill(5)
+    if bytes(buf[:5]) != b"WARC/":
         raise ValueError("no WARC version line")
-    records: list[dict] = []
-    i = 0
-    while p.startswith(b"WARC/", i):
-        head_end = p.find(_CRLF + _CRLF, i)
-        if head_end < 0:
-            break
+    while True:
+        fill(5)
+        if bytes(buf[:5]) != b"WARC/":
+            return
+        while True:
+            head_end = buf.find(_CRLF + _CRLF)
+            if head_end >= 0:
+                break
+            if eof:
+                return  # truncated header
+            fill(len(buf) + _OUT_CHUNK)
         fields: dict[str, str] = {}
-        for line in p[i:head_end].split(_CRLF)[1:]:
+        for line in bytes(buf[:head_end]).split(_CRLF)[1:]:
             name, _, value = line.partition(b":")
             if _:
                 fields[name.strip().lower().decode("latin-1")] = (
@@ -97,10 +161,12 @@ def parse_warc_records(payload: bytes) -> list[dict]:
         try:
             length = int(fields.get("content-length", ""))
         except ValueError:
-            break
-        body = p[head_end + 4 : head_end + 4 + length]
-        if len(body) < length:
-            break
+            return  # malformed record: keep what parsed
+        body_keep = min(length, _HTTP_HEAD_MAX)
+        fill(head_end + 4 + body_keep)
+        if len(buf) < head_end + 4 + body_keep:
+            return  # truncated body
+        body = bytes(buf[head_end + 4 : head_end + 4 + body_keep])
         rec_type = fields.get("warc-type", "unknown")
         status = 0
         mime = fields.get("content-type", "").split(";")[0].strip()
@@ -124,19 +190,69 @@ def parse_warc_records(payload: bytes) -> list[dict]:
                         .strip()
                     )
                     break
-        records.append(
-            {
-                "rec_type": rec_type,
-                "target_uri": fields.get("warc-target-uri", ""),
-                "content_length": length,
-                "http_status": status,
-                "mime": mime,
-            }
-        )
-        i = head_end + 4 + length
-        if p[i : i + 4] == _CRLF + _CRLF:
-            i += 4
-    return records
+        # Skip the rest of the body WITHOUT buffering it: drop what the
+        # buffer already holds, then discard whole chunks until the
+        # record's end. This is the line that keeps a 4 GiB record from
+        # costing 4 GiB of driver-side walk memory.
+        to_skip = head_end + 4 + length
+        if len(buf) >= to_skip:
+            del buf[:to_skip]
+        else:
+            rem = to_skip - len(buf)
+            buf.clear()
+            while rem > 0 and not eof:
+                try:
+                    c = next(it)
+                except StopIteration:
+                    eof = True
+                    break
+                if len(c) <= rem:
+                    rem -= len(c)
+                else:
+                    buf.extend(memoryview(c)[rem:])
+                    rem = 0
+            if rem > 0:
+                return  # truncated body past the retained head
+        yield {
+            "rec_type": rec_type,
+            "target_uri": fields.get("warc-target-uri", ""),
+            "content_length": length,
+            "http_status": status,
+            "mime": mime,
+        }
+        fill(4)
+        if bytes(buf[:4]) == _CRLF + _CRLF:
+            del buf[:4]
+
+
+def parse_warc_records(payload: bytes) -> list[dict]:
+    """Walk the WARC records of one (optionally per-member-gzipped)
+    payload -> list of dicts with keys ``rec_type``, ``target_uri``,
+    ``content_length``, ``http_status``, ``mime``.
+
+    Per ISO 28500: a record is a version line (``WARC/1.0`` or 1.1), a
+    named-field block terminated by an empty line, ``Content-Length``
+    octets of body, then two CRLFs.  Field names are case-insensitive.
+    For ``response``/``request`` records the body opens with an HTTP
+    message, so the status code and the HTTP ``Content-Type`` (the
+    PAYLOAD's MIME, the one corpus builders filter on — not the WARC
+    envelope's) parse from the body's own header block; other record
+    types report status 0 and the envelope ``Content-Type``.
+
+    Memory-bounded: gzip members inflate in bounded quanta and body
+    bytes past the first ``_HTTP_HEAD_MAX`` are discarded as they
+    stream by, so peak memory is O(largest record header + 64 KiB) —
+    NOT O(inflated file) (see ``tests/test_multimodal_decode.py``'s
+    capped-tracemalloc regression test). The returned record dicts are
+    header-sized.
+
+    Tolerant by the same rule as the media walks: a malformed or
+    TRUNCATED record ends the walk with the records already parsed
+    (real .warc.gz files end in truncation, not exceptions); a payload
+    with no leading WARC version line, or a CORRUPT gzip member (bad
+    deflate stream or CRC — zlib.error wrapped), raises ValueError so
+    ``warc_triage`` can quarantine-lane it."""
+    return list(_iter_warc_records(_iter_inflated(payload or b"")))
 
 
 def encode_warc_records(
@@ -190,8 +306,11 @@ def warc_triage(
     census step every Common-Crawl-shaped ingestion runs before
     extraction, and the natural upstream of q224 (URL canonicalization),
     q228 (main-text extraction) and q239 (robots gate).  Scale shape: a
-    pure map pass reading O(header) bytes per record, no shuffle; a
-    truncated tail record drops rather than failing the partition.
+    pure map pass retaining O(header + 64 KiB) memory per record (body
+    bytes inflate at C speed and are discarded as they stream — never
+    buffered, so 1 GB .warc.gz inputs x 32 concurrent tasks fit), no
+    shuffle; a truncated tail record drops rather than failing the
+    partition.
 
     ``on_error`` (the q226 quarantine convention): 'fail' raises on a
     non-WARC payload (batch audits want the loud failure), 'skip'

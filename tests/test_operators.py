@@ -1645,6 +1645,14 @@ def test_parse_robots_txt_group_semantics():
     assert _robots_like("/private/*") == "/private/%"
     assert _robots_like("/private/ok$") == "/private/ok"
     assert _robots_like("/a%b_c!d") == "/a!%b!_c!!d%"
+    # ADVICE r6: a rule ending in a LITERAL '%' (percent-encoded path)
+    # escapes to '...!%' — that trailing '%' is escaped, so the
+    # implicit prefix wildcard must STILL append (the bug end-anchored
+    # it and '/a%' stopped matching '/a%25foo')
+    assert _robots_like("/a%") == "/a!%%"
+    # '*' after a literal '!' reads as escaped-'%' to the endswith
+    # test; the redundant append is harmless (LIKE '%%' == '%')
+    assert _robots_like("/a!*") == "/a!!%%"
 
 
 def test_robots_gate_longest_match(spark):

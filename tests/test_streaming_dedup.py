@@ -418,12 +418,19 @@ def test_stream_warc_census_ledger_equals_batch(spark, tmp_path):
             gzip_members=True,
         )
 
+    # flipped byte mid-deflate: valid \x1f\x8b magic, corrupt member —
+    # raises zlib.error inside the inflater (NOT ValueError natively);
+    # ADVICE r6: this most-likely real .warc.gz corruption must land in
+    # the 'invalid' lane, not kill the micro-batch
+    corrupt = bytearray(warc(200, "text/html", 400))
+    corrupt[len(corrupt) // 2] ^= 0xFF
     rows = [
         (1, warc(200, "text/html", 5)),
         (2, warc(404, "text/plain", 9)),
         (3, b"not a warc at all"),
         (4, warc(200, "text/html", 21)),
         (5, None),
+        (6, bytes(corrupt)),
     ]
     landing = str(tmp_path / "landing")
     chk = str(tmp_path / "chk")
@@ -487,9 +494,10 @@ def test_stream_warc_census_ledger_equals_batch(spark, tmp_path):
         )
     )
     assert got == want
-    # both 200 text/html responses folded; garbage + None hit 'invalid'
+    # both INTACT 200 text/html responses folded; garbage + None + the
+    # flipped-byte gzip all hit 'invalid'
     assert got[("response", 200, "text/html")][0] == 2
-    assert got[("invalid", 0, "")] == (2, 0, 3)
+    assert got[("invalid", 0, "")] == (3, 0, 3)
     assert got[("warcinfo", 0, "application/warc-fields")][0] == 3
     # idempotent redrain
     drain()
