@@ -11,6 +11,8 @@ the deterministic, SQL-expressible analysis layer.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .scale import fan_out
@@ -810,6 +812,7 @@ def robots_gate(
     rules_df: DataFrame,
     id_col: str,
     url_col: str,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Crawl-consent gate, domain half (q239 is the in-page half):
     decide ``allowed`` per page under RFC 9309 LONGEST-MATCH — among
@@ -824,10 +827,18 @@ def robots_gate(
     (id, domain, path, allowed).  Engine-portable: LIKE-with-ESCAPE
     matching and integer max replay verbatim on DuckDB (q245).  Scale
     shape: one broadcast join + one aggregate on the page id — rule
-    fan-out is bounded by rules-per-domain (KBs), never page count."""
+    fan-out is bounded by rules-per-domain (KBs), never page count.
+
+    ``carry_cols`` rides extra page columns through the gate's
+    aggregation (as additional group keys — exact, since ``id_col`` is
+    already unique per page), so a composed pipeline (q247) keeps its
+    dedup keys/canonical URLs without a corpus-sized re-join back onto
+    the gate's output."""
     u = F.col(url_col)
+    carry = [F.col(c) for c in carry_cols]
     pages = pages_df.select(
         F.col(id_col),
+        *carry,
         F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1)).alias("domain"),
         F.coalesce(
             F.nullif(F.regexp_extract(u, r"^[^:]+://[^/?#]+([^#]*)", 1), F.lit("")),
@@ -842,10 +853,11 @@ def robots_gate(
         ),
     )
     return (
-        joined.groupBy(id_col, "domain", "path")
+        joined.groupBy(id_col, *carry_cols, "domain", "path")
         .agg(F.max("score").alias("best"))
         .select(
             id_col,
+            *carry_cols,
             "domain",
             "path",
             (F.col("best").isNull() | (F.col("best") % 2 == 1)).alias(

@@ -10895,3 +10895,179 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
             "height int, profile_idc int, level_idc int, n_pixels long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q247 — WARC-to-corpus end-to-end: the composed crawl-ingestion pipeline
+# ---------------------------------------------------------------------------
+
+_Q247_ROBOTS = "User-agent: *\nDisallow: /private/\n"
+
+
+@register(
+    "q247_warc_to_corpus",
+    tags=("dedup", "P9", "S1"),
+    oracle="""
+WITH d AS (SELECT doc_id % 10 AS m, doc_id // 10 AS g FROM documents),
+agg AS (
+  SELECT m, COUNT(*) AS nd, COUNT(DISTINCT (g // 2) % 4) AS k4
+  FROM d GROUP BY m
+)
+SELECT 'd' || CAST(m AS VARCHAR) || '.example.com' AS domain,
+  CAST(3 * nd AS BIGINT) AS n_html,
+  CAST((2 + m % 2) * nd AS BIGINT) AS n_allowed,
+  CAST((1 + m % 2) * nd + k4 AS BIGINT) AS n_kept,
+  CAST((1 + m % 2) * nd + 1 AS BIGINT) AS n_urls
+FROM agg
+""",
+)
+def q247_warc_to_corpus(spark: SparkSession, sf_dir: str):
+    """WARC-to-corpus END-TO-END — the composition a 100 TB build
+    actually executes, certified under ONE oracle: .warc.gz bytes →
+    ``warc_html_documents`` (streaming record walk, 200/text-html lane
+    only — the single scan of the crawl bytes) → ``extract_html_text``
+    (q228's codegen extraction, script/entity handling) →
+    ``canonicalize_url`` (q224: host lowercased, query params sorted —
+    certified here by ``n_urls``, which counts the two query-order
+    spellings of the same page as ONE) → ``robots_rules`` +
+    ``robots_gate`` (q245's RFC 9309 broadcast gate; ``carry_cols``
+    rides the dedup key and canonical URL through the gate's aggregate
+    so no corpus-sized re-join is needed) → exact dedup on the folded
+    extracted text (q238's shape; ASCII fixtures make fold == lower,
+    which DuckDB replays — q241 certifies the full NFKC path
+    separately).  Per-query plan checks can't see CROSS-operator
+    problems (a repeated payload scan between census and extraction is
+    invisible to both queries' plans); this one can: the dataflow is
+    one linear chain, so the WARC payload crosses Arrow exactly once.
+
+    Fixtures per doc (m = doc_id%10 names the domain, g = doc_id//10):
+    a real per-member-gzipped WARC with warcinfo + request + FIVE
+    responses — an allowed page with unique text and an uppercase-host
+    tracking-param URL, a /private/ page (blocked by the even-m
+    domains' robots.txt), a shared-text page whose case varies with g
+    parity (dedup must collapse it) under two query-param spellings
+    (canonicalization must collapse those), a 404, and a JSON response
+    (both filtered in the walk).  The oracle states the per-domain
+    census — fetched, robots-allowed, dedup-kept, distinct canonical
+    URLs — in closed form.  Scale shape: one Arrow map pass over the
+    crawl bytes at O(header + body_max) memory per record, codegen
+    projections riding that scan, ONE broadcast rule join, one
+    aggregate keyed by page, one tiny final aggregate by domain; the
+    corpus never shuffles its raw bytes."""
+    from ..operators.text import (
+        canonicalize_url,
+        extract_html_text,
+        robots_gate,
+        robots_rules,
+    )
+    from ..sources.warc import warc_html_documents
+
+    def gen(batches):
+        import pandas as _pd
+
+        from ..sources.warc import encode_warc_records
+
+        def html_doc(body_html):
+            return (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body_html
+            )
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                m, g = doc_id % 10, doc_id // 10
+                k = (g // 2) % 4
+                beta = (
+                    f"<p>Beta text {k}</p>"
+                    if g % 2 == 0
+                    else f"<P>BETA TEXT {k}</P>"
+                )
+                b_q = "x=2&a=1" if g % 2 == 0 else "a=1&x=2"
+                recs = [
+                    {"rec_type": "warcinfo",
+                     "content_type": "application/warc-fields",
+                     "body": b"software: ldp"},
+                    {"rec_type": "request",
+                     "target_uri": f"http://d{m}.example.com/a",
+                     "content_type": "application/http;msgtype=request",
+                     "body": b"GET /a HTTP/1.1\r\nHost: x\r\n\r\n"},
+                    {"rec_type": "response",
+                     "target_uri": (
+                         f"http://D{m}.EXAMPLE.com/a?utm_source=x&id={g}"
+                     ),
+                     "content_type": "application/http;msgtype=response",
+                     "body": html_doc(
+                         b"<html><head><title>T</title><script>var x=1;"
+                         b"</script></head><body><p>alpha %d content</p>"
+                         b"</body></html>" % g
+                     )},
+                    {"rec_type": "response",
+                     "target_uri": f"http://d{m}.example.com/private/p{g}",
+                     "content_type": "application/http;msgtype=response",
+                     "body": html_doc(b"<p>secret %d</p>" % g)},
+                    {"rec_type": "response",
+                     "target_uri": f"http://d{m}.example.com/b?{b_q}",
+                     "content_type": "application/http;msgtype=response",
+                     "body": html_doc(beta.encode())},
+                    {"rec_type": "response",
+                     "target_uri": f"http://d{m}.example.com/gone{g}",
+                     "content_type": "application/http;msgtype=response",
+                     "body": (
+                         b"HTTP/1.1 404 Not Found\r\nContent-Type: "
+                         b"text/html\r\n\r\nmissing"
+                     )},
+                    {"rec_type": "response",
+                     "target_uri": f"http://d{m}.example.com/api{g}",
+                     "content_type": "application/http;msgtype=response",
+                     "body": (
+                         b"HTTP/1.1 200 OK\r\nContent-Type: "
+                         b'application/json\r\n\r\n{"a": 1}'
+                     )},
+                ]
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": encode_warc_records(
+                            recs, gzip_members=True
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    warcs = docs.repartition(32, "doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    pages = warc_html_documents(warcs, "doc_id", "payload").select(
+        (F.col("id") * 8 + F.col("rec_index")).alias("page_id"),
+        canonicalize_url(F.col("url")).alias("curl"),
+        F.md5(F.lower(extract_html_text(F.col("html")))).alias("key"),
+    )
+    m = (F.col("doc_id") % 10).cast("int")
+    robots = (
+        docs.select(m.alias("m"))
+        .distinct()
+        .filter(F.col("m") % 2 == 0)  # odd domains publish no robots
+        .select(
+            F.concat(F.lit("d"), F.col("m"), F.lit(".example.com")).alias(
+                "domain"
+            ),
+            F.lit(_Q247_ROBOTS).alias("robots_txt"),
+        )
+    )
+    rules = robots_rules(robots, "domain", "robots_txt", user_agent="*")
+    gated = robots_gate(
+        pages, rules, "page_id", "curl", carry_cols=("curl", "key")
+    )
+    return gated.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_html"),
+        F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+        F.countDistinct(
+            F.when(F.col("allowed"), F.col("key"))
+        ).alias("n_kept"),
+        F.countDistinct(
+            F.when(F.col("allowed"), F.col("curl"))
+        ).alias("n_urls"),
+    )

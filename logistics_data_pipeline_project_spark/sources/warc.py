@@ -50,6 +50,7 @@ __all__ = [
     "parse_warc_records",
     "encode_warc_records",
     "warc_triage",
+    "warc_html_documents",
 ]
 
 _CRLF = b"\r\n"
@@ -119,12 +120,24 @@ def _iter_inflated(payload: bytes) -> Iterator[bytes]:
         pos -= leftover
 
 
-def _iter_warc_records(chunks: Iterator[bytes]) -> Iterator[dict]:
+def _iter_warc_records(
+    chunks: Iterator[bytes],
+    body_max: int | None = None,
+) -> Iterator[dict]:
     """Record walk over an inflated-chunk stream. Retains only the
     record's header block plus at most ``_HTTP_HEAD_MAX`` body bytes;
     the rest of each body is skipped chunk-by-chunk without buffering,
     so memory stays O(largest header + 64 KiB) whatever the file or
-    record size."""
+    record size.
+
+    ``body_max`` is the extraction lane's knob: when set, response
+    records retain up to that many bytes of body (HTTP head included)
+    and the dict gains a ``payload`` key with the bytes AFTER the HTTP
+    head — the HTML the text-extraction stage (q228) reads. Memory
+    becomes O(header + body_max) per record, still never O(file); a
+    body longer than the cap is truncated, not buffered (corpus
+    builders cap page size anyway — Common Crawl itself truncates at
+    1 MiB)."""
     buf = bytearray()
     it = iter(chunks)
     eof = False
@@ -162,20 +175,29 @@ def _iter_warc_records(chunks: Iterator[bytes]) -> Iterator[dict]:
             length = int(fields.get("content-length", ""))
         except ValueError:
             return  # malformed record: keep what parsed
-        body_keep = min(length, _HTTP_HEAD_MAX)
+        rec_type = fields.get("warc-type", "unknown")
+        keep_cap = (
+            max(_HTTP_HEAD_MAX, body_max)
+            if body_max is not None and rec_type == "response"
+            else _HTTP_HEAD_MAX
+        )
+        body_keep = min(length, keep_cap)
         fill(head_end + 4 + body_keep)
         if len(buf) < head_end + 4 + body_keep:
             return  # truncated body
         body = bytes(buf[head_end + 4 : head_end + 4 + body_keep])
-        rec_type = fields.get("warc-type", "unknown")
         status = 0
+        http_payload = b""
         mime = fields.get("content-type", "").split(";")[0].strip()
         if rec_type in ("response", "request") and body[:5] in (
             b"HTTP/",
             b"GET /",
             b"POST ",
         ):
-            http_head = body.split(_CRLF + _CRLF, 1)[0]
+            parts = body.split(_CRLF + _CRLF, 1)
+            http_head = parts[0]
+            if body_max is not None and rec_type == "response":
+                http_payload = parts[1][:body_max] if len(parts) > 1 else b""
             lines = http_head.split(_CRLF)
             first = lines[0].split()
             if rec_type == "response" and len(first) >= 2 and first[1].isdigit():
@@ -213,19 +235,25 @@ def _iter_warc_records(chunks: Iterator[bytes]) -> Iterator[dict]:
                     rem = 0
             if rem > 0:
                 return  # truncated body past the retained head
-        yield {
+        rec = {
             "rec_type": rec_type,
             "target_uri": fields.get("warc-target-uri", ""),
             "content_length": length,
             "http_status": status,
             "mime": mime,
         }
+        if body_max is not None:
+            rec["payload"] = http_payload
+        yield rec
         fill(4)
         if bytes(buf[:4]) == _CRLF + _CRLF:
             del buf[:4]
 
 
-def parse_warc_records(payload: bytes) -> list[dict]:
+def parse_warc_records(
+    payload: bytes,
+    body_max: int | None = None,
+) -> list[dict]:
     """Walk the WARC records of one (optionally per-member-gzipped)
     payload -> list of dicts with keys ``rec_type``, ``target_uri``,
     ``content_length``, ``http_status``, ``mime``.
@@ -251,8 +279,15 @@ def parse_warc_records(payload: bytes) -> list[dict]:
     (real .warc.gz files end in truncation, not exceptions); a payload
     with no leading WARC version line, or a CORRUPT gzip member (bad
     deflate stream or CRC — zlib.error wrapped), raises ValueError so
-    ``warc_triage`` can quarantine-lane it."""
-    return list(_iter_warc_records(_iter_inflated(payload or b"")))
+    ``warc_triage`` can quarantine-lane it.
+
+    ``body_max`` (extraction lane, q247): when set, response records
+    additionally carry ``payload`` — the HTTP message body truncated
+    at ``body_max`` bytes — at O(header + body_max) retained memory
+    per record."""
+    return list(
+        _iter_warc_records(_iter_inflated(payload or b""), body_max)
+    )
 
 
 def encode_warc_records(
@@ -377,4 +412,82 @@ def warc_triage(
             "id long, rec_index int, rec_type string, target_uri string, "
             "content_length long, http_status int, mime string"
         ),
+    )
+
+
+def warc_html_documents(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    body_max: int = 1 << 20,
+    on_error: str = "fail",
+) -> DataFrame:
+    """The EXTRACTION lane of the WARC walk (the census lane is
+    ``warc_triage``): explode each (optionally .gz) WARC payload into
+    one row per successfully fetched HTML page — (id, rec_index, url,
+    html) for records with rec_type=response, HTTP status 200 and
+    payload MIME text/html — in one Arrow-batched mapInPandas pass.
+    This is the single scan a WARC-to-corpus build (q247) hangs
+    everything off: main-text extraction (q228), URL canonicalization
+    (q224), the robots gate (q245) and dedup (q238/q241) all consume
+    THESE rows, so the crawl bytes are read exactly once.
+
+    ``body_max`` caps the retained HTML per page (Common Crawl itself
+    truncates records at 1 MiB) — memory per in-flight record stays
+    O(header + body_max), never O(inflated file), same streaming walk
+    as the census lane.  ``html`` is decoded UTF-8 with replacement
+    (charset sniffing is an honest non-goal: replacement characters
+    are data the quality stages score, not a crash).  ``on_error``
+    follows the q226 quarantine convention: 'fail' raises on garbage,
+    'skip' drops the payload, 'tag' emits one row with rec_index=-1
+    and empty url/html so the garbage stays countable."""
+    if on_error not in ("fail", "skip", "tag"):
+        raise ValueError(f"bad on_error {on_error!r}")
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["id", "rec_index", "url", "html"]
+        for pdf in batches:
+            out = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    recs = parse_warc_records(
+                        bytes(payload) if payload is not None else b"",
+                        body_max=body_max,
+                    )
+                except ValueError:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "tag":
+                        out.append(
+                            {
+                                "id": int(_id),
+                                "rec_index": -1,
+                                "url": "",
+                                "html": "",
+                            }
+                        )
+                    continue
+                for ix, r in enumerate(recs):
+                    if (
+                        r["rec_type"] != "response"
+                        or r["http_status"] != 200
+                        or r["mime"] != "text/html"
+                    ):
+                        continue
+                    out.append(
+                        {
+                            "id": int(_id),
+                            "rec_index": ix,
+                            "url": r["target_uri"],
+                            "html": r["payload"].decode("utf-8", "replace"),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(payload_col).cast(BinaryType()).alias(payload_col),
+    )
+    return cols.mapInPandas(
+        walk, schema="id long, rec_index int, url string, html string"
     )

@@ -389,3 +389,20 @@ def test_q245_robots_gate_is_broadcast_join(spark, sf_dir):
     # blocklist — and one aggregate on the page id decides
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q247_warc_pipeline_single_scan_broadcast_gate(spark, sf_dir):
+    plan = _physical(REGISTRY["q247_warc_to_corpus"].fn(spark, sf_dir))
+    # the crawl bytes must be read by EXACTLY ONE Arrow walk (the
+    # extraction lane) and generated by exactly one fixture pass — a
+    # second pass over the payload would be the cross-operator
+    # repeated-scan bug this composed query exists to catch; the third
+    # MapInPandas (robots_rules' parse) runs over the KB-sized domain
+    # table, not the corpus
+    assert plan.count("MapInPandas walk(") == 1, plan
+    assert plan.count("MapInPandas gen(") == 1, plan
+    assert plan.count("MapInPandas") == 3, plan
+    # the robots rule table broadcasts; the page corpus never
+    # sort-merge-joins for the gate
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

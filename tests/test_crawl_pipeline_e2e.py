@@ -131,3 +131,58 @@ def test_crawl_pipeline_end_to_end(spark, tmp_path):
         for r in store.read("curated").collect()
     }
     assert got == {0: (True, "alpha"), 3: (True, "one"), 12: (False, "unique")}
+
+
+def test_warc_html_documents_extraction_lane(spark):
+    """q247's single-scan lane: warc_html_documents keeps only
+    200/text-html responses (404s, JSON, requests, warcinfo drop),
+    carries the truncation-capped HTML body, and lanes garbage per the
+    quarantine convention instead of failing the task."""
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        encode_warc_records,
+        warc_html_documents,
+    )
+
+    def html_rec(uri, body):
+        return {
+            "rec_type": "response", "target_uri": uri,
+            "content_type": "application/http;msgtype=response",
+            "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + body,
+        }
+
+    good = encode_warc_records(
+        [
+            {"rec_type": "warcinfo",
+             "content_type": "application/warc-fields", "body": b"s: t"},
+            {"rec_type": "request", "target_uri": "http://a/",
+             "content_type": "application/http;msgtype=request",
+             "body": b"GET / HTTP/1.1\r\nHost: a\r\n\r\n"},
+            html_rec("http://a/x", b"<p>alpha</p>"),
+            {"rec_type": "response", "target_uri": "http://a/404",
+             "content_type": "application/http;msgtype=response",
+             "body": b"HTTP/1.1 404 NF\r\nContent-Type: text/html\r\n\r\nno"},
+            {"rec_type": "response", "target_uri": "http://a/j",
+             "content_type": "application/http;msgtype=response",
+             "body": b"HTTP/1.1 200 OK\r\nContent-Type: "
+                     b'application/json\r\n\r\n{"k": 1}'},
+            html_rec("http://a/y", b"<p>" + b"z" * 100 + b"</p>"),
+        ],
+        gzip_members=True,
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, b"not a warc")], "doc_id long, payload binary"
+    )
+    got = {
+        (r["id"], r["rec_index"]): (r["url"], r["html"])
+        for r in warc_html_documents(
+            df, "doc_id", "payload", body_max=40, on_error="tag"
+        ).collect()
+    }
+    # only the two 200/text-html records survive; rec_index is the
+    # record's position in the WARC, not a dense rank
+    assert set(got) == {(1, 2), (1, 5), (2, -1)}
+    assert got[(1, 2)] == ("http://a/x", "<p>alpha</p>")
+    url_y, html_y = got[(1, 5)]
+    assert url_y == "http://a/y" and len(html_y) == 40  # body_max cap
+    assert got[(2, -1)] == ("", "")  # garbage lane

@@ -155,33 +155,60 @@ def _gen(spark, mult: int, out_dir: str) -> None:
         f.write(f"{_FIXTURE_V}:{mult}")
 
 
-def _time_point(mult: int, sf_dir: str) -> dict:
-    """Time the HEAVY list at one multiple in THIS process's session.
-    Called in a FRESH subprocess per multiple: a long-lived local[32]
-    JVM ages (heap growth -> multi-second full-GC pauses land inside
-    measured queries — observed: q037's x10 point read 14.8s inside a
-    25-min single-session sweep vs a stable ~5s fresh), and weak
-    scaling is only a fair comparison when every point sees the same
-    cold environment + identical sf0.001 warmup."""
+def _time_point(
+    mult: int,
+    sf_dir: str,
+    queries: list[str] | None = None,
+    passes: int = 4,
+) -> dict:
+    """Time ``queries`` (default: the HEAVY list) at one multiple in
+    THIS process's session.  Called in a FRESH subprocess per
+    measurement unit: a long-lived local[32] JVM ages (heap growth ->
+    multi-second full-GC pauses land inside measured queries —
+    observed: q037's x10 point read 14.8s inside a 25-min
+    single-session sweep vs a stable ~5s fresh), and weak scaling is
+    only a fair comparison when every point sees the same cold
+    environment + identical sf0.001 warmup.
+
+    Round 7 found the shared-session variant biases by LIST POSITION,
+    not just by point: at x20, q175 measured a stable ~15.5s when run
+    after q127/q149/q165 in one session but 6.8-8.0s in a session of
+    its own — a 2x artifact that neither freeing checkpoint residue
+    nor a forced System.gc() between queries removed, so it is JVM/
+    codegen/worker-pool state, not storage leakage.  min-of-4 cannot
+    fix it: the bias is stable, so every pass of a late-listed query
+    pays it.  The default driver is therefore one subprocess per
+    (multiple, query) — each query warms ITSELF at sf0.001 and is
+    measured in an otherwise-idle session, which is also how a real
+    cluster job runs (one job, one driver, not 13 unrelated pipelines
+    back-to-back in one REPL)."""
+    queries = list(queries) if queries else list(HEAVY)
     spark = get_spark(
         app_name=f"ldp-spark-bench-scale-x{mult}",
         extra_conf={"spark.driver.memory": "24g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from logistics_data_pipeline_project_spark.operators.checkpoints import (
+        persistent_rdd_ids,
+        release_residual_checkpoints,
+    )
+
+    base_ids = persistent_rdd_ids(spark)
     spark.range(1_000_000).agg({"id": "sum"}).collect()
     # warm pass at the smallest SF: JVM/codegen/Arrow startup must not
     # be charged to the point (bench.py methodology)
-    for q in HEAVY:
+    for q in queries:
         REGISTRY[q].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
-    # min-of-4: the host shows multi-second upward-only stalls (an
+    release_residual_checkpoints(spark, base_ids)
+    # min-of-N: the host shows multi-second upward-only stalls (an
     # identical back-to-back rerun measured 64.5s then 9.6s on 63MB of
     # data); noise spikes only ever ADD time, so the min over more
-    # passes converges on the true cost where min-of-2 cannot
+    # passes converges on the true cost
     timings: dict[str, float] = {}
-    for _pass in range(4):
-        for q in HEAVY:
+    for _pass in range(passes):
+        for q in queries:
             t0 = time.perf_counter()
             REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -189,6 +216,9 @@ def _time_point(mult: int, sf_dir: str) -> dict:
             dt = round(time.perf_counter() - t0, 3)
             timings[q] = min(timings.get(q, dt), dt)
             print(f"# x{mult} pass{_pass} {q}: {dt:.3f}s", file=sys.stderr)
+            # lazy-checkpoint residue must not bleed into the next
+            # measurement (bench.py's discipline)
+            release_residual_checkpoints(spark, base_ids)
     spark.stop()
     return {"total": round(sum(timings.values()), 3), "queries": timings}
 
@@ -209,7 +239,11 @@ def main() -> None:
         # compute the dir directly: the parent passes only --point, so m
         # need not be in the (default) mults list
         d = BASE if m == 1 else os.path.join(scale_root, f"x{m}")
-        print(json.dumps(_time_point(m, d)))
+        if "--query" in sys.argv:  # one (multiple, query) unit
+            q = sys.argv[sys.argv.index("--query") + 1]
+            print(json.dumps(_time_point(m, d, queries=[q], passes=3)))
+        else:
+            print(json.dumps(_time_point(m, d)))
         return
 
     gen_needed = [m for m in mults if m != 1]
@@ -225,18 +259,41 @@ def main() -> None:
 
     import subprocess
 
+    # default: one subprocess per (multiple, query) — see _time_point's
+    # docstring for why the shared-session variant (--shared-session)
+    # biases late-listed queries by up to 2x
+    per_query = "--shared-session" not in sys.argv
+
     points: dict[str, dict] = {}
     for m in mults:
-        # fresh subprocess per point: identical cold JVM for every
-        # multiple (see _time_point)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--point", str(m)],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        sys.stderr.write(proc.stderr)
-        points[f"x{m}"] = json.loads(proc.stdout.strip().splitlines()[-1])
+        if per_query:
+            timings: dict[str, float] = {}
+            for q in HEAVY:
+                proc = subprocess.run(
+                    [
+                        sys.executable, os.path.abspath(__file__),
+                        "--point", str(m), "--query", q,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                sys.stderr.write(proc.stderr)
+                unit = json.loads(proc.stdout.strip().splitlines()[-1])
+                timings[q] = unit["queries"][q]
+            points[f"x{m}"] = {
+                "total": round(sum(timings.values()), 3),
+                "queries": timings,
+            }
+        else:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--point", str(m)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            sys.stderr.write(proc.stderr)
+            points[f"x{m}"] = json.loads(proc.stdout.strip().splitlines()[-1])
 
     base_q = points[f"x{mults[0]}"]["queries"]
     ratios = {
@@ -253,6 +310,16 @@ def main() -> None:
         "points": points,
         "ratio_vs_x1": ratios,
         "design": "weak-scaling: k independent key-offset sf0.1 shards under per-replica affine letter/digit permutations (distinct maps agree on <=2 chars, so replicas share no keys and no 3+-distinct-char tokens)",
+        "methodology": (
+            "round 7: one subprocess per (multiple, query), min-of-3, "
+            "each query self-warmed at sf0.001, checkpoint residue "
+            "released between passes — the prior shared-session points "
+            "biased LATE-LISTED queries up to 2x by session state (x20 "
+            "q175: 15.5s after q127/q149/q165 in one session vs 6.8-8.0s "
+            "in its own; neither residue release nor forced System.gc() "
+            "removed it), which is what the r6 curve's q175 x10->x20 "
+            "'knee' (5.78->14.68) actually was"
+        ),
     }
     out = os.path.join(repo, "bench_history", "SCALE_CURVE.json")
     with open(out, "w") as f:

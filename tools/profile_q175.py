@@ -1,11 +1,30 @@
 #!/usr/bin/env python
 """Stage-level profile of q175's x10->x20 scale knee (VERDICT r6 ask #2).
 
-q037 and q175 share the SAME edge pipeline (shingle_jaccard_pairs with
-identical params) and the same connected_components call, yet the
-SCALE_CURVE shows q037 stepping 5.39s -> 7.45s (1.38x) across x10->x20
-while q175 steps 5.78s -> 14.68s (2.54x). This script times, in a fresh
-session per point (same methodology as tools/bench_scale.py):
+FINDINGS (round 7, this tool + /tmp probe variants; kept as the
+reproduction recipe):
+
+  * Not the algorithm. q037 and q175 share the SAME edge pipeline
+    (shingle_jaccard_pairs, identical params) and the same
+    connected_components call; at x20 the symmetrized edge count is
+    10,400 — nowhere near the 1M local_edge_threshold, so the
+    driver-local union-find path serves every scale point and the
+    distributed O(diameter) loop never runs.
+  * Fresh-session truth: x10 q175 = 4.22s, x20 = 6.84s — ratio 1.62,
+    right next to q037's 1.38. No knee.
+  * The r6 SCALE_CURVE's 5.78 -> 14.68 (2.54x) was SESSION-ORDER BIAS:
+    in a session that has already run q127/q149/q165 (the HEAVY-list
+    order), q175 stabilizes at ~15.5s — 2.3x its own-session cost —
+    and the bias survives release_residual_checkpoints AND a forced
+    System.gc() between queries, so it is JVM/codegen/worker-pool
+    aging, not storage leakage. min-of-4 cannot remove a stable bias;
+    every pass of a late-listed query pays it (q037, first in the
+    list, never does — hence the illusion that only q175 kneed).
+  * Fix shipped: tools/bench_scale.py now measures one subprocess per
+    (multiple, query) by default (--shared-session keeps the old
+    mode), and SCALE_CURVE.json carries a methodology note.
+
+This script times, in a fresh session per point:
 
   1. sym_count       — the symmetrized edge count, vs the 1M
                        local_edge_threshold in connected_components
