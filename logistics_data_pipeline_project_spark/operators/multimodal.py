@@ -89,6 +89,10 @@ __all__ = [
     "encode_avc_sps",
     "parse_avcc",
     "encode_avcc",
+    "parse_hevc_sps",
+    "encode_hevc_sps",
+    "parse_hvcc",
+    "encode_hvcc",
     "video_stream_params",
 ]
 
@@ -4202,16 +4206,17 @@ def encode_mp4_boxes(
     tracks: Sequence[tuple[str, str]] = (),
     mvhd_version: int = 0,
     video_avcc: bytes | None = None,
+    video_hvcc: bytes | None = None,
 ) -> bytes:
     """Synthesize a structurally valid ISO-BMFF box tree — real ftyp /
     moov / mvhd / trak / mdia / hdlr / minf / stbl / stsd nesting with
     correct length prefixes and an empty mdat (the box walk never reads
     samples).  The fixture twin of ``mp4_stream_info``: ``tracks`` is a
     sequence of (handler, codec_fourcc) like ('vide', 'avc1').  With
-    ``video_avcc``, 'vide' tracks get a full 78-byte VisualSampleEntry
-    (ISO 14496-12 §12.1.3) carrying that AVCDecoderConfigurationRecord
-    as an ``avcC`` child box — the fixture twin of
-    :func:`video_stream_params`."""
+    ``video_avcc`` (or ``video_hvcc``), 'vide' tracks get a full
+    78-byte VisualSampleEntry (ISO 14496-12 §12.1.3) carrying that
+    decoder-configuration record as an ``avcC`` (``hvcC``) child box —
+    the fixture twin of :func:`video_stream_params`."""
     import struct
 
     def box(fourcc: bytes, body: bytes) -> bytes:
@@ -4236,14 +4241,21 @@ def encode_mp4_boxes(
         )
     kids = [box(b"mvhd", mvhd_body)]
     for handler, codec in tracks:
-        if handler == "vide" and video_avcc is not None:
+        if handler == "vide" and (video_avcc or video_hvcc) is not None:
             # real VisualSampleEntry: 6 reserved + data_ref_index,
             # 16 pre_defined/reserved, width/height (declared from the
             # SPS), 72dpi fixed-point resolutions, frame_count 1,
             # 32-byte compressorname, depth 24, pre_defined -1, then
-            # the avcC configuration box as a child
+            # the avcC/hvcC configuration box as a child
+            cfg_fourcc, cfg = (
+                (b"avcC", video_avcc)
+                if video_avcc is not None
+                else (b"hvcC", video_hvcc)
+            )
             try:
-                _, _, vw, vh = parse_avcc(video_avcc)
+                _, _, vw, vh = (
+                    parse_avcc(cfg) if video_avcc is not None else parse_hvcc(cfg)
+                )
             except ValueError:
                 vw = vh = 0
             entry_body = (
@@ -4256,7 +4268,7 @@ def encode_mp4_boxes(
                 + struct.pack(">H", 1)
                 + bytes(32)
                 + struct.pack(">Hh", 24, -1)
-                + box(b"avcC", video_avcc)
+                + box(cfg_fourcc, cfg)
             )
             entry = (
                 struct.pack(">I", 8 + len(entry_body))
@@ -4683,6 +4695,171 @@ def parse_avcc(data: bytes) -> tuple[int, int, int, int]:
     return parse_avc_sps(nal)
 
 
+def parse_hevc_sps(nal: bytes) -> tuple[int, int, int, int]:
+    """Decode one H.265/HEVC sequence parameter set NAL ->
+    (profile_idc, level_idc, width, height) per ITU-T H.265
+    §7.3.2.2.1: the 2-byte NAL header (type must be 33), the fixed
+    96-bit profile_tier_level for 0 sub-layers (+ the per-sub-layer
+    flag block when sps_max_sub_layers_minus1 > 0), then the explicit
+    ue(v) luma dimensions and the conformance window in chroma units.
+    ``level_idc`` is the raw general_level_idc (30x the level number —
+    level 4.0 reports 120, the convention hvcC also stores).  Raises
+    ValueError on anything malformed — callers lane it."""
+    if len(nal) < 2 or (nal[0] >> 1) & 0x3F != 33:
+        raise ValueError("not an HEVC SPS NAL")
+    b = _Bits(_strip_emulation(nal[2:]))
+    b.u(4)  # sps_video_parameter_set_id
+    max_sub_layers = b.u(3)
+    b.u(1)  # sps_temporal_id_nesting_flag
+    # profile_tier_level(1, max_sub_layers)
+    b.u(2)  # general_profile_space
+    b.u(1)  # general_tier_flag
+    profile_idc = b.u(5)
+    b.u(32)  # general_profile_compatibility_flags
+    b.u(48)  # progressive/interlaced/non-packed/frame-only + 44 reserved
+    level_idc = b.u(8)
+    if max_sub_layers:
+        present = [(b.u(1), b.u(1)) for _ in range(max_sub_layers)]
+        if max_sub_layers < 8:
+            b.u(2 * (8 - max_sub_layers))  # reserved alignment
+        for prof, lvl in present:
+            if prof:
+                b.u(88)
+            if lvl:
+                b.u(8)
+    b.ue()  # sps_seq_parameter_set_id
+    chroma_format_idc = b.ue()
+    if chroma_format_idc == 3:
+        b.u(1)  # separate_colour_plane_flag
+    width = b.ue()  # pic_width_in_luma_samples
+    height = b.ue()  # pic_height_in_luma_samples
+    if b.u(1):  # conformance_window_flag
+        left, right, top, bottom = b.ue(), b.ue(), b.ue(), b.ue()
+        sw, sh = _AVC_SUBWH.get(chroma_format_idc, (1, 1))
+        width -= sw * (left + right)
+        height -= sh * (top + bottom)
+    if width <= 0 or height <= 0:
+        raise ValueError("HEVC SPS conformance window exceeds coded size")
+    return profile_idc, level_idc, width, height
+
+
+def encode_hevc_sps(
+    width: int,
+    height: int,
+    profile_idc: int = 1,
+    level_idc: int = 120,
+) -> bytes:
+    """Synthesize a structurally valid H.265 SPS NAL (type 33) for the
+    given display dimensions — real profile_tier_level block, 4:2:0
+    chroma, a conformance window when a dimension is odd-multiple of
+    the chroma unit... dimensions must be even (4:2:0 crop units are
+    2 px), same policy as :func:`encode_avc_sps`.  Unlike H.264, HEVC
+    states luma dimensions explicitly, so no macroblock rounding is
+    involved; the conformance window is emitted only when exercised by
+    the caller passing dimensions that need it — here we always emit a
+    zero window for structural realism."""
+    if width <= 0 or height <= 0 or width % 2 or height % 2:
+        raise ValueError("dimensions must be positive and even (4:2:0)")
+    bits: list[int] = []
+
+    def u(v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def ue(v: int) -> None:
+        code = v + 1
+        n = code.bit_length()
+        u(0, n - 1)
+        u(code, n)
+
+    u(0, 4)  # sps_video_parameter_set_id
+    u(0, 3)  # sps_max_sub_layers_minus1
+    u(1, 1)  # sps_temporal_id_nesting_flag
+    u(0, 2)  # general_profile_space
+    u(0, 1)  # general_tier_flag
+    u(profile_idc, 5)
+    u(1 << (31 - profile_idc), 32)  # compatibility: own profile bit
+    u(0b1000, 4)  # progressive=1, interlaced/non-packed/frame-only=0
+    u(0, 44)  # reserved/constraint bits
+    u(level_idc, 8)
+    ue(0)  # sps_seq_parameter_set_id
+    ue(1)  # chroma_format_idc = 4:2:0
+    ue(width)
+    ue(height)
+    u(0, 1)  # conformance_window_flag
+    u(1, 1)  # rbsp_stop_one_bit
+    while len(bits) % 8:
+        bits.append(0)
+    rbsp = bytearray()
+    for i in range(0, len(bits), 8):
+        rbsp.append(int("".join(map(str, bits[i : i + 8])), 2))
+    out = bytearray([33 << 1, 1])  # nal type 33, layer 0, tid_plus1 1
+    zeros = 0
+    for byte in rbsp:
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def encode_hvcc(sps_nals: Sequence[bytes]) -> bytes:
+    """HEVCDecoderConfigurationRecord (ISO 14496-15 §8.3.3.1) wrapping
+    the given SPS NALs in one type-33 array — what an ``hvcC`` box /
+    Matroska V_MPEGH CodecPrivate carries."""
+    if not sps_nals:
+        raise ValueError("need at least one SPS")
+    prof, lvl, _, _ = parse_hevc_sps(sps_nals[0])
+    out = bytearray()
+    out.append(1)  # configurationVersion
+    out.append(prof & 0x1F)  # profile_space 0, tier 0, profile_idc
+    out += (1 << (31 - prof)).to_bytes(4, "big")  # compatibility flags
+    out += bytes(6)  # constraint indicator flags
+    out.append(lvl)  # general_level_idc
+    out += b"\xf0\x00"  # reserved + min_spatial_segmentation_idc
+    out += b"\xfc"  # reserved + parallelismType
+    out.append(0xFC | 1)  # reserved + chromaFormat 4:2:0
+    out.append(0xF8 | 0)  # reserved + bitDepthLumaMinus8
+    out.append(0xF8 | 0)  # reserved + bitDepthChromaMinus8
+    out += bytes(2)  # avgFrameRate
+    out.append(0x03)  # constantFrameRate 0, numTemporalLayers 0,
+    #                   temporalIdNested 0, lengthSizeMinusOne 3
+    out.append(1)  # numOfArrays
+    out.append(0x80 | 33)  # array_completeness=1, NAL_unit_type=33
+    out += len(sps_nals).to_bytes(2, "big")
+    for nal in sps_nals:
+        out += len(nal).to_bytes(2, "big") + nal
+    return bytes(out)
+
+
+def parse_hvcc(data: bytes) -> tuple[int, int, int, int]:
+    """Parse an HEVCDecoderConfigurationRecord -> the first type-33
+    (SPS) NAL's (profile_idc, level_idc, width, height).  Raises
+    ValueError on a bad record or no SPS array."""
+    if len(data) < 23 or data[0] != 1:
+        raise ValueError("not an hvcC record")
+    n_arrays = data[22]
+    j = 23
+    for _ in range(n_arrays):
+        if j + 3 > len(data):
+            raise ValueError("truncated hvcC array")
+        nal_type = data[j] & 0x3F
+        n_nalus = int.from_bytes(data[j + 1 : j + 3], "big")
+        j += 3
+        for _ in range(n_nalus):
+            if j + 2 > len(data):
+                raise ValueError("truncated hvcC nalu")
+            ln = int.from_bytes(data[j : j + 2], "big")
+            nal = data[j + 2 : j + 2 + ln]
+            if len(nal) < ln:
+                raise ValueError("truncated SPS in hvcC")
+            if nal_type == 33:
+                return parse_hevc_sps(nal)
+            j += 2 + ln
+    raise ValueError("hvcC with no SPS array")
+
+
 def video_stream_params(payload: bytes) -> tuple[str, str, int, int, int, int]:
     """Pixel-level triage for containerized video — (container, codec,
     width, height, profile_idc, level_idc) — from decoder-configuration
@@ -4754,6 +4931,10 @@ def video_stream_params(payload: bytes) -> tuple[str, str, int, int, int, int]:
             if cfg:
                 prof, lvl, w, h = parse_avcc(p[cfg[0] : cfg[1]])
                 return "mp4", codec, w, h, prof, lvl
+            cfg = child(entry_lo + 8 + 78, entry_hi, b"hvcC")
+            if cfg:
+                prof, lvl, w, h = parse_hvcc(p[cfg[0] : cfg[1]])
+                return "mp4", codec, w, h, prof, lvl
             # declared dims at fixed VisualSampleEntry offsets
             if entry_lo + 8 + 28 <= entry_hi:
                 w, h = struct.unpack(
@@ -4808,6 +4989,9 @@ def video_stream_params(payload: bytes) -> tuple[str, str, int, int, int, int]:
                         continue
                     if codec == "V_MPEG4/ISO/AVC" and priv:
                         prof, lvl, w, h = parse_avcc(priv)
+                        return "mkv", codec, w, h, prof, lvl
+                    if codec == "V_MPEGH/ISO/HEVC" and priv:
+                        prof, lvl, w, h = parse_hvcc(priv)
                         return "mkv", codec, w, h, prof, lvl
                     return "mkv", codec, pw, ph, 0, 0
         raise ValueError("no video TrackEntry")

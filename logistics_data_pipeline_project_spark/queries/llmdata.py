@@ -10780,17 +10780,19 @@ def q245_robots_txt_gate(spark: SparkSession, sf_dir: str):
     tags=("multimodal", "P9"),
     oracle="""
 WITH p AS (
-  SELECT doc_id, doc_id % 3 AS lane, doc_id // 3 AS g FROM documents
+  SELECT doc_id, doc_id % 4 AS lane, doc_id // 4 AS g FROM documents
 )
 SELECT doc_id,
-  CASE lane WHEN 0 THEN 'mp4' ELSE 'mkv' END AS container,
+  CASE WHEN lane % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
   CASE lane WHEN 0 THEN 'avc1' WHEN 1 THEN 'V_MPEG4/ISO/AVC'
-            ELSE 'V_VP9' END AS codec,
+            WHEN 2 THEN 'hev1' ELSE 'V_VP9' END AS codec,
   CAST([640, 1280, 1920, 854, 426][(g % 5) + 1] AS INTEGER) AS width,
   CAST([360, 720, 1080, 480, 240][(g % 5) + 1] AS INTEGER) AS height,
   CAST(CASE WHEN lane <= 1 THEN [66, 77, 100][(g % 3) + 1]
+            WHEN lane = 2 THEN [1, 2, 4][(g % 3) + 1]
             ELSE 0 END AS INTEGER) AS profile_idc,
   CAST(CASE WHEN lane <= 1 THEN [30, 31, 40, 41, 51][(g % 5) + 1]
+            WHEN lane = 2 THEN [93, 120, 123, 150, 153][(g % 5) + 1]
             ELSE 0 END AS INTEGER) AS level_idc,
   CAST(([640, 1280, 1920, 854, 426][(g % 5) + 1]
         * [360, 720, 1080, 480, 240][(g % 5) + 1]) AS BIGINT) AS n_pixels
@@ -10815,7 +10817,12 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
     arithmetic) x 3 profiles (66 baseline skips the chroma block, 100
     high includes it) x 5 levels, every payload synthesized by the
     module's own encode_avc_sps/encode_avcc/container encoders and
-    parsed back through the real bit-reader.  The oracle states all
+    parsed back through the real bit-reader.  The H.265 twin rides the
+    same machinery: lane 2 is an hev1 MP4 whose ``hvcC``
+    (ISO 14496-15 §8.3.3.1) wraps a real HEVC SPS —
+    profile_tier_level block, explicit luma dimensions, conformance
+    window (§7.3.2.2.1) — the other half of the crawl's modern-video
+    mix.  The oracle states all
     fields in closed form.  Scale shape: one Arrow map pass reading
     O(decoder-config) bytes per payload — a few hundred — no shuffle."""
     from ..operators.multimodal import video_stream_params
@@ -10823,6 +10830,8 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
     _dims = [(640, 360), (1280, 720), (1920, 1080), (854, 480), (426, 240)]
     _profiles = [66, 77, 100]
     _levels = [30, 31, 40, 41, 51]
+    _hevc_profiles = [1, 2, 4]  # Main, Main10, range extensions
+    _hevc_levels = [93, 120, 123, 150, 153]  # 3.1/4.0/4.1/5.0/5.1 x30
 
     def triage(batches):
         import pandas as _pd
@@ -10830,6 +10839,8 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
         from ..operators.multimodal import (
             encode_avc_sps,
             encode_avcc,
+            encode_hevc_sps,
+            encode_hvcc,
             encode_mkv_elements,
             encode_mp4_boxes,
         )
@@ -10838,7 +10849,7 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                lane, g = doc_id % 3, doc_id // 3
+                lane, g = doc_id % 4, doc_id // 4
                 w, h = _dims[g % 5]
                 if lane <= 1:
                     avcc = encode_avcc(
@@ -10859,6 +10870,19 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
                             500_000,
                             [(1, "V_MPEG4/ISO/AVC", avcc)],
                         )
+                elif lane == 2:
+                    hvcc = encode_hvcc(
+                        [encode_hevc_sps(
+                            w, h, _hevc_profiles[g % 3], _hevc_levels[g % 5]
+                        )]
+                    )
+                    payload = encode_mp4_boxes(
+                        "isom",
+                        (10 + g % 20) * 90000,
+                        90000,
+                        [("vide", "hev1"), ("soun", "mp4a")],
+                        video_hvcc=hvcc,
+                    )
                 else:
                     payload = encode_mkv_elements(
                         "webm",

@@ -2145,3 +2145,49 @@ def test_avc_sps_roundtrip_and_container_embedding():
                 encode_mp4_boxes("m4a", 0, 44100, [("soun", "mp4a")])):
         with _pytest.raises(ValueError):
             video_stream_params(bad)
+
+
+def test_hevc_sps_roundtrip_and_container_embedding():
+    """The H.265 twin of the AVC test: encode_hevc_sps/parse_hevc_sps
+    round-trip the profile_tier_level block and explicit luma
+    dimensions, the hvcC record wraps/unwraps its type-33 array, and
+    both container embeddings (MP4 hvcC box in an hev1 entry,
+    Matroska V_MPEGH CodecPrivate) parse back through
+    video_stream_params."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_hevc_sps,
+        encode_hvcc,
+        encode_mkv_elements,
+        encode_mp4_boxes,
+        parse_hevc_sps,
+        parse_hvcc,
+        video_stream_params,
+    )
+
+    for w, h in ((640, 360), (1920, 1080), (854, 480), (3840, 2160),
+                 (7680, 4320)):
+        for prof in (1, 2, 4):
+            for lvl in (93, 120, 153):
+                nal = encode_hevc_sps(w, h, prof, lvl)
+                assert parse_hevc_sps(nal) == (prof, lvl, w, h)
+    with _pytest.raises(ValueError):
+        encode_hevc_sps(641, 360)
+    with _pytest.raises(ValueError):
+        parse_hevc_sps(b"\x26\x01\x00")  # wrong NAL type
+    hv = encode_hvcc([encode_hevc_sps(3840, 2160, 1, 153)])
+    assert parse_hvcc(hv) == (1, 153, 3840, 2160)
+    with _pytest.raises(ValueError):
+        parse_hvcc(hv[:10])
+    m = encode_mp4_boxes(
+        "isom", 900000, 90000,
+        [("vide", "hev1"), ("soun", "mp4a")], video_hvcc=hv,
+    )
+    assert video_stream_params(m) == ("mp4", "hev1", 3840, 2160, 1, 153)
+    k = encode_mkv_elements(
+        "matroska", 8000.0, 500_000, [(1, "V_MPEGH/ISO/HEVC", hv)],
+    )
+    assert video_stream_params(k) == (
+        "mkv", "V_MPEGH/ISO/HEVC", 3840, 2160, 1, 153,
+    )
