@@ -64,6 +64,11 @@ _OUT_CHUNK = 1 << 20  # 1 MiB inflated out
 # (RFC 9110 gives no hard cap; every real server's head fits well under
 # 64 KiB — nginx/Apache default limits are 8-16 KiB).
 _HTTP_HEAD_MAX = 1 << 16
+# Hard cap on the WARC named-field block itself: a corrupt stream with
+# no CRLFCRLF terminator must not balloon the rolling buffer to the
+# whole inflated file while the walker searches for one (real WARC
+# headers are a few hundred bytes).
+_WARC_HEAD_MAX = 1 << 20
 
 
 def _iter_inflated(payload: bytes) -> Iterator[bytes]:
@@ -161,8 +166,8 @@ def _iter_warc_records(
             head_end = buf.find(_CRLF + _CRLF)
             if head_end >= 0:
                 break
-            if eof:
-                return  # truncated header
+            if eof or len(buf) > _WARC_HEAD_MAX:
+                return  # truncated or unterminated header block
             fill(len(buf) + _OUT_CHUNK)
         fields: dict[str, str] = {}
         for line in bytes(buf[:head_end]).split(_CRLF)[1:]:

@@ -2191,3 +2191,59 @@ def test_hevc_sps_roundtrip_and_container_embedding():
     assert video_stream_params(k) == (
         "mkv", "V_MPEGH/ISO/HEVC", 3840, 2160, 1, 153,
     )
+
+
+def test_warc_unterminated_header_is_bounded():
+    """A corrupt stream whose 'record' never terminates its named-field
+    block (no CRLFCRLF anywhere) must not balloon the rolling buffer to
+    the whole inflated file while the walker searches for one — the
+    head scan caps at _WARC_HEAD_MAX and ends the walk."""
+    import tracemalloc
+
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        parse_warc_records,
+    )
+
+    evil = b"WARC/1.0\r\n" + b"A" * (8 * 1024 * 1024)  # no terminator
+    tracemalloc.start()
+    got = parse_warc_records(evil)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert got == []
+    # cap (1 MiB) + one inflate chunk + slop; the old unbounded search
+    # would have buffered all 8 MiB
+    assert peak < 4 * 1024 * 1024, peak
+
+
+def test_sps_roundtrip_property():
+    """Property: any (even, positive) dimensions x profile x level
+    round-trip exactly through both SPS codecs — hypothesis sweeps the
+    crop arithmetic (H.264) and ue(v) boundaries (both) far beyond the
+    handpicked cases."""
+    from hypothesis import given, settings, strategies as st
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_avc_sps,
+        encode_hevc_sps,
+        parse_avc_sps,
+        parse_hevc_sps,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        w=st.integers(1, 4096).map(lambda v: v * 2),
+        h=st.integers(1, 4096).map(lambda v: v * 2),
+        avc_prof=st.sampled_from([66, 77, 88, 100, 110, 122, 244]),
+        lvl=st.integers(10, 62),
+        hevc_prof=st.integers(1, 11),
+        hevc_lvl=st.integers(30, 186),
+    )
+    def check(w, h, avc_prof, lvl, hevc_prof, hevc_lvl):
+        assert parse_avc_sps(encode_avc_sps(w, h, avc_prof, lvl)) == (
+            avc_prof, lvl, w, h,
+        )
+        assert parse_hevc_sps(
+            encode_hevc_sps(w, h, hevc_prof, hevc_lvl)
+        ) == (hevc_prof, hevc_lvl, w, h)
+
+    check()

@@ -54,6 +54,10 @@ HEAVY = [
     # the LSH band join and component rounds are the scale risks
     "q221_image_neardup_pairs",
     "q227_image_dup_clusters",
+    # round 7: the composed WARC-to-corpus pipeline — walk + extraction
+    # + canonicalization + robots gate + dedup in one plan; its curve
+    # certifies the cross-operator composition (per-query curves can't)
+    "q247_warc_to_corpus",
     # domain cap (round 5): replicas copy `source` unchanged, so every
     # multiple grows per-source volume x k with a FIXED source count —
     # exactly the mega-domain funnel the 256-way two-phase cap must
