@@ -93,6 +93,10 @@ __all__ = [
     "encode_hevc_sps",
     "parse_hvcc",
     "encode_hvcc",
+    "parse_av1_sequence_header",
+    "encode_av1_sequence_header",
+    "parse_av1c",
+    "encode_av1c",
     "video_stream_params",
 ]
 
@@ -4207,6 +4211,7 @@ def encode_mp4_boxes(
     mvhd_version: int = 0,
     video_avcc: bytes | None = None,
     video_hvcc: bytes | None = None,
+    video_av1c: bytes | None = None,
 ) -> bytes:
     """Synthesize a structurally valid ISO-BMFF box tree — real ftyp /
     moov / mvhd / trak / mdia / hdlr / minf / stbl / stsd nesting with
@@ -4241,21 +4246,22 @@ def encode_mp4_boxes(
         )
     kids = [box(b"mvhd", mvhd_body)]
     for handler, codec in tracks:
-        if handler == "vide" and (video_avcc or video_hvcc) is not None:
+        if handler == "vide" and (
+            video_avcc or video_hvcc or video_av1c
+        ) is not None:
             # real VisualSampleEntry: 6 reserved + data_ref_index,
             # 16 pre_defined/reserved, width/height (declared from the
             # SPS), 72dpi fixed-point resolutions, frame_count 1,
             # 32-byte compressorname, depth 24, pre_defined -1, then
-            # the avcC/hvcC configuration box as a child
-            cfg_fourcc, cfg = (
-                (b"avcC", video_avcc)
-                if video_avcc is not None
-                else (b"hvcC", video_hvcc)
-            )
+            # the avcC/hvcC/av1C configuration box as a child
+            if video_avcc is not None:
+                cfg_fourcc, cfg, parse = b"avcC", video_avcc, parse_avcc
+            elif video_hvcc is not None:
+                cfg_fourcc, cfg, parse = b"hvcC", video_hvcc, parse_hvcc
+            else:
+                cfg_fourcc, cfg, parse = b"av1C", video_av1c, parse_av1c
             try:
-                _, _, vw, vh = (
-                    parse_avcc(cfg) if video_avcc is not None else parse_hvcc(cfg)
-                )
+                _, _, vw, vh = parse(cfg)
             except ValueError:
                 vw = vh = 0
             entry_body = (
@@ -4860,6 +4866,139 @@ def parse_hvcc(data: bytes) -> tuple[int, int, int, int]:
     raise ValueError("hvcC with no SPS array")
 
 
+def parse_av1_sequence_header(obu: bytes) -> tuple[int, int, int, int]:
+    """Decode an AV1 sequence header OBU -> (seq_profile,
+    seq_level_idx_0, max_width, max_height) per the AV1 bitstream spec
+    §5.5: OBU header (type must be 1), optional leb128 size field,
+    then profile / level / operating points and the explicit
+    frame-dimension fields (``max_frame_width_minus_1`` over
+    ``frame_width_bits_minus_1 + 1`` bits — AV1 states dimensions
+    directly, like HEVC and unlike H.264's macroblock rounding).
+    Streams with ``timing_info_present_flag`` set raise ValueError
+    (an honest boundary: decoder-model timing carries uvlc fields this
+    triage has no business guessing at) — callers lane them."""
+    if not obu:
+        raise ValueError("empty OBU")
+    if obu[0] & 0x80:
+        raise ValueError("obu_forbidden_bit set")
+    obu_type = (obu[0] >> 3) & 0x0F
+    if obu_type != 1:
+        raise ValueError("not a sequence header OBU")
+    has_ext = (obu[0] >> 2) & 1
+    has_size = (obu[0] >> 1) & 1
+    j = 1 + has_ext
+    if has_size:  # leb128 size field — skip it
+        while j < len(obu) and obu[j] & 0x80:
+            j += 1
+        j += 1
+    b = _Bits(obu[j:])
+    seq_profile = b.u(3)
+    still_picture = b.u(1)
+    reduced = b.u(1)
+    if reduced:
+        seq_level_idx_0 = b.u(5)
+    else:
+        if b.u(1):  # timing_info_present_flag
+            raise ValueError("timing_info not supported by this triage")
+        b.u(1)  # initial_display_delay_present_flag (0 in practice
+        #         when timing absent; spec only allows it with the
+        #         decoder model, which timing gates)
+        op_cnt = b.u(5) + 1
+        seq_level_idx_0 = 0
+        for i in range(op_cnt):
+            b.u(12)  # operating_point_idc
+            lvl = b.u(5)
+            if i == 0:
+                seq_level_idx_0 = lvl
+            if lvl > 7:
+                b.u(1)  # seq_tier
+    wbits = b.u(4) + 1
+    hbits = b.u(4) + 1
+    width = b.u(wbits) + 1
+    height = b.u(hbits) + 1
+    _ = still_picture
+    return seq_profile, seq_level_idx_0, width, height
+
+
+def encode_av1_sequence_header(
+    width: int,
+    height: int,
+    seq_profile: int = 0,
+    seq_level_idx: int = 8,
+) -> bytes:
+    """Synthesize a structurally valid AV1 sequence header OBU for the
+    given dimensions — real OBU header with leb128 size, one operating
+    point, minimal-width dimension fields.  The fixture twin of
+    :func:`parse_av1_sequence_header`."""
+    if width <= 0 or height <= 0:
+        raise ValueError("dimensions must be positive")
+    bits: list[int] = []
+
+    def u(v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    u(seq_profile, 3)
+    u(0, 1)  # still_picture
+    u(0, 1)  # reduced_still_picture_header
+    u(0, 1)  # timing_info_present_flag
+    u(0, 1)  # initial_display_delay_present_flag
+    u(0, 5)  # operating_points_cnt_minus_1
+    u(0, 12)  # operating_point_idc[0]
+    u(seq_level_idx, 5)
+    if seq_level_idx > 7:
+        u(0, 1)  # seq_tier[0]
+    wbits = max((width - 1).bit_length(), 1)
+    hbits = max((height - 1).bit_length(), 1)
+    u(wbits - 1, 4)
+    u(hbits - 1, 4)
+    u(width - 1, wbits)
+    u(height - 1, hbits)
+    u(1, 1)  # trailing one bit (start of what a real header continues)
+    while len(bits) % 8:
+        bits.append(0)
+    payload = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+    size = len(payload)
+    leb = bytearray()
+    while True:  # leb128
+        byte = size & 0x7F
+        size >>= 7
+        leb.append(byte | (0x80 if size else 0))
+        if not size:
+            break
+    return bytes([0x0A]) + bytes(leb) + payload  # type 1, has_size
+
+
+def encode_av1c(seq_header_obu: bytes) -> bytes:
+    """AV1CodecConfigurationRecord (AV1-ISOBMFF §2.3) wrapping the
+    given sequence header OBU — what an ``av1C`` box / Matroska V_AV1
+    CodecPrivate carries."""
+    prof, lvl, _, _ = parse_av1_sequence_header(seq_header_obu)
+    return (
+        bytes(
+            [
+                0x81,  # marker + version 1
+                ((prof & 0x7) << 5) | (lvl & 0x1F),
+                0x0C,  # tier 0, 8-bit, 4:2:0 (subsampling_x/y = 1)
+                0x00,  # no initial presentation delay
+            ]
+        )
+        + seq_header_obu
+    )
+
+
+def parse_av1c(data: bytes) -> tuple[int, int, int, int]:
+    """Parse an AV1CodecConfigurationRecord -> the sequence header's
+    (seq_profile, seq_level_idx_0, width, height).  Raises ValueError
+    on a bad record or missing sequence header OBU."""
+    if len(data) < 5 or data[0] != 0x81:
+        raise ValueError("not an av1C record")
+    return parse_av1_sequence_header(data[4:])
+
+
 def video_stream_params(payload: bytes) -> tuple[str, str, int, int, int, int]:
     """Pixel-level triage for containerized video — (container, codec,
     width, height, profile_idc, level_idc) — from decoder-configuration
@@ -4867,10 +5006,12 @@ def video_stream_params(payload: bytes) -> tuple[str, str, int, int, int, int]:
     ``avcC`` box (ISO 14496-15) holds the SPS, whose §7.3.2.1 parse
     yields exact display dimensions (frame cropping included) +
     profile/level; for Matroska, the same avcC lives in the
-    V_MPEG4/ISO/AVC TrackEntry's CodecPrivate, and non-AVC tracks fall
-    back to the declared Video>PixelWidth/PixelHeight elements
-    (profile/level 0 — VP9/AV1 configuration parsing is an honest
-    boundary, not guessed).  Completes the triage matrix the container
+    V_MPEG4/ISO/AVC TrackEntry's CodecPrivate; HEVC (hvcC) and AV1
+    (av1C sequence-header OBU) parse the same way; remaining codecs
+    (VP9's vpcC carries no dimensions) fall back to the declared
+    Video>PixelWidth/PixelHeight elements / sample-entry fields with
+    profile/level 0 — declared, not decoded, and labeled as such by
+    the zero profile.  Completes the triage matrix the container
     walks (mp4_stream_info/mkv_stream_info) start: duration + codec +
     PIXELS, all before any sample decode.  Raises ValueError on
     non-video payloads — quarantine-lane material (q226)."""
@@ -4935,6 +5076,10 @@ def video_stream_params(payload: bytes) -> tuple[str, str, int, int, int, int]:
             if cfg:
                 prof, lvl, w, h = parse_hvcc(p[cfg[0] : cfg[1]])
                 return "mp4", codec, w, h, prof, lvl
+            cfg = child(entry_lo + 8 + 78, entry_hi, b"av1C")
+            if cfg:
+                prof, lvl, w, h = parse_av1c(p[cfg[0] : cfg[1]])
+                return "mp4", codec, w, h, prof, lvl
             # declared dims at fixed VisualSampleEntry offsets
             if entry_lo + 8 + 28 <= entry_hi:
                 w, h = struct.unpack(
@@ -4992,6 +5137,9 @@ def video_stream_params(payload: bytes) -> tuple[str, str, int, int, int, int]:
                         return "mkv", codec, w, h, prof, lvl
                     if codec == "V_MPEGH/ISO/HEVC" and priv:
                         prof, lvl, w, h = parse_hvcc(priv)
+                        return "mkv", codec, w, h, prof, lvl
+                    if codec == "V_AV1" and priv:
+                        prof, lvl, w, h = parse_av1c(priv)
                         return "mkv", codec, w, h, prof, lvl
                     return "mkv", codec, pw, ph, 0, 0
         raise ValueError("no video TrackEntry")

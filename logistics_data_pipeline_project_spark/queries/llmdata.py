@@ -10780,19 +10780,22 @@ def q245_robots_txt_gate(spark: SparkSession, sf_dir: str):
     tags=("multimodal", "P9"),
     oracle="""
 WITH p AS (
-  SELECT doc_id, doc_id % 4 AS lane, doc_id // 4 AS g FROM documents
+  SELECT doc_id, doc_id % 5 AS lane, doc_id // 5 AS g FROM documents
 )
 SELECT doc_id,
-  CASE WHEN lane % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+  CASE WHEN lane IN (0, 2, 4) THEN 'mp4' ELSE 'mkv' END AS container,
   CASE lane WHEN 0 THEN 'avc1' WHEN 1 THEN 'V_MPEG4/ISO/AVC'
-            WHEN 2 THEN 'hev1' ELSE 'V_VP9' END AS codec,
+            WHEN 2 THEN 'hev1' WHEN 3 THEN 'V_VP9'
+            ELSE 'av01' END AS codec,
   CAST([640, 1280, 1920, 854, 426][(g % 5) + 1] AS INTEGER) AS width,
   CAST([360, 720, 1080, 480, 240][(g % 5) + 1] AS INTEGER) AS height,
   CAST(CASE WHEN lane <= 1 THEN [66, 77, 100][(g % 3) + 1]
             WHEN lane = 2 THEN [1, 2, 4][(g % 3) + 1]
+            WHEN lane = 4 THEN [0, 1, 2][(g % 3) + 1]
             ELSE 0 END AS INTEGER) AS profile_idc,
   CAST(CASE WHEN lane <= 1 THEN [30, 31, 40, 41, 51][(g % 5) + 1]
             WHEN lane = 2 THEN [93, 120, 123, 150, 153][(g % 5) + 1]
+            WHEN lane = 4 THEN [5, 8, 12, 13, 19][(g % 5) + 1]
             ELSE 0 END AS INTEGER) AS level_idc,
   CAST(([640, 1280, 1920, 854, 426][(g % 5) + 1]
         * [360, 720, 1080, 480, 240][(g % 5) + 1]) AS BIGINT) AS n_pixels
@@ -10812,7 +10815,7 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
     is wrong by 8 rows) for exact width/height/profile/level; non-AVC
     Matroska tracks (VP9 lane) fall back to the declared
     Video>PixelWidth/PixelHeight elements with profile/level 0 — an
-    honest boundary, not a guess.  Fixtures cycle 3 lanes x 5
+    honest boundary, not a guess.  Fixtures cycle 5 lanes x 5
     resolutions (two of which, 854x480 and 426x240, require real crop
     arithmetic) x 3 profiles (66 baseline skips the chroma block, 100
     high includes it) x 5 levels, every payload synthesized by the
@@ -10821,8 +10824,11 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
     same machinery: lane 2 is an hev1 MP4 whose ``hvcC``
     (ISO 14496-15 §8.3.3.1) wraps a real HEVC SPS —
     profile_tier_level block, explicit luma dimensions, conformance
-    window (§7.3.2.2.1) — the other half of the crawl's modern-video
-    mix.  The oracle states all
+    window (§7.3.2.2.1); lane 4 is an av01 MP4 whose ``av1C``
+    (AV1-ISOBMFF §2.3) wraps a real AV1 sequence-header OBU (leb128
+    size field, operating-point block, explicit minimal-width
+    dimension fields) — together the AVC/HEVC/AV1 trio covers the
+    modern crawl's video codec mix.  The oracle states all
     fields in closed form.  Scale shape: one Arrow map pass reading
     O(decoder-config) bytes per payload — a few hundred — no shuffle."""
     from ..operators.multimodal import video_stream_params
@@ -10832,6 +10838,8 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
     _levels = [30, 31, 40, 41, 51]
     _hevc_profiles = [1, 2, 4]  # Main, Main10, range extensions
     _hevc_levels = [93, 120, 123, 150, 153]  # 3.1/4.0/4.1/5.0/5.1 x30
+    _av1_profiles = [0, 1, 2]  # main, high, professional
+    _av1_levels = [5, 8, 12, 13, 19]  # seq_level_idx: 2.1/3.0/4.0/4.1/5.1
 
     def triage(batches):
         import pandas as _pd
@@ -10839,6 +10847,8 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
         from ..operators.multimodal import (
             encode_avc_sps,
             encode_avcc,
+            encode_av1_sequence_header,
+            encode_av1c,
             encode_hevc_sps,
             encode_hvcc,
             encode_mkv_elements,
@@ -10849,7 +10859,7 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                lane, g = doc_id % 4, doc_id // 4
+                lane, g = doc_id % 5, doc_id // 5
                 w, h = _dims[g % 5]
                 if lane <= 1:
                     avcc = encode_avcc(
@@ -10883,12 +10893,25 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
                         [("vide", "hev1"), ("soun", "mp4a")],
                         video_hvcc=hvcc,
                     )
-                else:
+                elif lane == 3:
                     payload = encode_mkv_elements(
                         "webm",
                         float(60000 + g % 1000),
                         1_000_000,
                         [(1, "V_VP9", None, w, h), (2, "A_OPUS")],
+                    )
+                else:
+                    av1c = encode_av1c(
+                        encode_av1_sequence_header(
+                            w, h, _av1_profiles[g % 3], _av1_levels[g % 5]
+                        )
+                    )
+                    payload = encode_mp4_boxes(
+                        "isom",
+                        (10 + g % 20) * 90000,
+                        90000,
+                        [("vide", "av01"), ("soun", "mp4a")],
+                        video_av1c=av1c,
                     )
                 cont, codec, vw, vh, prof, lvl = video_stream_params(payload)
                 out.append(

@@ -2247,3 +2247,48 @@ def test_sps_roundtrip_property():
         ) == (hevc_prof, hevc_lvl, w, h)
 
     check()
+
+
+def test_av1_sequence_header_roundtrip_and_container_embedding():
+    """The AV1 third of the video-config trio: sequence-header OBU
+    round-trip (leb128 size, operating-point block, minimal-width
+    dimension fields), av1C record wrap/unwrap, MP4 av01 + Matroska
+    V_AV1 embeddings through video_stream_params, and the honest
+    timing_info boundary."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_av1_sequence_header,
+        encode_av1c,
+        encode_mkv_elements,
+        encode_mp4_boxes,
+        parse_av1_sequence_header,
+        parse_av1c,
+        video_stream_params,
+    )
+
+    for w, h in ((640, 360), (1920, 1080), (854, 480), (1, 1),
+                 (7680, 4320)):
+        for prof in (0, 1, 2):
+            for lvl in (0, 8, 19):
+                obu = encode_av1_sequence_header(w, h, prof, lvl)
+                assert parse_av1_sequence_header(obu) == (prof, lvl, w, h)
+    c = encode_av1c(encode_av1_sequence_header(2560, 1440, 0, 12))
+    assert parse_av1c(c) == (0, 12, 2560, 1440)
+    m = encode_mp4_boxes(
+        "isom", 900000, 90000,
+        [("vide", "av01"), ("soun", "mp4a")], video_av1c=c,
+    )
+    assert video_stream_params(m) == ("mp4", "av01", 2560, 1440, 0, 12)
+    k = encode_mkv_elements("webm", 60000.0, 1_000_000, [(1, "V_AV1", c)])
+    assert video_stream_params(k) == ("mkv", "V_AV1", 2560, 1440, 0, 12)
+    # timing_info_present streams are an explicit ValueError lane
+    bad = bytearray(encode_av1_sequence_header(640, 360, 0, 8))
+    # payload starts after 1-byte header + 1-byte leb128 size; flip the
+    # timing_info_present bit (bit 2 of the first payload byte's low
+    # nibble: profile(3)+still(1)+reduced(1)+timing(1) = bit index 5)
+    bad[2] |= 0x04
+    with _pytest.raises(ValueError):
+        parse_av1_sequence_header(bytes(bad))
+    with _pytest.raises(ValueError):
+        parse_av1c(b"\x00\x00\x00\x00\x00")
