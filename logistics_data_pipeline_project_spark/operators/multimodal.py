@@ -97,6 +97,8 @@ __all__ = [
     "encode_av1_sequence_header",
     "parse_av1c",
     "encode_av1c",
+    "parse_vpcc",
+    "encode_vpcc",
     "video_stream_params",
 ]
 
@@ -4212,6 +4214,8 @@ def encode_mp4_boxes(
     video_avcc: bytes | None = None,
     video_hvcc: bytes | None = None,
     video_av1c: bytes | None = None,
+    video_vpcc: bytes | None = None,
+    video_dims: tuple[int, int] | None = None,
 ) -> bytes:
     """Synthesize a structurally valid ISO-BMFF box tree — real ftyp /
     moov / mvhd / trak / mdia / hdlr / minf / stbl / stsd nesting with
@@ -4247,22 +4251,30 @@ def encode_mp4_boxes(
     kids = [box(b"mvhd", mvhd_body)]
     for handler, codec in tracks:
         if handler == "vide" and (
-            video_avcc or video_hvcc or video_av1c
+            video_avcc or video_hvcc or video_av1c or video_vpcc
         ) is not None:
             # real VisualSampleEntry: 6 reserved + data_ref_index,
             # 16 pre_defined/reserved, width/height (declared from the
-            # SPS), 72dpi fixed-point resolutions, frame_count 1,
-            # 32-byte compressorname, depth 24, pre_defined -1, then
-            # the avcC/hvcC/av1C configuration box as a child
+            # SPS, or video_dims for configs that carry none — vpcC),
+            # 72dpi fixed-point resolutions, frame_count 1, 32-byte
+            # compressorname, depth 24, pre_defined -1, then the
+            # avcC/hvcC/av1C/vpcC configuration box as a child
             if video_avcc is not None:
                 cfg_fourcc, cfg, parse = b"avcC", video_avcc, parse_avcc
             elif video_hvcc is not None:
                 cfg_fourcc, cfg, parse = b"hvcC", video_hvcc, parse_hvcc
-            else:
+            elif video_av1c is not None:
                 cfg_fourcc, cfg, parse = b"av1C", video_av1c, parse_av1c
-            try:
-                _, _, vw, vh = parse(cfg)
-            except ValueError:
+            else:
+                cfg_fourcc, cfg, parse = b"vpcC", video_vpcc, None
+            if video_dims is not None:
+                vw, vh = video_dims
+            elif parse is not None:
+                try:
+                    _, _, vw, vh = parse(cfg)
+                except ValueError:
+                    vw = vh = 0
+            else:
                 vw = vh = 0
             entry_body = (
                 bytes(6)
@@ -4999,6 +5011,34 @@ def parse_av1c(data: bytes) -> tuple[int, int, int, int]:
     return parse_av1_sequence_header(data[4:])
 
 
+def encode_vpcc(profile: int = 0, level: int = 10) -> bytes:
+    """VPCodecConfigurationRecord as the ``vpcC`` FullBox body
+    (VP9-in-ISOBMFF spec §2.3): version 1 + zero flags, profile,
+    level, 8-bit 4:2:0 colour description, no codec init data.  VP9's
+    config carries NO dimensions (frames declare their own) — the
+    sample entry's declared width/height fields are the triage
+    source, which is why :func:`video_stream_params` reports vp09
+    dims as declared-not-decoded alongside the vpcC profile/level."""
+    return bytes(
+        [
+            1, 0, 0, 0,  # version + flags (FullBox)
+            profile & 0xFF,
+            level & 0xFF,
+            (8 << 4) | (1 << 1),  # bitDepth 8, chromaSubsampling 4:2:0
+            2, 2, 2,  # colour primaries / transfer / matrix (unspecified)
+            0, 0,  # codecInitializationDataSize
+        ]
+    )
+
+
+def parse_vpcc(data: bytes) -> tuple[int, int]:
+    """Parse a ``vpcC`` FullBox body -> (profile, level).  Raises
+    ValueError on a bad record."""
+    if len(data) < 8 or data[0] != 1:
+        raise ValueError("not a vpcC record")
+    return data[4], data[5]
+
+
 def video_stream_params(payload: bytes) -> tuple[str, str, int, int, int, int]:
     """Pixel-level triage for containerized video — (container, codec,
     width, height, profile_idc, level_idc) — from decoder-configuration
@@ -5080,13 +5120,17 @@ def video_stream_params(payload: bytes) -> tuple[str, str, int, int, int, int]:
             if cfg:
                 prof, lvl, w, h = parse_av1c(p[cfg[0] : cfg[1]])
                 return "mp4", codec, w, h, prof, lvl
-            # declared dims at fixed VisualSampleEntry offsets
+            # declared dims at fixed VisualSampleEntry offsets; VP9's
+            # vpcC adds profile/level (its config carries no dims)
+            w = h = prof = lvl = 0
             if entry_lo + 8 + 28 <= entry_hi:
                 w, h = struct.unpack(
                     ">HH", p[entry_lo + 8 + 24 : entry_lo + 8 + 28]
                 )
-                return "mp4", codec, w, h, 0, 0
-            return "mp4", codec, 0, 0, 0, 0
+            cfg = child(entry_lo + 8 + 78, entry_hi, b"vpcC")
+            if cfg:
+                prof, lvl = parse_vpcc(p[cfg[0] : cfg[1]])
+            return "mp4", codec, w, h, prof, lvl
         raise ValueError("no video trak")
     if p[:4] == b"\x1a\x45\xdf\xa3":
 

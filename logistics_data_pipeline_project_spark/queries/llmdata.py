@@ -10783,19 +10783,24 @@ WITH p AS (
   SELECT doc_id, doc_id % 5 AS lane, doc_id // 5 AS g FROM documents
 )
 SELECT doc_id,
-  CASE WHEN lane IN (0, 2, 4) THEN 'mp4' ELSE 'mkv' END AS container,
+  CASE WHEN lane IN (0, 2, 4) OR (lane = 3 AND g % 2 = 1)
+       THEN 'mp4' ELSE 'mkv' END AS container,
   CASE lane WHEN 0 THEN 'avc1' WHEN 1 THEN 'V_MPEG4/ISO/AVC'
-            WHEN 2 THEN 'hev1' WHEN 3 THEN 'V_VP9'
+            WHEN 2 THEN 'hev1'
+            WHEN 3 THEN CASE WHEN g % 2 = 0 THEN 'V_VP9' ELSE 'vp09' END
             ELSE 'av01' END AS codec,
   CAST([640, 1280, 1920, 854, 426][(g % 5) + 1] AS INTEGER) AS width,
   CAST([360, 720, 1080, 480, 240][(g % 5) + 1] AS INTEGER) AS height,
   CAST(CASE WHEN lane <= 1 THEN [66, 77, 100][(g % 3) + 1]
             WHEN lane = 2 THEN [1, 2, 4][(g % 3) + 1]
             WHEN lane = 4 THEN [0, 1, 2][(g % 3) + 1]
+            WHEN lane = 3 AND g % 2 = 1 THEN [0, 1, 2][(g % 3) + 1]
             ELSE 0 END AS INTEGER) AS profile_idc,
   CAST(CASE WHEN lane <= 1 THEN [30, 31, 40, 41, 51][(g % 5) + 1]
             WHEN lane = 2 THEN [93, 120, 123, 150, 153][(g % 5) + 1]
             WHEN lane = 4 THEN [5, 8, 12, 13, 19][(g % 5) + 1]
+            WHEN lane = 3 AND g % 2 = 1
+                 THEN [10, 20, 31, 41, 51][(g % 5) + 1]
             ELSE 0 END AS INTEGER) AS level_idc,
   CAST(([640, 1280, 1920, 854, 426][(g % 5) + 1]
         * [360, 720, 1080, 480, 240][(g % 5) + 1]) AS BIGINT) AS n_pixels
@@ -10812,10 +10817,13 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
     SPS (§7.3.2.1: Exp-Golomb, high-profile chroma block with
     scaling-list skip, frame cropping — 1080p is coded as 68 macroblock
     rows and CROPPED to 1080, so reading the declared mb counts alone
-    is wrong by 8 rows) for exact width/height/profile/level; non-AVC
-    Matroska tracks (VP9 lane) fall back to the declared
-    Video>PixelWidth/PixelHeight elements with profile/level 0 — an
-    honest boundary, not a guess.  Fixtures cycle 5 lanes x 5
+    is wrong by 8 rows) for exact width/height/profile/level; the VP9
+    lane splits between a Matroska track that falls back to declared
+    Video>PixelWidth/PixelHeight with profile/level 0 (VP9's config
+    carries no dims and WebM often ships no CodecPrivate — declared,
+    not decoded, labeled by the zero profile) and an MP4 vp09 entry
+    whose ``vpcC`` FullBox supplies profile/level next to the
+    entry-declared dims.  Fixtures cycle 5 lanes x 5
     resolutions (two of which, 854x480 and 426x240, require real crop
     arithmetic) x 3 profiles (66 baseline skips the chroma block, 100
     high includes it) x 5 levels, every payload synthesized by the
@@ -10840,6 +10848,7 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
     _hevc_levels = [93, 120, 123, 150, 153]  # 3.1/4.0/4.1/5.0/5.1 x30
     _av1_profiles = [0, 1, 2]  # main, high, professional
     _av1_levels = [5, 8, 12, 13, 19]  # seq_level_idx: 2.1/3.0/4.0/4.1/5.1
+    _vp9_levels = [10, 20, 31, 41, 51]  # 1.0/2.0/3.1/4.1/5.1 x10
 
     def triage(batches):
         import pandas as _pd
@@ -10853,6 +10862,7 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
             encode_hvcc,
             encode_mkv_elements,
             encode_mp4_boxes,
+            encode_vpcc,
         )
 
         for pdf in batches:
@@ -10894,12 +10904,24 @@ def q246_video_dimension_triage(spark: SparkSession, sf_dir: str):
                         video_hvcc=hvcc,
                     )
                 elif lane == 3:
-                    payload = encode_mkv_elements(
-                        "webm",
-                        float(60000 + g % 1000),
-                        1_000_000,
-                        [(1, "V_VP9", None, w, h), (2, "A_OPUS")],
-                    )
+                    if g % 2 == 0:
+                        payload = encode_mkv_elements(
+                            "webm",
+                            float(60000 + g % 1000),
+                            1_000_000,
+                            [(1, "V_VP9", None, w, h), (2, "A_OPUS")],
+                        )
+                    else:
+                        payload = encode_mp4_boxes(
+                            "isom",
+                            (10 + g % 20) * 90000,
+                            90000,
+                            [("vide", "vp09"), ("soun", "mp4a")],
+                            video_vpcc=encode_vpcc(
+                                _av1_profiles[g % 3], _vp9_levels[g % 5]
+                            ),
+                            video_dims=(w, h),
+                        )
                 else:
                     av1c = encode_av1c(
                         encode_av1_sequence_header(

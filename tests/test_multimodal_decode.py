@@ -2292,3 +2292,27 @@ def test_av1_sequence_header_roundtrip_and_container_embedding():
         parse_av1_sequence_header(bytes(bad))
     with _pytest.raises(ValueError):
         parse_av1c(b"\x00\x00\x00\x00\x00")
+
+
+def test_vpcc_roundtrip_and_vp09_embedding():
+    """VP9's vpcC FullBox: profile/level round-trip, vp09 MP4 entry
+    carries declared dims (VP9 config has none — frames declare their
+    own) alongside the vpcC profile/level."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_mp4_boxes,
+        encode_vpcc,
+        parse_vpcc,
+        video_stream_params,
+    )
+
+    assert parse_vpcc(encode_vpcc(2, 41)) == (2, 41)
+    with _pytest.raises(ValueError):
+        parse_vpcc(b"\x00\x01")
+    m = encode_mp4_boxes(
+        "isom", 900000, 90000,
+        [("vide", "vp09"), ("soun", "mp4a")],
+        video_vpcc=encode_vpcc(0, 31), video_dims=(1280, 720),
+    )
+    assert video_stream_params(m) == ("mp4", "vp09", 1280, 720, 0, 31)
