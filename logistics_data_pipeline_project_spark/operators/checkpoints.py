@@ -30,6 +30,7 @@ __all__ = [
     "checkpointed_write",
     "persistent_rdd_ids",
     "release_residual_checkpoints",
+    "released_checkpoints",
 ]
 
 # The pinned-id attribution diffs the JVM-GLOBAL persistent-RDD registry
@@ -103,10 +104,53 @@ def release_residual_checkpoints(spark, baseline: set[int]) -> list[int]:
     fails later actions with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, which
     is why this is NOT wired into the queries() callables themselves
     (a driver running them concurrently would free in-flight blocks).
+    Library consumers outside the harness get the same discipline as a
+    context manager: :class:`released_checkpoints`.
     """
     stale = sorted(_persistent_ids(spark) - set(baseline))
     free_checkpoints(spark, stale)
     return stale
+
+
+class released_checkpoints:
+    """The PUBLIC library-consumer form of the harness discipline: run
+    one query (or any bounded unit of work) inside the block and every
+    checkpoint block it left pinned is unpersisted at exit —
+
+        with released_checkpoints(spark):
+            result = q(spark, sf_dir).collect()
+
+    Entry snapshots the persistent-RDD registry; exit frees everything
+    that appeared since (the same baseline-diff as
+    :func:`release_residual_checkpoints`, which bench.py and
+    tests/driver_sim.py call between catalog queries). Without this, a
+    long-lived single-session consumer accumulates each query's lazily
+    checkpointed subtrees until a JVM GC drains the ContextCleaner
+    (up to spark.cleaner.periodicGC.interval = 30 min of growth).
+
+    The result must be FULLY CONSUMED inside the block (collect /
+    write / count — any terminal action): exit truncates the lineage
+    blocks a still-lazy plan would need, and a later action on an
+    escaped DataFrame fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    Single-tenant by contract, like the harness calls: two concurrent
+    blocks on one session would free each other's in-flight work.
+
+    Reentrant nesting is safe (the inner block frees its own delta
+    first; the outer frees whatever remains), and exceptions still
+    free — the ``finally`` shape a bounded session needs.
+    """
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._baseline: set[int] | None = None
+
+    def __enter__(self):
+        self._baseline = _persistent_ids(self._spark)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        release_residual_checkpoints(self._spark, self._baseline or set())
+        return False
 
 
 def checkpointed_write(df: DataFrame, write_fn) -> None:

@@ -4249,24 +4249,31 @@ def encode_mp4_boxes(
             + bytes(80)
         )
     kids = [box(b"mvhd", mvhd_body)]
+    # Configs are tested with `is not None` (never truthiness — mixing
+    # the two let an explicit empty-bytes avcC mask a real vpcC), and
+    # empty bytes are rejected up front: an empty decoder-config box is
+    # never what a fixture means.
+    video_cfgs = [
+        (b"avcC", video_avcc, parse_avcc),
+        (b"hvcC", video_hvcc, parse_hvcc),
+        (b"av1C", video_av1c, parse_av1c),
+        (b"vpcC", video_vpcc, None),
+    ]
+    video_cfgs = [(f, c, p) for f, c, p in video_cfgs if c is not None]
+    for fourcc_, cfg_, _p in video_cfgs:
+        if not cfg_:
+            raise ValueError(
+                f"empty {fourcc_.decode('latin-1')} config bytes"
+            )
     for handler, codec in tracks:
-        if handler == "vide" and (
-            video_avcc or video_hvcc or video_av1c or video_vpcc
-        ) is not None:
+        if handler == "vide" and video_cfgs:
             # real VisualSampleEntry: 6 reserved + data_ref_index,
             # 16 pre_defined/reserved, width/height (declared from the
             # SPS, or video_dims for configs that carry none — vpcC),
             # 72dpi fixed-point resolutions, frame_count 1, 32-byte
             # compressorname, depth 24, pre_defined -1, then the
             # avcC/hvcC/av1C/vpcC configuration box as a child
-            if video_avcc is not None:
-                cfg_fourcc, cfg, parse = b"avcC", video_avcc, parse_avcc
-            elif video_hvcc is not None:
-                cfg_fourcc, cfg, parse = b"hvcC", video_hvcc, parse_hvcc
-            elif video_av1c is not None:
-                cfg_fourcc, cfg, parse = b"av1C", video_av1c, parse_av1c
-            else:
-                cfg_fourcc, cfg, parse = b"vpcC", video_vpcc, None
+            cfg_fourcc, cfg, parse = video_cfgs[0]
             if video_dims is not None:
                 vw, vh = video_dims
             elif parse is not None:
@@ -4912,9 +4919,13 @@ def parse_av1_sequence_header(obu: bytes) -> tuple[int, int, int, int]:
     else:
         if b.u(1):  # timing_info_present_flag
             raise ValueError("timing_info not supported by this triage")
-        b.u(1)  # initial_display_delay_present_flag (0 in practice
-        #         when timing absent; spec only allows it with the
-        #         decoder model, which timing gates)
+        # initial_display_delay_present_flag gates per-operating-point
+        # delay fields BELOW — it is legal without timing_info (§5.5.1
+        # conditions it on nothing; only decoder_model_info nests under
+        # timing_info), so it must be consumed, not assumed zero: a
+        # spec-legal stream with the flag set would otherwise shift
+        # every following bit and misparse dimensions silently.
+        delay_present = b.u(1)  # initial_display_delay_present_flag
         op_cnt = b.u(5) + 1
         seq_level_idx_0 = 0
         for i in range(op_cnt):
@@ -4924,6 +4935,11 @@ def parse_av1_sequence_header(obu: bytes) -> tuple[int, int, int, int]:
                 seq_level_idx_0 = lvl
             if lvl > 7:
                 b.u(1)  # seq_tier
+            # decoder_model_present_for_this_op is 0 on this path (its
+            # flag nests under timing_info, which raises above), so the
+            # only remaining per-op fields are the display-delay pair:
+            if delay_present and b.u(1):
+                b.u(4)  # initial_display_delay_minus_1
     wbits = b.u(4) + 1
     hbits = b.u(4) + 1
     width = b.u(wbits) + 1
@@ -4937,13 +4953,22 @@ def encode_av1_sequence_header(
     height: int,
     seq_profile: int = 0,
     seq_level_idx: int = 8,
+    initial_display_delay: int | None = None,
 ) -> bytes:
     """Synthesize a structurally valid AV1 sequence header OBU for the
     given dimensions — real OBU header with leb128 size, one operating
     point, minimal-width dimension fields.  The fixture twin of
-    :func:`parse_av1_sequence_header`."""
+    :func:`parse_av1_sequence_header`.  ``initial_display_delay`` (a
+    frame count, 1-16) sets ``initial_display_delay_present_flag`` and
+    emits the per-operating-point delay fields — the spec-legal shape
+    that exists WITHOUT timing_info and that the parser must consume
+    to keep the dimension fields aligned."""
     if width <= 0 or height <= 0:
         raise ValueError("dimensions must be positive")
+    if initial_display_delay is not None and not (
+        1 <= initial_display_delay <= 16
+    ):
+        raise ValueError("initial_display_delay must be 1-16 frames")
     bits: list[int] = []
 
     def u(v: int, n: int) -> None:
@@ -4954,12 +4979,16 @@ def encode_av1_sequence_header(
     u(0, 1)  # still_picture
     u(0, 1)  # reduced_still_picture_header
     u(0, 1)  # timing_info_present_flag
-    u(0, 1)  # initial_display_delay_present_flag
+    u(0 if initial_display_delay is None else 1, 1)
+    #        ^ initial_display_delay_present_flag
     u(0, 5)  # operating_points_cnt_minus_1
     u(0, 12)  # operating_point_idc[0]
     u(seq_level_idx, 5)
     if seq_level_idx > 7:
         u(0, 1)  # seq_tier[0]
+    if initial_display_delay is not None:
+        u(1, 1)  # initial_display_delay_present_for_this_op[0]
+        u(initial_display_delay - 1, 4)
     wbits = max((width - 1).bit_length(), 1)
     hbits = max((height - 1).bit_length(), 1)
     u(wbits - 1, 4)

@@ -10983,10 +10983,11 @@ agg AS (
   FROM d GROUP BY m
 )
 SELECT 'd' || CAST(m AS VARCHAR) || '.example.com' AS domain,
-  CAST(3 * nd AS BIGINT) AS n_html,
-  CAST((2 + m % 2) * nd AS BIGINT) AS n_allowed,
-  CAST((1 + m % 2) * nd + k4 AS BIGINT) AS n_kept,
-  CAST((1 + m % 2) * nd + 1 AS BIGINT) AS n_urls
+  CAST(8 * nd AS BIGINT) AS n_html,
+  CAST(nd AS BIGINT) AS n_quar,
+  CAST((7 + m % 2) * nd AS BIGINT) AS n_allowed,
+  CAST((4 + m % 2) * nd + k4 AS BIGINT) AS n_kept,
+  CAST((6 + m % 2) * nd + 1 AS BIGINT) AS n_urls
 FROM agg
 """,
 )
@@ -11010,19 +11011,29 @@ def q247_warc_to_corpus(spark: SparkSession, sf_dir: str):
     one linear chain, so the WARC payload crosses Arrow exactly once.
 
     Fixtures per doc (m = doc_id%10 names the domain, g = doc_id//10):
-    a real per-member-gzipped WARC with warcinfo + request + FIVE
+    a real per-member-gzipped WARC with warcinfo + request + ELEVEN
     responses — an allowed page with unique text and an uppercase-host
     tracking-param URL, a /private/ page (blocked by the even-m
     domains' robots.txt), a shared-text page whose case varies with g
     parity (dedup must collapse it) under two query-param spellings
-    (canonicalization must collapse those), a 404, and a JSON response
-    (both filtered in the walk).  The oracle states the per-domain
-    census — fetched, robots-allowed, dedup-kept, distinct canonical
-    URLs — in closed form.  Scale shape: one Arrow map pass over the
-    crawl bytes at O(header + body_max) memory per record, codegen
-    projections riding that scan, ONE broadcast rule join, one
-    aggregate keyed by page, one tiny final aggregate by domain; the
-    corpus never shuffles its raw bytes."""
+    (canonicalization must collapse those), a 404 and a JSON response
+    (both filtered in the walk), plus the round-8 HTTP-fidelity lanes:
+    a ``Content-Encoding: gzip`` page and a ``Transfer-Encoding:
+    chunked`` page (unique texts — counted IFF the codings decode), a
+    charset TRIPLE (the same accented text as UTF-8 bytes, as latin-1
+    bytes under an HTTP-head ``charset=iso-8859-1``, and as latin-1
+    bytes under a ``<meta charset>`` prescan — n_kept counts the
+    triple ONCE only if both charset mechanisms actually decode, and
+    counts 3 under a UTF-8-replace fallback), and a ``Content-
+    Encoding: br`` record that must land in the per-record quarantine
+    lane (html NULL -> ``n_quar``), never as mojikake text.  The
+    oracle states the per-domain census — fetched, quarantined,
+    robots-allowed, dedup-kept, distinct canonical URLs — in closed
+    form.  Scale shape: one Arrow map pass over the crawl bytes at
+    O(header + body_max) memory per record, codegen projections riding
+    that scan, ONE broadcast rule join, one aggregate keyed by page,
+    one tiny final aggregate by domain; the corpus never shuffles its
+    raw bytes."""
     from ..operators.text import (
         canonicalize_url,
         extract_html_text,
@@ -11032,15 +11043,24 @@ def q247_warc_to_corpus(spark: SparkSession, sf_dir: str):
     from ..sources.warc import warc_html_documents
 
     def gen(batches):
+        import gzip as _gzip
+
         import pandas as _pd
 
         from ..sources.warc import encode_warc_records
 
-        def html_doc(body_html):
-            return (
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                + body_html
-            )
+        def html_doc(body_html, *headers, ctype=b"text/html"):
+            head = b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+            for h in headers:
+                head += b"\r\n" + h
+            return head + b"\r\n\r\n" + body_html
+
+        def chunk_frame(body, size=24):
+            out = bytearray()
+            for i in range(0, len(body), size):
+                c = body[i : i + size]
+                out += b"%x\r\n" % len(c) + c + b"\r\n"
+            return bytes(out + b"0\r\n\r\n")
 
         for pdf in batches:
             out = []
@@ -11054,6 +11074,11 @@ def q247_warc_to_corpus(spark: SparkSession, sf_dir: str):
                     else f"<P>BETA TEXT {k}</P>"
                 )
                 b_q = "x=2&a=1" if g % 2 == 0 else "a=1&x=2"
+                eps = f"<html><body><p>épsilon {g} page</p></body></html>"
+                eps_meta = (
+                    '<html><head><meta charset="iso-8859-1"></head>'
+                    f"<body><p>épsilon {g} page</p></body></html>"
+                )
                 recs = [
                     {"rec_type": "warcinfo",
                      "content_type": "application/warc-fields",
@@ -11094,6 +11119,45 @@ def q247_warc_to_corpus(spark: SparkSession, sf_dir: str):
                          b"HTTP/1.1 200 OK\r\nContent-Type: "
                          b'application/json\r\n\r\n{"a": 1}'
                      )},
+                    # --- round-8 HTTP-fidelity lanes ---
+                    {"rec_type": "response",  # gzip content-coding
+                     "target_uri": f"http://d{m}.example.com/c{g}",
+                     "content_type": "application/http;msgtype=response",
+                     "body": html_doc(
+                         _gzip.compress(
+                             b"<p>gamma %d content</p>" % g, mtime=0
+                         ),
+                         b"Content-Encoding: gzip",
+                     )},
+                    {"rec_type": "response",  # chunked transfer framing
+                     "target_uri": f"http://d{m}.example.com/e{g}",
+                     "content_type": "application/http;msgtype=response",
+                     "body": html_doc(
+                         chunk_frame(b"<p>delta %d content</p>" % g),
+                         b"Transfer-Encoding: chunked",
+                     )},
+                    {"rec_type": "response",  # charset triple 1: UTF-8
+                     "target_uri": f"http://d{m}.example.com/f{g}",
+                     "content_type": "application/http;msgtype=response",
+                     "body": html_doc(eps.encode("utf-8"))},
+                    {"rec_type": "response",  # 2: latin-1, head charset
+                     "target_uri": f"http://d{m}.example.com/h{g}",
+                     "content_type": "application/http;msgtype=response",
+                     "body": html_doc(
+                         eps.encode("latin-1"),
+                         ctype=b"text/html; charset=iso-8859-1",
+                     )},
+                    {"rec_type": "response",  # 3: latin-1, meta prescan
+                     "target_uri": f"http://d{m}.example.com/j{g}",
+                     "content_type": "application/http;msgtype=response",
+                     "body": html_doc(eps_meta.encode("latin-1"))},
+                    {"rec_type": "response",  # br -> record quarantine
+                     "target_uri": f"http://d{m}.example.com/z{g}",
+                     "content_type": "application/http;msgtype=response",
+                     "body": html_doc(
+                         b"\x8b\x03\x80brpayload",
+                         b"Content-Encoding: br",
+                     )},
                 ]
                 out.append(
                     {
@@ -11110,8 +11174,11 @@ def q247_warc_to_corpus(spark: SparkSession, sf_dir: str):
         gen, schema="doc_id long, payload binary"
     )
     pages = warc_html_documents(warcs, "doc_id", "payload").select(
-        (F.col("id") * 8 + F.col("rec_index")).alias("page_id"),
+        (F.col("id") * 16 + F.col("rec_index")).alias("page_id"),
         canonicalize_url(F.col("url")).alias("curl"),
+        # html NULL is the per-record quarantine lane (undecodable
+        # coding — the br fixture); counted, never keyed or kept
+        F.col("html").isNull().alias("quar"),
         F.md5(F.lower(extract_html_text(F.col("html")))).alias("key"),
     )
     m = (F.col("doc_id") % 10).cast("int")
@@ -11128,15 +11195,13 @@ def q247_warc_to_corpus(spark: SparkSession, sf_dir: str):
     )
     rules = robots_rules(robots, "domain", "robots_txt", user_agent="*")
     gated = robots_gate(
-        pages, rules, "page_id", "curl", carry_cols=("curl", "key")
+        pages, rules, "page_id", "curl", carry_cols=("curl", "key", "quar")
     )
+    ok = F.col("allowed") & ~F.col("quar")
     return gated.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("long").alias("n_html"),
-        F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
-        F.countDistinct(
-            F.when(F.col("allowed"), F.col("key"))
-        ).alias("n_kept"),
-        F.countDistinct(
-            F.when(F.col("allowed"), F.col("curl"))
-        ).alias("n_urls"),
+        F.sum((~F.col("quar")).cast("long")).alias("n_html"),
+        F.sum(F.col("quar").cast("long")).alias("n_quar"),
+        F.sum(ok.cast("long")).alias("n_allowed"),
+        F.countDistinct(F.when(ok, F.col("key"))).alias("n_kept"),
+        F.countDistinct(F.when(ok, F.col("curl"))).alias("n_urls"),
     )

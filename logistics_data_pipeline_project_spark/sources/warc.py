@@ -125,6 +125,179 @@ def _iter_inflated(payload: bytes) -> Iterator[bytes]:
         pos -= leftover
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Remove HTTP/1.1 chunked transfer framing (RFC 9112 §7.1):
+    hex-size line, ``size`` octets, CRLF, repeated until the 0-size
+    terminal chunk (trailers, if any, are framing — dropped).  A body
+    TRUNCATED mid-chunk (the record walk caps retained bytes) keeps
+    what de-framed, matching the walk's truncation rule; a size line
+    that is not hex raises ValueError — that is corruption, not
+    truncation, and the quarantine lane should see it."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        j = body.find(_CRLF, i)
+        if j < 0:
+            break  # truncated size line
+        size_tok = bytes(body[i:j]).split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise ValueError(
+                f"bad chunk size line {size_tok[:32]!r}"
+            ) from exc
+        if size == 0:
+            break  # terminal chunk; trailers are framing
+        chunk = body[j + 2 : j + 2 + size]
+        out.extend(chunk)
+        if len(chunk) < size:
+            break  # truncated chunk data
+        i = j + 2 + size + 2  # past the chunk's own CRLF
+    return bytes(out)
+
+
+def _inflate_coding(body: bytes, coding: str, out_max: int) -> bytes:
+    """Inflate one gzip/x-gzip/deflate content- or transfer-coding in
+    bounded quanta, output capped at ``out_max`` (the extraction
+    lane's ``body_max`` — same discipline as the member walk).  HTTP
+    'deflate' is zlib-wrapped per RFC 9110 §8.4.1.2 but raw-deflate
+    senders are legion, so the zlib header is sniffed ((CMF<<8|FLG) %
+    31 == 0, low CMF nibble 8) and raw taken otherwise.  Corrupt
+    deflate data raises ValueError (quarantine-lane material);
+    TRUNCATED input keeps what inflated."""
+    import zlib
+
+    if coding == "deflate":
+        zlib_wrapped = (
+            len(body) >= 2
+            and (body[0] & 0x0F) == 8
+            and ((body[0] << 8) | body[1]) % 31 == 0
+        )
+        wbits = 15 if zlib_wrapped else -15
+    else:  # gzip / x-gzip
+        wbits = 31
+    d = zlib.decompressobj(wbits=wbits)
+    out = bytearray()
+    pos = 0
+    try:
+        while pos < len(body) and len(out) < out_max and not d.eof:
+            if d.unconsumed_tail:
+                data = d.unconsumed_tail
+            else:
+                data = bytes(body[pos : pos + _IN_CHUNK])
+                pos += len(data)
+            out.extend(d.decompress(data, out_max - len(out)))
+        if len(out) < out_max:
+            out.extend(d.flush())
+    except zlib.error as exc:
+        raise ValueError(f"corrupt {coding} body: {exc}") from exc
+    return bytes(out[:out_max])
+
+
+def _decode_http_body(
+    body: bytes,
+    transfer_encoding: str,
+    content_encoding: str,
+    out_max: int,
+) -> bytes:
+    """Undo an HTTP response's transfer- then content-codings ->
+    decoded payload bytes capped at ``out_max``.  Codings are removed
+    in reverse order of application (RFC 9110 §8.4): chunked framing
+    first (RFC 9112 §6.1 requires it last on the wire), then any
+    gzip/x-gzip/deflate layers.  ``identity`` and empty tokens are
+    no-ops.  ``br``/``zstd``/``compress``/anything else raises
+    ValueError — the extraction lane quarantines those records rather
+    than emitting their bytes as mojibake text."""
+    te = [t.strip().lower() for t in transfer_encoding.split(",") if t.strip()]
+    ce = [c.strip().lower() for c in content_encoding.split(",") if c.strip()]
+    for coding in reversed(te):
+        if coding == "chunked":
+            body = _dechunk(body)
+        elif coding in ("gzip", "x-gzip", "deflate"):
+            body = _inflate_coding(body, coding, out_max)
+        elif coding != "identity":
+            raise ValueError(f"unsupported transfer-coding {coding!r}")
+    for coding in reversed(ce):
+        if coding in ("gzip", "x-gzip", "deflate"):
+            body = _inflate_coding(body, coding, out_max)
+        elif coding != "identity":
+            raise ValueError(f"unsupported content-coding {coding!r}")
+    return body[:out_max]
+
+
+# Charset labels seen in real crawls -> Python codec names.  The alias
+# table covers the legacy tail that matters (latin-1 family, Windows
+# code pages, CJK: gbk/gb2312, shift-jis, euc-jp, big5); anything else
+# falls through to codecs.lookup so the full registry of TEXT codecs
+# works, and unknown/non-text labels fall back to UTF-8-with-replacement
+# (documented, not silent: replacement characters are data the quality
+# stages score).
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252",
+    "win-1252": "cp1252",
+    "gb2312": "gbk",
+    "gb-2312": "gbk",
+    "shift-jis": "shift_jis",
+    "shiftjis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "windows-31j": "cp932",
+    "eucjp": "euc_jp",
+    "us-ascii": "ascii",
+}
+# WHATWG-style charset prescan over the head bytes: catches both
+# <meta charset="x"> and <meta http-equiv=... content="...charset=x">.
+_META_CHARSET_RE = None  # compiled lazily (module import stays cheap)
+
+
+def _resolve_codec(label: str) -> str | None:
+    """Charset label (HTTP header or meta prescan, already lowercased)
+    -> Python codec name, or None when the label is unknown or names a
+    non-text codec (base64/hex/zlib are bytes<->bytes and must never be
+    picked by attacker-controlled page bytes)."""
+    import codecs
+
+    label = label.strip().strip("\"'").lower()
+    if not label:
+        return None
+    label = _CHARSET_ALIASES.get(label, label)
+    try:
+        info = codecs.lookup(label)
+    except LookupError:
+        return None
+    if not getattr(info, "_is_text_encoding", True):
+        return None
+    return info.name
+
+
+def _decode_html_bytes(body: bytes, charset_hint: str) -> str:
+    """Decode page bytes -> text with charset fidelity: the HTTP head's
+    charset parameter wins, else a bounded prescan of the first 4 KiB
+    for a ``<meta charset=…>`` / ``http-equiv Content-Type`` label
+    (WHATWG's prescan shape), else UTF-8; always errors='replace' (a
+    mislabeled page yields replacement characters — data the quality
+    stages score, never a crash)."""
+    global _META_CHARSET_RE
+    codec = _resolve_codec(charset_hint) if charset_hint else None
+    if codec is None:
+        if _META_CHARSET_RE is None:
+            import re
+
+            _META_CHARSET_RE = re.compile(
+                rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?\s*"
+                rb"([A-Za-z0-9._:\-]{1,32})",
+                re.IGNORECASE,
+            )
+        m = _META_CHARSET_RE.search(body[:4096])
+        if m:
+            codec = _resolve_codec(m.group(1).decode("ascii", "replace"))
+    return body.decode(codec or "utf-8", "replace")
+
+
 def _iter_warc_records(
     chunks: Iterator[bytes],
     body_max: int | None = None,
@@ -192,7 +365,9 @@ def _iter_warc_records(
             return  # truncated body
         body = bytes(buf[head_end + 4 : head_end + 4 + body_keep])
         status = 0
-        http_payload = b""
+        http_payload: bytes | None = b""
+        payload_error: str | None = None
+        charset = ""
         mime = fields.get("content-type", "").split(";")[0].strip()
         if rec_type in ("response", "request") and body[:5] in (
             b"HTTP/",
@@ -201,22 +376,45 @@ def _iter_warc_records(
         ):
             parts = body.split(_CRLF + _CRLF, 1)
             http_head = parts[0]
-            if body_max is not None and rec_type == "response":
-                http_payload = parts[1][:body_max] if len(parts) > 1 else b""
             lines = http_head.split(_CRLF)
             first = lines[0].split()
             if rec_type == "response" and len(first) >= 2 and first[1].isdigit():
                 status = int(first[1])
+            content_enc = transfer_enc = ""
             for line in lines[1:]:
                 name, _, value = line.partition(b":")
-                if _ and name.strip().lower() == b"content-type":
-                    mime = (
-                        value.strip()
-                        .decode("latin-1", "replace")
-                        .split(";")[0]
-                        .strip()
-                    )
-                    break
+                if not _:
+                    continue
+                lname = name.strip().lower()
+                if lname == b"content-type":
+                    ctype = value.strip().decode("latin-1", "replace")
+                    mime = ctype.split(";")[0].strip()
+                    for param in ctype.split(";")[1:]:
+                        k, _eq, v = param.partition("=")
+                        if _eq and k.strip().lower() == "charset":
+                            charset = v.strip().strip("\"'").lower()
+                elif lname == b"content-encoding":
+                    content_enc = value.strip().decode("latin-1", "replace")
+                elif lname == b"transfer-encoding":
+                    transfer_enc = value.strip().decode("latin-1", "replace")
+            if body_max is not None and rec_type == "response":
+                raw = parts[1] if len(parts) > 1 else b""
+                if transfer_enc or content_enc:
+                    # De-frame/inflate the HTTP codings (gzip text/html
+                    # is the most common real Common Crawl body shape
+                    # after identity); an unsupported coding (br, zstd)
+                    # or corrupt framing/deflate data quarantines the
+                    # RECORD (payload=None + reason) instead of letting
+                    # compressed bytes flow downstream as mojibake text.
+                    try:
+                        http_payload = _decode_http_body(
+                            raw, transfer_enc, content_enc, body_max
+                        )
+                    except ValueError as exc:
+                        http_payload = None
+                        payload_error = str(exc)
+                else:
+                    http_payload = raw[:body_max]
         # Skip the rest of the body WITHOUT buffering it: drop what the
         # buffer already holds, then discard whole chunks until the
         # record's end. This is the line that keeps a 4 GiB record from
@@ -249,6 +447,8 @@ def _iter_warc_records(
         }
         if body_max is not None:
             rec["payload"] = http_payload
+            rec["charset"] = charset
+            rec["payload_error"] = payload_error
         yield rec
         fill(4)
         if bytes(buf[:4]) == _CRLF + _CRLF:
@@ -287,9 +487,15 @@ def parse_warc_records(
     ``warc_triage`` can quarantine-lane it.
 
     ``body_max`` (extraction lane, q247): when set, response records
-    additionally carry ``payload`` — the HTTP message body truncated
-    at ``body_max`` bytes — at O(header + body_max) retained memory
-    per record."""
+    additionally carry ``payload`` (the HTTP message body with
+    transfer-/content-codings removed — chunked de-framed, gzip/
+    x-gzip/deflate inflated in bounded quanta — truncated at
+    ``body_max`` bytes), ``charset`` (the HTTP Content-Type charset
+    parameter, '' if absent) and ``payload_error`` (None, or the
+    reason the body could not be decoded: br/zstd/unknown codings,
+    corrupt chunk framing or deflate data — ``payload`` is then None
+    and the caller quarantines the record).  Retained memory stays
+    O(header + body_max) per record."""
     return list(
         _iter_warc_records(_iter_inflated(payload or b""), body_max)
     )
@@ -440,12 +646,27 @@ def warc_html_documents(
     ``body_max`` caps the retained HTML per page (Common Crawl itself
     truncates records at 1 MiB) — memory per in-flight record stays
     O(header + body_max), never O(inflated file), same streaming walk
-    as the census lane.  ``html`` is decoded UTF-8 with replacement
-    (charset sniffing is an honest non-goal: replacement characters
-    are data the quality stages score, not a crash).  ``on_error``
-    follows the q226 quarantine convention: 'fail' raises on garbage,
-    'skip' drops the payload, 'tag' emits one row with rec_index=-1
-    and empty url/html so the garbage stays countable."""
+    as the census lane.
+
+    HTTP codings are honored (real Common Crawl responses very
+    commonly arrive ``Content-Encoding: gzip`` and/or
+    ``Transfer-Encoding: chunked``): chunked framing is removed and
+    gzip/x-gzip/deflate layers inflate in bounded quanta capped at
+    ``body_max``.  A record whose body CANNOT be decoded — ``br``/
+    ``zstd``/unknown codings, corrupt chunk framing or deflate data —
+    is the PER-RECORD quarantine lane: it emits its row with the true
+    rec_index and url but ``html`` NULL, so garbage stays countable
+    per page (filter ``html IS NULL``) and compressed bytes never
+    masquerade as corpus text.  ``html`` decodes with charset
+    fidelity: HTTP-head ``charset=`` first, then a bounded
+    ``<meta charset>`` prescan of the first 4 KiB, UTF-8 otherwise —
+    always with replacement (a mislabeled page is data the quality
+    stages score, not a crash).
+
+    ``on_error`` is the PER-PAYLOAD lane (q226 convention): 'fail'
+    raises on a non-WARC/corrupt-gzip payload, 'skip' drops it, 'tag'
+    emits one row with rec_index=-1 and empty url/html so the garbage
+    stays countable."""
     if on_error not in ("fail", "skip", "tag"):
         raise ValueError(f"bad on_error {on_error!r}")
 
@@ -484,7 +705,13 @@ def warc_html_documents(
                             "id": int(_id),
                             "rec_index": ix,
                             "url": r["target_uri"],
-                            "html": r["payload"].decode("utf-8", "replace"),
+                            "html": (
+                                None
+                                if r["payload_error"] is not None
+                                else _decode_html_bytes(
+                                    r["payload"], r["charset"]
+                                )
+                            ),
                         }
                     )
             yield pd.DataFrame(out, columns=cols)

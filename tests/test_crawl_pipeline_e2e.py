@@ -186,3 +186,58 @@ def test_warc_html_documents_extraction_lane(spark):
     url_y, html_y = got[(1, 5)]
     assert url_y == "http://a/y" and len(html_y) == 40  # body_max cap
     assert got[(2, -1)] == ("", "")  # garbage lane
+
+
+def test_warc_html_documents_coding_and_record_quarantine(spark):
+    """Round-8 #1 at the Spark lane: gzip-encoded, chunked and
+    legacy-charset (latin-1) pages come out as TEXT — identical to
+    their identity-encoded twins — while a br-encoded record emits its
+    row with html NULL (the per-record quarantine lane: countable by
+    url, never mojibake), distinct from the per-PAYLOAD rec_index=-1
+    tag lane."""
+    import gzip as _gzip
+
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        encode_warc_records,
+        warc_html_documents,
+    )
+
+    text = "<p>café page</p>"
+
+    def resp(uri, body, *headers):
+        head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+        for h in headers:
+            head += b"\r\n" + h
+        return {"rec_type": "response", "target_uri": uri,
+                "content_type": "application/http;msgtype=response",
+                "body": head + b"\r\n\r\n" + body}
+
+    body = text.encode("utf-8")
+    chunked = b"%x\r\n" % len(body) + body + b"\r\n0\r\n\r\n"
+    blob = encode_warc_records(
+        [
+            resp("http://a/plain", body),
+            resp("http://a/gz", _gzip.compress(body),
+                 b"Content-Encoding: gzip"),
+            resp("http://a/ch", chunked, b"Transfer-Encoding: chunked"),
+            {"rec_type": "response", "target_uri": "http://a/l1",
+             "content_type": "application/http;msgtype=response",
+             "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                     b"charset=iso-8859-1\r\n\r\n"
+                     + text.encode("latin-1")},
+            resp("http://a/br", b"brbytes", b"Content-Encoding: br"),
+        ],
+        gzip_members=True,
+    )
+    df = spark.createDataFrame([(7, blob)], "doc_id long, payload binary")
+    rows = warc_html_documents(df, "doc_id", "payload").collect()
+    by_url = {r["url"]: r for r in rows}
+    assert set(by_url) == {
+        "http://a/plain", "http://a/gz", "http://a/ch",
+        "http://a/l1", "http://a/br",
+    }
+    for u in ("http://a/plain", "http://a/gz", "http://a/ch",
+              "http://a/l1"):
+        assert by_url[u]["html"] == text, u
+    quar = by_url["http://a/br"]
+    assert quar["html"] is None and quar["rec_index"] == 4

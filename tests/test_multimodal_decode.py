@@ -2068,6 +2068,111 @@ def test_warc_corrupt_gzip_member_is_valueerror_lane():
         parse_warc_records(bytes(gzblob))
 
 
+def test_warc_http_body_decoding_and_charset():
+    """Round-8 #1 (the gap a real crawl hits on file one): the
+    extraction lane must remove HTTP transfer-/content-codings —
+    chunked framing, gzip/x-gzip/deflate (zlib-wrapped AND raw) — and
+    decode with charset fidelity (HTTP-head charset= first, bounded
+    <meta charset> prescan second, UTF-8-replace fallback), while br/
+    unknown codings and corrupt deflate data quarantine the RECORD
+    (payload=None + reason) instead of flowing mojibake downstream."""
+    import gzip as _gzip
+    import zlib
+
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        _decode_html_bytes,
+        encode_warc_records,
+        parse_warc_records,
+    )
+
+    html = "<html><body><p>épsilon 7</p></body></html>"
+    h_utf8, h_lat1 = html.encode("utf-8"), html.encode("latin-1")
+
+    def chunked(b: bytes, size: int = 10) -> bytes:
+        out = bytearray()
+        for i in range(0, len(b), size):
+            c = b[i : i + size]
+            out += b"%x\r\n" % len(c) + c + b"\r\n"
+        return bytes(out + b"0\r\n\r\n")
+
+    def resp(uri, body, *headers):
+        head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+        for h in headers:
+            head += b"\r\n" + h
+        return {"rec_type": "response", "target_uri": uri,
+                "content_type": "application/http;msgtype=response",
+                "body": head + b"\r\n\r\n" + body}
+
+    recs = [
+        resp("http://e/identity", h_utf8),
+        resp("http://e/gzip", _gzip.compress(h_utf8),
+             b"Content-Encoding: gzip"),
+        resp("http://e/chunked", chunked(h_utf8),
+             b"Transfer-Encoding: chunked"),
+        resp("http://e/both", chunked(_gzip.compress(h_utf8)),
+             b"Content-Encoding: gzip", b"Transfer-Encoding: chunked"),
+        resp("http://e/deflate-raw", zlib.compress(h_utf8)[2:-4],
+             b"Content-Encoding: deflate"),
+        resp("http://e/deflate-zlib", zlib.compress(h_utf8),
+             b"Content-Encoding: deflate"),
+        resp("http://e/br", b"\x8b\x03\x80brbytes",
+             b"Content-Encoding: br"),
+        resp("http://e/corrupt", b"\x1f\x8b\x08\x00junkjunkjunk",
+             b"Content-Encoding: gzip"),
+        {"rec_type": "response",
+         "target_uri": "http://e/latin1-head",
+         "content_type": "application/http;msgtype=response",
+         "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                 b"charset=ISO-8859-1\r\n\r\n" + h_lat1},
+        resp("http://e/latin1-meta",
+             b'<html><head><meta charset="iso-8859-1"></head>'
+             b"<body><p>\xe9psilon 7</p></body></html>"),
+        {"rec_type": "response",
+         "target_uri": "http://e/gzip-latin1",
+         "content_type": "application/http;msgtype=response",
+         "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                 b"charset=iso-8859-1\r\nContent-Encoding: x-gzip\r\n\r\n"
+                 + _gzip.compress(h_lat1)},
+    ]
+    for gz in (False, True):
+        got = {
+            r["target_uri"]: r
+            for r in parse_warc_records(
+                encode_warc_records(recs, gzip_members=gz),
+                body_max=1 << 20,
+            )
+        }
+        texts = {
+            u: (None if r["payload_error"] is not None
+                else _decode_html_bytes(r["payload"], r["charset"]))
+            for u, r in got.items()
+        }
+        for u in ("http://e/identity", "http://e/gzip", "http://e/chunked",
+                  "http://e/both", "http://e/deflate-raw",
+                  "http://e/deflate-zlib", "http://e/latin1-head",
+                  "http://e/gzip-latin1"):
+            assert texts[u] == html, (gz, u, texts[u])
+        assert "épsilon 7" in texts["http://e/latin1-meta"]
+        assert got["http://e/br"]["payload"] is None
+        assert "br" in got["http://e/br"]["payload_error"]
+        assert got["http://e/corrupt"]["payload"] is None
+        assert "gzip" in got["http://e/corrupt"]["payload_error"]
+        # the census fields of quarantined records still parse
+        assert got["http://e/br"]["http_status"] == 200
+        assert got["http://e/br"]["mime"] == "text/html"
+    # census lane (no body_max) carries no payload keys at all
+    census = parse_warc_records(encode_warc_records(recs))
+    assert len(census) == len(recs)
+    assert all("payload" not in r for r in census)
+    # decoded output is capped at body_max even when inflation expands
+    big = resp("http://e/bomb", _gzip.compress(b"A" * 100_000),
+               b"Content-Encoding: gzip")
+    (r,) = parse_warc_records(
+        encode_warc_records([big]), body_max=1024
+    )
+    assert len(r["payload"]) == 1024
+
+
 def test_warc_many_members_stream_integrity():
     """2000 per-record gzip members walk in order with exact URIs and
     lengths — exercises the bounded-quantum inflater's member-boundary
@@ -2292,6 +2397,59 @@ def test_av1_sequence_header_roundtrip_and_container_embedding():
         parse_av1_sequence_header(bytes(bad))
     with _pytest.raises(ValueError):
         parse_av1c(b"\x00\x00\x00\x00\x00")
+
+
+def test_av1_initial_display_delay_fields_consumed():
+    """ADVICE r7: initial_display_delay_present_flag is legal WITHOUT
+    timing_info (AV1 §5.5.1 gates it on nothing; only decoder_model
+    nests under timing), so the per-operating-point
+    present_for_this_op / initial_display_delay_minus_1 bits must be
+    consumed — the old parser assumed flag=0 and a spec-legal flagged
+    1920x1080 stream silently misparsed as 350x16263."""
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_av1_sequence_header,
+        encode_av1c,
+        parse_av1_sequence_header,
+        parse_av1c,
+    )
+
+    for w, h in ((1920, 1080), (640, 360), (7680, 4320)):
+        for delay in (1, 3, 16):
+            obu = encode_av1_sequence_header(
+                w, h, 0, 12, initial_display_delay=delay
+            )
+            assert parse_av1_sequence_header(obu) == (0, 12, w, h)
+    # and through the av1C record wrap
+    c = encode_av1c(
+        encode_av1_sequence_header(1280, 720, 1, 9, initial_display_delay=2)
+    )
+    assert parse_av1c(c) == (1, 9, 1280, 720)
+
+
+def test_mp4_video_config_selection_is_none_based():
+    """ADVICE r7: encode_mp4_boxes mixed truthiness with None tests, so
+    video_avcc=b'' beside a real vpcC emitted an empty avcC child that
+    video_stream_params then choked on.  Empty config bytes are now a
+    loud ValueError and selection is `is not None` throughout."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_mp4_boxes,
+        encode_vpcc,
+        video_stream_params,
+    )
+
+    vpcc = encode_vpcc(0, 10)
+    with _pytest.raises(ValueError):
+        encode_mp4_boxes(
+            tracks=[("vide", "vp09")], video_avcc=b"", video_vpcc=vpcc
+        )
+    with _pytest.raises(ValueError):
+        encode_mp4_boxes(tracks=[("vide", "hvc1")], video_hvcc=b"")
+    m = encode_mp4_boxes(
+        tracks=[("vide", "vp09")], video_vpcc=vpcc, video_dims=(640, 360)
+    )
+    assert video_stream_params(m) == ("mp4", "vp09", 640, 360, 0, 10)
 
 
 def test_vpcc_roundtrip_and_vp09_embedding():

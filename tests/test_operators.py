@@ -445,6 +445,42 @@ def test_checkpointed_write_frees_blocks(spark, tmp_path):
     )
 
 
+def test_released_checkpoints_library_consumer(spark, sf_dir):
+    """Round-8 #3 (the r7 'What's wrong' library-consumer caveat): a
+    consumer driving queries() in a long-lived session WITHOUT the
+    harness discipline must have a public scoped release — wrap each
+    query in ``released_checkpoints`` and the registry returns to its
+    baseline, instead of accumulating every query's lazily
+    checkpointed subtrees until a JVM GC.  Driven against q127 (the
+    catalog's heaviest lazy checkpointer: tok/pref/sets subtrees)."""
+    from logistics_data_pipeline_project_spark.operators.checkpoints import (
+        persistent_rdd_ids,
+        released_checkpoints,
+    )
+    from logistics_data_pipeline_project_spark.queries import REGISTRY
+
+    q127 = next(
+        s.fn for n, s in REGISTRY.items() if n.startswith("q127")
+    )
+    base = persistent_rdd_ids(spark)
+    with released_checkpoints(spark):
+        rows = q127(spark, sf_dir).collect()
+        assert rows is not None
+        # the query really did pin blocks (the test would be vacuous
+        # against a non-checkpointing query)
+        assert persistent_rdd_ids(spark) - base
+    assert persistent_rdd_ids(spark) <= base
+    # exceptions still free, and nesting frees inner-first
+    try:
+        with released_checkpoints(spark):
+            with released_checkpoints(spark):
+                spark.range(10).localCheckpoint(eager=True).count()
+                raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert persistent_rdd_ids(spark) <= base
+
+
 def test_top_ngram_repetition_semantics(spark):
     from logistics_data_pipeline_project_spark.operators.text import (
         top_ngram_repetition,
