@@ -32,6 +32,15 @@ CRC) raises ValueError so ``warc_triage``'s quarantine lanes can
 route it; a merely TRUNCATED tail member keeps the records already
 parsed, matching how real crawl files actually end.
 
+The EXTRACTION lane additionally honors HTTP message semantics (round
+8): ``Transfer-Encoding: chunked`` framing is removed, gzip/x-gzip/
+deflate content- and transfer-codings inflate in bounded quanta capped
+at ``body_max``, undecodable records (br/zstd/unknown codings, corrupt
+framing or deflate data) are quarantined per record instead of leaking
+compressed bytes as text, and HTML decodes with charset fidelity
+(HTTP-head ``charset=``, then a bounded ``<meta charset>`` prescan,
+then UTF-8 — always errors='replace').
+
 Reference parity: the reference engine has no crawl-ingestion surface
 (its sources are REST landing + CSV/JSON stages, SURVEY.md §2.1); this
 is part of the beyond-reference LLM-training-data operator family the

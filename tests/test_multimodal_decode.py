@@ -2173,6 +2173,51 @@ def test_warc_http_body_decoding_and_charset():
     assert len(r["payload"]) == 1024
 
 
+def test_warc_charset_resolution_tail():
+    """The legacy-charset tail beyond latin-1 (round-8 ask #4): gbk /
+    gb2312, shift-jis (and its aliases), euc-jp and big5 decode through
+    the alias table + codecs registry; unknown labels and NON-TEXT
+    codec names (base64/hex — attacker-controlled page bytes must never
+    select a bytes<->bytes codec) fall back to UTF-8-replace."""
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        _decode_html_bytes,
+        _resolve_codec,
+    )
+
+    cases = [
+        ("gbk", "gbk", "深圳物流数据"),
+        ("gb2312", "gbk", "物流数据"),
+        ("shift-jis", "shift_jis", "物流データ"),
+        ("sjis", "shift_jis", "配送センター"),
+        ("x-sjis", "shift_jis", "配送"),
+        ("windows-31j", "cp932", "物流"),
+        ("euc-jp", "euc_jp", "データ基盤"),
+        ("big5", "big5", "物流資料"),
+        ("windows-1252", "cp1252", "café—naïve"),
+        ("ISO-8859-1", "iso8859-1", "café"),
+        ("UTF-8", "utf-8", "naïve"),
+    ]
+    for label, codec, text in cases:
+        assert _resolve_codec(label) == codec, label
+        body = f"<p>{text}</p>".encode(codec)
+        assert _decode_html_bytes(body, label) == f"<p>{text}</p>", label
+        # and via the meta prescan (no HTTP-head hint)
+        meta = (
+            f'<html><head><meta charset="{label}"></head>'
+            f"<body><p>{text}</p></body></html>".encode(codec)
+        )
+        assert text in _decode_html_bytes(meta, ""), label
+    # unknown label -> None -> utf-8 fallback with replacement
+    assert _resolve_codec("klingon-8") is None
+    assert _resolve_codec("") is None
+    # non-text codecs must never be selected by page-controlled labels
+    assert _resolve_codec("base64") is None
+    assert _resolve_codec("hex") is None
+    assert _resolve_codec("zlib_codec") is None
+    garbled = "<p>café</p>".encode("latin-1")
+    assert _decode_html_bytes(garbled, "klingon-8") == "<p>caf�</p>"
+
+
 def test_warc_many_members_stream_integrity():
     """2000 per-record gzip members walk in order with exact URIs and
     lengths — exercises the bounded-quantum inflater's member-boundary

@@ -205,6 +205,26 @@ def _time_point(
         REGISTRY[q].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
+    # Round 8 (tools/profile_q037.py): sf0.001 alone under-warms the
+    # BIG points — at toy size AQE picks broadcast joins, so the
+    # sort-merge-join/sort codegen the big points actually execute
+    # stays interpreter-cold, and the first big execution pays a C2
+    # ramp measured at 1305 executor-CPU-s on q037's x40 point (5x its
+    # ~260 CPU-s steady state; a single x2 warm run with the same plan
+    # shapes cut rep0's burn 2.5x). min-of-N can absorb a one-pass
+    # ramp only when the ramp fits one pass — at x40 it didn't. Warm
+    # once at x2 (2.5-5% of the big points' data) when measuring
+    # beyond it, so every measured pass runs compiled code.
+    x2_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale",
+        "x2",
+    )
+    if mult > 2 and os.path.isdir(x2_dir):
+        for q in queries:
+            REGISTRY[q].fn(spark, x2_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
     release_residual_checkpoints(spark, base_ids)
     # min-of-N: the host shows multi-second upward-only stalls (an
     # identical back-to-back rerun measured 64.5s then 9.6s on 63MB of
@@ -322,7 +342,29 @@ def main() -> None:
             "q175: 15.5s after q127/q149/q165 in one session vs 6.8-8.0s "
             "in its own; neither residue release nor forced System.gc() "
             "removed it), which is what the r6 curve's q175 x10->x20 "
-            "'knee' (5.78->14.68) actually was"
+            "'knee' (5.78->14.68) actually was. round 8: points beyond "
+            "x2 additionally warm once at x2 — sf0.001 warm-up leaves "
+            "the big points' AQE-chosen sort-merge-join codegen "
+            "interpreter-cold (tools/profile_q037.py: q037 x40 rep0 "
+            "burned 1305 executor-CPU-s vs ~260 steady; one x2 warm "
+            "run cut the rep0 burn 2.5x), a ramp long enough at x40 "
+            "that min-of-3 could not absorb it"
+        ),
+        "q037_adjudication": (
+            "round 8 (tools/profile_q037.py, fresh subprocess per "
+            "cell): q037's r7 x20->x40 step (9.50->30.26s, 3.2x for 2x "
+            "data) is NOT algorithmic — shingle rows and edges are "
+            "exactly 2x (5.21M->10.42M rows, 5200->10400 edges), "
+            "steady-state executor CPU is ~2x (x20 ~150 CPU-s, x40 "
+            "~260 CPU-s), spill is ZERO at 32 and 256 shuffle "
+            "partitions, and per-stage splits (scan/window-cap/"
+            "inverted-index) are all <=1.7x. The step was (a) the "
+            "cold-plan C2 ramp above (rep0 at x40: 91s wall / 1305 "
+            "CPU-s, decaying to 14-25s/260 CPU-s by rep1) plus (b) "
+            "host wall variance: identical reps in one session span "
+            "12.5-35.9s at x20 and 14.1-55.1s at x40 while their CPU "
+            "stays flat — wall on this sandbox is load-bound, CPU is "
+            "the reproducible signal"
         ),
     }
     out = os.path.join(repo, "bench_history", "SCALE_CURVE.json")
