@@ -117,11 +117,26 @@ def main() -> None:
     release_residual_checkpoints(spark, ckpt_baseline)  # warm-up residue
     residual_freed = 0
 
+    # Soft deadline for the SECOND pass only: the harness runs bench.py
+    # under a hard external timeout (historically `timeout 590`), and a
+    # loaded host can push warmup + two full passes past it — a killed
+    # process loses the whole measurement. Pass 1 always completes (every
+    # query gets a timing), pass 2 improves the minima for as long as the
+    # budget allows and is truncated — disclosed in the payload — when it
+    # would run the process into the external kill. Under normal load two
+    # passes finish well inside the deadline and nothing is truncated.
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "520"))
+    t_start = time.perf_counter()
+
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
+    pass2_skipped = 0
     for _pass in range(2):
         pass_total = 0.0
         for name in sorted(REGISTRY):
+            if _pass > 0 and time.perf_counter() - t_start > deadline:
+                pass2_skipped += 1
+                continue
             spec = REGISTRY[name]
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
@@ -133,7 +148,8 @@ def main() -> None:
             residual_freed += len(
                 release_residual_checkpoints(spark, ckpt_baseline)
             )
-        pass_totals.append(round(pass_total, 3))
+        if _pass == 0 or pass2_skipped == 0:
+            pass_totals.append(round(pass_total, 3))
     total = sum(timings.values())
     print(
         f"# checkpoint residue freed between queries: {residual_freed} RDDs"
@@ -151,7 +167,7 @@ def main() -> None:
         round(
             (max(pass_totals) - min(pass_totals)) / min(pass_totals) * 100, 1
         )
-        if pass_totals and min(pass_totals) > 0
+        if len(pass_totals) > 1 and min(pass_totals) > 0
         else 0.0
     )
     payload = {
@@ -163,6 +179,7 @@ def main() -> None:
         "n_queries": len(timings),
         "passes": 2,
         "pass_totals": pass_totals,
+        "pass2_skipped": pass2_skipped,
         "pass_spread_pct": spread_pct,
         "variance_note": (
             "value = sum of per-query MIN over the full passes above "
