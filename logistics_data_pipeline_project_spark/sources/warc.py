@@ -185,19 +185,37 @@ def _inflate_coding(body: bytes, coding: str, out_max: int) -> bytes:
         wbits = 15 if zlib_wrapped else -15
     else:  # gzip / x-gzip
         wbits = 31
-    d = zlib.decompressobj(wbits=wbits)
     out = bytearray()
     pos = 0
     try:
-        while pos < len(body) and len(out) < out_max and not d.eof:
-            if d.unconsumed_tail:
-                data = d.unconsumed_tail
-            else:
-                data = bytes(body[pos : pos + _IN_CHUNK])
-                pos += len(data)
-            out.extend(d.decompress(data, out_max - len(out)))
-        if len(out) < out_max:
-            out.extend(d.flush())
+        # Outer loop handles MULTI-MEMBER gzip bodies (RFC 9110's gzip
+        # coding is the gzip FILE format, which concatenates members;
+        # rare on the wire but legal — a single-member-only walk would
+        # silently truncate such a body to its first member).
+        while pos < len(body) and len(out) < out_max:
+            d = zlib.decompressobj(wbits=wbits)
+            while pos < len(body) and len(out) < out_max and not d.eof:
+                if d.unconsumed_tail:
+                    data = d.unconsumed_tail
+                else:
+                    data = bytes(body[pos : pos + _IN_CHUNK])
+                    pos += len(data)
+                out.extend(d.decompress(data, out_max - len(out)))
+            # leftover-input length BEFORE flush(): same CPython quirk
+            # as _iter_inflated — when eof lands in a max_length-limited
+            # call, flush() appends unconsumed_tail into unused_data a
+            # SECOND time and the rewind would re-read member bytes
+            leftover = len(d.unused_data)
+            if len(out) < out_max:
+                out.extend(d.flush())
+            if not d.eof:
+                break  # truncated input: keep what inflated
+            # rewind input fed past this member's end; only continue if
+            # another gzip member actually follows (trailing garbage is
+            # ignored, matching gzip(1))
+            pos -= leftover
+            if wbits != 31 or body[pos : pos + 2] != b"\x1f\x8b":
+                break
     except zlib.error as exc:
         raise ValueError(f"corrupt {coding} body: {exc}") from exc
     return bytes(out[:out_max])
@@ -284,13 +302,22 @@ def _resolve_codec(label: str) -> str | None:
 
 
 def _decode_html_bytes(body: bytes, charset_hint: str) -> str:
-    """Decode page bytes -> text with charset fidelity: the HTTP head's
-    charset parameter wins, else a bounded prescan of the first 4 KiB
-    for a ``<meta charset=…>`` / ``http-equiv Content-Type`` label
-    (WHATWG's prescan shape), else UTF-8; always errors='replace' (a
-    mislabeled page yields replacement characters — data the quality
-    stages score, never a crash)."""
+    """Decode page bytes -> text with charset fidelity, WHATWG
+    precedence: a byte-order mark outranks everything (a BOM-carrying
+    page mislabeled latin-1 in its HTTP head is common and the BOM is
+    ground truth), then the HTTP head's charset parameter, then a
+    bounded prescan of the first 4 KiB for a ``<meta charset=…>`` /
+    ``http-equiv Content-Type`` label, else UTF-8; always
+    errors='replace' (a mislabeled page yields replacement characters —
+    data the quality stages score, never a crash).  The BOM itself is
+    stripped (it is encoding metadata, not page text)."""
     global _META_CHARSET_RE
+    if body[:3] == b"\xef\xbb\xbf":
+        return body[3:].decode("utf-8", "replace")
+    if body[:2] == b"\xff\xfe":
+        return body[2:].decode("utf-16-le", "replace")
+    if body[:2] == b"\xfe\xff":
+        return body[2:].decode("utf-16-be", "replace")
     codec = _resolve_codec(charset_hint) if charset_hint else None
     if codec is None:
         if _META_CHARSET_RE is None:

@@ -2173,6 +2173,50 @@ def test_warc_http_body_decoding_and_charset():
     assert len(r["payload"]) == 1024
 
 
+def test_warc_bom_precedence_and_multimember_gzip_body():
+    """Two fidelity edges of the body-decode path: (a) WHATWG BOM
+    precedence — a UTF-8/UTF-16 byte-order mark outranks any HTTP-head
+    or meta charset label (mislabeled BOM pages are common; the BOM is
+    ground truth) and is stripped from the text; (b) a gzip
+    content-coding whose body concatenates MULTIPLE gzip members (legal
+    per the gzip file format RFC 9110 points at) inflates completely
+    instead of truncating at the first member boundary."""
+    import gzip as _gzip
+
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        _decode_html_bytes,
+        _inflate_coding,
+    )
+
+    text = "<p>café bom</p>"
+    # BOM wins over a WRONG head label and over a wrong meta label
+    assert _decode_html_bytes(
+        b"\xef\xbb\xbf" + text.encode("utf-8"), "iso-8859-1"
+    ) == text
+    assert _decode_html_bytes(
+        b"\xff\xfe" + text.encode("utf-16-le"), "iso-8859-1"
+    ) == text
+    assert _decode_html_bytes(
+        b"\xfe\xff" + text.encode("utf-16-be"), "gbk"
+    ) == text
+    meta = (
+        '<html><head><meta charset="shift-jis"></head>'
+        "<body><p>café bom</p></body></html>"
+    )
+    got = _decode_html_bytes(b"\xef\xbb\xbf" + meta.encode("utf-8"), "")
+    assert "café bom" in got and not got.startswith("﻿")
+    # multi-member gzip body: both members' content comes out
+    a, b = b"<p>first member</p>", b"<p>second member</p>"
+    two = _gzip.compress(a, mtime=0) + _gzip.compress(b, mtime=0)
+    assert _inflate_coding(two, "gzip", 1 << 20) == a + b
+    # output cap still binds mid-second-member
+    assert _inflate_coding(two, "gzip", len(a) + 4) == (a + b)[: len(a) + 4]
+    # trailing garbage after the last member is ignored (gzip(1) rule)
+    assert _inflate_coding(
+        _gzip.compress(a, mtime=0) + b"not gzip", "gzip", 1 << 20
+    ) == a
+
+
 def test_warc_charset_resolution_tail():
     """The legacy-charset tail beyond latin-1 (round-8 ask #4): gbk /
     gb2312, shift-jis (and its aliases), euc-jp and big5 decode through
