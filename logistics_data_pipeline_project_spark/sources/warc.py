@@ -324,7 +324,11 @@ def _decode_html_bytes(body: bytes, charset_hint: str) -> str:
             import re
 
             _META_CHARSET_RE = re.compile(
-                rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?\s*"
+                # <meta charset=…> / http-equiv content="…charset=…",
+                # or an XML prolog's encoding="…" (XHTML served as
+                # text/html declares its encoding there, not in a meta)
+                rb"(?:<meta[^>]{0,256}?charset|"
+                rb"<\?xml[^>]{0,256}?encoding)\s*=\s*[\"']?\s*"
                 rb"([A-Za-z0-9._:\-]{1,32})",
                 re.IGNORECASE,
             )
@@ -673,7 +677,8 @@ def warc_html_documents(
     ``warc_triage``): explode each (optionally .gz) WARC payload into
     one row per successfully fetched HTML page — (id, rec_index, url,
     html) for records with rec_type=response, HTTP status 200 and
-    payload MIME text/html — in one Arrow-batched mapInPandas pass.
+    payload MIME text/html or application/xhtml+xml — in one
+    Arrow-batched mapInPandas pass.
     This is the single scan a WARC-to-corpus build (q247) hangs
     everything off: main-text extraction (q228), URL canonicalization
     (q224), the robots gate (q245) and dedup (q238/q241) all consume
@@ -733,7 +738,8 @@ def warc_html_documents(
                     if (
                         r["rec_type"] != "response"
                         or r["http_status"] != 200
-                        or r["mime"] != "text/html"
+                        or r["mime"]
+                        not in ("text/html", "application/xhtml+xml")
                     ):
                         continue
                     out.append(

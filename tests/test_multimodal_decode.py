@@ -2217,6 +2217,40 @@ def test_warc_bom_precedence_and_multimember_gzip_body():
     ) == a
 
 
+def test_warc_xhtml_prolog_encoding_and_mime():
+    """XHTML fidelity: an application/xhtml+xml 200 response is an
+    extraction-lane page (real crawls serve plenty of XHTML), and an
+    XML prolog's encoding=… declaration drives the charset prescan —
+    XHTML declares its encoding there, not in a <meta>."""
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        _decode_html_bytes,
+        encode_warc_records,
+        parse_warc_records,
+    )
+
+    xhtml = (
+        '<?xml version="1.0" encoding="iso-8859-1"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml">'
+        "<body><p>café xhtml</p></body></html>"
+    )
+    assert (
+        _decode_html_bytes(xhtml.encode("latin-1"), "") == xhtml
+    )
+    recs = [
+        {"rec_type": "response", "target_uri": "http://x/doc.xhtml",
+         "content_type": "application/http;msgtype=response",
+         "body": b"HTTP/1.1 200 OK\r\nContent-Type: "
+                 b"application/xhtml+xml\r\n\r\n"
+                 + xhtml.encode("latin-1")},
+    ]
+    (r,) = parse_warc_records(
+        encode_warc_records(recs, gzip_members=True), body_max=1 << 20
+    )
+    assert r["mime"] == "application/xhtml+xml"
+    assert r["payload_error"] is None
+    assert "café xhtml" in _decode_html_bytes(r["payload"], r["charset"])
+
+
 def test_warc_charset_resolution_tail():
     """The legacy-charset tail beyond latin-1 (round-8 ask #4): gbk /
     gb2312, shift-jis (and its aliases), euc-jp and big5 decode through
