@@ -2119,6 +2119,8 @@ def test_warc_http_body_decoding_and_charset():
              b"Content-Encoding: br"),
         resp("http://e/corrupt", b"\x1f\x8b\x08\x00junkjunkjunk",
              b"Content-Encoding: gzip"),
+        resp("http://e/badchunk", b"zz-not-hex\r\ndata\r\n0\r\n\r\n",
+             b"Transfer-Encoding: chunked"),
         {"rec_type": "response",
          "target_uri": "http://e/latin1-head",
          "content_type": "application/http;msgtype=response",
@@ -2157,6 +2159,8 @@ def test_warc_http_body_decoding_and_charset():
         assert "br" in got["http://e/br"]["payload_error"]
         assert got["http://e/corrupt"]["payload"] is None
         assert "gzip" in got["http://e/corrupt"]["payload_error"]
+        assert got["http://e/badchunk"]["payload"] is None
+        assert "chunk" in got["http://e/badchunk"]["payload_error"]
         # the census fields of quarantined records still parse
         assert got["http://e/br"]["http_status"] == 200
         assert got["http://e/br"]["mime"] == "text/html"
