@@ -23,6 +23,12 @@ import os
 import sys
 import time
 
+# Process-start clock for the pass-2 soft deadline: the external kill
+# (`timeout 590 python bench.py`) measures from exec, so the deadline
+# must too — session startup + warmup cost ~60s that a post-warmup
+# clock would silently add on top of the budget.
+_T0 = time.perf_counter()
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from logistics_data_pipeline_project_spark.operators.checkpoints import (  # noqa: E402
@@ -117,16 +123,17 @@ def main() -> None:
     release_residual_checkpoints(spark, ckpt_baseline)  # warm-up residue
     residual_freed = 0
 
-    # Soft deadline for the SECOND pass only: the harness runs bench.py
-    # under a hard external timeout (historically `timeout 590`), and a
-    # loaded host can push warmup + two full passes past it — a killed
-    # process loses the whole measurement. Pass 1 always completes (every
-    # query gets a timing), pass 2 improves the minima for as long as the
-    # budget allows and is truncated — disclosed in the payload — when it
-    # would run the process into the external kill. Under normal load two
-    # passes finish well inside the deadline and nothing is truncated.
-    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "520"))
-    t_start = time.perf_counter()
+    # Soft deadline for the SECOND pass only (measured from PROCESS
+    # start, _T0 — the external kill measures from exec): the harness
+    # runs bench.py under a hard external timeout (historically
+    # `timeout 590`), and a loaded host can push warmup + two full
+    # passes past it — a killed process loses the whole measurement.
+    # Pass 1 always completes (every query gets a timing), pass 2
+    # improves the minima for as long as the budget allows and is
+    # truncated — disclosed in the payload — when it would run the
+    # process into the external kill. Under light load two passes
+    # finish inside the deadline and nothing is truncated.
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "510"))
 
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
@@ -134,7 +141,7 @@ def main() -> None:
     for _pass in range(2):
         pass_total = 0.0
         for name in sorted(REGISTRY):
-            if _pass > 0 and time.perf_counter() - t_start > deadline:
+            if _pass > 0 and time.perf_counter() - _T0 > deadline:
                 pass2_skipped += 1
                 continue
             spec = REGISTRY[name]
