@@ -161,6 +161,19 @@ def _dechunk(body: bytes) -> bytes:
         out.extend(chunk)
         if len(chunk) < size:
             break  # truncated chunk data
+        # The two octets after the chunk data MUST be CRLF (RFC 9112
+        # §7.1).  Without this check, corrupt framing whose trailing
+        # bytes happen to parse as a hex size line would yield silently
+        # corrupted text instead of the ValueError quarantine this
+        # docstring promises.  Fewer than two octets present is
+        # TRUNCATION (tolerated: keep what de-framed), not corruption.
+        trail = body[j + 2 + size : j + 2 + size + 2]
+        if len(trail) < 2:
+            break  # truncated past chunk data
+        if trail != _CRLF:
+            raise ValueError(
+                f"chunk data not CRLF-terminated ({bytes(trail)!r})"
+            )
         i = j + 2 + size + 2  # past the chunk's own CRLF
     return bytes(out)
 
@@ -221,6 +234,42 @@ def _inflate_coding(body: bytes, coding: str, out_max: int) -> bytes:
     return bytes(out[:out_max])
 
 
+def _inflate_brotli(body: bytes, out_max: int) -> bytes:
+    """Inflate a ``Content-Encoding: br`` body when a brotli module is
+    importable (``brotli`` or ``brotlicffi`` — OPTIONAL dependency,
+    probed at call time; neither ships in this repo's baseline env).
+    Real Common Crawl response records carry br at low single-digit
+    percent, so a deployment that installs the module stops losing that
+    page tail; without it the record stays a quarantine lane (the
+    ValueError message names 'br' so the census stays countable).
+    Input feeds in small quanta and inflation stops once ``out_max``
+    decoded bytes exist — same cap discipline as ``_inflate_coding``
+    (brotli's incremental API has no per-call output bound, so the cap
+    binds between quanta; a pathological metadata bomb can overshoot by
+    one quantum's expansion before truncation).  Corrupt data raises
+    ValueError; TRUNCATED input keeps what inflated."""
+    try:
+        import brotli as _br
+    except ImportError:
+        try:
+            import brotlicffi as _br  # type: ignore[no-redef]
+        except ImportError:
+            raise ValueError(
+                "unsupported content-coding 'br'"
+                " (no brotli/brotlicffi module installed)"
+            ) from None
+    dec = _br.Decompressor()
+    out = bytearray()
+    try:
+        for pos in range(0, len(body), _IN_CHUNK):
+            out.extend(dec.process(bytes(body[pos : pos + _IN_CHUNK])))
+            if len(out) >= out_max:
+                break
+    except _br.error as exc:
+        raise ValueError(f"corrupt br body: {exc}") from exc
+    return bytes(out[:out_max])
+
+
 def _decode_http_body(
     body: bytes,
     transfer_encoding: str,
@@ -232,7 +281,9 @@ def _decode_http_body(
     in reverse order of application (RFC 9110 §8.4): chunked framing
     first (RFC 9112 §6.1 requires it last on the wire), then any
     gzip/x-gzip/deflate layers.  ``identity`` and empty tokens are
-    no-ops.  ``br``/``zstd``/``compress``/anything else raises
+    no-ops.  A ``br`` content-coding decodes IF a brotli module is
+    importable (optional-dependency probe — see ``_inflate_brotli``);
+    otherwise it, ``zstd``/``compress``/anything else, raises
     ValueError — the extraction lane quarantines those records rather
     than emitting their bytes as mojibake text."""
     te = [t.strip().lower() for t in transfer_encoding.split(",") if t.strip()]
@@ -247,6 +298,8 @@ def _decode_http_body(
     for coding in reversed(ce):
         if coding in ("gzip", "x-gzip", "deflate"):
             body = _inflate_coding(body, coding, out_max)
+        elif coding == "br":
+            body = _inflate_brotli(body, out_max)
         elif coding != "identity":
             raise ValueError(f"unsupported content-coding {coding!r}")
     return body[:out_max]
@@ -434,9 +487,17 @@ def _iter_warc_records(
                         if _eq and k.strip().lower() == "charset":
                             charset = v.strip().strip("\"'").lower()
                 elif lname == b"content-encoding":
-                    content_enc = value.strip().decode("latin-1", "replace")
+                    # Repeated header lines are equivalent to one
+                    # comma-joined list (RFC 9110 §5.3) — overwrite
+                    # would DROP earlier codings and let compressed
+                    # bytes flow to the text decoder as mojibake.
+                    v = value.strip().decode("latin-1", "replace")
+                    content_enc = f"{content_enc},{v}" if content_enc else v
                 elif lname == b"transfer-encoding":
-                    transfer_enc = value.strip().decode("latin-1", "replace")
+                    v = value.strip().decode("latin-1", "replace")
+                    transfer_enc = (
+                        f"{transfer_enc},{v}" if transfer_enc else v
+                    )
             if body_max is not None and rec_type == "response":
                 raw = parts[1] if len(parts) > 1 else b""
                 if transfer_enc or content_enc:

@@ -2221,6 +2221,135 @@ def test_warc_bom_precedence_and_multimember_gzip_body():
     ) == a
 
 
+def test_warc_repeated_coding_headers_combine():
+    """ADVICE r8: repeated Transfer-Encoding/Content-Encoding header
+    LINES are equivalent to one comma-joined list (RFC 9110 §5.3).
+    Overwrite semantics dropped the earlier coding — 'Transfer-Encoding:
+    gzip' + 'Transfer-Encoding: chunked' on separate lines lost the gzip
+    layer and compressed bytes flowed to the text decoder as mojibake,
+    the exact leak the quarantine lane exists to prevent."""
+    import gzip as _gzip
+
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        _decode_html_bytes,
+        encode_warc_records,
+        parse_warc_records,
+    )
+
+    html = "<html><body><p>repeated headers</p></body></html>"
+    raw = html.encode("utf-8")
+
+    def chunked(b: bytes, size: int = 10) -> bytes:
+        out = bytearray()
+        for i in range(0, len(b), size):
+            c = b[i : i + size]
+            out += b"%x\r\n" % len(c) + c + b"\r\n"
+        return bytes(out + b"0\r\n\r\n")
+
+    recs = [
+        # TE applied gzip-then-chunked on the wire, declared on TWO lines
+        {"rec_type": "response", "target_uri": "http://e/te-two-lines",
+         "content_type": "application/http;msgtype=response",
+         "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                 b"Transfer-Encoding: gzip\r\n"
+                 b"Transfer-Encoding: chunked\r\n\r\n"
+                 + chunked(_gzip.compress(raw))},
+        # CE applied twice (gzip of gzip), declared on TWO lines
+        {"rec_type": "response", "target_uri": "http://e/ce-two-lines",
+         "content_type": "application/http;msgtype=response",
+         "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                 b"Content-Encoding: gzip\r\n"
+                 b"Content-Encoding: gzip\r\n\r\n"
+                 + _gzip.compress(_gzip.compress(raw))},
+    ]
+    got = {
+        r["target_uri"]: r
+        for r in parse_warc_records(
+            encode_warc_records(recs), body_max=1 << 20
+        )
+    }
+    for uri in ("http://e/te-two-lines", "http://e/ce-two-lines"):
+        r = got[uri]
+        assert r["payload_error"] is None, (uri, r["payload_error"])
+        assert _decode_html_bytes(r["payload"], r["charset"]) == html, uri
+
+
+def test_brotli_content_coding_quarantines_without_module():
+    """VERDICT r9 ask #4, absent-module half: without a brotli/
+    brotlicffi module (this repo's baseline env ships neither) a
+    ``Content-Encoding: br`` record stays the per-record quarantine
+    lane — ValueError naming 'br', payload None downstream — exactly
+    the pre-probe behavior, so q247's oracle is environment-stable."""
+    import pytest as _pytest
+
+    try:
+        import brotli  # noqa: F401
+        _pytest.skip("brotli installed — covered by the decode test")
+    except ImportError:
+        pass
+    try:
+        import brotlicffi  # noqa: F401
+        _pytest.skip("brotlicffi installed — covered by the decode test")
+    except ImportError:
+        pass
+
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        _decode_http_body,
+    )
+
+    with _pytest.raises(ValueError, match="br"):
+        _decode_http_body(b"\x8b\x03\x80brpayload", "", "br", 1 << 20)
+
+
+def test_brotli_content_coding_decodes_with_module():
+    """VERDICT r9 ask #4, present-module half (importorskip — runs
+    wherever a deployment installed the optional dependency): a real
+    br body decodes through the probe with the body_max cap binding,
+    and the q247 garbage-bytes fixture STILL raises (corrupt stream),
+    so the br lane of the oracle is quarantined in every environment."""
+    import pytest as _pytest
+
+    brotli = _pytest.importorskip("brotli")
+
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        _decode_http_body,
+        _inflate_brotli,
+    )
+
+    html = b"<html><body><p>brotli page</p></body></html>"
+    assert _decode_http_body(brotli.compress(html), "", "br", 1 << 20) == html
+    # output cap binds even when inflation expands
+    big = brotli.compress(b"A" * 100_000)
+    assert len(_inflate_brotli(big, 1024)) == 1024
+    # the q247 fixture bytes are NOT a valid brotli stream -> quarantine
+    with _pytest.raises(ValueError):
+        _decode_http_body(b"\x8b\x03\x80brpayload", "", "br", 1 << 20)
+
+
+def test_dechunk_verifies_chunk_data_crlf():
+    """ADVICE r8: _dechunk must verify the two octets after each
+    chunk's data are CRLF (RFC 9112 §7.1) — corrupt framing whose
+    trailing bytes still parse as a hex size line used to yield
+    silently corrupted text instead of the promised ValueError.
+    Truncation (fewer than two octets present) stays tolerated."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.sources.warc import _dechunk
+
+    # corrupt: 'ZZ' where the chunk-data CRLF belongs -> loud failure
+    with _pytest.raises(ValueError):
+        _dechunk(b"3\r\nabcZZ0\r\n\r\n")
+    # worse shape: the garbage trail bytes themselves would parse as the
+    # next hex size line ('12\r\n' = 18 bytes), swallowing real data
+    with _pytest.raises(ValueError):
+        _dechunk(b"4\r\ndata12\r\nmore-bytes-here-000\r\n0\r\n\r\n")
+    # truncation after full chunk data keeps what de-framed
+    assert _dechunk(b"3\r\nabc") == b"abc"
+    assert _dechunk(b"3\r\nabc\r") == b"abc"
+    # well-formed body still round-trips
+    assert _dechunk(b"3\r\nabc\r\n2\r\nde\r\n0\r\n\r\n") == b"abcde"
+
+
 def test_warc_xhtml_prolog_encoding_and_mime():
     """XHTML fidelity: an application/xhtml+xml 200 response is an
     extraction-lane page (real crawls serve plenty of XHTML), and an
@@ -2577,6 +2706,26 @@ def test_mp4_video_config_selection_is_none_based():
         tracks=[("vide", "vp09")], video_vpcc=vpcc, video_dims=(640, 360)
     )
     assert video_stream_params(m) == ("mp4", "vp09", 640, 360, 0, 10)
+
+
+def test_mp4_audio_only_tolerates_video_config_kwargs():
+    """ADVICE r8: the empty-config validation must only bind when a
+    'vide' track would actually embed the config — an audio-only call
+    that happens to pass video_avcc=b'' never consumes it and has to
+    keep encoding fine (it did before the r8 None-based fix)."""
+    import pytest as _pytest
+
+    from logistics_data_pipeline_project_spark.operators.multimodal import (
+        encode_mp4_boxes,
+    )
+
+    m = encode_mp4_boxes(tracks=[("soun", "mp4a")], video_avcc=b"")
+    assert m[4:8] == b"ftyp" and b"mp4a" in m
+    # with a vide track present the empty config is still a loud error
+    with _pytest.raises(ValueError):
+        encode_mp4_boxes(
+            tracks=[("vide", "avc1"), ("soun", "mp4a")], video_avcc=b""
+        )
 
 
 def test_vpcc_roundtrip_and_vp09_embedding():
