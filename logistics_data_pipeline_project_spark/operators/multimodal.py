@@ -4250,9 +4250,11 @@ def encode_mp4_boxes(
         )
     kids = [box(b"mvhd", mvhd_body)]
     # Configs are tested with `is not None` (never truthiness — mixing
-    # the two let an explicit empty-bytes avcC mask a real vpcC), and
-    # empty bytes are rejected up front: an empty decoder-config box is
-    # never what a fixture means.
+    # the two let an explicit empty-bytes avcC mask a real vpcC).
+    # Empty bytes are rejected only when a 'vide' track would actually
+    # embed them: an empty decoder-config box is never what a fixture
+    # means, but an audio-only call that happens to pass video_avcc=b''
+    # never consumes the config and must keep encoding fine.
     video_cfgs = [
         (b"avcC", video_avcc, parse_avcc),
         (b"hvcC", video_hvcc, parse_hvcc),
@@ -4260,11 +4262,12 @@ def encode_mp4_boxes(
         (b"vpcC", video_vpcc, None),
     ]
     video_cfgs = [(f, c, p) for f, c, p in video_cfgs if c is not None]
-    for fourcc_, cfg_, _p in video_cfgs:
-        if not cfg_:
-            raise ValueError(
-                f"empty {fourcc_.decode('latin-1')} config bytes"
-            )
+    if any(handler == "vide" for handler, _ in tracks):
+        for fourcc_, cfg_, _p in video_cfgs:
+            if not cfg_:
+                raise ValueError(
+                    f"empty {fourcc_.decode('latin-1')} config bytes"
+                )
     for handler, codec in tracks:
         if handler == "vide" and video_cfgs:
             # real VisualSampleEntry: 6 reserved + data_ref_index,
