@@ -502,3 +502,219 @@ def test_stream_warc_census_ledger_equals_batch(spark, tmp_path):
     # idempotent redrain
     drain()
     assert as_map(store.read("warc_census")) == want
+
+
+def test_stream_warc_html_ledger_equals_batch(spark, tmp_path):
+    """VERDICT r9 ask #3: the streaming EXTRACTION ledger (q247's
+    composition — extraction -> html text -> canonical URL -> robots
+    gate -> dedup) must equal the batch composition of the full history
+    under out-of-order slicing and checkpointed restarts, with the
+    per-record quarantine (br coding -> html NULL), robots-blocked and
+    invalid-payload lanes counted instead of dropped, and replays
+    folded exactly once (idempotent redrain)."""
+    import base64
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from logistics_data_pipeline_project_spark.operators.text import (
+        canonicalize_url,
+        extract_html_text,
+        robots_gate,
+        robots_rules,
+    )
+    from logistics_data_pipeline_project_spark.sources.warc import (
+        encode_warc_records,
+        warc_html_documents,
+    )
+    from logistics_data_pipeline_project_spark.streaming.dedup import (
+        stream_warc_html,
+    )
+
+    def html_doc(body, *headers, ctype=b"text/html"):
+        head = b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+        for h in headers:
+            head += b"\r\n" + h
+        return head + b"\r\n\r\n" + body
+
+    def warc(i):
+        m = i % 2  # domain d{m}.example.com; d0 publishes robots.txt
+        beta = b"<p>Beta text</p>" if i % 2 == 0 else b"<P>BETA TEXT</P>"
+        b_q = "x=2&a=1" if i % 2 == 0 else "a=1&x=2"
+        return encode_warc_records(
+            [
+                {"rec_type": "warcinfo",
+                 "content_type": "application/warc-fields",
+                 "body": b"software: t"},
+                # allowed page, unique text, canonicalization fodder
+                {"rec_type": "response",
+                 "target_uri": f"http://D{m}.EXAMPLE.com/a?z=9&id={i}",
+                 "content_type": "application/http;msgtype=response",
+                 "body": html_doc(b"<p>alpha %d content</p>" % i)},
+                # /private/ -> blocked on d0 (which publishes robots)
+                {"rec_type": "response",
+                 "target_uri": f"http://d{m}.example.com/private/p{i}",
+                 "content_type": "application/http;msgtype=response",
+                 "body": html_doc(b"<p>secret %d</p>" % i)},
+                # shared text under two query spellings -> ONE ledger row
+                {"rec_type": "response",
+                 "target_uri": f"http://d{m}.example.com/b?{b_q}",
+                 "content_type": "application/http;msgtype=response",
+                 "body": html_doc(beta)},
+                # 404: filtered by the walk, in NO lane
+                {"rec_type": "response",
+                 "target_uri": f"http://d{m}.example.com/gone{i}",
+                 "content_type": "application/http;msgtype=response",
+                 "body": b"HTTP/1.1 404 Not Found\r\nContent-Type: "
+                         b"text/html\r\n\r\nmissing"},
+                # gzip content-coding decodes into the page lane
+                {"rec_type": "response",
+                 "target_uri": f"http://d{m}.example.com/c{i}",
+                 "content_type": "application/http;msgtype=response",
+                 "body": html_doc(
+                     _gzip.compress(b"<p>gamma %d</p>" % i, mtime=0),
+                     b"Content-Encoding: gzip")},
+                # br coding -> per-record quarantine (html NULL)
+                {"rec_type": "response",
+                 "target_uri": f"http://d{m}.example.com/z{i}",
+                 "content_type": "application/http;msgtype=response",
+                 "body": html_doc(b"\x8b\x03\x80brpayload",
+                                  b"Content-Encoding: br")},
+            ],
+            gzip_members=True,
+        )
+
+    rows = [(i, warc(i)) for i in range(6)] + [
+        (97, b"not a warc"),          # invalid-payload lane
+        (98, None),                   # invalid-payload lane
+    ]
+
+    robots_src = spark.createDataFrame(
+        [("d0.example.com",
+          "User-agent: *\nDisallow: /private/\n")],
+        "domain string, robots_txt string",
+    )
+    rules = robots_rules(robots_src, "domain", "robots_txt").cache()
+    rules.count()  # materialize once; static across restarts
+
+    landing = str(tmp_path / "landing")
+    chk = str(tmp_path / "chk")
+    os.makedirs(landing)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    def write(name, subset):
+        with open(os.path.join(landing, name), "w") as f:
+            for i, payload in subset:
+                f.write(json.dumps({
+                    "doc_id": i,
+                    "b64": base64.b64encode(payload or b"").decode(),
+                }) + "\n")
+
+    def drain():
+        stream = (
+            spark.readStream.format("json")
+            .schema("doc_id long, b64 string")
+            .load(landing)
+            .select("doc_id", F.unbase64("b64").alias("payload"))
+        )
+        q = stream_warc_html(
+            stream, store, "warc_html_ledger", "payload", "doc_id",
+            checkpoint_dir=chk, rules_df=rules,
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    # out-of-order slicing + a restart between slices
+    write("b1.json", rows[3:])
+    drain()
+    write("b2.json", rows[:3])
+    drain()
+
+    def as_map(df):
+        return {
+            (r["lane"], r["domain"], r["key"]): (
+                r["keeper_url"], r["n_pages"],
+            )
+            for r in df.collect()
+        }
+
+    got = as_map(store.read("warc_html_ledger"))
+
+    # batch twin of the full history: the same composition, one pass
+    batch = spark.createDataFrame(
+        [(i, p or b"") for i, p in rows], "doc_id long, payload binary"
+    )
+    pages = warc_html_documents(
+        batch, "doc_id", "payload", on_error="tag"
+    ).select(
+        F.concat_ws("#", F.col("id"), F.col("rec_index")).alias("page_id"),
+        (F.col("rec_index") == -1).alias("invalid"),
+        canonicalize_url(F.col("url")).alias("curl"),
+        F.col("html").isNull().alias("quar"),
+        F.md5(F.lower(extract_html_text(F.col("html")))).alias("key"),
+    )
+    gated = robots_gate(
+        pages, rules, "page_id", "curl",
+        carry_cols=("curl", "invalid", "quar", "key"),
+    )
+    lane = (
+        F.when(F.col("invalid"), F.lit("invalid"))
+        .when(F.col("quar"), F.lit("quar"))
+        .when(~F.col("allowed"), F.lit("blocked"))
+        .otherwise(F.lit("page"))
+    )
+    want = as_map(
+        gated.select(
+            lane.alias("lane"),
+            F.when(F.col("invalid"), F.lit(""))
+            .otherwise(F.col("domain")).alias("domain"),
+            F.when(lane == "page", F.col("key"))
+            .otherwise(F.lit("")).alias("key"),
+            F.col("curl"),
+        )
+        .groupBy("lane", "domain", "key")
+        .agg(F.min("curl").alias("keeper_url"),
+             F.count(F.lit(1)).alias("n_pages"))
+    )
+    assert got == want
+
+    # closed-form lane census: 3 docs per domain; per doc the page lane
+    # holds alpha + beta + gamma (+ private on d1, which publishes no
+    # robots). beta COLLAPSES across the domain's 3 docs — same text,
+    # same canonical URL spelling after query-param sorting — so d0 has
+    # 3 alpha + 3 gamma + 1 beta = 7 distinct keys over 9 page copies,
+    # d1 adds its 3 allowed private pages: 10 keys over 12 copies.
+    for d, (n_keys, n_copies) in (
+        ("d0.example.com", (7, 9)),
+        ("d1.example.com", (10, 12)),
+    ):
+        page_rows = {k: v for k, v in got.items()
+                     if k[0] == "page" and k[1] == d}
+        assert len(page_rows) == n_keys, (d, sorted(page_rows))
+        assert sum(v[1] for v in page_rows.values()) == n_copies
+        # the beta row folded 3 copies onto one keeper URL
+        assert sorted(v[1] for v in page_rows.values()) == (
+            [1] * (n_keys - 1) + [3]
+        )
+        # quarantine lane: one br record per doc
+        assert got[("quar", d, "")][1] == 3
+    # robots: d0 blocks /private/ (3 pages); d1 has no robots -> its
+    # private pages land in the page lane (counted among the 9 above)
+    assert got[("blocked", "d0.example.com", "")][1] == 3
+    assert ("blocked", "d1.example.com", "") not in got
+    # invalid payloads: garbage + None
+    assert got[("invalid", "", "")][1] == 2
+    # canonicalization: every keeper_url is lowercase-host, sorted-query
+    assert got[("page", "d1.example.com",
+                next(k[2] for k in got
+                     if k[0] == "page" and k[1] == "d1.example.com"
+                     and got[k][1] == 3))][0] == (
+        "http://d1.example.com/b?a=1&x=2"
+    )
+
+    # idempotent redrain across one more restart
+    drain()
+    assert as_map(store.read("warc_html_ledger")) == want
