@@ -39,6 +39,73 @@ from logistics_data_pipeline_project_spark.queries import REGISTRY  # noqa: E402
 from logistics_data_pipeline_project_spark.session import get_spark  # noqa: E402
 
 
+class _CpuProbe:
+    """Per-query executor-CPU (and spill) deltas via the UI REST API —
+    the load-robust metric (VERDICT r8 ask #1): wall-clock on this host
+    swings ±15% with external load on byte-identical code, executor CPU
+    does not (tools/profile_q037.py proved the pattern; this moves it
+    into every bench payload so regressions adjudicate from the JSON,
+    not from git diffs).
+
+    Only stages NEWER than the previous snapshot are summed (tracked by
+    stage id), so UI eviction of old stages (spark.ui.retainedStages)
+    never corrupts a delta; one bounded HTTP GET per query, outside the
+    timed window.  Any probe failure disables it for the rest of the
+    run — CPU columns go absent, the wall measurement is never at risk.
+    """
+
+    def __init__(self, spark) -> None:
+        self.error: str | None = None
+        self._last_stage = -1
+        self._ui = spark.sparkContext.uiWebUrl
+        self._app_id = None
+        if not self._ui:
+            self.error = "spark.ui disabled"
+            return
+        try:
+            import urllib.request
+
+            apps = json.load(
+                urllib.request.urlopen(
+                    f"{self._ui}/api/v1/applications", timeout=10
+                )
+            )
+            self._app_id = apps[0]["id"]
+        except Exception as exc:  # noqa: BLE001 — probe must never kill bench
+            self.error = f"app-id probe failed: {str(exc)[:120]}"
+
+    def delta(self) -> dict | None:
+        """CPU/spill summed over stages completed since the last call;
+        None once the probe is dead."""
+        if self.error is not None:
+            return None
+        try:
+            import urllib.request
+
+            stages = json.load(
+                urllib.request.urlopen(
+                    f"{self._ui}/api/v1/applications/{self._app_id}"
+                    "/stages?status=complete",
+                    timeout=15,
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            self.error = f"stage probe failed: {str(exc)[:120]}"
+            return None
+        out = {"cpu_ns": 0, "mem_spill": 0, "disk_spill": 0}
+        max_seen = self._last_stage
+        for s in stages:
+            sid = int(s.get("stageId", -1))
+            if sid <= self._last_stage:
+                continue
+            max_seen = max(max_seen, sid)
+            out["cpu_ns"] += int(s.get("executorCpuTime", 0) or 0)
+            out["mem_spill"] += int(s.get("memoryBytesSpilled", 0) or 0)
+            out["disk_spill"] += int(s.get("diskBytesSpilled", 0) or 0)
+        self._last_stage = max_seen
+        return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -80,7 +147,19 @@ def main() -> None:
             sys.exit(2)
         base["__path__"] = base_path
 
-    spark = get_spark(app_name="ldp-spark-bench")
+    # UI on for the CPU probe: the stages REST endpoint is the only
+    # dependency-free source of executorCpuTime.  retainedStages bounds
+    # the per-call JSON (the probe filters by stage id anyway, eviction
+    # of old stages is harmless); 400 comfortably holds the deepest
+    # single query (iterative kmeans ~100 stages).
+    spark = get_spark(
+        app_name="ldp-spark-bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4058",
+            "spark.ui.retainedStages": "400",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     ckpt_baseline = persistent_rdd_ids(spark)
 
@@ -135,14 +214,41 @@ def main() -> None:
     # finish inside the deadline and nothing is truncated.
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "510"))
 
+    # Pass-2 order ROTATION (VERDICT r8 what's-wrong #1): pass 2 used to
+    # walk sorted(REGISTRY) and truncate at the deadline, so late-alphabet
+    # queries (q2xx — most of the heavy media/crawl catalog) were
+    # systematically single-sampled and their "mins" upward-biased.  Pass
+    # 2 now starts at the query where the PREVIOUS run's pass 2 was
+    # truncated (read from this label's last payload) and wraps around —
+    # consecutive runs' skipped sets are disjoint, so every query gets
+    # ≥2 samples across a run set.
+    names = sorted(REGISTRY)
+    label = os.environ.get("SPARK_GRAFT_BENCH_LABEL", "latest")
+    resume = None
+    try:
+        with open(os.path.join(hist_dir, f"{label}.json")) as f:
+            resume = json.load(f).get("pass2_resume")
+    except (OSError, ValueError):
+        pass
+    rot = names.index(resume) if resume in names else 0
+    pass2_order = names[rot:] + names[:rot]
+
+    probe = _CpuProbe(spark)
+    probe.delta()  # drain warm-up stages so q1's CPU delta is its own
+    cpu_s: dict[str, float] = {}
+    mem_spill = disk_spill = 0
+
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
     pass2_skipped = 0
+    pass2_resume: str | None = None
     for _pass in range(2):
         pass_total = 0.0
-        for name in sorted(REGISTRY):
+        for name in names if _pass == 0 else pass2_order:
             if _pass > 0 and time.perf_counter() - _T0 > deadline:
                 pass2_skipped += 1
+                if pass2_resume is None:
+                    pass2_resume = name
                 continue
             spec = REGISTRY[name]
             t0 = time.perf_counter()
@@ -151,7 +257,17 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             pass_total += dt
-            print(f"# pass{_pass} {name}: {dt:.3f}s", file=sys.stderr)
+            d = probe.delta()
+            if d is not None:
+                q_cpu = round(d["cpu_ns"] / 1e9, 3)
+                cpu_s[name] = min(cpu_s.get(name, q_cpu), q_cpu)
+                mem_spill += d["mem_spill"]
+                disk_spill += d["disk_spill"]
+            print(
+                f"# pass{_pass} {name}: {dt:.3f}s"
+                + (f" cpu={d['cpu_ns'] / 1e9:.3f}s" if d else ""),
+                file=sys.stderr,
+            )
             residual_freed += len(
                 release_residual_checkpoints(spark, ckpt_baseline)
             )
@@ -169,13 +285,15 @@ def main() -> None:
     # (r6→r7 adjudication), so the driver-captured line itself must say
     # how the number was produced and how noisy the passes were — the
     # judge reads the sustained estimate directly instead of diffing
-    # totals across rounds.
+    # totals across rounds.  pass_spread_pct is None (not 0.0) when
+    # fewer than two FULL passes completed — a truncated pass 2 carries
+    # no spread information (ADVICE r8).
     spread_pct = (
         round(
             (max(pass_totals) - min(pass_totals)) / min(pass_totals) * 100, 1
         )
         if len(pass_totals) > 1 and min(pass_totals) > 0
-        else 0.0
+        else None
     )
     payload = {
         "metric": "catalog_total_wall",
@@ -184,23 +302,42 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
-        "passes": 2,
+        "passes": len(pass_totals),
         "pass_totals": pass_totals,
         "pass2_skipped": pass2_skipped,
+        "pass2_order_start": pass2_order[0],
+        "pass2_resume": pass2_resume,
         "pass_spread_pct": spread_pct,
+        # The load-robust column (VERDICT r8 ask #1): executor CPU per
+        # query (min over passes, REST /stages sum) + catalog total +
+        # cumulative spill.  Compare cpu_s across rounds, not wall.
+        "queries_cpu": cpu_s,
+        # None (not a partial sum) when the probe died mid-run — a
+        # partial total would read as a massive speedup.
+        "cpu_total": (
+            round(sum(cpu_s.values()), 3)
+            if len(cpu_s) == len(timings)
+            else None
+        ),
+        "spill_bytes": {"memory": mem_spill, "disk": disk_spill},
         "variance_note": (
-            "value = sum of per-query MIN over the full passes above "
-            "(sustained-throughput estimate); single-pass totals on this "
-            "host swing ±15% with load on identical code — compare "
-            "per-query mins across bench_history/*.json, not headline "
-            "totals, and note the catalog grows every round"
+            "value = sum of per-query MIN wall over the passes above "
+            "(sustained-throughput estimate); single-pass WALL totals on "
+            "this host swing ±15% with load on identical code — "
+            "adjudicate regressions from queries_cpu/cpu_total (executor "
+            "CPU, load-robust), compare per-query mins across "
+            "bench_history/*.json, and note the catalog grows every "
+            "round; pass 2 starts at pass2_order_start (rotated to the "
+            "previous run's truncation point) so consecutive runs' "
+            "skipped sets are disjoint"
         ),
     }
+    if probe.error is not None:
+        payload["cpu_probe_error"] = probe.error
 
     # Persist the measurement FIRST — the compare annotation below must
     # never be able to lose a just-measured payload.
     os.makedirs(hist_dir, exist_ok=True)
-    label = os.environ.get("SPARK_GRAFT_BENCH_LABEL", "latest")
     hist_path = os.path.join(hist_dir, f"{label}.json")
     with open(hist_path, "w") as f:
         json.dump(payload, f, indent=1)
