@@ -189,7 +189,15 @@ def _time_point(
     queries = list(queries) if queries else list(HEAVY)
     spark = get_spark(
         app_name=f"ldp-spark-bench-scale-x{mult}",
-        extra_conf={"spark.driver.memory": "24g"},
+        extra_conf={
+            "spark.driver.memory": "24g",
+            # UI on for the executor-CPU probe (VERDICT r8 ask #1b):
+            # wall on this host is load-bound, CPU is the reproducible
+            # signal — every point now carries both.
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4059",
+            "spark.ui.retainedStages": "400",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     from logistics_data_pipeline_project_spark.operators.checkpoints import (
@@ -220,17 +228,54 @@ def _time_point(
         ".scale",
         "x2",
     )
-    if mult > 2 and os.path.isdir(x2_dir):
-        for q in queries:
-            REGISTRY[q].fn(spark, x2_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+    x2_warm = mult <= 2  # small points don't need the big-plan warm-up
+    if mult > 2:
+        if os.path.isdir(x2_dir):
+            for q in queries:
+                REGISTRY[q].fn(spark, x2_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            x2_warm = True
+        else:
+            # ADVICE r8: a silent no-op here quietly reverts big points
+            # to the cold-plan methodology the r8 adjudication showed
+            # inflates rep0 by ~5x — disclose loudly and in the payload.
+            print(
+                f"# WARNING x{mult}: .scale/x2 missing — x2 warm-up "
+                "SKIPPED; this point's rep0 runs cold-plan (C2 ramp, "
+                "~5x inflation observed at x40) and is NOT comparable "
+                "to x2-warmed curves. Generate it first: "
+                "python tools/bench_scale.py --mults 2",
+                file=sys.stderr,
+            )
     release_residual_checkpoints(spark, base_ids)
+    # Load stamp (VERDICT r8 ask #5): wall on this host is load-bound —
+    # the r8 sweep ran under external 1-min load 14-20 on 32 CPUs and
+    # every absolute wall was junk. Stamp the observed load so each
+    # point self-adjudicates; optionally WAIT for calm when
+    # SPARK_GRAFT_MAX_LOAD1 is set (checked each minute, up to 15).
+    gate = os.environ.get("SPARK_GRAFT_MAX_LOAD1")
+    if gate:
+        for _ in range(15):
+            if os.getloadavg()[0] <= float(gate):
+                break
+            print(
+                f"# x{mult}: load1={os.getloadavg()[0]:.1f} > {gate}, "
+                "waiting 60s",
+                file=sys.stderr,
+            )
+            time.sleep(60)
+    load1 = round(os.getloadavg()[0], 1)
     # min-of-N: the host shows multi-second upward-only stalls (an
     # identical back-to-back rerun measured 64.5s then 9.6s on 63MB of
     # data); noise spikes only ever ADD time, so the min over more
     # passes converges on the true cost
+    from bench import _CpuProbe
+
+    probe = _CpuProbe(spark)
+    probe.delta()  # drain the warm-up stages
     timings: dict[str, float] = {}
+    cpu_s: dict[str, float] = {}
     for _pass in range(passes):
         for q in queries:
             t0 = time.perf_counter()
@@ -239,12 +284,29 @@ def _time_point(
             ).save()
             dt = round(time.perf_counter() - t0, 3)
             timings[q] = min(timings.get(q, dt), dt)
-            print(f"# x{mult} pass{_pass} {q}: {dt:.3f}s", file=sys.stderr)
+            d = probe.delta()
+            if d is not None:
+                qc = round(d["cpu_ns"] / 1e9, 3)
+                cpu_s[q] = min(cpu_s.get(q, qc), qc)
+            print(
+                f"# x{mult} pass{_pass} {q}: {dt:.3f}s"
+                + (f" cpu={d['cpu_ns'] / 1e9:.3f}s" if d else ""),
+                file=sys.stderr,
+            )
             # lazy-checkpoint residue must not bleed into the next
             # measurement (bench.py's discipline)
             release_residual_checkpoints(spark, base_ids)
+    # second stamp AFTER the passes: external load arriving mid-point
+    # is the case that burned the r8 sweep
+    load1 = max(load1, round(os.getloadavg()[0], 1))
     spark.stop()
-    return {"total": round(sum(timings.values()), 3), "queries": timings}
+    return {
+        "total": round(sum(timings.values()), 3),
+        "queries": timings,
+        "queries_cpu": cpu_s,  # executor CPU (min over passes) per query
+        "x2_warm": x2_warm,
+        "load1": load1,
+    }
 
 
 def main() -> None:
@@ -292,6 +354,9 @@ def main() -> None:
     for m in mults:
         if per_query:
             timings: dict[str, float] = {}
+            cpus: dict[str, float] = {}
+            loads: dict[str, float] = {}
+            x2_warm = True
             for q in HEAVY:
                 proc = subprocess.run(
                     [
@@ -305,9 +370,16 @@ def main() -> None:
                 sys.stderr.write(proc.stderr)
                 unit = json.loads(proc.stdout.strip().splitlines()[-1])
                 timings[q] = unit["queries"][q]
+                if q in unit.get("queries_cpu", {}):
+                    cpus[q] = unit["queries_cpu"][q]
+                loads[q] = unit.get("load1", 0.0)
+                x2_warm = x2_warm and unit.get("x2_warm", True)
             points[f"x{m}"] = {
                 "total": round(sum(timings.values()), 3),
                 "queries": timings,
+                "queries_cpu": cpus,
+                "x2_warm": x2_warm,
+                "load1": loads,
             }
         else:
             proc = subprocess.run(
@@ -327,12 +399,26 @@ def main() -> None:
         }
         for m in mults[1:]
     }
+    # CPU ratios: the load-robust curve — adjudicate super-linearity
+    # from THESE (wall ratios are an upper bound under host load)
+    base_c = points[f"x{mults[0]}"].get("queries_cpu", {})
+    cpu_ratios = {
+        f"x{m}": {
+            q: round(
+                points[f"x{m}"]["queries_cpu"][q] / max(base_c[q], 1e-9), 2
+            )
+            for q in HEAVY
+            if q in base_c and q in points[f"x{m}"].get("queries_cpu", {})
+        }
+        for m in mults[1:]
+    }
     payload = {
         "metric": "heavy_tail_scale_curve",
         "base_sf_dir": BASE,
         "mults": mults,
         "points": points,
         "ratio_vs_x1": ratios,
+        "ratio_vs_x1_cpu": cpu_ratios,
         "design": "weak-scaling: k independent key-offset sf0.1 shards under per-replica affine letter/digit permutations (distinct maps agree on <=2 chars, so replicas share no keys and no 3+-distinct-char tokens)",
         "methodology": (
             "round 7: one subprocess per (multiple, query), min-of-3, "
@@ -348,7 +434,14 @@ def main() -> None:
             "interpreter-cold (tools/profile_q037.py: q037 x40 rep0 "
             "burned 1305 executor-CPU-s vs ~260 steady; one x2 warm "
             "run cut the rep0 burn 2.5x), a ramp long enough at x40 "
-            "that min-of-3 could not absorb it"
+            "that min-of-3 could not absorb it. round 9: every point "
+            "carries per-query 'load1' (1-min host load observed around "
+            "its measured passes — wall on this host is load-bound, so "
+            "a point taken above ~4 on 32 CPUs should be read as an "
+            "upper bound) and 'x2_warm' (false = the x2 warm-up was "
+            "skipped because .scale/x2 was missing; such a point is "
+            "cold-plan and NOT comparable); set SPARK_GRAFT_MAX_LOAD1 "
+            "to make units wait for calm instead of stamping"
         ),
         "q037_adjudication": (
             "round 8 (tools/profile_q037.py, fresh subprocess per "
