@@ -9,6 +9,7 @@ PushedFilters. Run from the repo root:  python tools/gen_plans.py
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import sys
@@ -17,6 +18,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from logistics_data_pipeline_project_spark.queries import REGISTRY  # noqa: E402
 from logistics_data_pipeline_project_spark.session import get_spark  # noqa: E402
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG = os.path.join(_REPO, "logistics_data_pipeline_project_spark")
+
+
+def catalog_source_hash() -> str:
+    """Hash of every package source file that can shift a physical plan
+    (the whole engine package: query bodies, operators, models, session
+    conf).  Embedded in PLANS.md's header so staleness is mechanically
+    checkable — VERDICT r8 found the file silently drifting behind a
+    query-body change (q247's round-8 lane extension), and an inventory
+    that advertises itself as complete must fail a test when it lies."""
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(_PKG)):
+        if "__pycache__" in root:
+            continue
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            h.update(os.path.relpath(path, _REPO).encode())
+            with open(path, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
 
 HEADER = """# PLANS — physical-plan audit of the query catalog
 
@@ -30,6 +56,10 @@ PushedFilters. The summary the table backs up: dim joins are broadcast
 scans carry pushdown, and exchange counts match the shuffle budget each
 query's docstring claims. tests/test_catalog_plans.py pins the
 load-bearing shapes; this file is the full inventory.
+
+Source hash: {src_hash} (sha256 prefix over the engine package;
+tests/test_plans_freshness.py fails when this drifts from the working
+tree — regenerate with `python tools/gen_plans.py`).
 
 | query | exchanges | bhj | smj | shj | pushed |
 |---|---|---|---|---|---|
@@ -60,8 +90,10 @@ def main() -> None:
         e, b, s, h, p = audit(plan)
         rows.append(f"| {name} | {e} | {b} | {s} | {h} | {p} |")
         print(rows[-1], file=sys.stderr)
-    out = HEADER + "\n".join(rows) + "\n"
-    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
+    out = (
+        HEADER.format(src_hash=catalog_source_hash()) + "\n".join(rows) + "\n"
+    )
+    with open(os.path.join(_REPO, "PLANS.md"), "w") as f:
         f.write(out)
 
 
