@@ -187,6 +187,27 @@ def _time_point(
     cluster job runs (one job, one driver, not 13 unrelated pipelines
     back-to-back in one REPL)."""
     queries = list(queries) if queries else list(HEAVY)
+    # Load stamp (VERDICT r8 ask #5) at UNIT START, before this unit's
+    # own session spins up: a 1-min average read after the warm-ups or
+    # passes is dominated by self-load and says nothing about external
+    # contention.  Caveat (documented in the payload): the previous
+    # unit's decaying tail can inflate this a few points for ~1 min;
+    # what it reliably catches is the r8 failure mode — external load
+    # 14-20 persisting for hours.  With SPARK_GRAFT_MAX_LOAD1 set the
+    # unit WAITS here for calm (checked each minute, up to 15) instead
+    # of stamping and proceeding.
+    gate = os.environ.get("SPARK_GRAFT_MAX_LOAD1")
+    if gate:
+        for _ in range(15):
+            if os.getloadavg()[0] <= float(gate):
+                break
+            print(
+                f"# x{mult}: load1={os.getloadavg()[0]:.1f} > {gate}, "
+                "waiting 60s",
+                file=sys.stderr,
+            )
+            time.sleep(60)
+    load1 = round(os.getloadavg()[0], 1)
     spark = get_spark(
         app_name=f"ldp-spark-bench-scale-x{mult}",
         extra_conf={
@@ -249,23 +270,6 @@ def _time_point(
                 file=sys.stderr,
             )
     release_residual_checkpoints(spark, base_ids)
-    # Load stamp (VERDICT r8 ask #5): wall on this host is load-bound —
-    # the r8 sweep ran under external 1-min load 14-20 on 32 CPUs and
-    # every absolute wall was junk. Stamp the observed load so each
-    # point self-adjudicates; optionally WAIT for calm when
-    # SPARK_GRAFT_MAX_LOAD1 is set (checked each minute, up to 15).
-    gate = os.environ.get("SPARK_GRAFT_MAX_LOAD1")
-    if gate:
-        for _ in range(15):
-            if os.getloadavg()[0] <= float(gate):
-                break
-            print(
-                f"# x{mult}: load1={os.getloadavg()[0]:.1f} > {gate}, "
-                "waiting 60s",
-                file=sys.stderr,
-            )
-            time.sleep(60)
-    load1 = round(os.getloadavg()[0], 1)
     # min-of-N: the host shows multi-second upward-only stalls (an
     # identical back-to-back rerun measured 64.5s then 9.6s on 63MB of
     # data); noise spikes only ever ADD time, so the min over more
@@ -296,9 +300,6 @@ def _time_point(
             # lazy-checkpoint residue must not bleed into the next
             # measurement (bench.py's discipline)
             release_residual_checkpoints(spark, base_ids)
-    # second stamp AFTER the passes: external load arriving mid-point
-    # is the case that burned the r8 sweep
-    load1 = max(load1, round(os.getloadavg()[0], 1))
     spark.stop()
     return {
         "total": round(sum(timings.values()), 3),
@@ -391,17 +392,60 @@ def main() -> None:
             sys.stderr.write(proc.stderr)
             points[f"x{m}"] = json.loads(proc.stdout.strip().splitlines()[-1])
 
-    base_q = points[f"x{mults[0]}"]["queries"]
+    out = os.path.join(repo, "bench_history", "SCALE_CURVE.json")
+    updates = []
+    if "--update" in sys.argv:
+        # Fold this run's points into the existing curve by PER-QUERY,
+        # PER-METRIC MIN (the repo's cross-run discipline: host noise
+        # only ever ADDS time/CPU, so the min over more runs converges
+        # on the true cost).  This is how a point the load stamps
+        # flagged gets re-measured under calm without redoing the whole
+        # sweep: `--mults 20,40 --update`.
+        with open(out) as f:
+            prev = json.load(f)
+        merged = prev.get("points", {})
+        updates = prev.get("updates", [])
+        for name, pt in points.items():
+            if name not in merged:
+                merged[name] = pt
+                continue
+            old = merged[name]
+            for q, t in pt["queries"].items():
+                old["queries"][q] = min(
+                    old["queries"].get(q, float("inf")), t
+                )
+                if q in pt.get("queries_cpu", {}):
+                    c = old.setdefault("queries_cpu", {})
+                    c[q] = min(c.get(q, float("inf")), pt["queries_cpu"][q])
+                lo = old.setdefault("load1", {})
+                lo[q] = min(
+                    lo.get(q, float("inf")),
+                    pt.get("load1", {}).get(q, float("inf")),
+                )
+            old["total"] = round(sum(old["queries"].values()), 3)
+            old["x2_warm"] = (
+                old.get("x2_warm", True) and pt.get("x2_warm", True)
+            )
+        points = merged
+        updates.append(
+            "folded a re-measurement of "
+            + ",".join(f"x{m}" for m in mults)
+            + " by per-query min (wall, cpu; load1 = calmest observed)"
+        )
+    mults_eff = sorted(int(k[1:]) for k in points)
+
+    base_q = points[f"x{mults_eff[0]}"]["queries"]
     ratios = {
         f"x{m}": {
             q: round(points[f"x{m}"]["queries"][q] / max(base_q[q], 1e-9), 2)
             for q in HEAVY
+            if q in base_q and q in points[f"x{m}"]["queries"]
         }
-        for m in mults[1:]
+        for m in mults_eff[1:]
     }
     # CPU ratios: the load-robust curve — adjudicate super-linearity
     # from THESE (wall ratios are an upper bound under host load)
-    base_c = points[f"x{mults[0]}"].get("queries_cpu", {})
+    base_c = points[f"x{mults_eff[0]}"].get("queries_cpu", {})
     cpu_ratios = {
         f"x{m}": {
             q: round(
@@ -410,13 +454,14 @@ def main() -> None:
             for q in HEAVY
             if q in base_c and q in points[f"x{m}"].get("queries_cpu", {})
         }
-        for m in mults[1:]
+        for m in mults_eff[1:]
     }
     payload = {
         "metric": "heavy_tail_scale_curve",
         "base_sf_dir": BASE,
-        "mults": mults,
+        "mults": mults_eff,
         "points": points,
+        "updates": updates,
         "ratio_vs_x1": ratios,
         "ratio_vs_x1_cpu": cpu_ratios,
         "design": "weak-scaling: k independent key-offset sf0.1 shards under per-replica affine letter/digit permutations (distinct maps agree on <=2 chars, so replicas share no keys and no 3+-distinct-char tokens)",
@@ -435,13 +480,21 @@ def main() -> None:
             "burned 1305 executor-CPU-s vs ~260 steady; one x2 warm "
             "run cut the rep0 burn 2.5x), a ramp long enough at x40 "
             "that min-of-3 could not absorb it. round 9: every point "
-            "carries per-query 'load1' (1-min host load observed around "
-            "its measured passes — wall on this host is load-bound, so "
-            "a point taken above ~4 on 32 CPUs should be read as an "
-            "upper bound) and 'x2_warm' (false = the x2 warm-up was "
-            "skipped because .scale/x2 was missing; such a point is "
-            "cold-plan and NOT comparable); set SPARK_GRAFT_MAX_LOAD1 "
-            "to make units wait for calm instead of stamping"
+            "carries per-query 'load1' (1-min host load at UNIT START, "
+            "before the unit's own session spins up — the external-"
+            "contention stamp; a few points of decaying tail from the "
+            "previous unit are possible for ~1 min), 'x2_warm' (false = "
+            "the x2 warm-up was skipped because .scale/x2 was missing; "
+            "such a point is cold-plan and NOT comparable), per-query "
+            "executor CPU ('queries_cpu', JVM task-thread CPU only — "
+            "Python-worker decode CPU is invisible to it) and "
+            "'ratio_vs_x1_cpu'. CPU on this sandbox itself swings 2-3x "
+            "across identical reps (hypervisor interference, invisible "
+            "to guest loadavg) — min-of-N across runs estimates CPU "
+            "exactly as it does wall; '--update' folds a re-measurement "
+            "of chosen points into the existing curve by per-query min. "
+            "Set SPARK_GRAFT_MAX_LOAD1 to make units wait for calm "
+            "instead of stamping"
         ),
         "q037_adjudication": (
             "round 8 (tools/profile_q037.py, fresh subprocess per "
@@ -460,7 +513,6 @@ def main() -> None:
             "the reproducible signal"
         ),
     }
-    out = os.path.join(repo, "bench_history", "SCALE_CURVE.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
