@@ -42,6 +42,8 @@ Usage:
   python tools/profile_q037.py                 # full matrix, subprocesses
   python tools/profile_q037.py x20 x40         # choose points
   python tools/profile_q037.py --point x40 --partitions 32   # one cell
+  python tools/profile_q037.py --curve x40 --warm x2 --reps 7 \
+      --query q127_prefix_filter_near_dup   # floor study, any query
 """
 from __future__ import annotations
 
@@ -202,14 +204,25 @@ def run_point(point: str, partitions: int) -> None:
     spark.stop()
 
 
-def run_curve(point: str, reps: int, warm: str | None = None) -> None:
-    """Per-rep wall vs executor-CPU curve of q037_full in one fresh
+def run_curve(
+    point: str,
+    reps: int,
+    warm: str | None = None,
+    query: str = "q037_near_dup_clusters",
+) -> None:
+    """Per-rep wall vs executor-CPU curve of ``query`` in one fresh
     session: if CPU is flat across reps and ~linear across points while
     wall swings multiples, the scale step is host/JVM scheduling, not
     algorithmic work.  ``warm`` (an .scale/<dir> name) warms with a
     LARGE-data run instead of sf0.001 — at sf0.001 AQE picks broadcast
     joins, so the sort-merge-join codegen paths the big points execute
-    stay cold and rep0 pays the interpreter/C2 ramp."""
+    stay cold and rep0 pays the interpreter/C2 ramp.  Round 9 learned a
+    second reading: on this sandbox CPU is NOT always flat — q127's
+    x40 reps alternate 358-654 with 1126-1198 CPU-s bands (hypervisor
+    interference hits wall and CPU together, invisible to guest
+    loadavg) — so the FLOOR across reps is the estimator, and a
+    ``--query`` flag makes the floor study runnable on any catalog
+    query."""
     from logistics_data_pipeline_project_spark.operators.checkpoints import (
         persistent_rdd_ids,
         release_residual_checkpoints,
@@ -219,7 +232,7 @@ def run_curve(point: str, reps: int, warm: str | None = None) -> None:
 
     sf_dir = os.path.join(REPO, ".scale", point)
     spark = get_spark(
-        app_name=f"curve-q037-{point}",
+        app_name=f"curve-{query}-{point}",
         extra_conf={
             "spark.driver.memory": "24g",
             "spark.ui.enabled": "true",
@@ -233,7 +246,7 @@ def run_curve(point: str, reps: int, warm: str | None = None) -> None:
         if warm
         else "/root/testdata/sf0.001"
     )
-    REGISTRY["q037_near_dup_clusters"].fn(
+    REGISTRY[query].fn(
         spark, warm_dir
     ).write.format("noop").mode("overwrite").save()
     baseline = persistent_rdd_ids(spark)
@@ -258,7 +271,7 @@ def run_curve(point: str, reps: int, warm: str | None = None) -> None:
     prev_cpu = cpu_ms()
     for i in range(reps):
         t0 = time.perf_counter()
-        REGISTRY["q037_near_dup_clusters"].fn(spark, sf_dir).write.format(
+        REGISTRY[query].fn(spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
         wall = round(time.perf_counter() - t0, 3)
@@ -282,7 +295,10 @@ def main() -> None:
         warm = None
         if "--warm" in sys.argv:
             warm = sys.argv[sys.argv.index("--warm") + 1]
-        run_curve(point, reps, warm)
+        query = "q037_near_dup_clusters"
+        if "--query" in sys.argv:
+            query = sys.argv[sys.argv.index("--query") + 1]
+        run_curve(point, reps, warm, query)
         return
     if "--point" in sys.argv:
         point = sys.argv[sys.argv.index("--point") + 1]
