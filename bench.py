@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark runner: executes the full query catalog at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+and prints the full payload JSON line {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, ...} followed by ONE compact
+summary JSON line (value / cpu_total / py_cpu_total / spill) — the
+summary is last so a bounded stdout-tail capture always ends with a
+complete parseable object.
 
 Each query is fully executed through Spark's noop sink (all partitions
 materialized — no collect-to-driver bias, no result-size bias).
@@ -74,21 +77,53 @@ class _CpuProbe:
         except Exception as exc:  # noqa: BLE001 — probe must never kill bench
             self.error = f"app-id probe failed: {str(exc)[:120]}"
 
+    def _fetch(self) -> list:
+        import urllib.request
+
+        return json.load(
+            urllib.request.urlopen(
+                f"{self._ui}/api/v1/applications/{self._app_id}"
+                "/stages?status=complete",
+                timeout=15,
+            )
+        )
+
     def delta(self) -> dict | None:
         """CPU/spill summed over stages completed since the last call;
-        None once the probe is dead."""
+        None once the probe is dead.
+
+        The status store is fed by an ASYNC listener bus, so a query's
+        final stage(s) may not be visible yet the instant the action
+        returns — a first-read snapshot would attribute them to the
+        NEXT query and bias min-over-passes CPU low (ADVICE r9).  Two
+        defenses, both bounded so ~500 probe calls per run stay cheap:
+        ZERO new stages is the unambiguous lag signal (every query runs
+        >=1 stage) — retry up to 4x with 50 ms sleeps; otherwise one
+        sleepless confirm read (HTTP round-trip is the gap), escalating
+        to slept polls only if the frontier moved between the reads."""
         if self.error is not None:
             return None
-        try:
-            import urllib.request
 
-            stages = json.load(
-                urllib.request.urlopen(
-                    f"{self._ui}/api/v1/applications/{self._app_id}"
-                    "/stages?status=complete",
-                    timeout=15,
-                )
-            )
+        def _new_ids(stages: list) -> set:
+            return {
+                int(s.get("stageId", -1))
+                for s in stages
+                if int(s.get("stageId", -1)) > self._last_stage
+            }
+
+        try:
+            stages = self._fetch()
+            for _ in range(4):
+                if not _new_ids(stages):
+                    time.sleep(0.05)
+                    stages = self._fetch()
+                    continue
+                nxt = self._fetch()  # confirm: frontier stable?
+                if _new_ids(nxt) == _new_ids(stages):
+                    stages = nxt
+                    break
+                stages = nxt
+                time.sleep(0.05)
         except Exception as exc:  # noqa: BLE001
             self.error = f"stage probe failed: {str(exc)[:120]}"
             return None
@@ -104,6 +139,90 @@ class _CpuProbe:
             out["disk_spill"] += int(s.get("diskBytesSpilled", 0) or 0)
         self._last_stage = max_seen
         return out
+
+
+class _PyCpuProbe:
+    """Python-worker CPU per query (VERDICT r9 what's-wrong #3):
+    the REST ``executorCpuTime`` counts JVM task threads ONLY, so the
+    mapInPandas/Arrow decode lanes (q231 FLAC, q221/q227 dHash, q161
+    PNG) report CPU an order of magnitude below wall — the heaviest
+    queries in the catalog had no load-robust metric.  This probe sums
+    utime+stime (plus reaped-children cutime+cstime) over every process
+    in the ``pyspark.daemon`` trees via ``/proc/<pid>/stat`` between
+    queries — one /proc scan per query, outside the timed window.
+
+    Counting is exactly-once by construction: a live worker's ticks
+    live in its own utime/stime; once the daemon reaps it they move to
+    the daemon's cutime/cstime and the worker vanishes from /proc.
+    Deltas clamp at 0 (a daemon dying mid-run loses its tree's history;
+    never emit a negative).  Linux-only and assumes the bench runs solo
+    (any concurrent PySpark app's daemons would be summed too — the
+    repo's bench discipline already forbids concurrent runs); any
+    failure disables the probe for the rest of the run, never bench.
+    """
+
+    def __init__(self) -> None:
+        self.error: str | None = None
+        try:
+            self._tick = float(os.sysconf("SC_CLK_TCK"))
+            self._last = self._total()
+        except Exception as exc:  # noqa: BLE001 — probe must never kill bench
+            self.error = f"py-cpu probe failed: {str(exc)[:120]}"
+
+    @staticmethod
+    def _stat(pid: str) -> tuple[int, int]:
+        """(ppid, own+reaped cpu ticks) from /proc/<pid>/stat; comm may
+        contain spaces/parens so parse from the LAST ')'."""
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            raw = f.read()
+        rest = raw[raw.rindex(b")") + 2 :].split()
+        # fields (1-indexed): 4=ppid 14=utime 15=stime 16=cutime
+        # 17=cstime; rest[0] is field 3
+        return int(rest[1]), (
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        )
+
+    def _total(self) -> float:
+        ppid: dict[int, int] = {}
+        ticks: dict[int, int] = {}
+        roots: set[int] = set()
+        for ent in os.listdir("/proc"):
+            if not ent.isdigit():
+                continue
+            try:
+                with open(f"/proc/{ent}/cmdline", "rb") as f:
+                    cmd = f.read()
+                pp, t = self._stat(ent)
+            except OSError:
+                continue  # process exited mid-scan
+            pid = int(ent)
+            ppid[pid] = pp
+            ticks[pid] = t
+            if b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
+                roots.add(pid)
+        # forked workers keep the daemon's argv so they match directly;
+        # the closure walk catches any descendant that rewrote argv[0]
+        tree = set(roots)
+        changed = True
+        while changed:
+            changed = False
+            for pid, pp in ppid.items():
+                if pp in tree and pid not in tree:
+                    tree.add(pid)
+                    changed = True
+        return sum(ticks[p] for p in tree) / self._tick
+
+    def delta(self) -> float | None:
+        if self.error is not None:
+            return None
+        try:
+            cur = self._total()
+        except Exception as exc:  # noqa: BLE001
+            self.error = f"py-cpu probe failed: {str(exc)[:120]}"
+            return None
+        d = max(0.0, cur - self._last)
+        self._last = cur
+        return d
 
 
 def main() -> None:
@@ -214,14 +333,6 @@ def main() -> None:
     # finish inside the deadline and nothing is truncated.
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "510"))
 
-    # Pass-2 order ROTATION (VERDICT r8 what's-wrong #1): pass 2 used to
-    # walk sorted(REGISTRY) and truncate at the deadline, so late-alphabet
-    # queries (q2xx — most of the heavy media/crawl catalog) were
-    # systematically single-sampled and their "mins" upward-biased.  Pass
-    # 2 now starts at the query where the PREVIOUS run's pass 2 was
-    # truncated (read from this label's last payload) and wraps around —
-    # consecutive runs' skipped sets are disjoint, so every query gets
-    # ≥2 samples across a run set.
     names = sorted(REGISTRY)
     label = os.environ.get("SPARK_GRAFT_BENCH_LABEL", "latest")
     resume = None
@@ -230,49 +341,95 @@ def main() -> None:
             resume = json.load(f).get("pass2_resume")
     except (OSError, ValueError):
         pass
-    rot = names.index(resume) if resume in names else 0
-    pass2_order = names[rot:] + names[:rot]
 
     probe = _CpuProbe(spark)
     probe.delta()  # drain warm-up stages so q1's CPU delta is its own
+    py_probe = _PyCpuProbe()
+    py_probe.delta()  # warm-up workers' CPU must not land on q1
     cpu_s: dict[str, float] = {}
+    py_cpu_s: dict[str, float] = {}
     mem_spill = disk_spill = 0
 
     timings: dict[str, float] = {}
-    pass_totals: list[float] = []
+
+    def _run(name: str, tag: str) -> float:
+        nonlocal mem_spill, disk_spill, residual_freed
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = min(timings.get(name, dt), dt)
+        d = probe.delta()
+        if d is not None:
+            q_cpu = round(d["cpu_ns"] / 1e9, 3)
+            cpu_s[name] = min(cpu_s.get(name, q_cpu), q_cpu)
+            mem_spill += d["mem_spill"]
+            disk_spill += d["disk_spill"]
+        pd_ = py_probe.delta()
+        if pd_ is not None:
+            py_cpu_s[name] = min(py_cpu_s.get(name, round(pd_, 3)), round(pd_, 3))
+        print(
+            f"# {tag} {name}: {dt:.3f}s"
+            + (f" cpu={d['cpu_ns'] / 1e9:.3f}s" if d else "")
+            + (f" py_cpu={pd_:.3f}s" if pd_ is not None else ""),
+            file=sys.stderr,
+        )
+        residual_freed += len(
+            release_residual_checkpoints(spark, ckpt_baseline)
+        )
+        return dt
+
+    # Pass 1: every query, in name order — always completes.
+    pass1_total = 0.0
+    for name in names:
+        pass1_total += _run(name, "pass0")
+
+    # Pass 2 — HEAVY TAIL FIRST (VERDICT r9 what's-wrong #2): under
+    # the deadline a full second pass skipped ~114/247 queries, so
+    # nearly half the catalog stayed single-sampled every run.  The
+    # arithmetic is hard: at sf0.1 warmup (~65 s) + pass 1 (~275 s) +
+    # a full heavy re-pass (~260 s) cannot fit 510 s, so a single run
+    # CANNOT double-sample everything — the design question is what
+    # the remaining ~150 s buys.  Answer, in priority order:
+    #   tier 1 (pass-1 wall >= tier1 threshold, ~70 queries, ~140 s):
+    #     the queries that dominate the total and its noise — ALWAYS
+    #     re-sampled, heaviest first, every run;
+    #   tier 2 (wall in [min_wall, tier1)): rotation (r8 mechanism) —
+    #     pass 2 resumes where the previous run's was truncated (read
+    #     from this label's last payload) and wraps, so consecutive
+    #     runs' deadline-skipped sets are disjoint;
+    #   sub-threshold (wall < min_wall): never re-sampled by design —
+    #     they contribute little to the total and nothing to
+    #     regression adjudication (disclosed as pass2_subthreshold).
+    thresh = float(os.environ.get("SPARK_GRAFT_PASS2_MIN_WALL", "0.3"))
+    tier1_thresh = float(os.environ.get("SPARK_GRAFT_PASS2_TIER1_WALL", "1.0"))
+    heavy = [n for n in names if timings[n] >= thresh]
+    pass2_subthreshold = len(names) - len(heavy)
+    # pass-1 wall over the heavy set, captured BEFORE pass 2 lowers the
+    # mins — the spread comparison needs both passes over the SAME set
+    pass1_heavy_total = round(sum(timings[n] for n in heavy), 3)
+    tier1 = sorted(
+        (n for n in heavy if timings[n] >= tier1_thresh),
+        key=lambda n: -timings[n],
+    )
+    tier2 = [n for n in heavy if timings[n] < tier1_thresh]
+    rot = tier2.index(resume) if resume in tier2 else 0
+    pass2_order = tier1 + tier2[rot:] + tier2[:rot]
     pass2_skipped = 0
     pass2_resume: str | None = None
-    for _pass in range(2):
-        pass_total = 0.0
-        for name in names if _pass == 0 else pass2_order:
-            if _pass > 0 and time.perf_counter() - _T0 > deadline:
-                pass2_skipped += 1
-                if pass2_resume is None:
-                    pass2_resume = name
-                continue
-            spec = REGISTRY[name]
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
-            pass_total += dt
-            d = probe.delta()
-            if d is not None:
-                q_cpu = round(d["cpu_ns"] / 1e9, 3)
-                cpu_s[name] = min(cpu_s.get(name, q_cpu), q_cpu)
-                mem_spill += d["mem_spill"]
-                disk_spill += d["disk_spill"]
-            print(
-                f"# pass{_pass} {name}: {dt:.3f}s"
-                + (f" cpu={d['cpu_ns'] / 1e9:.3f}s" if d else ""),
-                file=sys.stderr,
-            )
-            residual_freed += len(
-                release_residual_checkpoints(spark, ckpt_baseline)
-            )
-        if _pass == 0 or pass2_skipped == 0:
-            pass_totals.append(round(pass_total, 3))
+    pass2_total = 0.0
+    for name in pass2_order:
+        if time.perf_counter() - _T0 > deadline:
+            pass2_skipped += 1
+            if pass2_resume is None:
+                pass2_resume = name
+            continue
+        pass2_total += _run(name, "pass1")
+
+    pass_totals = [round(pass1_total, 3)]
+    if pass2_skipped == 0 and heavy:
+        pass_totals.append(round(pass2_total, 3))
     total = sum(timings.values())
     print(
         f"# checkpoint residue freed between queries: {residual_freed} RDDs"
@@ -288,11 +445,17 @@ def main() -> None:
     # totals across rounds.  pass_spread_pct is None (not 0.0) when
     # fewer than two FULL passes completed — a truncated pass 2 carries
     # no spread information (ADVICE r8).
+    # Spread compares the two passes over the SAME query set: pass 2
+    # only runs the heavy tail, so pass 1's total is restricted to the
+    # heavy set (pass1_heavy_total) for the comparison.
+    spread_pair = (
+        [pass1_heavy_total, pass_totals[1]] if len(pass_totals) > 1 else []
+    )
     spread_pct = (
         round(
-            (max(pass_totals) - min(pass_totals)) / min(pass_totals) * 100, 1
+            (max(spread_pair) - min(spread_pair)) / min(spread_pair) * 100, 1
         )
-        if len(pass_totals) > 1 and min(pass_totals) > 0
+        if spread_pair and min(spread_pair) > 0
         else None
     )
     payload = {
@@ -304,8 +467,13 @@ def main() -> None:
         "n_queries": len(timings),
         "passes": len(pass_totals),
         "pass_totals": pass_totals,
+        "pass1_heavy_total": pass1_heavy_total,
+        "pass2_threshold_sec": thresh,
+        "pass2_tier1_sec": tier1_thresh,
+        "pass2_tier1_n": len(tier1),
+        "pass2_subthreshold": pass2_subthreshold,
         "pass2_skipped": pass2_skipped,
-        "pass2_order_start": pass2_order[0],
+        "pass2_order_start": pass2_order[0] if pass2_order else None,
         "pass2_resume": pass2_resume,
         "pass_spread_pct": spread_pct,
         # The load-robust column (VERDICT r8 ask #1): executor CPU per
@@ -319,21 +487,40 @@ def main() -> None:
             if len(cpu_s) == len(timings)
             else None
         ),
+        # Python-worker CPU per query (/proc pyspark.daemon-tree
+        # deltas): the load-robust metric for the Arrow decode lanes
+        # that executorCpuTime is blind to (q231/q221/q227/q161).
+        # ~0 for pure-JVM queries by construction.
+        "queries_py_cpu": py_cpu_s,
+        "py_cpu_total": (
+            round(sum(py_cpu_s.values()), 3)
+            if len(py_cpu_s) == len(timings)
+            else None
+        ),
         "spill_bytes": {"memory": mem_spill, "disk": disk_spill},
         "variance_note": (
             "value = sum of per-query MIN wall over the passes above "
             "(sustained-throughput estimate); single-pass WALL totals on "
             "this host swing ±15% with load on identical code — "
             "adjudicate regressions from queries_cpu/cpu_total (executor "
-            "CPU, load-robust), compare per-query mins across "
-            "bench_history/*.json, and note the catalog grows every "
-            "round; pass 2 starts at pass2_order_start (rotated to the "
-            "previous run's truncation point) so consecutive runs' "
-            "skipped sets are disjoint"
+            "CPU, load-robust; queries_py_cpu for the Python decode "
+            "lanes), compare per-query mins across bench_history/*.json, "
+            "and note the catalog grows every round; pass 2 re-samples "
+            "the pass2_tier1_n heaviest queries (pass-1 wall >= "
+            "pass2_tier1_sec) FIRST, heaviest-first, then rotates "
+            "through the [pass2_threshold_sec, pass2_tier1_sec) "
+            "mid-tier from pass2_order_start (the previous run's "
+            "truncation point) so consecutive truncated runs' skipped "
+            "sets are disjoint; sub-threshold queries are never "
+            "re-sampled (pass2_subthreshold); pass_totals[1] covers "
+            "the heavy set only — compare it against "
+            "pass1_heavy_total, not pass_totals[0]"
         ),
     }
     if probe.error is not None:
         payload["cpu_probe_error"] = probe.error
+    if py_probe.error is not None:
+        payload["py_cpu_probe_error"] = py_probe.error
 
     # Persist the measurement FIRST — the compare annotation below must
     # never be able to lose a just-measured payload.
@@ -368,6 +555,32 @@ def main() -> None:
             json.dump(payload, f, indent=1)
 
     print(json.dumps(payload))
+    # Compact summary as the FINAL stdout line (VERDICT r9 top ask):
+    # the driver records only the TAIL of stdout, and the full payload
+    # line (247 wall + CPU entries) overflows it — BENCH_r07/r08/r09
+    # all carry "parsed": null because the captured tail starts
+    # mid-JSON.  This line is a few hundred bytes, so the tail always
+    # ends with one complete parseable JSON object carrying the
+    # headline numbers; the full payload stays on the previous line
+    # and in bench_history/<label>.json.
+    print(
+        json.dumps(
+            {
+                "metric": payload["metric"],
+                "value": payload["value"],
+                "unit": payload["unit"],
+                "sf": payload["sf"],
+                "n_queries": payload["n_queries"],
+                "cpu_total": payload["cpu_total"],
+                "py_cpu_total": payload["py_cpu_total"],
+                "spill_bytes": payload["spill_bytes"],
+                "pass_spread_pct": payload["pass_spread_pct"],
+                "pass2_skipped": pass2_skipped,
+                "pass2_subthreshold": pass2_subthreshold,
+                "summary_of_full_payload": f"bench_history/{label}.json",
+            }
+        )
+    )
     spark.stop()
 
 

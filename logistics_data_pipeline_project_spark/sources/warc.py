@@ -68,6 +68,11 @@ _CRLF = b"\r\n"
 # and how many inflated bytes it may emit per call. Together they bound
 # the walk's transient allocations regardless of member or file size.
 _IN_CHUNK = 1 << 18  # 256 KiB compressed in
+# brotli feeds far smaller quanta: its incremental API (pre-
+# max_output_length modules) has no per-call output bound, so the
+# input quantum is the only lever on how far one call can overshoot
+# the decode cap (ADVICE r9)
+_BR_IN_CHUNK = 1 << 14  # 16 KiB compressed in per brotli process() call
 _OUT_CHUNK = 1 << 20  # 1 MiB inflated out
 # Bytes of record body retained to parse the HTTP status line + headers
 # (RFC 9110 gives no hard cap; every real server's head fits well under
@@ -242,12 +247,19 @@ def _inflate_brotli(body: bytes, out_max: int) -> bytes:
     percent, so a deployment that installs the module stops losing that
     page tail; without it the record stays a quarantine lane (the
     ValueError message names 'br' so the census stays countable).
-    Input feeds in small quanta and inflation stops once ``out_max``
-    decoded bytes exist — same cap discipline as ``_inflate_coding``
-    (brotli's incremental API has no per-call output bound, so the cap
-    binds between quanta; a pathological metadata bomb can overshoot by
-    one quantum's expansion before truncation).  Corrupt data raises
-    ValueError; TRUNCATED input keeps what inflated."""
+
+    Output is BOUNDED per call, not just between calls (ADVICE r9:
+    brotli back-references reach >1000x ratios, so one input quantum
+    could otherwise expand arbitrarily before an inter-quantum check
+    ran, breaking the O(header + body_max) per-record memory bound).
+    Primary path passes ``max_output_length`` to ``process`` —
+    supported by brotli>=1.0.9 and brotlicffi; the decoder buffers any
+    excess internally, which is fine because the cap truncates there
+    anyway.  Where the installed module predates the kwarg
+    (TypeError), input feeds in small quanta and a decoded size beyond
+    ``2*out_max`` raises ValueError (quarantine — an explicit error,
+    never unbounded growth followed by silent truncation).  Corrupt
+    data raises ValueError; TRUNCATED input keeps what inflated."""
     try:
         import brotli as _br
     except ImportError:
@@ -260,14 +272,83 @@ def _inflate_brotli(body: bytes, out_max: int) -> bytes:
             ) from None
     dec = _br.Decompressor()
     out = bytearray()
+    bounded = True  # whether process() accepts max_output_length
     try:
-        for pos in range(0, len(body), _IN_CHUNK):
-            out.extend(dec.process(bytes(body[pos : pos + _IN_CHUNK])))
-            if len(out) >= out_max:
+        for pos in range(0, len(body), _BR_IN_CHUNK):
+            quantum = bytes(body[pos : pos + _BR_IN_CHUNK])
+            if bounded:
+                try:
+                    out.extend(
+                        dec.process(
+                            quantum,
+                            max_output_length=out_max + 1 - len(out),
+                        )
+                    )
+                except TypeError:
+                    bounded = False
+            if not bounded:
+                out.extend(dec.process(quantum))
+                if len(out) > 2 * out_max:
+                    raise ValueError(
+                        "br body exceeded the decode cap"
+                        f" ({len(out)} > 2*{out_max}) under an unbounded"
+                        " decompressor (module lacks max_output_length)"
+                    )
+            if len(out) > out_max:
                 break
     except _br.error as exc:
         raise ValueError(f"corrupt br body: {exc}") from exc
     return bytes(out[:out_max])
+
+
+def _inflate_zstd(body: bytes, out_max: int) -> bytes:
+    """Inflate a ``Content-Encoding: zstd`` body when a zstd module is
+    importable — stdlib ``compression.zstd`` (Python >= 3.14, PEP 784)
+    probed first, then the ``zstandard`` package (OPTIONAL dependency;
+    neither ships in this repo's 3.11 baseline env).  ``zstd`` appears
+    in modern crawls (RFC 8878/9110 registered content-coding), so a
+    deployment that installs either module stops quarantining those
+    records; without one the record stays a quarantine lane (the
+    ValueError message names 'zstd' so the census stays countable) —
+    same optional-import discipline as ``_inflate_brotli``.
+
+    Output is bounded per call: the stdlib path uses
+    ``ZstdDecompressor.decompress(data, max_length=...)``; the
+    zstandard path reads ``out_max`` bytes through ``stream_reader``
+    (never materializes more than the cap + one internal frame
+    window).  Corrupt or truncated input raises ValueError —
+    quarantine, not mojibake."""
+    try:
+        from compression import zstd as _zstdlib  # Python >= 3.14
+    except ImportError:
+        _zstdlib = None
+    if _zstdlib is not None:
+        dec = _zstdlib.ZstdDecompressor()
+        try:
+            return dec.decompress(body, max_length=out_max)
+        except _zstdlib.ZstdError as exc:
+            raise ValueError(f"corrupt zstd body: {exc}") from exc
+    try:
+        import zstandard as _zstd
+    except ImportError:
+        raise ValueError(
+            "unsupported content-coding 'zstd' (no zstandard module"
+            " installed; stdlib compression.zstd needs Python >= 3.14)"
+        ) from None
+    import io
+
+    reader = io.BytesIO(body)
+    try:
+        try:
+            r = _zstd.ZstdDecompressor().stream_reader(
+                reader, read_across_frames=True
+            )
+        except TypeError:  # zstandard < 0.15: no read_across_frames
+            r = _zstd.ZstdDecompressor().stream_reader(reader)
+        with r:
+            return r.read(out_max)
+    except _zstd.ZstdError as exc:
+        raise ValueError(f"corrupt zstd body: {exc}") from exc
 
 
 def _decode_http_body(
@@ -282,10 +363,11 @@ def _decode_http_body(
     first (RFC 9112 §6.1 requires it last on the wire), then any
     gzip/x-gzip/deflate layers.  ``identity`` and empty tokens are
     no-ops.  A ``br`` content-coding decodes IF a brotli module is
-    importable (optional-dependency probe — see ``_inflate_brotli``);
-    otherwise it, ``zstd``/``compress``/anything else, raises
-    ValueError — the extraction lane quarantines those records rather
-    than emitting their bytes as mojibake text."""
+    importable, and ``zstd`` IF compression.zstd (Python >= 3.14) or
+    zstandard is (optional-dependency probes — see ``_inflate_brotli``
+    / ``_inflate_zstd``); otherwise they, ``compress``/anything else,
+    raise ValueError — the extraction lane quarantines those records
+    rather than emitting their bytes as mojibake text."""
     te = [t.strip().lower() for t in transfer_encoding.split(",") if t.strip()]
     ce = [c.strip().lower() for c in content_encoding.split(",") if c.strip()]
     for coding in reversed(te):
@@ -300,6 +382,8 @@ def _decode_http_body(
             body = _inflate_coding(body, coding, out_max)
         elif coding == "br":
             body = _inflate_brotli(body, out_max)
+        elif coding == "zstd":
+            body = _inflate_zstd(body, out_max)
         elif coding != "identity":
             raise ValueError(f"unsupported content-coding {coding!r}")
     return body[:out_max]

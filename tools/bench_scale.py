@@ -310,6 +310,55 @@ def _time_point(
     }
 
 
+def _load1_dict(pt: dict) -> dict:
+    """Normalize a point's ``load1`` to {query: load}.
+
+    Per-query subprocess points store a dict; --shared-session points
+    (and pre-round-9 curves) store ONE scalar float for the whole unit
+    — treating that scalar as a dict crashed the --update merge after
+    the sweep had already run (ADVICE r9).  A scalar fans out to every
+    query in the point (it IS that unit's stamp for each of them)."""
+    lo = pt.get("load1")
+    if isinstance(lo, dict):
+        return dict(lo)
+    if isinstance(lo, (int, float)):
+        return {q: lo for q in pt.get("queries", {})}
+    return {}
+
+
+def _merge_points(merged: dict, points: dict) -> dict:
+    """Fold freshly measured ``points`` into ``merged`` in place by
+    PER-QUERY, PER-METRIC MIN (host noise only ever ADDS time/CPU, so
+    the min over more runs converges on the true cost).  Handles both
+    point shapes (per-query load1 dicts and shared-session scalar
+    load1) on either side; pure function of its inputs so the merge is
+    unit-testable without a sweep."""
+    for name, pt in points.items():
+        if name not in merged:
+            merged[name] = pt
+            continue
+        old = merged[name]
+        old_lo = _load1_dict(old)
+        pt_lo = _load1_dict(pt)
+        for q, t in pt["queries"].items():
+            old["queries"][q] = min(old["queries"].get(q, float("inf")), t)
+            if q in pt.get("queries_cpu", {}):
+                c = old.setdefault("queries_cpu", {})
+                c[q] = min(c.get(q, float("inf")), pt["queries_cpu"][q])
+            vals = [
+                v
+                for v in (old_lo.get(q), pt_lo.get(q))
+                if isinstance(v, (int, float))
+            ]
+            if vals:
+                old_lo[q] = min(vals)
+        if old_lo:
+            old["load1"] = old_lo  # normalized: always a dict post-merge
+        old["total"] = round(sum(old["queries"].values()), 3)
+        old["x2_warm"] = old.get("x2_warm", True) and pt.get("x2_warm", True)
+    return merged
+
+
 def main() -> None:
     mults = [1, 2, 5, 10]
     if "--mults" in sys.argv:
@@ -405,27 +454,7 @@ def main() -> None:
             prev = json.load(f)
         merged = prev.get("points", {})
         updates = prev.get("updates", [])
-        for name, pt in points.items():
-            if name not in merged:
-                merged[name] = pt
-                continue
-            old = merged[name]
-            for q, t in pt["queries"].items():
-                old["queries"][q] = min(
-                    old["queries"].get(q, float("inf")), t
-                )
-                if q in pt.get("queries_cpu", {}):
-                    c = old.setdefault("queries_cpu", {})
-                    c[q] = min(c.get(q, float("inf")), pt["queries_cpu"][q])
-                lo = old.setdefault("load1", {})
-                lo[q] = min(
-                    lo.get(q, float("inf")),
-                    pt.get("load1", {}).get(q, float("inf")),
-                )
-            old["total"] = round(sum(old["queries"].values()), 3)
-            old["x2_warm"] = (
-                old.get("x2_warm", True) and pt.get("x2_warm", True)
-            )
+        _merge_points(merged, points)
         points = merged
         updates.append(
             "folded a re-measurement of "
