@@ -131,4 +131,13 @@ def bpe_learn(
         words = words.withColumn(
             "sym", _apply_merge(F.col("sym"), top["l"], top["r"])
         )
+        # Re-materialize after every merge (lazy — the next round's pair
+        # aggregate, or the caller's first action, triggers it).  Without
+        # this, round r's plan stacks r nested F.aggregate folds: total
+        # fold work grows O(rounds²) and each round re-plans + re-codegens
+        # a deeper expression tree — measured as wall >> task CPU on the
+        # bench (driver-bound).  With it every round evaluates exactly ONE
+        # fold over the O(vocab) table and plans stay constant-depth
+        # (optimization guide §3.3/§7.3: truncate long lineages).
+        words = words.localCheckpoint(eager=False)
     return merges, words

@@ -4526,6 +4526,12 @@ def q163_textrank_keywords(spark: SparkSession, sf_dir: str):
             .cast("long")
             .alias("score"),
         )
+        # Materialize each iteration's O(vocab) score table (lazy): the
+        # unrolled 4-iteration plan is ~16 joins deep and its planning +
+        # codegen dominated wall (bench: 2.6 s wall vs 0.7 s task CPU).
+        # Per-round checkpoints keep every plan two joins deep — guide
+        # §3.3/§7.3 (truncate long lineages / planning cost).
+        scores = scores.localCheckpoint(eager=False)
     w_rank = Window.orderBy(F.desc("score"), F.asc("token"))
     return (
         scores.withColumn("rnk", F.row_number().over(w_rank).cast("int"))

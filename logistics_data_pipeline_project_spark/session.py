@@ -64,6 +64,39 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def _zipfast_worker_conf(master: str) -> dict[str, str]:
+    """Worker-module shim activation (guide §4 — the Python boundary).
+
+    Stock ``pyspark.worker`` re-reads the entire ``pyspark.zip`` /
+    ``py4j.zip`` central directory on EVERY task
+    (``setup_spark_files`` → ``importlib.invalidate_caches()`` →
+    ``zipimport._read_directory``): ~0.2 CPU-s of pure protocol tax per
+    Python task, any UDF flavor.  ``pyspark_zipfast_worker`` (repo
+    root) is the stock worker with only that zip re-read skipped.
+
+    Local masters inherit the driver's environment, so making the shim
+    importable is just a PYTHONPATH prepend before the JVM launches.
+    On a cluster, ship the file with ``--py-files`` and set
+    ``spark.python.worker.module=pyspark_zipfast_worker`` yourself —
+    this helper deliberately stays out of the way there because a
+    worker that cannot import the module would fail every Python stage.
+    """
+    if not master.startswith("local"):
+        return {}
+    shim_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.isfile(os.path.join(shim_dir, "pyspark_zipfast_worker.py")):
+        return {}
+    # The daemon is spawned by the JVM with the JVM's environment; the
+    # JVM inherits ours when the gateway launches (getOrCreate below),
+    # so the prepend must happen NOW, not after the session exists.
+    pypath = os.environ.get("PYTHONPATH", "")
+    if shim_dir not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            shim_dir + os.pathsep + pypath if pypath else shim_dir
+        )
+    return {"spark.python.worker.module": "pyspark_zipfast_worker"}
+
+
 def get_spark(
     app_name: str = "logistics-data-pipeline-spark",
     master: str | None = None,
@@ -76,9 +109,12 @@ def get_spark(
     master and these builder calls are no-ops.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    resolved_master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = SparkSession.builder.appName(app_name)
-    builder = builder.master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+    builder = builder.master(resolved_master)
     for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in _zipfast_worker_conf(resolved_master).items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
