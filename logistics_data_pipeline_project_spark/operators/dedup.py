@@ -25,6 +25,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .scale import fan_out
+from .text import sliding_concat_sql
 
 __all__ = [
     "exact_dedup",
@@ -63,7 +64,7 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
         F.explode(
             F.expr(
                 f"array_distinct(transform(sequence(0, size(__t)-{n}),"
-                f" i -> concat_ws(' ', slice(__t, i+1, {n}))))"
+                f" i -> {sliding_concat_sql('__t', 'i', n)}))"
             )
         ).alias("shingle"),
     )
@@ -245,7 +246,7 @@ def minhash_lsh_pairs(
     ).filter(F.size("__t") >= n)
     shingle_expr = (
         f"array_distinct(transform(sequence(0, size(__t)-{n}),"
-        f" i -> concat_ws(' ', slice(__t, i+1, {n}))))"
+        f" i -> {sliding_concat_sql('__t', 'i', n)}))"
     )
     sig = toks.withColumn("__sh", F.expr(shingle_expr)).select(
         F.col(id_col),
@@ -520,6 +521,9 @@ def simhash_near_pairs(
     Hamming distance (bit_count of xor). The band join is an equi-join →
     shuffle on (band_idx, band_value), linear in candidates."""
     sh = simhash(df, text_col, id_col)
+    # both sides of the band self-join read this frame — materialize so
+    # the 60-bit fold (the corpus-sized work) runs once, not per side
+    sh = sh.localCheckpoint(eager=False)
     band_width = _SIMHASH_BITS // n_bands
 
     def band_val(col, i):
@@ -675,14 +679,18 @@ def prefix_filter_jaccard_pairs(
         F.row_number().over(w).alias("pos"),
         F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("sz"),
     )
+    # ranked feeds BOTH prefix sides of the self-join AND (below) the
+    # per-doc set table — checkpoint it so the df-join + double-window
+    # pipeline materializes once, and so the set aggregate can reuse the
+    # window's id-partitioning (localCheckpoint preserves it) instead of
+    # paying its own exchange over the token stream (guide §2.4: two
+    # operations keyed the same way share one exchange).
+    ranked = ranked.localCheckpoint(eager=False)
     # p = sz − ceil(t·sz) + 1, all-integer
     pref = ranked.filter(
         F.col("pos")
         <= F.col("sz") - F.expr(f"({num} * sz + {den} - 1) DIV {den}") + F.lit(1)
     )
-    # both sides of the self-join below are THIS frame — checkpoint so
-    # the df-join + double-window pipeline materializes once
-    pref = pref.localCheckpoint(eager=False)
     a, b = pref.alias("a"), pref.alias("b")
     # length filter (Arasu et al.): J ≥ t ⇒ t·max(sa,sb) ≤ min(sa,sb),
     # so size-incompatible collisions drop inside the join before the
@@ -716,8 +724,12 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    sets = tok.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("token")).alias("toks"),
+    # Set table from the checkpointed ranked rows (shingles are already
+    # distinct per doc, so collect_list ≡ collect_set; intersection SIZE
+    # is order-independent, so no sort is needed) — zero new exchanges:
+    # the aggregate rides the window's id-partitioning.
+    sets = ranked.groupBy(id_col).agg(
+        F.collect_list("token").alias("toks"),
         F.count(F.lit(1)).alias("sz"),
     )
     # probed twice (id1 side, id2 side) — materialize the set table once
@@ -732,9 +744,21 @@ def prefix_filter_jaccard_pairs(
         F.col("toks").alias("t2"),
         F.col("sz").alias("size2"),
     )
+    verify_in = cand.join(s1, "id1").join(s2, "id2")
+    # The exact-verify projection below costs O(|set1| + |set2|) PER ROW
+    # (array intersection over full token sets) while its input is only
+    # KBs — AQE's byte-based coalescing serialized it onto one task
+    # (profiled at sf0.1: a single-task 2.3 s final stage, half the
+    # query's wall).  Width here must follow rows, not bytes: an
+    # explicit keyed repartition with a fixed count is exempt from AQE
+    # coalescing (guide §2.5 — synthetic/CPU-heavy stages need their
+    # own parallelism).  Cost: one extra exchange of candidate-pair
+    # rows only (the prefix filter already made those rare).
+    verify_in = verify_in.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id1", "id2"
+    )
     scored = (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
+        verify_in
         .withColumn("inter_size", F.size(F.array_intersect("t1", "t2")).cast("long"))
         .filter(
             F.lit(num + den) * F.col("inter_size")

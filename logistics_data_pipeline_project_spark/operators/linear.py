@@ -123,11 +123,36 @@ def hashed_perceptron(
         F.col(id_col).alias("_id"),
         F.col(bucket_col).alias("_b"),
         F.col(count_col).cast("long").alias("_c"),
-    ).persist()
+    )
     lab = labels.select(
         F.col(id_col).alias("_id"), F.col(label_col).cast("long").alias("_y")
-    ).persist()
-    buckets = sorted(r["_b"] for r in f.select("_b").distinct().collect())
+    )
+    # Per-id SPARSE VECTOR layout, materialized once: (_id, _bc, _y)
+    # with _bc = the id's (bucket, count) pairs.  The flat layout paid
+    # TWO shuffles of the O(docs·buckets) row stream per epoch (the
+    # margin groupBy(_id) and the mistake join) — profiled at ~14 s of
+    # 32-task stage time per epoch at sf0.1.  On this layout the margin
+    # is a row-local integer fold (weights ride as a literal map —
+    # codegen lookup, no build side), so each epoch is ONE map-side
+    # scan of the vector table plus one tiny per-bucket update
+    # aggregate over mistakes only (guide §2.4: remove shuffles
+    # outright; §2.3: aggregate before you shuffle).  Integer sums are
+    # associative-commutative, so margins (and therefore the whole
+    # trajectory) are bit-identical to the flat layout under any
+    # collect_list order and any partitioning.
+    fvec = (
+        f.groupBy("_id")
+        .agg(F.collect_list(F.struct("_b", "_c")).alias("_bc"))
+        .join(lab, "_id")
+        .localCheckpoint(eager=False)
+    )
+    buckets = sorted(
+        r["_b"]
+        for r in fvec.select(F.explode("_bc").alias("e"))
+        .select(F.col("e._b").alias("_b"))
+        .distinct()
+        .collect()
+    )
     w: dict[str, int] = {b: 0 for b in buckets}
     bias = 0
     for _ in range(epochs):
@@ -136,25 +161,29 @@ def hashed_perceptron(
             if v:
                 entries += [F.lit(b), F.lit(v)]
         wmap = F.create_map(*entries) if entries else F.create_map()
-        margins = (
-            f.withColumn(
-                "_wc", F.coalesce(F.element_at(wmap, F.col("_b")), F.lit(0)) * F.col("_c")
+        margin = (
+            F.aggregate(
+                F.col("_bc"),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc
+                + F.coalesce(F.element_at(wmap, e["_b"]), F.lit(0))
+                * e["_c"],
             )
-            .groupBy("_id")
-            .agg((F.sum("_wc") + F.lit(bias)).alias("_margin"))
-            .join(lab, "_id")
-            .withColumn("_mistake", (F.col("_y") * F.col("_margin")) <= 0)
+            + F.lit(bias)
         )
-        mistakes = margins.filter("_mistake").select("_id", "_y")
+        mistakes = fvec.filter((F.col("_y") * margin) <= 0)
         # ONE update aggregate per epoch: the bias rides as a synthetic
         # '__bias__' row per mistake doc (c=1), unioned into the same
-        # per-bucket sum — the exact shape of the oracle's hp_u CTE —
-        # instead of a second full margin recomputation for the bias
-        upd_input = mistakes.join(f, "_id").select("_b", "_y", "_c").unionByName(
-            mistakes.select(
-                F.lit("__bias__").alias("_b"),
-                F.col("_y"),
-                F.lit(1).cast("long").alias("_c"),
+        # per-bucket sum — the exact shape of the oracle's hp_u CTE
+        upd_input = (
+            mistakes.select("_y", F.explode("_bc").alias("e"))
+            .select(F.col("e._b").alias("_b"), "_y", F.col("e._c").alias("_c"))
+            .unionByName(
+                mistakes.select(
+                    F.lit("__bias__").alias("_b"),
+                    F.col("_y"),
+                    F.lit(1).cast("long").alias("_c"),
+                )
             )
         )
         upd = {
@@ -168,7 +197,5 @@ def hashed_perceptron(
                 bias += dw
             else:
                 w[b] = w[b] + dw
-    f.unpersist()
-    lab.unpersist()
     rows = [(b, int(v)) for b, v in sorted(w.items())] + [("__bias__", int(bias))]
     return spark.createDataFrame(rows, "bucket string, w bigint")

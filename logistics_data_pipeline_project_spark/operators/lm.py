@@ -75,7 +75,17 @@ def char_ngram_rarity(
     doc_grams = tok.groupBy(id_col, "__g").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
+    # doc_grams feeds the scoring probe AND both broadcast model
+    # subtrees; Spark does not reuse logically-shared subtrees across a
+    # broadcast boundary, so without a barrier the n-gram explode +
+    # first-level aggregate ran once per consumer (profiled at sf0.1:
+    # two ~10 s 32-task stages for one explode — guide §2.4, remove
+    # recomputation).  Lazy localCheckpoint materializes it once.
+    doc_grams = doc_grams.localCheckpoint(eager=False)
     gram_model = doc_grams.groupBy("__g").agg(F.sum("__cnt").alias("__c3"))
+    # charset^n-bounded — tiny; keeps the pre_model broadcast job from
+    # re-aggregating doc_grams a second time
+    gram_model = gram_model.localCheckpoint(eager=False)
     pre_model = gram_model.groupBy(
         F.substring("__g", 1, n - 1).alias("__pre")
     ).agg(F.sum("__c3").alias("__c2"))

@@ -2881,28 +2881,69 @@ class _FlacBitWriter:
             q -= 32
         self.write(1, q + 1)  # q zero bits then the terminating 1
 
+    def write_bits(self, bits) -> None:
+        """Append a numpy uint8 0/1 array (MSB-first bit order) in bulk:
+        the whole-byte prefix goes through ``np.packbits`` straight into
+        ``out``; the <8-bit tail lands in the accumulator — byte-for-byte
+        identical to an equivalent sequence of ``write`` calls, without
+        the per-bit Python arithmetic."""
+        import numpy as np
+
+        n = int(len(bits))
+        if n == 0:
+            return
+        if self.nbits:
+            head = np.empty(self.nbits + n, dtype=np.uint8)
+            for i in range(self.nbits):  # <8 iterations
+                head[i] = (self.acc >> (self.nbits - 1 - i)) & 1
+            head[self.nbits :] = bits
+            bits = head
+            n += self.nbits
+            self.acc = self.nbits = 0
+        whole = n - (n % 8)
+        if whole:
+            self.out += np.packbits(bits[:whole]).tobytes()
+        for i in range(whole, n):  # <8 leftover bits
+            self.acc = (self.acc << 1) | int(bits[i])
+            self.nbits += 1
+
     def align(self) -> None:
         if self.nbits:
             self.write(0, 8 - self.nbits)
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8 poly 0x07 (FLAC frame-header CRC)."""
-    c = 0
-    for b in data:
-        c ^= b
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        c = b << (width - 8)
         for _ in range(8):
-            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+            c = ((c << 1) ^ poly) & mask if c & top else (c << 1) & mask
+        table.append(c)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly 0x07 (FLAC frame-header CRC) — table-driven (byte at a
+    time; bit-identical to the textbook bit loop)."""
+    c = 0
+    t = _CRC8_TABLE
+    for b in data:
+        c = t[c ^ b]
     return c
 
 
 def _crc16(data: bytes) -> int:
-    """CRC-16 poly 0x8005 init 0 (FLAC whole-frame CRC)."""
+    """CRC-16 poly 0x8005 init 0 (FLAC whole-frame CRC) — table-driven."""
     c = 0
+    t = _CRC16_TABLE
     for b in data:
-        c ^= b << 8
-        for _ in range(8):
-            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        c = ((c << 8) & 0xFFFF) ^ t[(c >> 8) ^ b]
     return c
 
 
@@ -2952,30 +2993,61 @@ _FLAC_FIXED_COEF = {
 }
 
 
-def _flac_fixed_residual(x: list[int], order: int) -> list[int]:
-    coef = _FLAC_FIXED_COEF[order]
-    return [
-        x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coef))
-        for i in range(order, len(x))
-    ]
+def _flac_fixed_residual(x, order: int):
+    """Residual of the order-``order`` FIXED predictor = the ``order``-th
+    forward difference (the identity the decoder's cumsum reconstruction
+    already relies on) — one ``np.diff`` instead of a per-sample Python
+    loop; int64-exact (every intermediate is a Δ^j x, bounded by
+    ~2^(bps+j))."""
+    import numpy as np
+
+    arr = np.asarray(x, dtype=np.int64)
+    return np.diff(arr, order) if order else arr
 
 
-def _rice_write(bw: _FlacBitWriter, residuals: list[int], k: int) -> None:
-    for r in residuals:
-        u = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
-        bw.write_unary(u >> k)
-        if k:
-            bw.write(u & ((1 << k) - 1), k)
+def _zigzag_np(res):
+    """Vectorized Rice zigzag: non-negatives -> 2r, negatives -> 2|r|-1
+    (identical to the per-sample branch the scalar writer used)."""
+    import numpy as np
+
+    r = np.asarray(res, dtype=np.int64)
+    return np.where(r >= 0, r << 1, ((-r) << 1) - 1)
 
 
-def _rice_param(residuals: list[int]) -> int:
-    """Smallest-cost 4-bit Rice parameter (scan 0..14; escape unused)."""
+def _rice_write(bw: _FlacBitWriter, residuals, k: int) -> None:
+    """Emit Rice(k) codes for the whole residual block as ONE bit array
+    (terminator scatter + remainder gather) — the encode twin of the
+    decoder's ``_rice_partition_np``; byte-identical to the per-sample
+    write_unary/write loop it replaces."""
+    import numpy as np
+
+    u = _zigzag_np(residuals)
+    n = len(u)
+    if n == 0:
+        return
+    q = u >> k
+    lens = q + 1 + k
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(lens[:-1], out=starts[1:])
+    bits = np.zeros(int(starts[-1] + lens[-1]), dtype=np.uint8)
+    term = starts + q
+    bits[term] = 1
+    if k:
+        idx = term[:, None] + 1 + np.arange(k, dtype=np.int64)
+        vals = (u[:, None] >> np.arange(k - 1, -1, -1, dtype=np.int64)) & 1
+        bits[idx.ravel()] = vals.ravel().astype(np.uint8)
+    bw.write_bits(bits)
+
+
+def _rice_param(residuals) -> int:
+    """Smallest-cost 4-bit Rice parameter (scan 0..14; escape unused) —
+    vectorized over the block, exact integer costs."""
+    u = _zigzag_np(residuals)
+    n = len(u)
     best_k, best_cost = 0, None
     for k in range(15):
-        cost = sum(
-            ((r << 1 if r >= 0 else ((-r) << 1) - 1) >> k) + 1 + k
-            for r in residuals
-        )
+        cost = int((u >> k).sum()) + n * (1 + k)
         if best_cost is None or cost < best_cost:
             best_k, best_cost = k, cost
     return best_k
@@ -2987,39 +3059,43 @@ def _flac_write_subframe(
     """One subframe: CONSTANT when flat, else the best FIXED order 0-2
     with a single-partition Rice residual, else VERBATIM when Rice can't
     win (k would escape).  All spec-conformant; wasted-bits unused."""
-    n = len(x)
-    if n and all(v == x[0] for v in x):
+    import numpy as np
+
+    arr = np.asarray(x, dtype=np.int64)
+    n = len(arr)
+    if n and bool((arr == arr[0]).all()):
         bw.write(0, 1)
         bw.write(0, 6)  # CONSTANT
         bw.write(0, 1)
-        bw.write(x[0], bps)
+        bw.write(int(arr[0]), bps)
         return
     best = None
     for order in (0, 1, 2):
         if n <= order:
             continue
-        res = _flac_fixed_residual(x, order)
-        if res and max(max(res), -min(res)) >= (1 << 30):
+        res = _flac_fixed_residual(arr, order)
+        if len(res) and int(max(res.max(), -res.min())) >= (1 << 30):
             continue
         k = _rice_param(res)
-        cost = sum(
-            ((r << 1 if r >= 0 else ((-r) << 1) - 1) >> k) + 1 + k for r in res
-        )
+        cost = int((_zigzag_np(res) >> k).sum()) + len(res) * (1 + k)
         if best is None or cost < best[0]:
             best = (cost, order, res, k)
     if best is None or best[0] > n * bps:  # Rice loses: verbatim
         bw.write(0, 1)
         bw.write(1, 6)  # VERBATIM
         bw.write(0, 1)
-        for v in x:
-            bw.write(v, bps)
+        masked = arr & ((np.int64(1) << bps) - 1)
+        vbits = (
+            (masked[:, None] >> np.arange(bps - 1, -1, -1, dtype=np.int64)) & 1
+        ).astype(np.uint8)
+        bw.write_bits(vbits.ravel())
         return
     _cost, order, res, k = best
     bw.write(0, 1)
     bw.write(8 | order, 6)  # FIXED, order 0-2
     bw.write(0, 1)  # no wasted bits
-    for v in x[:order]:
-        bw.write(v, bps)
+    for v in arr[:order]:
+        bw.write(int(v), bps)
     bw.write(0, 2)  # residual method: 4-bit Rice
     bw.write(0, 4)  # partition order 0 (single partition)
     bw.write(k, 4)
@@ -3049,8 +3125,11 @@ def encode_flac(
         raise ValueError("bad stereo_mode")
     if stereo_mode != "independent" and n_channels != 2:
         raise ValueError("stereo decorrelation needs exactly 2 channels")
+    import numpy as np
+
     n_frames_total = len(samples) // n_channels
-    chans = [samples[c::n_channels] for c in range(n_channels)]
+    _arr = np.asarray(samples, dtype=np.int64)
+    chans = [_arr[c::n_channels] for c in range(n_channels)]
     # STREAMINFO (34 bytes)
     si = _FlacBitWriter()
     si.write(block_size, 16)
@@ -3070,13 +3149,15 @@ def encode_flac(
         sub = [c[start : start + bs] for c in chans]
         if n_channels == 2 and stereo_mode != "independent":
             left, right = sub
-            side = [l - r for l, r in zip(left, right)]
+            side = left - right
             if stereo_mode == "left_side":
                 asgn, sub, bps_extra = 8, [left, side], [0, 1]
             elif stereo_mode == "right_side":
                 asgn, sub, bps_extra = 9, [side, right], [1, 0]
             else:
-                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                # int64 >> floors toward -inf, same as the Python >> the
+                # scalar form used
+                mid = (left + right) >> 1
                 asgn, sub, bps_extra = 10, [mid, side], [0, 1]
         else:
             asgn, bps_extra = n_channels - 1, [0] * n_channels

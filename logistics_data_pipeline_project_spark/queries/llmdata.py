@@ -9359,6 +9359,7 @@ def q231_audio_flac_decode_audit(spark: SparkSession, sf_dir: str):
     from ..operators.multimodal import audio_frame_features
 
     def gen(batches):
+        import numpy as _np
         import pandas as _pd
 
         from ..operators.multimodal import encode_flac
@@ -9372,10 +9373,12 @@ def q231_audio_flac_decode_audit(spark: SparkSession, sf_dir: str):
                 a = 200 + (doc_id % 3) * 200
                 b = (doc_id % 5) * 200
                 n = _AUDIO_FRAME * (2 + doc_id % 3)
-                inter = []
-                for i in range(n):
-                    left = a if (i % period) < period // 2 else -a
-                    inter += [left, b]
+                # vectorized square-wave synthesis — same samples as the
+                # per-index Python loop, ~10x less worker CPU
+                i = _np.arange(n, dtype=_np.int64)
+                inter = _np.empty(2 * n, dtype=_np.int64)
+                inter[0::2] = _np.where((i % period) < period // 2, a, -a)
+                inter[1::2] = b
                 out.append(
                     {
                         "doc_id": doc_id,
