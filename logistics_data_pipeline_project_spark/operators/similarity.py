@@ -381,6 +381,9 @@ def ivf_topk(
     by rounded cosine desc with cand_id tiebreak (engine-stable).
     """
     assigned, cents = kmeans_cells(embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter)
+    # assigned feeds BOTH the probe and the candidate side — materialize
+    # so the final assignment (an Arrow pass over the corpus) runs once
+    assigned = assigned.localCheckpoint(eager=False)
     probe = (
         assigned.filter(F.col("id").isin(query_ids))
         .select(
@@ -758,6 +761,7 @@ def pq_kmeans(
     ksub: int = 8,
     n_iter: int = 2,
     assign_impl: str = "pandas",
+    dim: int | None = None,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Product-quantizer training: split every vector into ``m``
     subvectors and run deterministic Lloyd k-means (``ksub`` centroids,
@@ -773,17 +777,22 @@ def pq_kmeans(
     Returns ``(assigned, codebooks)``: assigned = (id, s, sv, code,
     sq_err) under the final codebooks; codebooks[s][code] = centroid.
     """
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
-        empty = embeddings.select(
-            F.col(id_col).alias("id"),
-            F.lit(0).alias("s"),
-            F.array().cast("array<double>").alias("sv"),
-            F.lit(0).alias("code"),
-            F.lit(0.0).alias("sq_err"),
-        )
-        return empty, []
-    dim = dim_row["d"]
+    if dim is None:
+        # callers that already know the width (ivf_pq_topk: the coarse
+        # centroid length) pass it and skip this probe job — on a
+        # lazily-checkpointed input the .first() otherwise forces a full
+        # materialization pass of its own
+        dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+        if dim_row is None:
+            empty = embeddings.select(
+                F.col(id_col).alias("id"),
+                F.lit(0).alias("s"),
+                F.array().cast("array<double>").alias("sv"),
+                F.lit(0).alias("code"),
+                F.lit(0.0).alias("sq_err"),
+            )
+            return empty, []
+        dim = dim_row["d"]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     dsub = dim // m
@@ -981,6 +990,9 @@ def ivf_pq_topk(
     coarse, ccents = kmeans_cells(
         embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter
     )
+    # coarse feeds the residual build AND the query probe — materialize
+    # so the final coarse assignment (an Arrow pass) runs once
+    coarse = coarse.localCheckpoint(eager=False)
     if not ccents:
         return coarse.select(
             F.col("id").alias("query_id"),
@@ -1007,7 +1019,10 @@ def ivf_pq_topk(
     # query-residual probe — materialize once so the coarse assignment
     # (an Arrow pass over the corpus) does not recompute per consumer
     res = res.localCheckpoint(eager=False)
-    pq_assigned, pcents = pq_kmeans(res, "id", "v", m=m, ksub=ksub, n_iter=n_iter)
+    pq_assigned, pcents = pq_kmeans(
+        res, "id", "v", m=m, ksub=ksub, n_iter=n_iter,
+        dim=len(ccents[0][1]),
+    )
     if not pcents:
         return _empty_topk(embeddings, id_col)
     codes = _codes_array(pq_assigned)
@@ -1048,6 +1063,79 @@ def ivf_pq_topk(
     return _adc_topk(cand, qdf, m, k, round_to, join_on="cell")
 
 
+def _cell_threshold_pairs_pandas(
+    assigned: DataFrame,
+    threshold: float,
+    margin: float = 2e-4,
+    chunk_rows: int = 256,
+) -> DataFrame:
+    """All ordered in-cell pairs (id1 < id2) whose RAW cosine is within
+    ``margin`` below ``threshold`` or above — the numpy fast path for
+    ``semantic_dedup``'s verify stage, bit-deterministic like
+    ``block_nn_pairs_pandas``: dots and squared norms use
+    ``np.add.accumulate`` (strict left-to-right — the exact order of the
+    JVM ``F.aggregate`` fold and DuckDB's ``list_sum``), and the cosine
+    is ``dot / (sqrt(s1) * sqrt(s2))`` — the same multiply-then-divide
+    the ``_dot / (_norm * _norm)`` expression performs, so every emitted
+    raw score is bit-identical to the expression path.  The caller
+    rounds and applies the exact threshold Spark-side; ``margin`` covers
+    the worst the 4-decimal rounding can move a value (≤5e-5 + ulp), so
+    no qualifying pair is lost.  Emitting only near/above-threshold
+    pairs keeps the Arrow transfer O(qualifying pairs), not Σ|cell|²."""
+    import numpy as np
+    import pandas as pd
+
+    cut = threshold - margin
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "cell": pd.Series([], dtype="int32"),
+                "id1": pd.Series([], dtype="int64"),
+                "id2": pd.Series([], dtype="int64"),
+                "cosine_raw": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.sqrt(np.add.accumulate(m * m, axis=1)[:, -1])
+        denom = norms[:, None] * norms[None, :]
+        out_i, out_j, out_c = [], [], []
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            prod = m[s:e, None, :] * m[None, :, :]
+            dots = np.add.accumulate(prod, axis=2)[:, :, -1]
+            cos = dots / denom[s:e]
+            ci, cj = np.nonzero(cos >= cut)
+            keep = ids[ci + s] < ids[cj]  # ordered pairs only
+            out_i.append(ids[ci + s][keep])
+            out_j.append(ids[cj][keep])
+            out_c.append(cos[ci, cj][keep])
+        if not out_i:
+            return empty
+        return pd.DataFrame(
+            {
+                "cell": np.int32(pdf["cell"].iloc[0]),
+                "id1": np.concatenate(out_i),
+                "id2": np.concatenate(out_j),
+                "cosine_raw": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        assigned.select("cell", "id", "v")
+        .groupBy("cell")
+        .applyInPandas(
+            score_cell,
+            schema="cell int, id1 long, id2 long, cosine_raw double",
+        )
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     id_col: str,
@@ -1075,19 +1163,15 @@ def semantic_dedup(
     assigned, _ = kmeans_cells(
         embeddings, id_col, vec_col, k=n_cells, n_iter=n_iter
     )
-    a = assigned.select(
-        "cell", F.col("id").alias("id1"), F.col("v").alias("v1")
-    )
-    b = assigned.select(
-        "cell", F.col("id").alias("id2"), F.col("v").alias("v2")
-    )
-    pairs = a.join(b, "cell").filter(F.col("id1") < F.col("id2"))
-    cos = F.round(
-        _dot("v1", "v2") / (_norm("v1") * _norm("v2")), round_to
-    ).cast("double")
-    cand = pairs.withColumn("cosine", cos).filter(
-        F.col("cosine") >= threshold
-    )
+    # In-cell pair scoring runs vectorized (one numpy pass per cell with
+    # the JVM fold's exact accumulation order — see
+    # _cell_threshold_pairs_pandas) instead of Σ|cell|² interpreted
+    # zip_with/aggregate folds on the self-join output; profiled 10+
+    # CPU-s → ~1 at sf0.1.  Rounding and the EXACT threshold stay
+    # Spark-side on the bit-identical raw score.
+    cand = _cell_threshold_pairs_pandas(assigned, threshold).withColumn(
+        "cosine", F.round(F.col("cosine_raw"), round_to).cast("double")
+    ).filter(F.col("cosine") >= threshold)
     w = Window.partitionBy("id2").orderBy(F.asc("id1"))
     return (
         cand.withColumn("rn", F.row_number().over(w))
