@@ -679,18 +679,18 @@ def prefix_filter_jaccard_pairs(
         F.row_number().over(w).alias("pos"),
         F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("sz"),
     )
-    # ranked feeds BOTH prefix sides of the self-join AND (below) the
-    # per-doc set table — checkpoint it so the df-join + double-window
-    # pipeline materializes once, and so the set aggregate can reuse the
-    # window's id-partitioning (localCheckpoint preserves it) instead of
-    # paying its own exchange over the token stream (guide §2.4: two
-    # operations keyed the same way share one exchange).
-    ranked = ranked.localCheckpoint(eager=False)
     # p = sz − ceil(t·sz) + 1, all-integer
     pref = ranked.filter(
         F.col("pos")
         <= F.col("sz") - F.expr(f"({num} * sz + {den} - 1) DIV {den}") + F.lit(1)
     )
+    # both sides of the self-join below are THIS frame — checkpoint so
+    # the df-join + double-window pipeline materializes once.  NOTE
+    # (r10): checkpointing the FULL `ranked` stream here instead (to
+    # share its id-partitioning with the set aggregate) looked good at
+    # sf0.1 but stored the whole (token, pos, sz) stream and measured
+    # +40% executor CPU at x20 — reverted to the small prefix subset.
+    pref = pref.localCheckpoint(eager=False)
     a, b = pref.alias("a"), pref.alias("b")
     # length filter (Arasu et al.): J ≥ t ⇒ t·max(sa,sb) ≤ min(sa,sb),
     # so size-incompatible collisions drop inside the join before the
@@ -724,11 +724,10 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    # Set table from the checkpointed ranked rows (shingles are already
+    # Set table from the checkpointed token stream (shingles are already
     # distinct per doc, so collect_list ≡ collect_set; intersection SIZE
-    # is order-independent, so no sort is needed) — zero new exchanges:
-    # the aggregate rides the window's id-partitioning.
-    sets = ranked.groupBy(id_col).agg(
+    # is order-independent, so the old sort_array was wasted work).
+    sets = tok.groupBy(id_col).agg(
         F.collect_list("token").alias("toks"),
         F.count(F.lit(1)).alias("sz"),
     )
