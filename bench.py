@@ -198,7 +198,16 @@ class _PyCpuProbe:
             pid = int(ent)
             ppid[pid] = pp
             ticks[pid] = t
-            if b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
+            if (
+                b"pyspark.daemon" in cmd
+                or b"pyspark.worker" in cmd
+                or (
+                    b"pyspark_zipfast_daemon" in cmd
+                    # the conf string also appears in the JVM argv:
+                    # only python processes are worker-tree roots
+                    and b"python" in cmd.split(b"\x00", 1)[0]
+                )  # r11 daemon shim
+            ):
                 roots.add(pid)
         # forked workers keep the daemon's argv so they match directly;
         # the closure walk catches any descendant that rewrote argv[0]

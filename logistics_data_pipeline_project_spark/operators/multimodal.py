@@ -875,38 +875,48 @@ def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
     part of the stream per the GIF89a spec."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    # (prefix_code << 8 | byte) -> code: int keys instead of growing
+    # bytes keys — same dictionary contents, far cheaper per input byte
+    table: dict[int, int] = {}
     next_code = eoi + 1
     out = bytearray()
     buf = 0
     nbits = 0
-
-    def width() -> int:
-        return min(12, max(min_code_size + 1, next_code.bit_length()))
+    mcs1 = min_code_size + 1
 
     def emit(code: int) -> None:
         nonlocal buf, nbits
+        w = next_code.bit_length()
+        if w < mcs1:
+            w = mcs1
+        elif w > 12:
+            w = 12
         buf |= code << nbits
-        nbits += width()
+        nbits += w
         while nbits >= 8:
             out.append(buf & 0xFF)
             buf >>= 8
             nbits -= 8
 
     emit(clear)
-    w = b""
+    cur = -1
+    get = table.get
     for b in data:
-        wc = w + bytes([b])
-        if wc in table:
-            w = wc
+        if cur < 0:
+            cur = b
             continue
-        emit(table[w])
+        key = (cur << 8) | b
+        nxt = get(key)
+        if nxt is not None:
+            cur = nxt
+            continue
+        emit(cur)
         if next_code < 4096:
-            table[wc] = next_code
+            table[key] = next_code
             next_code += 1
-        w = wc[-1:]
-    if w:
-        emit(table[w])
+        cur = b
+    if cur >= 0:
+        emit(cur)
     emit(eoi)
     if nbits:
         out.append(buf & 0xFF)
@@ -923,32 +933,37 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
     pos = 0
     buf = 0
     nbits = 0
+    n = len(data)
+    mcs1 = min_code_size + 1
 
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table: list[bytes] = list(roots)
     next_code = eoi + 1
     out = bytearray()
     prev: bytes | None = None
 
-    def read_code() -> int | None:
-        nonlocal pos, buf, nbits
-        w = min(12, max(min_code_size + 1, (next_code + 1).bit_length()))
+    # bit reading inlined (the per-code closure call dominated): the
+    # reader's width lags the writer's dictionary by exactly one entry,
+    # so the read width derives from next_code + 1
+    while True:
+        w = (next_code + 1).bit_length()
+        if w < mcs1:
+            w = mcs1
+        elif w > 12:
+            w = 12
         while nbits < w:
-            if pos >= len(data):
-                return None
+            if pos >= n:
+                return bytes(out)  # truncated stream: same as old None
             buf |= data[pos] << nbits
             pos += 1
             nbits += 8
         code = buf & ((1 << w) - 1)
         buf >>= w
         nbits -= w
-        return code
-
-    while True:
-        code = read_code()
-        if code is None or code == eoi:
-            break
+        if code == eoi:
+            return bytes(out)
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = list(roots)
             next_code = eoi + 1
             prev = None
             continue
@@ -963,7 +978,6 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
             table.append(prev + entry[:1])
             next_code += 1
         prev = entry
-    return bytes(out)
 
 
 #: GIF interlace passes: (first row, row step) in storage order.
@@ -1343,8 +1357,19 @@ def jpeg_qtable(quality: int) -> list[int]:
     return [max(1, min(255, (t * scale + 50) // 100)) for t in _JPEG_STD_QT]
 
 
+_jpeg_huff_cache: dict = {}
+
+
 def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """T.81 Annex C code assignment: symbol -> (code, length)."""
+    """T.81 Annex C code assignment: symbol -> (code, length).
+
+    Cached by table content: encoders call this once per image but the
+    tables are almost always the standard Annex K sets, and building the
+    dict was a measurable share of small-image encodes."""
+    key = ("enc", bytes(bits), bytes(vals))
+    cached = _jpeg_huff_cache.get(key)
+    if cached is not None:
+        return cached
     codes: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -1353,6 +1378,7 @@ def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[in
             code += 1
             k += 1
         code <<= 1
+    _jpeg_huff_cache[key] = codes
     return codes
 
 
@@ -1493,7 +1519,10 @@ def encode_jpeg(
         cbh, cbw = mcuy * fv, mcux * fh  # component block grid
         padded = padded - 128.0
         blocks = padded.reshape(cbh, 8, cbw, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ij,yxjk,lk->yxil", c, blocks, c)
+        # batched DCT: C @ B @ C.T per block via matmul (einsum's
+        # per-call overhead dominated at fixture block counts); golden
+        # byte-equality pins the output
+        coef = (c @ blocks) @ c.T
         q = np.asarray(q_tab, dtype=np.float64).reshape(8, 8)
         ratio = coef / q
         quants.append(
@@ -1639,13 +1668,13 @@ def _jpeg_progressive_scans(
 
     def scan_blocks(ci):
         # the REAL component grid (non-interleaved scans never carry
-        # MCU padding blocks)
+        # MCU padding blocks); plain int lists for the coefficient loops
         fh, fv = factors[ci]
         cw = (width * fh + hmax - 1) // hmax
         chh = (height * fv + vmax - 1) // vmax
         for by in range((chh + 7) // 8):
             for bx in range((cw + 7) // 8):
-                yield quants[ci][by, bx].reshape(64)[zz]
+                yield quants[ci][by, bx].reshape(64)[zz].tolist()
 
     scans: list[tuple[bytes, bytes]] = []
     # ---- DC first scan: difference chain on the Al=1 point transform
@@ -1684,7 +1713,7 @@ def _jpeg_progressive_scans(
         for zig in scan_blocks(ci):
             run = 0
             for k in range(ss, se + 1):
-                t = int(zig[k])
+                t = zig[k]
                 a = abs(t) >> 1
                 if a == 0:
                     run += 1
@@ -1734,7 +1763,7 @@ def _jpeg_progressive_scans(
                 eobrun = 0
 
         for zig in scan_blocks(ci):
-            absv = [abs(int(zig[k])) for k in range(64)]
+            absv = [abs(t) for t in zig]
             eobpos = 0  # last NEWLY-nonzero position in the band
             for k in range(ss, se + 1):
                 if absv[k] == 1:
@@ -1760,7 +1789,7 @@ def _jpeg_progressive_scans(
                 flush_eob()
                 code, ln = acp[(r << 4) | 1]
                 w.write(code, ln)
-                w.write(1 if int(zig[k]) > 0 else 0, 1)
+                w.write(1 if zig[k] > 0 else 0, 1)
                 for b in br:
                     w.write(b, 1)
                 br = []
@@ -1784,85 +1813,166 @@ def _jpeg_write_block(
     dc_codes: dict,
     ac_codes: dict,
 ) -> None:
-    """Entropy-code one quantized 8x8 block (DC diff + RLE AC)."""
-    import numpy as np
-
-    zig = block.reshape(64)[zz]
-    dc = int(zig[0])
+    """Entropy-code one quantized 8x8 block (DC diff + RLE AC).
+    Works on plain Python ints (one ``tolist`` per block) — per-element
+    numpy scalar reads and the np.any/np.nonzero last-coefficient probe
+    were the dominant cost of small-image encodes."""
+    zig = block.reshape(64)[zz].tolist()
+    dc = zig[0]
     diff = dc - prev_dc[comp]
     prev_dc[comp] = dc
-    s = _jpeg_category(diff)
+    s = abs(diff).bit_length()
     code, length = dc_codes[s]
-    writer.write(code, length)
+    write = writer.write
+    write(code, length)
     if s:
-        writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    last_nz = 63
+    while last_nz > 0 and zig[last_nz] == 0:
+        last_nz -= 1
     run = 0
-    last_nz = int(np.max(np.nonzero(zig)[0])) if np.any(zig) else 0
     for k in range(1, 64):
-        v = int(zig[k])
+        v = zig[k]
         if v == 0:
             if k > last_nz:
                 code, length = ac_codes[0x00]  # EOB
-                writer.write(code, length)
+                write(code, length)
                 break
             run += 1
             if run == 16:
                 code, length = ac_codes[0xF0]  # ZRL
-                writer.write(code, length)
+                write(code, length)
                 run = 0
             continue
-        s = _jpeg_category(v)
+        s = abs(v).bit_length()
         code, length = ac_codes[(run << 4) | s]
-        writer.write(code, length)
-        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        write(code, length)
+        write(v if v > 0 else v + (1 << s) - 1, s)
         run = 0
 
 
-def _build_huffman_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, inverse of _build_huffman_codes."""
-    table: dict[tuple[int, int], int] = {}
-    code, k = 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+class _JpegHuffDecode:
+    """Canonical Huffman decode tables (T.81 F.16) plus an 8-bit prefix
+    LUT: ``lut[p]`` holds ``(symbol << 5) | code_length`` when the top 8
+    bits ``p`` start with a complete code of length <= 8, else -1.
+    ``mincode``/``maxcode``/``valptr`` (1-indexed by length, maxcode -1
+    for empty lengths) drive the exact canonical walk for longer codes.
+    Decodes the identical code->symbol mapping as the old
+    (length, code)->symbol dict — only the lookup machinery changed."""
+
+    __slots__ = ("lut", "mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.vals = list(vals)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.lut = [-1] * 256
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                for _ in range(n):
+                    if length <= 8:
+                        sym_entry = (vals[k] << 5) | length
+                        base = code << (8 - length)
+                        for suffix in range(1 << (8 - length)):
+                            self.lut[base | suffix] = sym_entry
+                    code += 1
+                    k += 1
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+def _build_huffman_decode(bits: list[int], vals: list[int]) -> _JpegHuffDecode:
+    """Decode-table builder (inverse of _build_huffman_codes), cached by
+    table content like the encode side."""
+    key = ("dec", bytes(bits), bytes(vals))
+    cached = _jpeg_huff_cache.get(key)
+    if cached is None:
+        cached = _jpeg_huff_cache[key] = _JpegHuffDecode(bits, vals)
+    return cached
 
 
 class _BitReader:
-    """MSB-first reader over a de-stuffed JPEG entropy segment."""
+    """MSB-first reader over a de-stuffed JPEG entropy segment, with a
+    bit accumulator (int-aligned fills instead of per-bit byte math) and
+    LUT/canonical Huffman decode. Raises the same errors at the same
+    consumption points as the original per-bit reader: consuming past
+    the real end is "truncated"; a 16-bit walk with no code match is
+    "invalid"."""
+
+    __slots__ = ("data", "nbytes", "byte_i", "acc", "navail")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0
-        self.bit = 0
+        self.nbytes = len(data)
+        self.byte_i = 0  # next unread byte
+        self.acc = 0  # LSB-aligned buffer of navail unconsumed bits
+        self.navail = 0
+
+    def _fill(self) -> None:
+        # top up to ~24 bits so a 16-bit Huffman peek never re-fills;
+        # drop already-consumed high bits so acc stays a small int
+        data, i, n = self.data, self.byte_i, self.nbytes
+        navail = self.navail
+        acc = self.acc & ((1 << navail) - 1)
+        while navail <= 16 and i < n:
+            acc = (acc << 8) | data[i]
+            i += 1
+            navail += 8
+        self.acc, self.navail, self.byte_i = acc, navail, i
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy stream truncated")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+        if not self.navail:
+            if self.byte_i >= self.nbytes:
+                raise ValueError("JPEG entropy stream truncated")
+            self.acc = self.data[self.byte_i]
+            self.byte_i += 1
+            self.navail = 8
+        self.navail -= 1
+        return (self.acc >> self.navail) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if self.navail < n:
+            self._fill()
+            if self.navail < n:
+                raise ValueError("JPEG entropy stream truncated")
+        self.navail -= n
+        v = (self.acc >> self.navail) & ((1 << n) - 1)
+        self.acc &= (1 << self.navail) - 1  # keep the int small
         return v
 
-    def read_huffman(self, table: dict[tuple[int, int], int]) -> int:
+    def read_huffman(self, table: _JpegHuffDecode) -> int:
+        navail = self.navail
+        if navail < 16:
+            self._fill()
+            navail = self.navail
+        acc = self.acc
+        if navail >= 16:
+            e = table.lut[(acc >> (navail - 8)) & 0xFF]
+            if e >= 0:
+                self.navail = navail - (e & 31)
+                return e >> 5
+            maxcode = table.maxcode
+            for length in range(9, 17):
+                code = (acc >> (navail - length)) & ((1 << length) - 1)
+                if code <= maxcode[length] and code >= table.mincode[length]:
+                    self.navail = navail - length
+                    return table.vals[
+                        table.valptr[length] + code - table.mincode[length]
+                    ]
+            raise ValueError("invalid JPEG Huffman code")
+        # end-of-segment tail: per-bit walk, original truncation semantics
+        mincode, maxcode = table.mincode, table.maxcode
         code, length = 0, 0
         while length < 16:
             code = (code << 1) | self.read_bit()
             length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
+            if mincode[length] <= code <= maxcode[length]:
+                return table.vals[table.valptr[length] + code - mincode[length]]
         raise ValueError("invalid JPEG Huffman code")
 
 
@@ -1874,16 +1984,20 @@ def _jpeg_extend(v: int, s: int) -> int:
 def _jpeg_seq_block(reader, row, dc_t, ac_t, prev_dc, si) -> None:
     """Decode one FULL sequential data unit (DC difference + run/size
     AC coefficients, T.81 F.2.2) into ``row`` — the block's 64-entry
-    zigzag-indexed coefficient slice. Shared by the single-interleaved-
-    scan baseline path and the multi-scan sequential path (per-scan DC
-    predictor chains, reset at restart intervals by the caller)."""
-    s = reader.read_huffman(dc_t)
-    diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
-    prev_dc[si] += diff
+    zigzag-indexed coefficient slice (a plain Python list: per-item
+    numpy scalar stores were the hot cost). Shared by the single-
+    interleaved-scan baseline path and the multi-scan sequential path
+    (per-scan DC predictor chains, reset at restart intervals by the
+    caller)."""
+    read_huffman, read_bits = reader.read_huffman, reader.read_bits
+    s = read_huffman(dc_t)
+    if s:
+        v = read_bits(s)
+        prev_dc[si] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
     row[0] = prev_dc[si]
     k = 1
     while k < 64:
-        sym = reader.read_huffman(ac_t)
+        sym = read_huffman(ac_t)
         if sym == 0x00:  # EOB
             break
         run, s = sym >> 4, sym & 0x0F
@@ -1895,7 +2009,8 @@ def _jpeg_seq_block(reader, row, dc_t, ac_t, prev_dc, si) -> None:
         k += run
         if k > 63:
             raise ValueError("JPEG AC run overflows block")
-        row[k] = _jpeg_extend(reader.read_bits(s), s)
+        v = read_bits(s)
+        row[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         k += 1
 
 
@@ -1904,14 +2019,15 @@ def _jpeg_dc_unit(reader, row, bidx, dc_t, pred, si, ah, al) -> None:
     first scan (Ah=0) runs the usual difference chain on the
     point-transformed value and stores it at precision Al; refinement
     scans carry exactly one raw bit per block, OR-ed in at bit Al
-    (two's complement — works for negative DC by construction)."""
+    (two's complement — works for negative DC by construction).
+    ``row`` is the component's list-of-lists coefficient plane."""
     if ah == 0:
         s = reader.read_huffman(dc_t)
         diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
         pred[si] += diff
-        row[bidx, 0] = pred[si] << al
+        row[bidx][0] = pred[si] << al
     elif reader.read_bit():
-        row[bidx, 0] |= 1 << al
+        row[bidx][0] |= 1 << al
 
 
 def _jpeg_ac_first(reader, ac_t, row, ss, se, al, eob) -> None:
@@ -1969,7 +2085,7 @@ def _jpeg_ac_refine(reader, ac_t, row, ss, se, al, eob) -> None:
                     raise ValueError("bad JPEG AC refinement symbol")
                 val = p1 if reader.read_bit() else -p1
             while k <= se:
-                v = int(row[k])
+                v = row[k]
                 if v != 0:
                     if reader.read_bit() and (abs(v) & p1) == 0:
                         row[k] = v + p1 if v > 0 else v - p1
@@ -1983,7 +2099,7 @@ def _jpeg_ac_refine(reader, ac_t, row, ss, se, al, eob) -> None:
             k += 1
     if eob[0] > 0:
         while k <= se:
-            v = int(row[k])
+            v = row[k]
             if v != 0:
                 if reader.read_bit() and (abs(v) & p1) == 0:
                     row[k] = v + p1 if v > 0 else v - p1
@@ -2188,9 +2304,12 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         comp["sw"] = (cw + 7) // 8
         comp["sh"] = (chh + 7) // 8
     # coefficients accumulate across scans in ZIGZAG order (progressive
-    # bands are zigzag ranges); integer-exact until dequantization
+    # bands are zigzag ranges); integer-exact until dequantization.
+    # Plain nested lists: the entropy decode writes one coefficient at a
+    # time, and Python-list item stores are ~10x cheaper than numpy
+    # scalar stores; converted to an ndarray once, after all scans.
     quant = [
-        np.zeros((comp["bh"] * comp["bw"], 64), dtype=np.int64)
+        [[0] * 64 for _ in range(comp["bh"] * comp["bw"])]
         for comp in comps
     ]
 
@@ -2323,10 +2442,15 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     for ci, comp in enumerate(comps):
         q = np.asarray(qtables[comp["qt"]], dtype=np.float64)
         nb = comp["bh"] * comp["bw"]
-        natural = np.zeros_like(quant[ci])
-        natural[:, zzarr] = quant[ci]  # de-zigzag all blocks at once
+        zigzagged = np.array(quant[ci], dtype=np.int64)
+        natural = np.zeros_like(zigzagged)
+        natural[:, zzarr] = zigzagged  # de-zigzag all blocks at once
         coef = (natural.astype(np.float64) * q).reshape(nb, 8, 8)
-        spatial = np.einsum("ji,bjk,kl->bil", c, coef, c) + 128.0
+        # batched IDCT: (C.T @ X) @ C per block. matmul replaces the
+        # einsum formulation (identical contraction, far lower per-call
+        # overhead on small block counts); byte-equality over the golden
+        # corpus (noise/gradient/tiles, all modes) pins the output.
+        spatial = (c.T @ coef) @ c + 128.0
         # crop to the component's true dims (T.81 A.1.1: ceil(D*f/fmax)),
         # then replicate-upsample back to full resolution
         cw = (width * comp["h"] + hmax - 1) // hmax
@@ -2928,6 +3052,25 @@ _CRC8_TABLE = _make_crc_table(0x07, 8)
 _CRC16_TABLE = _make_crc_table(0x8005, 16)
 
 
+def _crc16_slice8_tables() -> list[list[int]]:
+    """Slicing-by-8 tables for the FLAC CRC-16 (the standard technique
+    from Intel's slicing-by-N papers): ``T[j][b]`` is the CRC register
+    contribution of byte ``b`` followed by ``j`` zero bytes, so eight
+    bytes fold into the register with eight lookups instead of eight
+    dependent shift/xor steps."""
+    t0 = _CRC16_TABLE
+    tables = [list(t0)]
+    for _ in range(7):
+        prev = tables[-1]
+        tables.append(
+            [((v << 8) & 0xFFFF) ^ t0[v >> 8] for v in prev]
+        )
+    return tables
+
+
+_CRC16_T8 = _crc16_slice8_tables()
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8 poly 0x07 (FLAC frame-header CRC) — table-driven (byte at a
     time; bit-identical to the textbook bit loop)."""
@@ -2939,11 +3082,29 @@ def _crc8(data: bytes) -> int:
 
 
 def _crc16(data: bytes) -> int:
-    """CRC-16 poly 0x8005 init 0 (FLAC whole-frame CRC) — table-driven."""
+    """CRC-16 poly 0x8005 init 0 (FLAC whole-frame CRC) — slicing-by-8
+    table lookups (8 bytes per loop iteration), byte-at-a-time tail.
+    Bit-identical to the one-byte table loop."""
     c = 0
+    t0, t1, t2, t3, t4, t5, t6, t7 = _CRC16_T8
+    n = len(data)
+    m = n - (n % 8)
+    i = 0
+    while i < m:
+        c = (
+            t7[data[i] ^ (c >> 8)]
+            ^ t6[data[i + 1] ^ (c & 0xFF)]
+            ^ t5[data[i + 2]]
+            ^ t4[data[i + 3]]
+            ^ t3[data[i + 4]]
+            ^ t2[data[i + 5]]
+            ^ t1[data[i + 6]]
+            ^ t0[data[i + 7]]
+        )
+        i += 8
     t = _CRC16_TABLE
-    for b in data:
-        c = ((c << 8) & 0xFFFF) ^ t[(c >> 8) ^ b]
+    for j in range(m, n):
+        c = ((c << 8) & 0xFFFF) ^ t[(c >> 8) ^ data[j]]
     return c
 
 
@@ -3040,17 +3201,25 @@ def _rice_write(bw: _FlacBitWriter, residuals, k: int) -> None:
     bw.write_bits(bits)
 
 
-def _rice_param(residuals) -> int:
-    """Smallest-cost 4-bit Rice parameter (scan 0..14; escape unused) —
-    vectorized over the block, exact integer costs."""
-    u = _zigzag_np(residuals)
+def _rice_param_cost(u) -> tuple[int, int]:
+    """Smallest-cost 4-bit Rice parameter over ZIGZAGGED residuals
+    (scan 0..14; escape unused), plus that cost. One (n, 15) shift
+    matrix + argmin instead of 15 separate reductions; argmin takes the
+    FIRST minimum — the same ties-to-lower-k rule as the old
+    strictly-less scan. Exact integer costs."""
+    import numpy as np
+
     n = len(u)
-    best_k, best_cost = 0, None
-    for k in range(15):
-        cost = int((u >> k).sum()) + n * (1 + k)
-        if best_cost is None or cost < best_cost:
-            best_k, best_cost = k, cost
-    return best_k
+    ks = np.arange(15, dtype=np.int64)
+    costs = np.add.reduce(u[:, None] >> ks[None, :], axis=0) + n * (1 + ks)
+    k = int(costs.argmin())
+    return k, int(costs[k])
+
+
+def _rice_param(residuals) -> int:
+    """Smallest-cost 4-bit Rice parameter (kept for callers/tests that
+    probe it directly)."""
+    return _rice_param_cost(_zigzag_np(residuals))[0]
 
 
 def _flac_write_subframe(
@@ -3076,8 +3245,7 @@ def _flac_write_subframe(
         res = _flac_fixed_residual(arr, order)
         if len(res) and int(max(res.max(), -res.min())) >= (1 << 30):
             continue
-        k = _rice_param(res)
-        cost = int((_zigzag_np(res) >> k).sum()) + len(res) * (1 + k)
+        k, cost = _rice_param_cost(_zigzag_np(res))
         if best is None or cost < best[0]:
             best = (cost, order, res, k)
     if best is None or best[0] > n * bps:  # Rice loses: verbatim

@@ -6768,19 +6768,21 @@ def q199_jpeg_codec_audit(spark: SparkSession, sf_dir: str):
     w_px, h_px = _JPEG_TILES_X * 8, _JPEG_TILES_Y * 8
 
     def gen(batches):
+        import numpy as _np
         import pandas as _pd
 
         from ..operators.multimodal import encode_jpeg
 
+        # tile index per pixel is doc-independent: build it once per task
+        tiles = (
+            (_np.arange(h_px)[:, None] // 8) * _JPEG_TILES_X
+            + _np.arange(w_px)[None, :] // 8
+        ).ravel()
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                raw = bytes(
-                    (doc_id * 7 + 31 * ((y // 8) * _JPEG_TILES_X + x // 8)) % 256
-                    for y in range(h_px)
-                    for x in range(w_px)
-                )
+                raw = ((doc_id * 7 + 31 * tiles) % 256).astype(_np.uint8).tobytes()
                 out.append(
                     {"doc_id": doc_id, "payload": encode_jpeg(w_px, h_px, raw, qtable=[8] * 64)}
                 )
@@ -7554,20 +7556,23 @@ def q209_jpeg_color_audit(spark: SparkSession, sf_dir: str):
     w_px, h_px = _JPEG_TILES_X * 8, _JPEG_TILES_Y * 8
 
     def gen(batches):
+        import numpy as _np
         import pandas as _pd
 
         from ..operators.multimodal import encode_jpeg
 
+        tiles = _np.repeat(
+            (
+                (_np.arange(h_px)[:, None] // 8) * _JPEG_TILES_X
+                + _np.arange(w_px)[None, :] // 8
+            ).ravel(),
+            3,  # R=G=B
+        )
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                raw = bytes(
-                    (doc_id * 13 + 29 * ((y // 8) * _JPEG_TILES_X + x // 8)) % 256
-                    for y in range(h_px)
-                    for x in range(w_px)
-                    for _c in range(3)
-                )
+                raw = ((doc_id * 13 + 29 * tiles) % 256).astype(_np.uint8).tobytes()
                 out.append(
                     {
                         "doc_id": doc_id,
@@ -7729,24 +7734,32 @@ def q213_jpeg_subsampled_audit(spark: SparkSession, sf_dir: str):
     modes = (("420", 16, 16, 0), ("422", 16, 8, 101))
 
     def gen(batches):
+        import numpy as _np
         import pandas as _pd
 
         from ..operators.multimodal import encode_jpeg
 
+        # per-mode pixel->tile maps are doc-independent: build once per task
+        mode_tiles = []
+        for mode, mw, mh, moff in modes:
+            mcux = -(-w_px // mw)
+            tiles = _np.repeat(
+                (
+                    (_np.arange(h_px)[:, None] // mh) * mcux
+                    + _np.arange(w_px)[None, :] // mw
+                ).ravel(),
+                3,
+            )
+            mode_tiles.append((mode, moff, tiles))
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                for mi, (mode, mw, mh, moff) in enumerate(modes):
-                    mcux = -(-w_px // mw)
-                    raw = bytes(
-                        v
-                        for y in range(h_px)
-                        for x in range(w_px)
-                        for v in [
-                            (doc_id * 11 + 37 * ((y // mh) * mcux + x // mw)
-                             + moff) % 256
-                        ] * 3
+                for mi, (mode, moff, tiles) in enumerate(mode_tiles):
+                    raw = (
+                        ((doc_id * 11 + 37 * tiles + moff) % 256)
+                        .astype(_np.uint8)
+                        .tobytes()
                     )
                     out.append(
                         {
@@ -8433,6 +8446,24 @@ def _dhash_px(doc_key: int, x: int, y: int) -> int:
     return hashlib.md5(f"{doc_key}:{x}:{y}".encode()).digest()[0]
 
 
+# precomputed ":x:y" tails in row-major pixel order — the md5 inputs are
+# str(g) + tail, so the per-pixel f-string formatting happens once per
+# module import instead of 288 times per image
+_DH_TAILS = [
+    f":{x}:{y}".encode() for y in range(_DH_H) for x in range(_DH_W)
+]
+
+
+def _dhash_pixels(doc_key: int) -> bytes:
+    """All _DH_W*_DH_H pixels of _dhash_px(doc_key, x, y), row-major —
+    byte-identical to the per-pixel calls, ~2x faster (one local md5
+    binding, precomputed key tails)."""
+    from hashlib import md5
+
+    p = str(doc_key).encode()
+    return bytes(md5(p + t).digest()[0] for t in _DH_TAILS)
+
+
 @register(
     "q220_image_dhash_audit",
     tags=("multimodal", "dedup"),
@@ -8473,11 +8504,7 @@ def q220_image_dhash_audit(spark: SparkSession, sf_dir: str):
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                raw = bytes(
-                    _dhash_px(doc_id, x, y)
-                    for y in range(_DH_H)
-                    for x in range(_DH_W)
-                )
+                raw = _dhash_pixels(doc_id)
                 payload = (
                     encode_png(_DH_W, _DH_H, 1, raw)
                     if doc_id % 2 == 0
@@ -8559,9 +8586,7 @@ def q221_image_neardup_pairs(spark: SparkSession, sf_dir: str):
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 g, v = doc_id // 4, doc_id % 4
-                raw = bytearray(
-                    _dhash_px(g, x, y) for y in range(_DH_H) for x in range(_DH_W)
-                )
+                raw = bytearray(_dhash_pixels(g))
                 if v > 0:
                     i = 2 * v * _DH_W + 2 * v
                     raw[i] = (raw[i] + 128) % 256
@@ -8633,19 +8658,20 @@ def q222_jpeg_progressive_audit(spark: SparkSession, sf_dir: str):
     w_px, h_px = _PJPEG_TX * 8, _PJPEG_TY * 8
 
     def gen(batches):
+        import numpy as _np
         import pandas as _pd
 
         from ..operators.multimodal import encode_jpeg
 
+        tiles = (
+            (_np.arange(h_px)[:, None] // 8) * _PJPEG_TX
+            + _np.arange(w_px)[None, :] // 8
+        ).ravel()
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                raw = bytes(
-                    (doc_id * 13 + 41 * ((y // 8) * _PJPEG_TX + x // 8)) % 256
-                    for y in range(h_px)
-                    for x in range(w_px)
-                )
+                raw = ((doc_id * 13 + 41 * tiles) % 256).astype(_np.uint8).tobytes()
                 out.append(
                     {
                         "doc_id": doc_id,
@@ -8954,11 +8980,7 @@ def q226_decode_quarantine_audit(spark: SparkSession, sf_dir: str):
             out = []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                raw = bytes(
-                    _dhash_px(doc_id, x, y)
-                    for y in range(_DH_H)
-                    for x in range(_DH_W)
-                )
+                raw = _dhash_pixels(doc_id)
                 payload = encode_png(_DH_W, _DH_H, 1, raw)
                 if doc_id % 7 == 0:
                     payload = payload[:10]  # partial download
@@ -9052,9 +9074,7 @@ def q227_image_dup_clusters(spark: SparkSession, sf_dir: str):
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 g, v = doc_id // 4, doc_id % 4
-                raw = bytearray(
-                    _dhash_px(g, x, y) for y in range(_DH_H) for x in range(_DH_W)
-                )
+                raw = bytearray(_dhash_pixels(g))
                 if v > 0:
                     i = 2 * v * _DH_W + 2 * v
                     raw[i] = (raw[i] + 128) % 256
@@ -9749,12 +9769,7 @@ def q236_image_orientation_dedup(spark: SparkSession, sf_dir: str):
                 doc_id = int(doc_id)
                 g, o = doc_id // 8, 1 + doc_id % 8
                 upright = _np.frombuffer(
-                    bytes(
-                        _dhash_px(g, x, y)
-                        for y in range(_DH_H)
-                        for x in range(_DH_W)
-                    ),
-                    dtype=_np.uint8,
+                    _dhash_pixels(g), dtype=_np.uint8
                 ).reshape(_DH_H, _DH_W)
                 # store the image AS THE CAMERA WOULD: the inverse of the
                 # upright-restoring transform in orient_pixels

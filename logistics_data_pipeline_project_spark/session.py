@@ -94,7 +94,17 @@ def _zipfast_worker_conf(master: str) -> dict[str, str]:
         os.environ["PYTHONPATH"] = (
             shim_dir + os.pathsep + pypath if pypath else shim_dir
         )
-    return {"spark.python.worker.module": "pyspark_zipfast_worker"}
+    conf = {"spark.python.worker.module": "pyspark_zipfast_worker"}
+    # Round-11 companion shim: stock pyspark.daemon runs a FULL
+    # gc.collect() after EVERY task in the reused-worker loop (~12-31 ms
+    # of CPU per task on a worker heap with pandas/numpy/pyarrow
+    # imported — the dominant remaining per-task Python tax after the
+    # zip-TOC fix).  pyspark_zipfast_daemon swaps it for a gen-1 collect
+    # per task + full collect every 64 tasks.  Same distribution story
+    # as the worker shim (PYTHONPATH locally, --py-files on a cluster).
+    if os.path.isfile(os.path.join(shim_dir, "pyspark_zipfast_daemon.py")):
+        conf["spark.python.daemon.module"] = "pyspark_zipfast_daemon"
+    return conf
 
 
 def get_spark(

@@ -77,6 +77,27 @@ def _invalidate_caches_skip_zip_reread() -> None:
 # as the pyspark daemon/worker entry point (spark.python.worker.module).
 importlib.invalidate_caches = _invalidate_caches_skip_zip_reread
 
+# Loud effectiveness check (fails soft, logs hard): the patch only takes
+# effect because pyspark.worker_util calls ``importlib.invalidate_caches``
+# via attribute lookup on the importlib MODULE (true in Spark 4.1.x).  A
+# pyspark upgrade that switches to ``from importlib import
+# invalidate_caches`` would silently bind the stock function and re-pay
+# the zip-TOC tax — surface that in the executor stderr log instead.
+try:
+    import pyspark.worker_util as _wu
+
+    if getattr(_wu, "importlib", None) is not importlib:
+        sys.stderr.write(
+            "pyspark_zipfast_worker: pyspark.worker_util no longer resolves"
+            " invalidate_caches through the importlib module attribute —"
+            " the zip-TOC shim is INEFFECTIVE on this pyspark version\n"
+        )
+except Exception:  # pragma: no cover - only on drastic pyspark reshapes
+    sys.stderr.write(
+        "pyspark_zipfast_worker: could not verify the worker_util hook;"
+        " the zip-TOC shim may be ineffective\n"
+    )
+
 #: the daemon looks up ``main`` on the configured worker module
 main = _stock_worker.main
 

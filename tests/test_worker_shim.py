@@ -25,7 +25,8 @@ from logistics_data_pipeline_project_spark.session import _zipfast_worker_conf
 
 def test_conf_set_for_local_master():
     conf = _zipfast_worker_conf("local[4]")
-    assert conf == {"spark.python.worker.module": "pyspark_zipfast_worker"}
+    assert conf["spark.python.worker.module"] == "pyspark_zipfast_worker"
+    assert conf["spark.python.daemon.module"] == "pyspark_zipfast_daemon"
     shim_dir = os.path.dirname(os.path.abspath(shim.__file__))
     assert shim_dir in os.environ.get("PYTHONPATH", "").split(os.pathsep)
 

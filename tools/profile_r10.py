@@ -52,7 +52,16 @@ def py_cpu_total() -> float:
         pid = int(ent)
         ppid[pid] = int(rest[1])
         ticks[pid] = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
-        if b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
+        if (
+            b"pyspark.daemon" in cmd
+            or b"pyspark.worker" in cmd
+            or (
+                    b"pyspark_zipfast_daemon" in cmd
+                    # the conf string also appears in the JVM argv:
+                    # only python processes are worker-tree roots
+                    and b"python" in cmd.split(b"\x00", 1)[0]
+                )  # r11 daemon shim
+        ):
             roots.add(pid)
     tree = set(roots)
     changed = True
