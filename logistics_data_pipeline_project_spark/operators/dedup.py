@@ -50,25 +50,97 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, impl: str = "arrow"
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle) rows.
-    Documents shorter than n tokens produce no shingles."""
+    Documents shorter than n tokens produce no shingles.
+
+    Two bit-identical implementations (``impl``):
+
+    - ``"arrow"`` (default): ``lower()`` stays a JVM codegen expression
+      (Java's locale-sensitive lowercasing — İ and final-sigma — differs
+      from Arrow's ``utf8_lower``, verified empirically), then ONE
+      ``mapInArrow`` pass does split/window/per-doc-distinct with
+      vectorized C++ kernels (``split_pattern`` matches Spark's
+      ``split(s, ' ')`` exactly, empties and trailing included —
+      pinned by tests).  The interpreted higher-order ``transform``
+      lambda this replaces ran at ~7x the CPU (2.16 vs 0.30 CPU-s for
+      the sf0.1 corpus) because HOFs forgo whole-stage codegen and pay
+      a per-task interpreter setup multiplied by task count.
+    - ``"expr"``: the round-10 pure-expression form, kept as the
+      equality reference (tests assert identical output, same order).
+
+    String construction is exact (no floating point anywhere), so the
+    twins agree byte-for-byte; row order is first-occurrence per doc in
+    both."""
     # Shingling fans each row out ~|tokens| ways; widen an
-    # under-partitioned scan first so the explode runs on every core.
+    # under-partitioned scan first so the work runs on every core.
     df = fan_out(df)
-    toks = df.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__t")
-    ).filter(F.size("__t") >= n)
-    sh = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"array_distinct(transform(sequence(0, size(__t)-{n}),"
-                f" i -> {sliding_concat_sql('__t', 'i', n)}))"
+    if impl == "expr":
+        toks = df.select(
+            F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__t")
+        ).filter(F.size("__t") >= n)
+        return toks.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(__t)-{n}),"
+                    f" i -> {sliding_concat_sql('__t', 'i', n)}))"
+                )
+            ).alias("shingle"),
+        )
+    low = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__low"))
+    id_type = low.schema[0].dataType.simpleString()
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_names = [id_col, "shingle"]
+        for batch in batches:
+            ids = batch.column(0)
+            toks = pc.split_pattern(batch.column(1), " ")
+            if isinstance(toks, pa.ChunkedArray):  # defensive
+                toks = toks.combine_chunks()
+            offsets = toks.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offsets)
+            valid = pc.is_valid(toks).to_numpy(zero_copy_only=False)
+            counts = np.where(valid & (lens >= n), lens - n + 1, 0)
+            total = int(counts.sum())
+            if total == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids.slice(0, 0), pa.array([], pa.string())],
+                    names=out_names,
+                )
+                continue
+            doc_rep = np.repeat(np.arange(len(counts)), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            # token index of each window start, in document order
+            base = offsets[doc_rep] + (np.arange(total) - starts[doc_rep])
+            flat = toks.values
+            if n == 1:
+                shingles = flat.take(pa.array(base))
+            else:
+                cols = [flat.take(pa.array(base + k)) for k in range(n)]
+                shingles = pc.binary_join_element_wise(*cols, " ")
+            # per-document distinct keeping FIRST occurrence (the
+            # array_distinct order): unique on (doc, shingle-code),
+            # then restore original positions
+            codes = shingles.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            key = doc_rep * (int(codes.max()) + 1) + codes
+            _, first_idx = np.unique(key, return_index=True)
+            first_idx.sort()
+            sel = pa.array(first_idx)
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(doc_rep[first_idx])), shingles.take(sel)],
+                names=out_names,
             )
-        ).alias("shingle"),
-    )
-    return sh
+
+    return low.mapInArrow(gen, schema=f"`{id_col}` {id_type}, shingle string")
 
 
 def _pair_intersections(

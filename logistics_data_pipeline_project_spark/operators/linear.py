@@ -146,12 +146,12 @@ def hashed_perceptron(
         .join(lab, "_id")
         .localCheckpoint(eager=False)
     )
+    # bucket universe from the PRE-label-join features: buckets seen
+    # only in unlabeled docs still get their zero-weight rows in the
+    # returned model (the docstring's "every feature bucket" contract;
+    # with full label coverage — q165 — the set is identical)
     buckets = sorted(
-        r["_b"]
-        for r in fvec.select(F.explode("_bc").alias("e"))
-        .select(F.col("e._b").alias("_b"))
-        .distinct()
-        .collect()
+        r["_b"] for r in f.select("_b").distinct().collect()
     )
     w: dict[str, int] = {b: 0 for b in buckets}
     bias = 0

@@ -56,24 +56,20 @@ def char_ngram_rarity(
             F.length("__t") >= n
         )
     )
-    tok = t.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(__t) - {n - 1}),"
-                f" i -> substring(__t, i, {n}))"
-            )
-        ).alias("__g"),
-    )
-    # Hierarchical rollup — the exploded token stream is aggregated ONCE
-    # and every coarser statistic derives from the previous level, never
-    # re-reading (or re-exploding) the corpus:
-    #   tokens -> per-doc gram counts -> gram model -> prefix model.
-    # Each shuffle carries strictly smaller keyed aggregates; the token
-    # explosion itself stays map-side (partial agg combines before the
-    # first exchange).
-    doc_grams = tok.groupBy(id_col, "__g").agg(
-        F.count(F.lit(1)).alias("__cnt")
+    # Hierarchical rollup — per-doc gram counts are computed ONCE and
+    # every coarser statistic derives from the previous level, never
+    # re-reading the corpus: tokens -> per-doc gram counts -> gram model
+    # -> prefix model.  The per-doc counts come from the Arrow twin
+    # (text.py::char_ngram_count_rows — the interpreted substring
+    # transform was the stage's dominant CPU); the groupBy below only
+    # re-reduces across input rows sharing an id, same semantics as the
+    # old explode + count.
+    from .text import char_ngram_count_rows
+
+    doc_grams = (
+        char_ngram_count_rows(t, id_col, "__t", n)
+        .groupBy(id_col, "__g")
+        .agg(F.sum("__cnt").alias("__cnt"))
     )
     # doc_grams feeds the scoring probe AND both broadcast model
     # subtrees; Spark does not reuse logically-shared subtrees across a

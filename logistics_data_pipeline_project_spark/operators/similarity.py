@@ -225,36 +225,60 @@ def _cell_dist_structs(cents: list[tuple[int, list[float]]]):
 
 def _assign_cells_pandas(dbl: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Arrow-batched numpy twin of the ``_cell_dist_structs`` projection:
-    per-dim squared differences summed with ``np.add.accumulate`` —
-    strictly left-to-right, the exact order of the JVM fold and DuckDB's
-    ``list_sum`` — and ``argmin`` (first-minimum) reproducing the
-    ties-to-lower-cell rule, since centroids arrive sorted by cell.
-    Bit-identical to the expression path (asserted in tests); ~10× faster
-    because the work is vectorized instead of per-row interpreted HOFs."""
+    per-dim squared differences accumulated strictly left-to-right (the
+    exact order of the JVM fold and DuckDB's ``list_sum`` — the running
+    ``d += diff²`` starts at +0.0, and 0.0 + x == x bitwise for squares)
+    and ``argmin`` (first-minimum) reproducing the ties-to-lower-cell
+    rule, since centroids arrive sorted by cell.  Bit-identical to the
+    expression path (asserted in tests).
+
+    r11: ``mapInArrow`` instead of ``mapInPandas`` — the vector column is
+    reshaped ZERO-COPY from the Arrow list buffer ([n·dim] doubles +
+    uniform offsets) instead of ``np.stack`` over n per-row arrays, and
+    the id/v columns pass through untouched; only the two small result
+    columns are newly built.  The dim loop also drops the (n, k, dim)
+    cumsum intermediate the old form materialized."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     C = np.array([cvec for _, cvec in cents], dtype=np.float64)
-    cells = np.array([cell for cell, _ in cents], dtype=np.int32)
+    cells = pa.array(
+        np.array([cell for cell, _ in cents], dtype=np.int32)
+    )
+    k, dim = C.shape
 
     def part(batches):
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            diff2 = (x[:, None, :] - C[None, :, :]) ** 2
-            d = np.add.accumulate(diff2, axis=2)[:, :, -1]
+            v = batch.column(1)
+            offs = v.offsets.to_numpy(zero_copy_only=False)
+            if len(offs) != n + 1 or not (np.diff(offs) == dim).all():
+                # ragged/odd layout: per-row fallback (same arithmetic)
+                x = np.stack(
+                    [np.asarray(r, dtype=np.float64) for r in v.to_pylist()]
+                )
+            else:
+                x = v.values.to_numpy(zero_copy_only=False)[
+                    offs[0] : offs[-1]
+                ].reshape(n, dim)
+            d = np.zeros((n, k), dtype=np.float64)
+            for t in range(dim):  # left-to-right, the JVM fold's order
+                diff = x[:, t, None] - C[None, :, t]
+                d += diff * diff
             j = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "v": pdf["v"],
-                    "cell": cells[j],
-                    "sq_dist": d[np.arange(len(pdf)), j],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    v,
+                    cells.take(pa.array(j)),
+                    pa.array(d[np.arange(n), j], pa.float64()),
+                ],
+                names=["id", "v", "cell", "sq_dist"],
             )
 
-    return dbl.mapInPandas(
+    return dbl.mapInArrow(
         part, schema="id long, v array<double>, cell int, sq_dist double"
     )
 
@@ -529,8 +553,14 @@ def block_nn_pairs_pandas(
         norms = np.sqrt(np.add.accumulate(m * m, axis=1)[:, -1])
         u = m / norms[:, None]
         out_i, out_j, out_c = [], [], []
-        for s in range(0, n, chunk_rows):
-            e = min(s + chunk_rows, n)
+        # bound the (chunk × n × dim) product buffer: shrink the chunk as
+        # the block grows so one hot block cannot blow a worker (r11; the
+        # block itself must still fit — documented upstream bound)
+        chunk_rows_eff = max(
+            1, min(chunk_rows, (64 << 20) // max(1, n * m.shape[1] * 8))
+        )
+        for s in range(0, n, chunk_rows_eff):
+            e = min(s + chunk_rows_eff, n)
             prod = u[s:e, None, :] * u[None, :, :]
             dots = np.add.accumulate(prod, axis=2)[:, :, -1]
             for k in range(e - s):
@@ -1067,7 +1097,8 @@ def _cell_threshold_pairs_pandas(
     assigned: DataFrame,
     threshold: float,
     margin: float = 2e-4,
-    chunk_rows: int = 256,
+    chunk_budget_bytes: int = 64 << 20,
+    max_cell_rows: int = 4096,
 ) -> DataFrame:
     """All ordered in-cell pairs (id1 < id2) whose RAW cosine is within
     ``margin`` below ``threshold`` or above — the numpy fast path for
@@ -1078,43 +1109,92 @@ def _cell_threshold_pairs_pandas(
     is ``dot / (sqrt(s1) * sqrt(s2))`` — the same multiply-then-divide
     the ``_dot / (_norm * _norm)`` expression performs, so every emitted
     raw score is bit-identical to the expression path.  The caller
-    rounds and applies the exact threshold Spark-side; ``margin`` covers
-    the worst the 4-decimal rounding can move a value (≤5e-5 + ulp), so
-    no qualifying pair is lost.  Emitting only near/above-threshold
-    pairs keeps the Arrow transfer O(qualifying pairs), not Σ|cell|²."""
+    rounds and applies the exact threshold Spark-side; ``margin`` must
+    cover the worst the caller's rounding can move a value (the caller
+    derives it from ``round_to``), so no qualifying pair is lost.
+    Emitting only near/above-threshold pairs keeps the Arrow transfer
+    O(qualifying pairs), not Σ|cell|².
+
+    Memory bounds (r11): a cell bigger than ``max_cell_rows`` is SPLIT
+    into ``s = ceil(n / max_cell_rows)`` deterministic hash blocks and
+    scored as block PAIRS — group (cell, b1, b2) holds ≤ 2·max_cell_rows
+    rows, so one hot cell can no longer materialize unbounded in a
+    single task (each unordered pair lands in exactly one block pair, so
+    outputs need no dedup and stay bit-identical: per-pair arithmetic is
+    independent of the grouping).  The chunked product buffer is sized
+    from ``chunk_budget_bytes`` instead of a fixed row count."""
     import numpy as np
     import pandas as pd
 
     cut = threshold - margin
+    empty = None
+
+    def _score_cross(ids_a, m_a, ids_b, m_b, norms_a, norms_b):
+        """Pairs (a, b) across two row sets, chunked over the A side;
+        same arithmetic sequence as the single-set path (products are
+        commutative, so cos(a,b) is bitwise grouping-independent)."""
+        out_i, out_j, out_c = [], [], []
+        dim = m_a.shape[1]
+        chunk = max(1, int(chunk_budget_bytes // max(1, len(ids_b) * dim * 8)))
+        denom_b = norms_b[None, :]
+        for s in range(0, len(ids_a), chunk):
+            e = min(s + chunk, len(ids_a))
+            prod = m_a[s:e, None, :] * m_b[None, :, :]
+            dots = np.add.accumulate(prod, axis=2)[:, :, -1]
+            cos = dots / (norms_a[s:e, None] * denom_b)
+            ci, cj = np.nonzero(cos >= cut)
+            ia, jb = ids_a[ci + s], ids_b[cj]
+            keep = ia < jb
+            out_i.append(ia[keep])
+            out_j.append(jb[keep])
+            out_c.append(cos[ci, cj][keep])
+            # the reverse orientation: same bits, ordered the other way
+            keep_r = jb < ia
+            out_i.append(jb[keep_r])
+            out_j.append(ia[keep_r])
+            out_c.append(cos[ci, cj][keep_r])
+        return out_i, out_j, out_c
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        nonlocal empty
+        if empty is None:
+            empty = pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype="int32"),
+                    "id1": pd.Series([], dtype="int64"),
+                    "id2": pd.Series([], dtype="int64"),
+                    "cosine_raw": pd.Series([], dtype="float64"),
+                }
+            )
         pdf = pdf.sort_values("id", kind="mergesort")
-        n = len(pdf)
-        empty = pd.DataFrame(
-            {
-                "cell": pd.Series([], dtype="int32"),
-                "id1": pd.Series([], dtype="int64"),
-                "id2": pd.Series([], dtype="int64"),
-                "cosine_raw": pd.Series([], dtype="float64"),
-            }
-        )
-        if n < 2:
+        cross = int(pdf["__b1"].iloc[0]) != int(pdf["__b2"].iloc[0])
+        if len(pdf) < 2:
             return empty
-        ids = pdf["id"].to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        norms = np.sqrt(np.add.accumulate(m * m, axis=1)[:, -1])
-        denom = norms[:, None] * norms[None, :]
-        out_i, out_j, out_c = [], [], []
-        for s in range(0, n, chunk_rows):
-            e = min(s + chunk_rows, n)
-            prod = m[s:e, None, :] * m[None, :, :]
-            dots = np.add.accumulate(prod, axis=2)[:, :, -1]
-            cos = dots / denom[s:e]
-            ci, cj = np.nonzero(cos >= cut)
-            keep = ids[ci + s] < ids[cj]  # ordered pairs only
-            out_i.append(ids[ci + s][keep])
-            out_j.append(ids[cj][keep])
-            out_c.append(cos[ci, cj][keep])
+        ids_all = pdf["id"].to_numpy()
+        m_all = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms_all = np.sqrt(np.add.accumulate(m_all * m_all, axis=1)[:, -1])
+        if cross:
+            in_a = (pdf["__b"] == pdf["__b1"]).to_numpy()
+            if not in_a.any() or in_a.all():
+                return empty
+            out_i, out_j, out_c = _score_cross(
+                ids_all[in_a], m_all[in_a], ids_all[~in_a], m_all[~in_a],
+                norms_all[in_a], norms_all[~in_a],
+            )
+        else:
+            out_i, out_j, out_c = [], [], []
+            n, dim = m_all.shape
+            chunk = max(1, int(chunk_budget_bytes // max(1, n * dim * 8)))
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                prod = m_all[s:e, None, :] * m_all[None, :, :]
+                dots = np.add.accumulate(prod, axis=2)[:, :, -1]
+                cos = dots / (norms_all[s:e, None] * norms_all[None, :])
+                ci, cj = np.nonzero(cos >= cut)
+                keep = ids_all[ci + s] < ids_all[cj]  # ordered pairs only
+                out_i.append(ids_all[ci + s][keep])
+                out_j.append(ids_all[cj][keep])
+                out_c.append(cos[ci, cj][keep])
         if not out_i:
             return empty
         return pd.DataFrame(
@@ -1126,13 +1206,36 @@ def _cell_threshold_pairs_pandas(
             }
         )
 
-    return (
-        assigned.select("cell", "id", "v")
-        .groupBy("cell")
-        .applyInPandas(
-            score_cell,
-            schema="cell int, id1 long, id2 long, cosine_raw double",
+    # the sizes aggregate and the grouped scoring both read the
+    # assignment: materialize it once (within-query, freed with the job)
+    assigned = assigned.select("cell", "id", "v").localCheckpoint(eager=False)
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    src = (
+        assigned.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "__s", F.ceil(F.col("__n") / F.lit(max_cell_rows)).cast("int")
         )
+        .withColumn(
+            "__b", F.pmod(F.xxhash64(F.col("id")), F.col("__s")).cast("int")
+        )
+        .withColumn(
+            "__pg",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, __s - 1), j ->"
+                    " IF(j <= __b, struct(j AS b1, __b AS b2),"
+                    " struct(__b AS b1, j AS b2)))"
+                )
+            ),
+        )
+        .select(
+            "cell", "id", "v", "__b",
+            F.col("__pg.b1").alias("__b1"), F.col("__pg.b2").alias("__b2"),
+        )
+    )
+    return src.groupBy("cell", "__b1", "__b2").applyInPandas(
+        score_cell,
+        schema="cell int, id1 long, id2 long, cosine_raw double",
     )
 
 
@@ -1168,8 +1271,13 @@ def semantic_dedup(
     # _cell_threshold_pairs_pandas) instead of Σ|cell|² interpreted
     # zip_with/aggregate folds on the self-join output; profiled 10+
     # CPU-s → ~1 at sf0.1.  Rounding and the EXACT threshold stay
-    # Spark-side on the bit-identical raw score.
-    cand = _cell_threshold_pairs_pandas(assigned, threshold).withColumn(
+    # Spark-side on the bit-identical raw score.  The margin is DERIVED
+    # from round_to (rounding can raise a raw cosine by at most
+    # 0.5·10^-round_to; +1e-9 covers the ulp) so callers with a coarser
+    # round_to cannot silently lose qualifying pairs.
+    cand = _cell_threshold_pairs_pandas(
+        assigned, threshold, margin=0.5 * 10.0 ** -round_to + 1e-9
+    ).withColumn(
         "cosine", F.round(F.col("cosine_raw"), round_to).cast("double")
     ).filter(F.col("cosine") >= threshold)
     w = Window.partitionBy("id2").orderBy(F.asc("id1"))

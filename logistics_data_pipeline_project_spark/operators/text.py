@@ -462,6 +462,117 @@ def extract_html_text(html: Column | str) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def _window_hash_rows_arrow(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, start, wh) rows: md5 of every consecutive ``window``-token
+    slice of ``split(text, ' ')``, one row per start position, docs with
+    fewer than ``window`` tokens skipped — the Arrow twin of the
+    interpreted ``explode(transform(sequence(...), i -> struct(i,
+    md5(concat(...)))))`` projection (bit-identical output, ~10x less
+    stage CPU; see frequent_window_scrub)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col), F.col(text_col))
+
+    def gen(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        names = ["__id", "start", "wh"]
+        for batch in batches:
+            ids = batch.column(0)
+            toks = pc.split_pattern(batch.column(1), " ")
+            if isinstance(toks, pa.ChunkedArray):  # defensive
+                toks = toks.combine_chunks()
+            offsets = toks.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offsets)
+            valid = pc.is_valid(toks).to_numpy(zero_copy_only=False)
+            counts = np.where(valid & (lens >= window), lens - window + 1, 0)
+            total = int(counts.sum())
+            if total == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.slice(0, 0),
+                        pa.array([], pa.int32()),
+                        pa.array([], pa.string()),
+                    ],
+                    names=names,
+                )
+                continue
+            doc_rep = np.repeat(np.arange(len(counts)), counts)
+            run_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            starts = (np.arange(total) - run_starts[doc_rep]).astype(np.int32)
+            base = offsets[doc_rep] + starts
+            flat = toks.values
+            cols = [flat.take(pa.array(base + k)) for k in range(window)]
+            spans = pc.binary_join_element_wise(*cols, " ")
+            # spans are never null (built from non-null token takes);
+            # md5 over the utf-8 bytes == Spark's md5(string) hex
+            hashes = pa.array(
+                [md5(s.encode()).hexdigest() for s in spans.to_pylist()],
+                pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(doc_rep)), pa.array(starts), hashes],
+                names=names,
+            )
+
+    return src.mapInArrow(
+        gen, schema=f"`__id` {id_type}, start int, wh string"
+    )
+
+
+def char_ngram_count_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per-document char-``n``-gram counts as (id, __g, __cnt) rows —
+    the Arrow twin of ``explode(transform(sequence(1, length - n + 1),
+    i -> substring(text, i, n)))`` followed by a per-doc count.  Python
+    string slicing is codepoint-based exactly like Spark's
+    ``substring`` (pinned by tests on non-ASCII), so gram strings are
+    byte-identical; Counter just pre-reduces the per-occurrence stream
+    the interpreted HOF used to emit row by row.  Docs shorter than
+    ``n`` codepoints (or NULL) emit nothing — same convention as the
+    callers' length filter.  Callers re-aggregate by (id, __g) so
+    duplicate ids in the input stay correct."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col), F.col(text_col))
+
+    def gen(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        names = [id_col, "__g", "__cnt"]
+        for batch in batches:
+            id_arr = batch.column(0)
+            out_ids: list = []
+            out_g: list = []
+            out_c: list = []
+            for i, s in zip(id_arr.to_pylist(), batch.column(1).to_pylist()):
+                if s is None or len(s) < n:
+                    continue
+                c = Counter(s[j : j + n] for j in range(len(s) - n + 1))
+                out_ids.extend([i] * len(c))
+                out_g.extend(c.keys())
+                out_c.extend(c.values())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, id_arr.type),
+                    pa.array(out_g, pa.string()),
+                    pa.array(out_c, pa.int64()),
+                ],
+                names=names,
+            )
+
+    return src.mapInArrow(
+        gen, schema=f"`{id_col}` {id_type}, __g string, __cnt long"
+    )
+
+
 def frequent_window_scrub(
     df: DataFrame,
     id_col: str,
@@ -505,27 +616,22 @@ def frequent_window_scrub(
     # rows are byte-small — a one-file scan arrives as ONE task and
     # serializes it (profiled at sf0.1: a single-task 1.1 s stage).
     # Widen before exploding; a no-op when the scan is already wide.
-    toks = fan_out(df).select(
+    src = fan_out(df)
+    toks = src.select(
         F.col(id_col).alias("__id"),
         F.split(F.col(text_col), " ").alias("__t"),
     )
-    # the size guard runs BEFORE the window-building transform so that
-    # sequence(0, size - window) is never evaluated on a too-short doc
-    # (size < window would make it a descending sequence and the slice
-    # lambda a runtime error) — correct by construction instead of by
-    # optimizer pushdown
-    wins = toks.filter(F.size("__t") >= window).select(
-        "__id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(__t) - {window}),"
-                f" i -> struct(i AS start,"
-                f" md5({sliding_concat_sql('__t', 'i', window)}) AS wh))"
-            )
-        ).alias("__w"),
-    ).select(
-        "__id", F.col("__w.start").alias("start"), F.col("__w.wh").alias("wh")
-    )
+    # Window hashes via ONE mapInArrow pass (r11): the round-10 form — an
+    # interpreted transform() building struct(start, md5(concat(...))) per
+    # token position — was the query's dominant CPU (HOF lambdas run
+    # without codegen and pay per-task interpreter setup).  The twin
+    # builds the same window strings with vectorized Arrow kernels
+    # (split_pattern matches Spark's split(s, ' ') exactly — pinned by
+    # the word_shingles twin tests) and hashes with hashlib.md5 (same
+    # lowercase-hex digest as Spark's md5).  The text is NOT lowercased
+    # here, so no locale-sensitivity caveat applies; output rows and
+    # order are identical to the explode form (asserted in tests).
+    wins = _window_hash_rows_arrow(src, id_col, text_col, window)
     # `wins` (the per-token window-hash explode — the dominant cost)
     # feeds BOTH the document-frequency aggregate and the covered-join
     # probe; without a checkpoint Spark evaluates the explode twice.

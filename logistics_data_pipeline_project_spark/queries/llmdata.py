@@ -3613,22 +3613,19 @@ def q154_importance_resample(spark: SparkSession, sf_dir: str):
             F.length("__t") >= 3
         )
     )
-    tok = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(__t) - 2),"
-                " i -> substring(__t, i, 3))"
-            )
-        ).alias("tri"),
+    # hierarchical rollup (same shape as operators/lm.py): per-doc
+    # trigram counts come from the Arrow twin (the interpreted substring
+    # transform was the stage's dominant CPU), aggregate ONCE and are
+    # materialized so the three consumers below share one pass
+    from ..operators.text import char_ngram_count_rows
+
+    doc_grams = (
+        char_ngram_count_rows(t, "doc_id", "__t", 3)
+        .select("doc_id", F.col("__g").alias("tri"), F.col("__cnt").alias("cnt"))
+        .groupBy("doc_id", "tri")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    # hierarchical rollup (same shape as operators/lm.py): the exploded
-    # token stream aggregates ONCE to per-doc gram counts — materialized
-    # so the three consumers below share one explosion pass — and every
-    # model derives from that
-    doc_grams = tok.groupBy("doc_id", "tri").agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint(eager=False)
     all_model = doc_grams.groupBy("tri").agg(F.sum("cnt").alias("ca"))
     tgt_ids = docs.filter(
         F.col("text").like(f"%{_DSIR_TGT_WORD}%")

@@ -218,3 +218,23 @@ def test_word_bigrams_guards_degenerate_docs(spark):
         map(tuple, word_bigrams(df, "text", extra_cols=("doc_id",)).collect())
     )
     assert got == [(1, "alpha", "beta"), (1, "beta", "gamma")]
+
+
+def test_hashed_perceptron_bucket_universe_includes_unlabeled(spark):
+    # r11: buckets appearing ONLY in unlabeled docs still get zero-weight
+    # model rows (the docstring's "every feature bucket" contract)
+    from logistics_data_pipeline_project_spark.operators.linear import (
+        hashed_perceptron,
+    )
+
+    feats = spark.createDataFrame(
+        [(1, "a", 2), (1, "b", 1), (2, "only_unlabeled", 3)],
+        "doc_id long, bucket string, cnt long",
+    )
+    labels = spark.createDataFrame([(1, 1)], "doc_id long, y long")
+    model = hashed_perceptron(
+        feats, labels, 1, "doc_id", "bucket", "cnt", "y"
+    )
+    got = {r[0]: r[1] for r in model.collect()}
+    assert "only_unlabeled" in got and got["only_unlabeled"] == 0
+    assert "__bias__" in got
