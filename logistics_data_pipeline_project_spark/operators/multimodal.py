@@ -1358,6 +1358,7 @@ def jpeg_qtable(quality: int) -> list[int]:
 
 
 _jpeg_huff_cache: dict = {}
+_jpeg_prefix_cache: dict = {}
 
 
 def _build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -1593,33 +1594,49 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    zz_qt = bytes(qt[_JPEG_ZIGZAG[k]] for k in range(64))
-    dqt = seg(0xFFDB, b"\x00" + zz_qt)  # table 0, zig-zag order
-    if channels == 3:
-        zz_qt_c = bytes(qt_c[_JPEG_ZIGZAG[k]] for k in range(64))
-        dqt += seg(0xFFDB, b"\x01" + zz_qt_c)  # table 1 (chroma)
-        sof_comps = (
-            bytes([0x01, (hy << 4) | vy, 0x00]) + b"\x02\x11\x01\x03\x11\x01"
+    # The SOI..DHT prefix depends only on (qt, qt_c, dims, channels,
+    # sampling, progressive) — cache it: fixture lanes re-encode the same
+    # shape thousands of times and rebuilt these segments per call.
+    pkey = (
+        bytes(qt),
+        bytes(qt_c) if channels == 3 else None,
+        channels, hy, vy, progressive, width, height,
+    )
+    prefix = _jpeg_prefix_cache.get(pkey)
+    if prefix is None:
+        zz_qt = bytes(qt[_JPEG_ZIGZAG[k]] for k in range(64))
+        dqt = seg(0xFFDB, b"\x00" + zz_qt)  # table 0, zig-zag order
+        if channels == 3:
+            zz_qt_c = bytes(qt_c[_JPEG_ZIGZAG[k]] for k in range(64))
+            dqt += seg(0xFFDB, b"\x01" + zz_qt_c)  # table 1 (chroma)
+            sof_comps = (
+                bytes([0x01, (hy << 4) | vy, 0x00]) + b"\x02\x11\x01\x03\x11\x01"
+            )
+        else:
+            sof_comps = b"\x01\x11\x00"
+        dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        if progressive:
+            dht_ac = (
+                bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+            )
+        else:
+            dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        prefix = (
+            b"\xff\xd8"  # SOI
+            + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + dqt
+            + seg(
+                0xFFC2 if progressive else 0xFFC0,
+                struct.pack(">BHHB", 8, height, width, channels) + sof_comps,
+            )  # SOF2 / SOF0
+            + seg(0xFFC4, dht_dc)
+            + seg(0xFFC4, dht_ac)
         )
-    else:
-        sof_comps = b"\x01\x11\x00"
-    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-    if progressive:
-        dht_ac = (
-            bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
-        )
-    else:
-        dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        if len(_jpeg_prefix_cache) >= 256:  # bound: tests sweep many shapes
+            _jpeg_prefix_cache.clear()
+        _jpeg_prefix_cache[pkey] = prefix
     return (
-        b"\xff\xd8"  # SOI
-        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + dqt
-        + seg(
-            0xFFC2 if progressive else 0xFFC0,
-            struct.pack(">BHHB", 8, height, width, channels) + sof_comps,
-        )  # SOF2 / SOF0
-        + seg(0xFFC4, dht_dc)
-        + seg(0xFFC4, dht_ac)
+        prefix
         + b"".join(
             seg(0xFFDA, body) + entropy for body, entropy in scans_out
         )
